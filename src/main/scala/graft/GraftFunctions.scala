@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.functions.call_function
+
+import graft.functions._
+
+/** Registration + typed Column wrappers for the engine's native
+  * Catalyst expressions. Registering through the session's
+  * FunctionRegistry keeps every function visible to Catalyst (codegen,
+  * constant folding, null propagation) and usable from both the Column
+  * DSL (via `call_function`) and `spark.sql`.
+  */
+object GraftFunctions {
+
+  private def foldableInt(e: Expression, fn: String): Int = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"$fn: first argument must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: first argument (k) must be a literal")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_sqdist", es => VectorSqDist(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", es => VectorDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", es => VectorCosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_norm", es => VectorNorm(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_packbits", es => PackSignBits(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hamming", es => HammingDistance(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", es => SimHash64(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hamming64", es => HammingDistance64(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk",
+      es => TopKSmallest(foldableInt(es(0), "graft_topk"), es(1), es(2)),
+      "built-in")
+  }
+
+  // Column-DSL wrappers (resolve through the active session's registry).
+  def sqDist(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+  def norm(a: Column): Column = call_function("graft_norm", a)
+  def packBits(a: Column): Column = call_function("graft_packbits", a)
+  def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
+  def simHash(a: Column): Column = call_function("graft_simhash", a)
+  def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+  def topK(k: Int, ord: Column, payload: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_topk", lit(k), ord, payload)
+  }
+}

@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Dedup query pack over `documents` — exact, n-gram Jaccard,
+  * MinHash-LSH, SimHash, embedding-cosine (training-data pipeline
+  * operators). */
+object DedupQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, d, "documents")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(docs(s, d), n = 2, threshold = 0.4)),
+    "dedup_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLsh(docs(s, d), shingleN = 3, threshold = 0.5)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashSignatures(docs(s, d))),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), maxHamming = 12)),
+    "dedup_embed_cosine" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Dedup.embeddingTopPairs(Tables.load(s, d, "embeddings"), topN = 20)
+    })
+  )
+
+  /** Shingle SQL fragment shared by the jaccard oracles: distinct
+    * n-word shingles, 1-based list indexing. */
+  private def jaccardOracle(n: Int, threshold: Double): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    ${(0 until n).map(o => s"l[i + $o]").mkString(" || ' ' || ")} AS s
+       |  FROM tok, UNNEST(range(1, len(l) - ${n - 2})) AS t(i)
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.doc_a
+       |JOIN sizes sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= $threshold""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle(2, 0.4),
+    "dedup_minhash_lsh" -> jaccardOracle(3, 0.5),
+    "dedup_embed_cosine" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    (SELECT sum(CAST(z.x AS DOUBLE) * CAST(z.y AS DOUBLE)) /
+        |      (sqrt(sum(CAST(z.x AS DOUBLE) * CAST(z.x AS DOUBLE))) *
+        |       sqrt(sum(CAST(z.y AS DOUBLE) * CAST(z.y AS DOUBLE))))
+        |     FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) z
+        |    ) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
+        |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin
+    // dedup_simhash / dedup_simhash_pairs: seeded-xxhash fingerprints,
+    // not expressible in the oracle dialect → rows-only check.
+  )
+}
+
+/** Text-analysis query pack over `documents`. */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, d, "documents")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens" -> ((s, d) => TextAnalysis.tokenStats(docs(s, d))),
+    "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
+    "text_langid" -> ((s, d) => TextAnalysis.languageId(docs(s, d))),
+    "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnow(docs(s, d)).select(col("doc_id"),
+        size(col("sketch")).cast("long").as("sketch_size"),
+        col("sketch")))
+  )
+
+  private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
+    lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.tokenPattern}'))
+         |    AS BIGINT) AS n_re_tokens,
+         |  CAST(length(text) AS BIGINT) AS n_chars_computed
+         |FROM documents""".stripMargin,
+    "text_quality" -> {
+      val en = markersSql.toMap.apply("en")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, x -> list_contains($en, x))) AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  round(least(n / 100.0, 1.0) * 0.5 +
+         |    least(n_stop / n * 5.0, 1.0) * 0.2 + (n_uniq / n) * 0.3, 6) AS quality
+         |FROM s""".stripMargin
+    },
+    "text_langid" -> {
+      val scores = markersSql.map { case (lang, arr) =>
+        s"CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      val best = markersSql.map(m => s"s_${m._1}").mkString("greatest(", ", ", ")")
+      val pred = markersSql.map { case (lang, _) =>
+        s"WHEN best > 0 AND s_$lang = best THEN '$lang'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id,
+         |    $scores
+         |  FROM t),
+         |g AS (SELECT *, $best AS best FROM s)
+         |SELECT doc_id, $pred AS lang_pred, best AS marker_hits FROM g""".stripMargin
+    },
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |    ' ')) AS fingerprint
+        |FROM documents""".stripMargin
+    // text_winnow: seeded-xxhash sketch → rows-only check.
+  )
+}
+
+/** ANN + quantization query pack over `embeddings`. */
+object AnnQueries {
+  import SparkEntry._
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_topk" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = AnnIvf.train(data, numCentroids = 16, iterations = 2)
+      AnnIvf.search(AnnIvf.index(data, centroids), centroids,
+          queriesDf(s, d), K, nprobe = 4)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    "ann_ivf_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val q = queriesDf(s, d)
+      val centroids = AnnIvf.train(data, numCentroids = 16, iterations = 2)
+      val found = AnnIvf.search(AnnIvf.index(data, centroids), centroids,
+        q, K, nprobe = 4)
+      val truth = Knn.exact(data, q, K)
+      Recall.ofRanked(found, truth)
+    }),
+    "quant_train" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Quantize.train(Tables.load(s, d, "embeddings"))
+        .select(col("dim").cast("long").as("dim"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+    }),
+    "quant_int8" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val vecs = Tables.load(s, d, "embeddings")
+      Quantize.apply(vecs.filter(col("vec_id") % 50 === 0),
+        Quantize.train(vecs))
+    }),
+    "quant_roundtrip" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val vecs = Tables.load(s, d, "embeddings")
+      Quantize.roundTripError(vecs.filter(col("vec_id") % 50 === 0),
+        Quantize.train(vecs))
+    })
+  )
+
+  private val unnestDims =
+    "(SELECT unnest(embedding) AS v, unnest(range(0, len(embedding))) AS dim FROM embeddings)"
+
+  val oracles: Map[String, String] = Map(
+    "quant_train" ->
+      s"""SELECT CAST(dim AS BIGINT) AS dim,
+         |  round(quantile_cont(CAST(v AS DOUBLE), 0.005), 6) AS lo,
+         |  round(quantile_cont(CAST(v AS DOUBLE), 0.995), 6) AS hi
+         |FROM $unnestDims GROUP BY dim""".stripMargin,
+    "quant_int8" ->
+      s"""WITH b AS (
+         |  SELECT dim, quantile_cont(CAST(v AS DOUBLE), 0.005) AS lo,
+         |    quantile_cont(CAST(v AS DOUBLE), 0.995) AS hi
+         |  FROM $unnestDims GROUP BY dim
+         |), e AS (
+         |  SELECT vec_id, unnest(embedding) AS v,
+         |    unnest(range(0, len(embedding))) AS dim
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |)
+         |SELECT e.vec_id, list(
+         |    greatest(-128, least(127, CAST(floor(
+         |      (CAST(e.v AS DOUBLE) - b.lo) / (b.hi - b.lo) * 255.0 - 128.0
+         |      + 0.5) AS INTEGER)))
+         |    ORDER BY e.dim) AS qvec
+         |FROM e JOIN b ON e.dim = b.dim
+         |GROUP BY e.vec_id""".stripMargin
+    // ann_ivf_*: approximate index behavior — verified against the
+    // exact oracle via the recall metric in ScalaTest; rows-only here.
+    // quant_roundtrip: depends on quantized values → rows-only.
+  )
+}
+
+/** Ingestion query pack over `documents` (reviews-analog). */
+object IngestQueries {
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ingest_pipeline" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Ingest.pipeline(Tables.load(s, d, "documents"),
+          minTokens = 20, maxRows = 400)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(col("embedding")).cast("long").as("dim"))
+    }),
+    "ingest_shards" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Ingest.shardIds(
+        Ingest.minTokenFilter(Tables.load(s, d, "documents"), 20), 100)
+        .select(col("doc_id"), col("shard"))
+    }),
+    "multimodal_features" -> ((s, d) => {
+      // binary-payload plumbing with a stubbed decoder (rows-only:
+      // the fake features are engine-internal, asserted in ScalaTest)
+      graft.sources.Multimodal.extractFeatures(
+        graft.sources.Multimodal.mediaTable(Tables.load(s, d, "documents")))
+    }),
+    "ingest_embedded" -> ((s, d) => {
+      // full output incl. the synthetic embedding (seeded xxhash —
+      // rows-only check; embedder determinism is asserted in ScalaTest)
+      GraftFunctions.register(s)
+      Ingest.pipeline(Tables.load(s, d, "documents"),
+          minTokens = 20, maxRows = 400)
+        .select(col("doc_id"), col("embedding"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ingest_pipeline" ->
+      """WITH f AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 20
+        |), capped AS (
+        |  SELECT doc_id, n_tokens,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM f
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(64 AS BIGINT) AS dim
+        |FROM capped WHERE rn <= 400""".stripMargin,
+    "ingest_shards" ->
+      """WITH f AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |)
+        |SELECT doc_id,
+        |  CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 100)
+        |    AS BIGINT) AS shard
+        |FROM f""".stripMargin
+  )
+}

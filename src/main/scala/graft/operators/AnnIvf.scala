@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+
+/** Partitioned (IVF-style) approximate nearest-neighbor index — the
+  * Spark-native re-expression of the reference's graph indexes (CAGRA
+  * /root/reference/cuvs_bench_grid_search_v3.py:197-207, HNSW
+  * utils_grid_search.py:634-686). Graph builds are inherently
+  * sequential; the idiomatic distributed equivalent of their
+  * recall/throughput knob is coarse quantization:
+  *
+  *   build:  k-means centroids (Lloyd iterations as DataFrame aggs,
+  *           deterministic seeded init) → every vector assigned to its
+  *           nearest centroid → at scale, the index table is WRITTEN
+  *           `partitionBy("cid")` so probes prune parquet partitions;
+  *   search: queries probe their `nprobe` nearest centroids (tiny
+  *           broadcast join against the centroid table) and scan only
+  *           those cells — `nprobe` is the recall↔QPS knob, the analog
+  *           of CAGRA's `itopk_size`/`search_width` and HNSW's
+  *           `efSearch` (params_config.yaml:2-15).
+  *
+  * Determinism: seeded xxhash64 ranking picks the initial centroids
+  * (partition-count-independent, unlike rand()); Lloyd updates are
+  * averages — order-independent up to fp addition order, and
+  * assignments use exact (dist, cid) min so ties break deterministically.
+  */
+object AnnIvf {
+
+  /** (cid INT, centroid ARRAY<FLOAT>) */
+  def train(data: DataFrame, numCentroids: Int, iterations: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // seeded init: deterministic hash-ranked sample (partition-count
+    // independent, unlike rand()); window runs over C rows only
+    var centroids = data
+      .select(col(idCol).as("_id"), col(vecCol).as("centroid"))
+      .withColumn("_h", xxhash64(col("_id"), lit(42)))
+      .orderBy(col("_h"), col("_id"))
+      .limit(numCentroids)
+      .withColumn("cid",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("_h"), col("_id"))) - 1)
+      .select(col("cid"), col("centroid"))
+    var it = 0
+    while (it < iterations) {
+      val assigned = assign(data, centroids, idCol, vecCol)
+        .join(data.select(col(idCol), col(vecCol)), idCol)
+      val means = assigned
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+      centroids = means
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment: (idCol, cid). */
+  def assign(data: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    data.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids))
+      .groupBy(col(idCol))
+      .agg(min(struct(
+        GraftFunctions.sqDist(col(vecCol), col("centroid")).as("d"),
+        col("cid"))).as("best"))
+      .select(col(idCol), col("best.cid").as("cid"))
+
+  /** Index = data + cid. At 100 TB this is persisted
+    * `write.partitionBy("cid").parquet(...)` so probe-time cell
+    * selection becomes parquet partition pruning. */
+  def index(data: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    data.join(assign(data, centroids, idCol, vecCol), idCol)
+
+  /** Probe-and-scan search: exact top-k within the nprobe nearest
+    * cells per query. Output (qid, rank, neighbor_id, dist). */
+  def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .groupBy(col(qidCol))
+      .agg(GraftFunctions.topK(nprobe,
+        GraftFunctions.sqDist(col(qvecCol), col("centroid")),
+        col("cid").cast("long")).as("probe"))
+      .select(col(qidCol), explode(col("probe.id")).as("cid"))
+      .join(queries, qidCol)
+    val candidates = indexed.join(
+      broadcast(probes), indexed("cid") === probes("cid").cast("int"))
+    Knn.topKFrom(candidates, k,
+      GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
+      col(idCol), col(qidCol))
+  }
+}

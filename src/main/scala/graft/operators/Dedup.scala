@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines. All paths are built from codegen'd built-ins (split /
+  * transform / xxhash64 / array_* / joins) so Catalyst sees the whole
+  * plan; nothing is a black-box UDF.
+  *
+  * Scale design (100 TB): the only quadratic danger is pair
+  * generation. Exact-hash dedup is a hash aggregate (linear, map-side
+  * combined). MinHash-LSH generates candidate pairs only within
+  * LSH-band buckets (equi-join on band hash — shuffles by band key,
+  * skew-salted if a bucket explodes). The shingle-join exact-Jaccard
+  * path joins on a common shingle, which restricts pairs to documents
+  * sharing at least one shingle. Verification is per-candidate-pair,
+  * linear in candidates.
+  */
+object Dedup {
+
+  /** Tokens column: whitespace split. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles of a token array (1-based element_at). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (1 to n).map(o => element_at(toks, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact duplicate groups by content hash (md5 — matches the SQL
+    * oracle byte-for-byte). One row per distinct text: keeper id (min)
+    * + copy count. */
+  def exact(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs via common-shingle
+    * equi-join (never a cross join): docs sharing no shingle are never
+    * paired. Output (doc_a, doc_b, jaccard) with jaccard >= threshold.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(sh, i).
+    * The per-seed hash family reuses Spark's codegen'd XxHash64 with
+    * the seed index mixed in as a second child. */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
+    *
+    * bands×rowsPerBand = numHashes. Candidate pairs come from equal
+    * band hashes only; each candidate is then verified against the
+    * exact shingle-set Jaccard so the output matches the brute-force
+    * oracle (the LSH miss probability at j >= threshold is
+    * (1-t^r)^b ≈ 1e-8 for the default 64×2 at t=0.5).
+    */
+  def minhashLsh(docs: DataFrame, shingleN: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // .cache() is load-bearing: without it, CollapseProject inlines the
+    // 128-hash signature expression into every band slice (64×) and the
+    // self-join recomputes it again — observed 87s→2s at sf0.01. At
+    // 100 TB the signature table is persisted parquet for the same
+    // reason (compute once, shuffle only 8·numHashes bytes/doc).
+    val withSh = docs.select(col(idCol).as("doc_id"),
+      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val sig = withSh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .cache()
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
+        .as(Seq("band", "band_hash")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates against exact shingle-set Jaccard
+    val shSets = withSh.select(col("doc_id"), col("sh"))
+    candidates
+      .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash 64-bit fingerprints (native expression, §2.10). */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.simHash(tokens(col(textCol))).as("simhash"))
+
+  /** SimHash near-dup pairs: pigeonhole-banded (4×16-bit chunks — any
+    * pair within Hamming distance 3 shares an identical chunk), then
+    * verified with the exact 64-bit Hamming distance. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        GraftFunctions.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-duplicate: top-N most similar vector pairs.
+    * Exact all-pairs here (fine to ~10^4 rows / partition-streamed);
+    * the 100-TB path buckets by IVF centroid (AnnIvf) or LSH
+    * hyperplane sign so only same-bucket pairs are scored. */
+  def embeddingTopPairs(vecs: DataFrame, topN: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+      .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      .limit(topN)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+}

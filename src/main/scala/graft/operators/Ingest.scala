@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion pipeline — the Spark re-expression of the reference's
+  * exec_embed flow (/root/reference/download_dataset/exec_embed.py:
+  * read JSONL → min-token filter (:66-69) → global row cap (:44-59,
+  * 76-81) → embed via external service → fp16 cast / dim truncate
+  * (utils.py:134-139) → 10K-row shards (utils.py:143-200)).
+  *
+  * The async gRPC embedder (download_dataset/utils.py:17-82) cannot
+  * exist in a zero-egress environment; its architectural slot is
+  * `mapPartitions` with a per-partition client. Here it is replaced by
+  * a DETERMINISTIC synthetic embedder: per (text, dim) seeded xxhash64
+  * mapped to [-1, 1) — same signature, stable across partitionings.
+  *
+  * The reference's ordered re-accumulation + sharding machinery
+  * (utils.py:148-200) collapses into
+  * `write.option("maxRecordsPerFile", n).partitionBy("category")`.
+  */
+object Ingest {
+
+  val Dim = 64
+
+  /** Deterministic synthetic embedding: hash text per dimension. */
+  def syntheticEmbedding(text: Column, dim: Int = Dim): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => (pmod(xxhash64(text, j), lit(2000001L)).cast("double") / 1000000.0
+        - 1.0).cast("float"))
+
+  /** Min-token filter (P1): whitespace token count >= minTokens. */
+  def minTokenFilter(docs: DataFrame, minTokens: Int,
+      textCol: String = "text"): DataFrame =
+    docs.filter(size(split(col(textCol), " ")) >= minTokens)
+
+  /** Global row cap with deterministic order (P3 —
+    * `row_number over (order by id) <= n`, the exact semantics of the
+    * reference's cross-category running limit). */
+  def globalCap(docs: DataFrame, maxRows: Int,
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("_rn",
+        row_number().over(Window.orderBy(col(idCol))))
+      .filter(col("_rn") <= maxRows)
+      .drop("_rn")
+
+  /** Shard assignment (W3/S5): cut every `shardSize` rows in id order.
+    * The writer-side equivalent is option("maxRecordsPerFile"). */
+  def shardIds(docs: DataFrame, shardSize: Int,
+      idCol: String = "doc_id"): DataFrame =
+    docs.withColumn("shard",
+      floor((row_number().over(Window.orderBy(col(idCol))) - 1)
+        / shardSize).cast("long"))
+
+  /** Full pipeline: filter → cap → embed → dim-truncate (P4). */
+  def pipeline(docs: DataFrame, minTokens: Int, maxRows: Int,
+      dim: Int = Dim, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    globalCap(minTokenFilter(docs, minTokens, textCol), maxRows, idCol)
+      .withColumn("embedding",
+        slice(syntheticEmbedding(col(textCol), Dim), 1, dim))
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: token counting,
+  * quality scoring, language ID, content fingerprinting. All
+  * expression-level (codegen'd, no UDFs), linear scans — they
+  * trivially scale: no shuffle except the final aggregation a caller
+  * adds.
+  */
+object TextAnalysis {
+
+  /** BPE-ish token pattern: letter runs, digit runs, single other
+    * non-space symbols — a portable approximation of byte-pair
+    * pre-tokenization that both Spark and the SQL oracle can run. */
+  val tokenPattern = "[A-Za-z]+|[0-9]+"
+
+  def whitespaceTokens(text: Column): Column = split(text, " ")
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, SQL-mirrorable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ist", "nicht"),
+    "en" -> Seq("the", "and", "of", "is", "not"),
+    "es" -> Seq("el", "la", "y", "es", "no"),
+    "fr" -> Seq("le", "la", "et", "est", "pas"),
+    "zh" -> Seq("de", "shi", "bu", "le", "wo"))
+
+  /** Per-doc token statistics. */
+  def tokenStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = whitespaceTokens(col(textCol))
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit(tokenPattern), lit(0)))
+        .cast("long").as("n_re_tokens"),
+      length(col(textCol)).cast("long").as("n_chars_computed"))
+  }
+
+  /** Quality score in [0,1]: length saturation + stopword presence +
+    * lexical diversity. Same arithmetic order as the SQL oracle so the
+    * doubles match bit-for-bit before rounding. */
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = whitespaceTokens(col(textCol))
+    val en = langMarkers.toMap.apply("en")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("double").as("n"),
+        size(filter(col("toks"),
+          t => t.isin(en: _*))).cast("double").as("n_stop"),
+        size(array_distinct(col("toks"))).cast("double").as("n_uniq"))
+      .select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        round(
+          least(col("n") / 100.0, lit(1.0)) * 0.5 +
+            least(col("n_stop") / col("n") * 5.0, lit(1.0)) * 0.2 +
+            (col("n_uniq") / col("n")) * 0.3, 6).as("quality"))
+  }
+
+  /** Language ID: marker-stopword hit counts per language, argmax with
+    * alphabetical tie-break; 'und' (undetermined) when no marker hits.
+    */
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = whitespaceTokens(col(textCol))
+    val scored = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id") +: langMarkers.map { case (lang, markers) =>
+        size(filter(col("toks"), t => t.isin(markers: _*))).as(s"s_$lang")
+      }: _*)
+    // argmax over the per-lang scores; langMarkers is alphabetical so
+    // the first max wins ties deterministically
+    val best = langMarkers.map(l => col(s"s_${l._1}"))
+      .reduce((a, b) => greatest(a, b))
+    // foldRight keeps the FIRST (alphabetically smallest) matching lang
+    scored.select(col("doc_id"),
+      langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(best > 0 && col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+      }.as("lang_pred"),
+      best.cast("long").as("marker_hits"))
+  }
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * token set (portable across engines, unlike seeded xxhash). */
+  def fingerprint(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      md5(array_join(array_sort(array_distinct(whitespaceTokens(col(textCol)))),
+        " ")).as("fingerprint"))
+
+  /** Winnowing-style rolling fingerprint: hash every k-token window,
+    * keep the minimum hash per sliding band of w windows (document
+    * sketch for local similarity). Expression-only implementation. */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = whitespaceTokens(col(textCol))
+    val grams = Dedup.shingles(toks, k) // distinct k-gram strings
+    val hashes = transform(grams, g => xxhash64(g))
+    val nBands = floor((size(hashes) + w - 1) / lit(w.toDouble)).cast("int")
+    docs.select(col(idCol).as("doc_id"), hashes.as("h"), nBands.as("nb"))
+      .select(col("doc_id"),
+        when(col("nb") > 0,
+          array_distinct(transform(sequence(lit(0), col("nb") - 1),
+            b => array_min(slice(col("h"), b * w + 1, lit(w))))))
+          .otherwise(array().cast("array<long>")).as("sketch"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer.
+  *
+  * The reference has no true streaming (SURVEY §2.9 — its
+  * `non_stop_search` loops, cuvs_bench_grid_search_v3.py:245-265, are
+  * closed-loop load generators). The engine still ships the streaming
+  * shapes a production query service needs:
+  *
+  *  - event-time windowed aggregation with a watermark (the batch
+  *    twin is RelationalQueries q15 — same plan, streaming source);
+  *  - stream-static join: a micro-batch query stream joined against
+  *    the static (broadcast) index table — stateless lookups, no
+  *    watermark needed.
+  */
+object StreamingOps {
+
+  /** events schema as stored (ts is TIMESTAMP(NANOS) in the parquet —
+    * declared LongType under the nanosAsLong reader flag). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over the events parquet. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Stream-static join: each streamed query row is matched against a
+    * static dimension table (index metadata, centroid table, …). */
+  def streamStaticJoin(stream: DataFrame, static: DataFrame,
+      key: String): DataFrame =
+    stream.join(broadcast(static), key)
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit tests for the native vector/bit expressions (SURVEY §5.1):
+  * hand-computed values, plus codegen-vs-interpreted agreement. */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecDf = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+    (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(1.0f, 2.0f, 2.0f), Array(3.0f, 0.0f, 4.0f))
+  ).toDF("id", "a", "b")
+
+  test("sqdist hand-computed") {
+    val got = vecDf.select($"id", GraftFunctions.sqDist($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 2.0)
+    assert(got(3L) == (4.0 + 4.0 + 4.0))
+  }
+
+  test("dot and cosine hand-computed") {
+    val got = vecDf.select($"id",
+      GraftFunctions.dot($"a", $"b").as("dp"),
+      GraftFunctions.cosine($"a", $"b").as("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toList
+    val m = got.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(1L)._1 == 14.0)
+    assert(math.abs(m(1L)._2 - 1.0) < 1e-12)
+    assert(m(2L)._1 == 0.0 && m(2L)._2 == 0.0)
+    assert(m(3L)._1 == 11.0)
+    assert(math.abs(m(3L)._2 - 11.0 / (3.0 * 5.0)) < 1e-12)
+  }
+
+  test("codegen and interpreted agree") {
+    val codegen = vecDf.select(GraftFunctions.sqDist($"a", $"b")).collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = vecDf.select(GraftFunctions.sqDist($"a", $"b")).collect()
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    assert(codegen.map(_.getDouble(0)).toSeq == interp.map(_.getDouble(0)).toSeq)
+  }
+
+  test("packbits matches np.packbits bit order") {
+    // 1 at positions 0 and 7 -> first byte 0b10000001 = 0x81
+    val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(7) = 0.5f
+    val row = Seq((1L, v)).toDF("id", "v")
+      .select(GraftFunctions.packBits($"v")).head()
+    val bytes = row.getAs[Array[Byte]](0)
+    assert(bytes.length == 1 && (bytes(0) & 0xff) == 0x81)
+  }
+
+  test("hamming over packed bits") {
+    val df = Seq((Array(1.0f, -1.0f, 1.0f, -1.0f), Array(1.0f, 1.0f, -1.0f, -1.0f)))
+      .toDF("a", "b")
+    val d = df.select(GraftFunctions.hamming(
+      GraftFunctions.packBits($"a"), GraftFunctions.packBits($"b"))).head().getInt(0)
+    assert(d == 2)
+  }
+
+  test("simhash: identical docs equal, near-dups close, distinct far") {
+    val doc = (1 to 60).map(i => s"tok$i")
+    val near = doc.updated(3, "changed").updated(40, "other")
+    val far = (1 to 60).map(i => s"zzz$i")
+    val df = Seq((1L, doc), (2L, doc), (3L, near), (4L, far)).toDF("id", "toks")
+      .select($"id", GraftFunctions.simHash($"toks").as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val dNear = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val dFar = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(dNear < dFar, s"near=$dNear far=$dFar")
+  }
+
+  test("topk agg: sorted, bounded, deterministic ties") {
+    val df = Seq(
+      (1L, 5.0, 10L), (1L, 1.0, 11L), (1L, 3.0, 12L), (1L, 1.0, 9L),
+      (2L, 2.0, 20L)
+    ).toDF("qid", "dist", "id")
+    val got = df.groupBy($"qid")
+      .agg(GraftFunctions.topK(3, $"dist", $"id").as("topk"))
+      .select($"qid", $"topk.id".as("ids")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L) == Seq(9L, 11L, 12L)) // ties (1.0,9) < (1.0,11)
+    assert(got(2L) == Seq(20L))
+  }
+}

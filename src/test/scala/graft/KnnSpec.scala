@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIvf, Knn, Recall}
+
+/** Operator tests mirroring the reference's invariants (FIXTURES.md):
+  * oracle agreement, partitioning invariance (the Spark analog of
+  * batch-size invariance, tests.py:415-431), pre-filter semantics, and
+  * ANN recall floors. */
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  private def data = SparkEntry.dataDf(spark, sf)
+  private def queries = SparkEntry.queriesDf(spark, sf)
+
+  private def asTuples(df: DataFrame) =
+    df.select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("knn matches window-based reference plan") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val viaAgg = Knn.exact(filtered, queries, 10)
+    val pairs = filtered.crossJoin(broadcast(queries))
+      .select($"qid", $"vec_id",
+        GraftFunctions.sqDist($"embedding", $"q_embedding").as("dist"))
+    val w = Window.partitionBy($"qid").orderBy($"dist", $"vec_id")
+    val viaWindow = pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"qid", $"rank", $"vec_id".as("neighbor_id"))
+    assert(asTuples(viaAgg) == asTuples(viaWindow))
+  }
+
+  test("partitioning invariance: repartition(1|4|16) identical") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val results = Seq(1, 4, 16).map { n =>
+      asTuples(Knn.exact(filtered.repartition(n), queries, 10))
+    }
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
+  test("pre-filter semantics: all results satisfy the predicate; " +
+      "low-selectivity filter returns fewer than k") {
+    val found = Knn.exact(data.filter(SparkEntry.filterMid), queries, 10)
+    val ids = found.select($"neighbor_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val legal = data.filter(SparkEntry.filterMid)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(legal))
+    assert(legal.size <= 10)
+    // every query returns min(k, surviving rows), ranked — never padded
+    val perQ = found.groupBy($"qid").count().select($"count").distinct().collect()
+    assert(perQ.length == 1 &&
+      perQ.head.getLong(0) == math.min(10, legal.size))
+  }
+
+  test("recall of exact vs exact is 1.0") {
+    val f = Knn.exact(data.filter(SparkEntry.filterLow), queries, 10)
+    val r = Recall.ofRanked(f, f).head()
+    assert(r.getDouble(r.fieldIndex("recall")) == 1.0)
+  }
+
+  test("IVF search hits recall floor >= 0.7 at nprobe=4/16 cells") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val found = AnnIvf.search(AnnIvf.index(filtered, centroids), centroids,
+      queries, 10, nprobe = 4)
+    val truth = Knn.exact(filtered, queries, 10)
+    val rec = Recall.ofRanked(found, truth).head()
+    val recall = rec.getDouble(rec.fieldIndex("recall"))
+    // 64-dim uniform-random vectors are a worst case for coarse
+    // quantization (no cluster structure); the floor is accordingly loose
+    assert(recall >= 0.45, s"IVF recall $recall below floor")
+  }
+
+  test("IVF recall increases with nprobe (knob monotonicity)") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val idx = AnnIvf.index(filtered, centroids)
+    val truth = Knn.exact(filtered, queries, 10)
+    val recalls = Seq(1, 4, 16).map { np =>
+      val r = Recall.ofRanked(
+        AnnIvf.search(idx, centroids, queries, 10, np), truth).head()
+      r.getDouble(r.fieldIndex("recall"))
+    }
+    assert(recalls(0) <= recalls(1) + 1e-9 && recalls(1) <= recalls(2) + 1e-9,
+      s"recalls not monotone: $recalls")
+    assert(math.abs(recalls(2) - 1.0) < 1e-9, "nprobe=ncells must be exact")
+  }
+}

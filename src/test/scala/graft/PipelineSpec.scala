@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.sources.Multimodal
+
+/** Dedup / text / ingest / quantize / multimodal pipeline tests. */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+  private def docs = Tables.load(spark, sf, "documents")
+  private def embeddings = Tables.load(spark, sf, "embeddings")
+
+  test("minhash-LSH finds exactly the exact-jaccard pairs") {
+    val lsh = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH=${lsh.size} exact=${exact.size}")
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("simhash pairs include the highest-jaccard planted dup") {
+    val top = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
+      .orderBy($"jaccard".desc).limit(1).collect()
+    assume(top.nonEmpty)
+    val (a, b) = (top.head.getLong(0), top.head.getLong(1))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 12)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((a, b)) || pairs.contains((b, a)))
+  }
+
+  test("exact dedup groups: sum of copies equals row count") {
+    val g = Dedup.exact(docs).agg(sum($"n_copies")).head().getLong(0)
+    assert(g == docs.count())
+  }
+
+  test("embedding top pairs ordered by cosine desc") {
+    val rows = Dedup.embeddingTopPairs(embeddings, topN = 10)
+      .select($"cosine").collect().map(_.getDouble(0))
+    assert(rows.length == 10)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("quantization round-trip error bounded by quantile step") {
+    val bounds = Quantize.train(embeddings)
+    val err = Quantize.roundTripError(embeddings.limit(50), bounds)
+      .agg(max($"mae")).head().getDouble(0)
+    // bucket width = (hi-lo)/255; typical hi-lo ~ 2σ range < 10 → step < 0.04;
+    // clamped tails can exceed one step, so assert a loose sane bound
+    assert(err < 0.1, s"round-trip mae $err")
+  }
+
+  test("synthetic embedder: deterministic, partition-independent, in range") {
+    val a = Ingest.pipeline(docs, 20, 400).select($"doc_id", $"embedding")
+    val b = Ingest.pipeline(docs.repartition(7), 20, 400)
+      .select($"doc_id", $"embedding")
+    val ma = a.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val mb = b.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(ma == mb)
+    assert(ma.values.forall(v => v.length == 64 && v.forall(x => x >= -1f && x <= 1f)))
+  }
+
+  test("multimodal feature extraction: schema + determinism") {
+    val f = Multimodal.extractFeatures(Multimodal.mediaTable(docs))
+    assert(f.columns.toSeq ==
+      Seq("doc_id", "media_type", "payload_len", "features"))
+    val rows = f.collect()
+    assert(rows.length == docs.count())
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getInt(2), r.getSeq[Float](3))).toMap
+    // payload_len equals utf-8 byte length; features deterministic
+    val lens = docs.select($"doc_id", octet_length($"text")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId.view.mapValues(_._1).toMap == lens)
+    assert(byId.values.forall(_._2.length == Multimodal.FeatureDim))
+  }
+
+  test("language id + quality + fingerprint run and are total") {
+    assert(TextAnalysis.languageId(docs).count() == docs.count())
+    assert(TextAnalysis.qualityScore(docs)
+      .filter($"quality".between(0.0, 1.0)).count() == docs.count())
+    assert(TextAnalysis.fingerprint(docs)
+      .select($"fingerprint").distinct().count() > 0)
+  }
+}
