@@ -45,6 +45,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_hamming64", es => HammingDistance64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_fp16_encode", es => Fp16Encode(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fp16_decode", es => Fp16Decode(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_topk",
       es => TopKSmallest(foldableInt(es(0), "graft_topk"), es(1), es(2)),
       "built-in")
@@ -59,6 +63,8 @@ object GraftFunctions {
   def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
   def simHash(a: Column): Column = call_function("graft_simhash", a)
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+  def fp16Encode(a: Column): Column = call_function("graft_fp16_encode", a)
+  def fp16Decode(a: Column): Column = call_function("graft_fp16_decode", a)
   def topK(k: Int, ord: Column, payload: Column): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_topk", lit(k), ord, payload)

@@ -86,6 +86,50 @@ object VectorQueries {
       GraftFunctions.register(spark)
       val found = knnWith(filterLow, "sqeuclidean")(spark, dir)
       Recall.ofRanked(found, found)
+    }),
+    // the same search expressed through the first-class KnnJoin
+    // logical operator; the .filter on qid exercises the
+    // PushQueryFilterThroughKnn optimizer rule
+    "knn_plan_node" -> ((spark: SparkSession, dir: String) => {
+      GraftFunctions.register(spark)
+      graft.plans.KnnJoin.run(
+        dataDf(spark, dir).filter(filterLow), queriesDf(spark, dir), K)
+        .filter(col("qid") >= 100)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    // A2 selectivity accounting (reference popcount of the filter
+    // bitset, utils_grid_search.py:171-185 — here a predicate count)
+    "filter_selectivity" -> ((spark: SparkSession, dir: String) => {
+      val d = dataDf(spark, dir)
+      d.agg(
+        count(lit(1)).as("n_total"),
+        sum(when(filterLow, 1L).otherwise(0L)).as("n_low"),
+        sum(when(filterHigh, 1L).otherwise(0L)).as("n_high"),
+        sum(when(filterMid, 1L).otherwise(0L)).as("n_mid"))
+        .select(col("n_total"), col("n_low"), col("n_high"), col("n_mid"),
+          round(col("n_low") * 100.0 / col("n_total"), 6).as("pct_low"),
+          round(col("n_high") * 100.0 / col("n_total"), 6).as("pct_high"),
+          round(col("n_mid") * 100.0 / col("n_total"), 6).as("pct_mid"))
+    }),
+    // A3 probability normalization (p_i = v_i / Σv over the label
+    // distribution, utils_grid_search.py:218-219)
+    "label_distribution" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.load(spark, dir, "embeddings")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n") /
+          sum(col("n")).over(Window.partitionBy()), 6))
+    }),
+    // P7/A9/F9: deterministic exact-count sample — seed-per-id hash
+    // ranking, partition-count independent (the engine's replacement
+    // for the reference's rand-shuffle bitset fill,
+    // utils_grid_search.py:242-247)
+    "sample_exact" -> ((spark: SparkSession, dir: String) => {
+      Tables.load(spark, dir, "embeddings")
+        .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+        .limit(25)
+        .select(col("vec_id"), col("label").cast("long").as("label"))
     })
   )
 
@@ -128,6 +172,9 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_exact_low" -> knnOracle("label <> 3", sqdist),
+    "knn_plan_node" ->
+      knnOracle("label <> 3", sqdist)
+        .replace("WHERE vec_id % 50 = 0", "WHERE vec_id % 50 = 0 AND vec_id >= 100"),
     "knn_exact_high" -> knnOracle("label IN (0, 1)", sqdist),
     "knn_exact_mid" -> knnOracle("label = 5 AND vec_id % 11 = 0", sqdist),
     "knn_cosine" -> knnOracle("label <> 3", cosine, desc = true),
@@ -135,6 +182,25 @@ object VectorQueries {
     "knn_hamming" -> knnOracle("label <> 3", hammingSign),
     "knn_recall_self" ->
       """WITH q AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id % 50 = 0)
-        |SELECT nq AS n_queries, 1.0 AS recall FROM q""".stripMargin
+        |SELECT nq AS n_queries, 1.0 AS recall FROM q""".stripMargin,
+    "filter_selectivity" ->
+      """WITH d AS (SELECT * FROM embeddings WHERE vec_id % 50 <> 0),
+        |a AS (SELECT count(*) AS n_total,
+        |    sum(CASE WHEN label <> 3 THEN 1 ELSE 0 END) AS n_low,
+        |    sum(CASE WHEN label IN (0,1) THEN 1 ELSE 0 END) AS n_high,
+        |    sum(CASE WHEN label = 5 AND vec_id % 11 = 0 THEN 1 ELSE 0 END) AS n_mid
+        |  FROM d)
+        |SELECT CAST(n_total AS BIGINT) AS n_total, CAST(n_low AS BIGINT) AS n_low,
+        |  CAST(n_high AS BIGINT) AS n_high, CAST(n_mid AS BIGINT) AS n_mid,
+        |  round(n_low * 100.0 / n_total, 6) AS pct_low,
+        |  round(n_high * 100.0 / n_total, 6) AS pct_high,
+        |  round(n_mid * 100.0 / n_total, 6) AS pct_mid
+        |FROM a""".stripMargin,
+    "label_distribution" ->
+      """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+        |  round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS p
+        |FROM embeddings GROUP BY label""".stripMargin
+    // sample_exact: seeded xxhash ranking not expressible in the oracle
+    // dialect → rows-only (count is deterministic).
   )
 }

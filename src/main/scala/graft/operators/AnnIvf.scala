@@ -79,6 +79,22 @@ object AnnIvf {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     data.join(assign(data, centroids, idCol, vecCol), idCol)
 
+  /** Candidate rows a search at `nprobe` would scan (deterministic
+    * cost metric for the grid-search analytics). */
+  def searchCandidates(indexed: DataFrame, centroids: DataFrame,
+      queries: DataFrame, nprobe: Int,
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): Long = {
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .groupBy(col(qidCol))
+      .agg(GraftFunctions.topK(nprobe,
+        GraftFunctions.sqDist(col(qvecCol), col("centroid")),
+        col("cid").cast("long")).as("probe"))
+      .select(col(qidCol), explode(col("probe.id")).as("cid"))
+    indexed.join(broadcast(probes),
+      indexed("cid") === probes("cid").cast("int")).count()
+  }
+
   /** Probe-and-scan search: exact top-k within the nprobe nearest
     * cells per query. Output (qid, rank, neighbor_id, dist). */
   def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,

@@ -49,6 +49,7 @@ object Dedup {
     val sh = docs
       .select(col(idCol).as("doc_id"),
         explode(shingles(tokens(col(textCol)), n)).as("sh"))
+      .cache() // consumed 3× (sizes + both join sides)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&

@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.SparkStrategy
+
+/** Minimal bridge into Spark's `private[sql]` plan APIs — the standard
+  * technique third-party Catalyst extensions use to materialize a
+  * DataFrame from a hand-built LogicalPlan and to register strategies
+  * on an already-created session (SparkSessionExtensions only applies
+  * at builder time).
+  */
+object Shim {
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataset[Row]].queryExecution.analyzed
+
+  def optimized(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[ClassicDataset[Row]].queryExecution.optimizedPlan
+
+  /** Idempotently add a planner strategy + optimizer rule at runtime. */
+  def addStrategy(spark: SparkSession, strategy: SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[ClassicSession].experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
+
+  def addOptimization(spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[ClassicSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+}
