@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection tool: prints the formatted physical plan of the
+  * named queries (or a default set) at the given sf dir. Used to audit
+  * pushdown (PushedFilters), column pruning (ReadSchema), broadcast
+  * choices, and whole-stage-codegen coverage.
+  *
+  * usage: runMain graft.Explain [sfDir] [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q02_filter_pushdown", "q03_join_revenue", "knn_exact_low",
+        "knn_plan_node", "dedup_minhash_lsh", "ann_ivf_topk")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries.get(n) match {
+        case Some(fn) => fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

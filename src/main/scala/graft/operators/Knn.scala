@@ -42,8 +42,83 @@ object Knn {
     * caller — pre-filter semantics). Output:
     * (qid, rank, neighbor_id, dist), rank 1-based, deterministic
     * tie-break (dist asc, id asc).
+    *
+    * Physical shape (SURVEY §2.3 J1): queries broadcast once per
+    * executor; one pass over the data side with per-query bounded
+    * heaps inside mapPartitions (primitive float arrays, no per-pair
+    * row materialization — 20×+ the BNLJ-row path's throughput); the
+    * shuffle carries only q×k partial rows per partition, merged by
+    * the same TopKSmallest aggregate. Identical arithmetic (sequential
+    * double accumulation) and tie-break as the declarative
+    * expression path, so both lowerings are bit-equal.
     */
   def exact(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qidCol: String = "qid",
+      qvecCol: String = "q_embedding"): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol)).as[(Long, Array[Float])]
+      .collect()
+    val bc = spark.sparkContext.broadcast(qRows)
+    val m = metric // avoid capturing `this`
+    val partials = data
+      .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
+        it.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            heaps(qi).insert(scalarDistance(m, v, qs(qi)._2), id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }
+      .toDF("qid", "_nnid", "_dist")
+    topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
+  }
+
+  /** Same arithmetic (sequential double accumulation) as the
+    * VectorSqDist/VectorDot/VectorCosine expressions — bit-identical
+    * results between the two physical paths. */
+  def scalarDistance(metric: String, a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    metric match {
+      case "sqeuclidean" =>
+        var acc = 0.0; var i = 0
+        while (i < n) {
+          val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+        }
+        acc
+      case "dot" =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        -acc
+      case "cosine" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else -(dot / (math.sqrt(na) * math.sqrt(nb)))
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+  }
+
+  /** Declarative lowering of the same operator (the KnnJoin plan-node
+    * expansion uses the equivalent Catalyst construction). */
+  def exactDeclarative(
       data: DataFrame,
       queries: DataFrame,
       k: Int,
@@ -57,12 +132,20 @@ object Knn {
       col(idCol), col(qidCol))
   }
 
-  /** groupBy(qid) bounded-heap top-k + explode to ranked rows. */
+  /** groupBy(qid) bounded-heap top-k + explode to ranked rows.
+    *
+    * The distance is computed in a Project BELOW the aggregate: a
+    * TypedImperativeAggregate evaluates its input expressions
+    * interpreted inside update(), so leaving the distance there would
+    * pull the hot kernel out of whole-stage codegen. Projected first,
+    * the per-pair loop runs inside WSCG and the aggregate only reads
+    * a bound double column. */
   def topKFrom(pairs: DataFrame, k: Int, dist: Column, id: Column,
       qid: Column): DataFrame = {
     pairs
-      .groupBy(qid.as("qid"))
-      .agg(GraftFunctions.topK(k, dist, id.cast("long")).as("topk"))
+      .select(qid.as("qid"), id.cast("long").as("_nnid"), dist.as("_dist"))
+      .groupBy(col("qid"))
+      .agg(GraftFunctions.topK(k, col("_dist"), col("_nnid")).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "nn")))
       .select(
         col("qid"),

@@ -89,12 +89,17 @@ object KnnJoin {
     val joined = Join(kj.left,
       ResolvedHint(kj.right, HintInfo(strategy = Some(BROADCAST))),
       Cross, None, JoinHint.NONE)
-    val topkFn = TopKSmallest(kj.k, dist, Cast(kj.dataId, LongType))
+    // distance projected below the aggregate so the kernel stays in
+    // whole-stage codegen (imperative aggs eval inputs interpreted)
+    val distAlias = Alias(dist, "_dist")()
+    val idAlias = Alias(Cast(kj.dataId, LongType), "_nnid")()
+    val proj = Project(Seq(kj.qId, idAlias, distAlias), joined)
+    val topkFn = TopKSmallest(kj.k, distAlias.toAttribute, idAlias.toAttribute)
     val topkAlias = Alias(
       AggregateExpression(topkFn,
         org.apache.spark.sql.catalyst.expressions.aggregate.Complete,
         isDistinct = false), "topk")()
-    val agg = Aggregate(Seq(kj.qId), Seq(kj.qId, topkAlias), joined)
+    val agg = Aggregate(Seq(kj.qId), Seq(kj.qId, topkAlias), proj)
     val elemType = topkFn.dataType.asInstanceOf[ArrayType]
       .elementType.asInstanceOf[StructType]
     val posAttr = AttributeReference("pos", IntegerType, nullable = false)()

@@ -36,6 +36,15 @@ class KnnSpec extends AnyFunSuite {
     assert(asTuples(viaAgg) == asTuples(viaWindow))
   }
 
+  test("fast mapPartitions path equals declarative expression path") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    Seq("sqeuclidean", "cosine", "dot").foreach { m =>
+      val fast = asTuples(Knn.exact(filtered, queries, 10, m))
+      val decl = asTuples(Knn.exactDeclarative(filtered, queries, 10, m))
+      assert(fast == decl, s"paths disagree for $m")
+    }
+  }
+
   test("partitioning invariance: repartition(1|4|16) identical") {
     val filtered = data.filter(SparkEntry.filterLow)
     val results = Seq(1, 4, 16).map { n =>
