@@ -45,6 +45,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_hamming64", es => HammingDistance64(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_shingles",
+      es => NGramShingles(es(0), foldableInt(es(1), "graft_shingles")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      es => MinHashSignature(es(0), foldableInt(es(1), "graft_minhash")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_fp16_encode", es => Fp16Encode(es(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_fp16_decode", es => Fp16Decode(es(0)), "built-in")
@@ -63,6 +71,14 @@ object GraftFunctions {
   def hamming(a: Column, b: Column): Column = call_function("graft_hamming", a, b)
   def simHash(a: Column): Column = call_function("graft_simhash", a)
   def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+  def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_shingles", text, lit(n))
+  }
+  def minHash(shingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_minhash", shingles, lit(numHashes))
+  }
   def fp16Encode(a: Column): Column = call_function("graft_fp16_encode", a)
   def fp16Decode(a: Column): Column = call_function("graft_fp16_decode", a)
   def topK(k: Int, ord: Column, payload: Column): Column = {

@@ -80,10 +80,12 @@ object AnnIvf {
     data.join(assign(data, centroids, idCol, vecCol), idCol)
 
   /** Candidate rows a search at `nprobe` would scan (deterministic
-    * cost metric for the grid-search analytics). */
+    * cost metric for the grid-search analytics). Computed from the
+    * cell-size histogram — O(cells) instead of rescanning the index. */
   def searchCandidates(indexed: DataFrame, centroids: DataFrame,
       queries: DataFrame, nprobe: Int,
       qidCol: String = "qid", qvecCol: String = "q_embedding"): Long = {
+    val cellSizes = indexed.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val probes = queries
       .crossJoin(broadcast(centroids))
       .groupBy(col(qidCol))
@@ -91,8 +93,9 @@ object AnnIvf {
         GraftFunctions.sqDist(col(qvecCol), col("centroid")),
         col("cid").cast("long")).as("probe"))
       .select(col(qidCol), explode(col("probe.id")).as("cid"))
-    indexed.join(broadcast(probes),
-      indexed("cid") === probes("cid").cast("int")).count()
+    probes.join(broadcast(cellSizes),
+        probes("cid").cast("int") === cellSizes("cid"))
+      .agg(sum(col("n"))).head().getLong(0)
   }
 
   /** Probe-and-scan search: exact top-k within the nprobe nearest

@@ -24,13 +24,21 @@ object Dedup {
   /** Tokens column: whitespace split. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct n-word shingles of a token array (1-based element_at). */
+  /** Distinct n-word shingles of a token array (1-based element_at).
+    * Declarative formulation — kept as executable documentation; the
+    * operators below use the native single-pass NGramShingles
+    * expression (`shinglesOf`), which avoids the per-lambda-element
+    * re-evaluation of the split() child (~3n splits/row). */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       array_distinct(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", (1 to n).map(o => element_at(toks, i + o)): _*))))
       .otherwise(array().cast("array<string>"))
+
+  /** Native one-pass shingles from raw text (same semantics). */
+  def shinglesOf(text: Column, n: Int): Column =
+    graft.GraftFunctions.shingles(text, n)
 
   /** Exact duplicate groups by content hash (md5 — matches the SQL
     * oracle byte-for-byte). One row per distinct text: keeper id (min)
@@ -48,7 +56,7 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sh = docs
       .select(col(idCol).as("doc_id"),
-        explode(shingles(tokens(col(textCol)), n)).as("sh"))
+        explode(shinglesOf(col(textCol), n)).as("sh"))
       .cache() // consumed 3× (sizes + both join sides)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
@@ -67,12 +75,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(sh, i).
-    * The per-seed hash family reuses Spark's codegen'd XxHash64 with
-    * the seed index mixed in as a second child. */
+  /** MinHash signature via the native expression: one xxhash64 per
+    * shingle + a universal-hash family (k multiply-adds) — ~100×
+    * cheaper than k string hashes per shingle at equal LSH quality. */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    GraftFunctions.minHash(sh, numHashes)
 
   /** MinHash + LSH banding near-dup pairs, verified with exact Jaccard.
     *
@@ -93,7 +100,7 @@ object Dedup {
     // 100 TB the signature table is persisted parquet for the same
     // reason (compute once, shuffle only 8·numHashes bytes/doc).
     val withSh = docs.select(col(idCol).as("doc_id"),
-      shingles(tokens(col(textCol)), shingleN).as("sh"))
+      shinglesOf(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
     val sig = withSh

@@ -97,8 +97,7 @@ object TextAnalysis {
     * sketch for local similarity). Expression-only implementation. */
   def winnow(docs: DataFrame, k: Int = 4, w: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = whitespaceTokens(col(textCol))
-    val grams = Dedup.shingles(toks, k) // distinct k-gram strings
+    val grams = Dedup.shinglesOf(col(textCol), k) // distinct k-gram strings
     val hashes = transform(grams, g => xxhash64(g))
     val nBands = floor((size(hashes) + w - 1) / lit(w.toDouble)).cast("int")
     docs.select(col(idCol).as("doc_id"), hashes.as("h"), nBands.as("nb"))
