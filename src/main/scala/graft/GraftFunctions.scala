@@ -53,6 +53,8 @@ object GraftFunctions {
       es => MinHashSignature(es(0), foldableInt(es(1), "graft_minhash")),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_vecsum", es => VectorSum(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_fp16_encode", es => Fp16Encode(es(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_fp16_decode", es => Fp16Decode(es(0)), "built-in")
@@ -79,6 +81,7 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("graft_minhash", shingles, lit(numHashes))
   }
+  def vecSum(a: Column): Column = call_function("graft_vecsum", a)
   def fp16Encode(a: Column): Column = call_function("graft_fp16_encode", a)
   def fp16Decode(a: Column): Column = call_function("graft_fp16_decode", a)
   def topK(k: Int, ord: Column, payload: Column): Column = {

@@ -47,14 +47,16 @@ object AnnIvf {
     while (it < iterations) {
       val assigned = assign(data, centroids, idCol, vecCol)
         .join(data.select(col(idCol), col(vecCol)), idCol)
+      // Lloyd update as ONE hash aggregate: map-side partial vector
+      // sums, dim-length buffers on the wire (vs posexplode shuffling
+      // n x dim rows)
       val means = assigned
-        .select(col("cid"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(avg(col("v")).as("m"))
         .groupBy(col("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("dim"), col("m")))),
-          s => s.getField("m").cast("float")).as("centroid"))
+        .agg(GraftFunctions.vecSum(col(vecCol)).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("cid"),
+          transform(col("sums"), s => (s / col("n")).cast("float"))
+            .as("centroid"))
       centroids = means
       it += 1
     }

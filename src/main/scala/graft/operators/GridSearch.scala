@@ -55,10 +55,10 @@ object GridSearch {
         val indexed = AnnIvf.index(filtered, centroids).cache()
         indexed.count()
         val buildSec = (System.nanoTime() - t0) / 1e9
-        combos.sortBy(_.nprobe).map { c =>
-          // P9 error-row pass-through: a failing combo yields a row
-          // with null metrics + error, never aborts the sweep
-          // (cuvs_bench_grid_search_v3.py:706-722)
+        // P9 error-row pass-through: a failing combo yields a row with
+        // null metrics + error, never aborts the sweep
+        // (cuvs_bench_grid_search_v3.py:706-722)
+        def evalCombo(c: Combo): ResultRow =
           scala.util.Try {
             val t1 = System.nanoTime()
             val found = AnnIvf.search(indexed, centroids, q, k, c.nprobe)
@@ -74,7 +74,20 @@ object GridSearch {
               keptPct, buildSec, -1.0, -1.0, -1.0, -1L,
               Some(e.toString.take(200)))
           }.get
+        // combos of one build evaluated concurrently: independent Spark
+        // jobs interleave on the shared executors (wall ~= slowest
+        // combo, not the sum); per-combo wall clock still measured
+        // around that combo's own actions
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutor(pool)
+        val futures = combos.sortBy(_.nprobe).map { c =>
+          scala.concurrent.Future(evalCombo(c))
         }
+        val out = futures.map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+        pool.shutdown()
+        out
     }
     truth.unpersist(); filtered.unpersist(); q.unpersist()
     rows.toDF()
