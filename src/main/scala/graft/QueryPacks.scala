@@ -208,6 +208,16 @@ object AnnQueries {
       val truth = Knn.exact(data, q, K)
       Recall.ofRanked(found, truth)
     }),
+    "ann_nsw_recall" -> ((s, d) => {
+      // per-partition NSW graph (HNSW-path analog, J3): recall vs the
+      // exact oracle; rows-only (approximate + partitioning-dependent)
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val q = queriesDf(s, d)
+      val found = NswGraph.search(data.repartition(4), q, K,
+        m = 8, efSearch = 64)
+      Recall.ofRanked(found, Knn.exact(data, q, K))
+    }),
     "quant_train" -> ((s, d) => {
       GraftFunctions.register(s)
       Quantize.train(Tables.load(s, d, "embeddings"))

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Knn, NswGraph, Recall}
+
+/** NSW graph index: recall floors + ef knob, mirroring the reference's
+  * HNSW recall tests (tests.py:265-305: min recall 0.80 for the CPU
+  * graph path at production scale). */
+class NswSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def data = SparkEntry.dataDf(spark, sf).filter(SparkEntry.filterLow)
+  private def queries = SparkEntry.queriesDf(spark, sf)
+
+  private def recallOf(found: org.apache.spark.sql.DataFrame): Double = {
+    val truth = Knn.exact(data, queries, 10)
+    val r = Recall.ofRanked(found, truth).head()
+    r.getDouble(r.fieldIndex("recall"))
+  }
+
+  test("high-ef search on a single partition is near-exact") {
+    val rec = recallOf(NswGraph.search(
+      data.repartition(1), queries, 10, m = 16, efSearch = 200))
+    assert(rec >= 0.95, s"recall $rec")
+  }
+
+  test("multi-partition graphs still hit the reference recall floor") {
+    val rec = recallOf(NswGraph.search(
+      data.repartition(4), queries, 10, m = 8, efSearch = 64))
+    assert(rec >= 0.80, s"recall $rec")
+  }
+
+  test("recall rises with efSearch (knob direction)") {
+    val lo = recallOf(NswGraph.search(
+      data.repartition(2), queries, 10, m = 8, efSearch = 10))
+    val hi = recallOf(NswGraph.search(
+      data.repartition(2), queries, 10, m = 8, efSearch = 128))
+    assert(hi >= lo, s"ef=10 -> $lo, ef=128 -> $hi")
+    assert(hi >= 0.85, s"high-ef recall $hi")
+  }
+}
