@@ -54,4 +54,21 @@ object StreamingOps {
   def streamStaticJoin(stream: DataFrame, static: DataFrame,
       key: String): DataFrame =
     stream.join(broadcast(static), key)
+
+  /** Streaming k-NN serving shape (SURVEY §2.9's optional extension):
+    * each micro-batch of query vectors is searched against the static
+    * data table with the exact k-NN operator and the ranked results
+    * appended to `outPath`. Stateless per-batch — no watermark needed
+    * (queries are independent lookups). */
+  def streamingKnn(queryStream: DataFrame, staticData: DataFrame,
+      k: Int, outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Knn.exact(staticData, batch, k)
+            .write.mode("append").parquet(outPath)
+        }
+        ()
+      }
+      .start()
 }

@@ -32,6 +32,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming knn serves micro-batches identical to batch knn") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sknn").toString
+    // stream the query vectors (embeddings file as a file-source stream)
+    val qStream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sf)
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q_embedding"))
+    val static = SparkEntry.dataDf(spark, sf).filter(SparkEntry.filterLow)
+    val q = graft.streaming.StreamingOps.streamingKnn(
+      qStream, static, 10, s"$tmp/out")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Knn.exact(
+      static, SparkEntry.queriesDf(spark, sf), 10)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("stream-static join enriches streamed rows") {
     val stream = StreamingOps.readEventStream(spark, sf)
       .select($"event_id", $"user_id", $"event_type")
