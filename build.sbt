@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // C1-only JIT: on this VM the C2 compiler is slow enough that each
+  // fresh whole-stage-codegen class runs interpreted for tens of
+  // seconds before tier-4 code arrives (measured: first execution of a
+  // new query shape 32-62s, identical re-run 1-2s). C1 compiles
+  // immediately; cold single-shot queries — what the bench and verify
+  // harnesses run — drop 10-20x. Steady-state loss vs C2 is ~2x on hot
+  // loops, irrelevant at bench scale. Override via EXTRA_JVM_OPTS.
+  "-XX:TieredStopAtLevel=1",
+) ++ sys.env.get("EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -62,6 +62,22 @@ object GraftFunctions {
       "graft_topk",
       es => TopKSmallest(foldableInt(es(0), "graft_topk"), es(1), es(2)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nearest_centroid",
+      es => NearestCentroid(es(0), foldableMatrix(es(1), "graft_nearest_centroid")),
+      "built-in")
+  }
+
+  /** Evaluate a foldable array<array<float>> literal to a JVM matrix
+    * (the centroid table baked into NearestCentroid's codegen). */
+  private def foldableMatrix(e: Expression, fn: String): Array[Array[Float]] = {
+    require(e.foldable, s"$fn: centroid matrix must be a literal")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val outer = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { c =>
+      val inner = outer.getArray(c)
+      Array.tabulate(inner.numElements())(i => inner.getFloat(i))
+    }
   }
 
   // Column-DSL wrappers (resolve through the active session's registry).
@@ -87,5 +103,10 @@ object GraftFunctions {
   def topK(k: Int, ord: Column, payload: Column): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_topk", lit(k), ord, payload)
+  }
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function("graft_nearest_centroid", vec,
+      typedlit(centroids.map(_.toSeq).toSeq))
   }
 }

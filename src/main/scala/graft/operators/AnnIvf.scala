@@ -14,72 +14,96 @@ import graft.GraftFunctions
   *
   *   build:  k-means centroids (Lloyd iterations as DataFrame aggs,
   *           deterministic seeded init) → every vector assigned to its
-  *           nearest centroid → at scale, the index table is WRITTEN
-  *           `partitionBy("cid")` so probes prune parquet partitions;
+  *           nearest centroid — a NARROW per-row argmin against the
+  *           broadcast centroid matrix (NearestCentroid expression):
+  *           zero shuffle on the data side. At scale, the index table
+  *           is WRITTEN `partitionBy("cid")` so probes prune parquet
+  *           partitions;
   *   search: queries probe their `nprobe` nearest centroids (tiny
   *           broadcast join against the centroid table) and scan only
   *           those cells — `nprobe` is the recall↔QPS knob, the analog
   *           of CAGRA's `itopk_size`/`search_width` and HNSW's
   *           `efSearch` (params_config.yaml:2-15).
   *
+  * Shuffle accounting at 100 TB: assignment/index = 0 shuffles (narrow
+  * expression); Lloyd update = one hash agg shuffling C partial rows
+  * per partition (vecSum map-side combine); search = one hash agg of
+  * q x k partial rows per cell partition. The only data-sized movement
+  * is the one-time clustered write.
+  *
   * Determinism: seeded xxhash64 ranking picks the initial centroids
   * (partition-count-independent, unlike rand()); Lloyd updates are
   * averages — order-independent up to fp addition order, and
-  * assignments use exact (dist, cid) min so ties break deterministically.
+  * assignments tie-break to the lowest cid.
   */
 object AnnIvf {
 
   /** (cid INT, centroid ARRAY<FLOAT>) */
   def train(data: DataFrame, numCentroids: Int, iterations: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
     // seeded init: deterministic hash-ranked sample (partition-count
-    // independent, unlike rand()); window runs over C rows only
-    var centroids = data
-      .select(col(idCol).as("_id"), col(vecCol).as("centroid"))
+    // independent, unlike rand()); the sort runs over C rows only
+    var centroids: Array[Array[Float]] = data
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_h", xxhash64(col("_id"), lit(42)))
       .orderBy(col("_h"), col("_id"))
       .limit(numCentroids)
-      .withColumn("cid",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("_h"), col("_id"))) - 1)
-      .select(col("cid"), col("centroid"))
+      .select(col("_v")).as[Array[Float]].collect()
     var it = 0
     while (it < iterations) {
-      val assigned = assign(data, centroids, idCol, vecCol)
-        .join(data.select(col(idCol), col(vecCol)), idCol)
-      // Lloyd update as ONE hash aggregate: map-side partial vector
-      // sums, dim-length buffers on the wire (vs posexplode shuffling
-      // n x dim rows)
-      val means = assigned
+      // Lloyd update as ONE narrow assign + ONE hash aggregate:
+      // map-side partial vector sums, dim-length buffers on the wire
+      val means = data
+        .select(GraftFunctions.nearestCentroid(col(vecCol), centroids).as("cid"),
+          col(vecCol))
         .groupBy(col("cid"))
         .agg(GraftFunctions.vecSum(col(vecCol)).as("sums"),
           count(lit(1)).as("n"))
         .select(col("cid"),
-          transform(col("sums"), s => (s / col("n")).cast("float"))
-            .as("centroid"))
-      centroids = means
+          transform(col("sums"), s => (s / col("n")).cast("float")).as("centroid"))
+        .as[(Int, Array[Float])].collect()
+      // empty cells keep their previous centroid (standard Lloyd)
+      val next = centroids.clone()
+      means.foreach { case (cid, cen) => next(cid) = cen }
+      centroids = next
       it += 1
     }
-    centroids
+    toCentroidDf(spark, centroids)
   }
 
-  /** Nearest-centroid assignment: (idCol, cid). */
-  def assign(data: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    data.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .groupBy(col(idCol))
-      .agg(min(struct(
-        GraftFunctions.sqDist(col(vecCol), col("centroid")).as("d"),
-        col("cid"))).as("best"))
-      .select(col(idCol), col("best.cid").as("cid"))
+  def toCentroidDf(spark: SparkSession, centroids: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cid", "centroid")
+  }
 
-  /** Index = data + cid. At 100 TB this is persisted
+  /** Centroid matrix (cid-ordered) from a centroid table. */
+  def collectCentroids(centroids: DataFrame): Array[Array[Float]] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.select(col("cid"), col("centroid")).as[(Int, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+  }
+
+  /** Nearest-centroid assignment: (idCol, cid) — narrow, no shuffle. */
+  def assign(data: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val matrix = collectCentroids(centroids)
+    data.select(col(idCol),
+      GraftFunctions.nearestCentroid(col(vecCol), matrix).as("cid"))
+  }
+
+  /** Index = data + cid (narrow). At 100 TB this is persisted
     * `write.partitionBy("cid").parquet(...)` so probe-time cell
     * selection becomes parquet partition pruning. */
   def index(data: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    data.join(assign(data, centroids, idCol, vecCol), idCol)
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val matrix = collectCentroids(centroids)
+    data.withColumn("cid",
+      GraftFunctions.nearestCentroid(col(vecCol), matrix))
+  }
 
   /** Candidate rows a search at `nprobe` would scan (deterministic
     * cost metric for the grid-search analytics). Computed from the

@@ -3,18 +3,27 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.GraftFunctions
+
 /** Parameter-grid benchmark runner — the engine's equivalent of the
   * reference's sequential combo loop
   * (/root/reference/cuvs_bench_grid_search_v3.py:639-722): cartesian
   * parameter grid with constraint pruning (:136-138), one index build
-  * per build-param combo, per-combo timed search + recall against the
-  * exact oracle, one results row per combo (result dict :315-335).
+  * per build-param combo, per-combo recall against the exact oracle,
+  * one results row per combo (result dict :315-335).
   *
-  * The grid itself is driver-side Scala (J7 — the reference also keeps
-  * it in the driver); all heavy work is Spark jobs. Timings are wall
-  * clock around actions; recall and n_candidates are deterministic, so
-  * downstream analytics (Pareto/brackets/argmax) stay reproducible
-  * while QPS remains a human-facing measurement.
+  * Scale design — shared-scan evaluation: the reference re-runs the
+  * search once per search-param combo over the same index. Here all
+  * `nprobe` levels of one build are evaluated from a SINGLE scan of
+  * the index at max(nprobe): each candidate row carries the probe rank
+  * `r` of its cell for that query, and level `p` simply keeps rows
+  * with r <= p. At 100 TB this turns G combos x full-index scans into
+  * one scan — the dominant cost — and the per-level top-k/recall aggs
+  * run over the (tiny) candidate stream. Timings are wall clock around
+  * actions; recall and n_candidates are deterministic, so downstream
+  * analytics (Pareto/brackets/argmax) stay reproducible. QPS is
+  * human-facing: per-combo search_time is the shared-scan wall
+  * attributed cost-proportionally (by candidate rows scanned).
   */
 object GridSearch {
 
@@ -45,51 +54,84 @@ object GridSearch {
     val nVec = filtered.count()
     val nQ = q.count()
     val keptPct = 100.0 * nVec / totalBase
-    val truth = Knn.exact(filtered, q, k).cache()
-    truth.count()
+    // exact oracle, pre-grouped once: (qid, gt_ids)
+    val truthSets = Knn.exact(filtered, q, k)
+      .groupBy("qid").agg(collect_list("neighbor_id").as("gt_ids")).cache()
+    truthSets.count()
 
     val rows = grid.groupBy(_.npartitions).toSeq.sortBy(_._1).flatMap {
       case (npart, combos) =>
-        val t0 = System.nanoTime()
-        val centroids = AnnIvf.train(filtered, npart, iterations = 2).cache()
-        val indexed = AnnIvf.index(filtered, centroids).cache()
-        indexed.count()
-        val buildSec = (System.nanoTime() - t0) / 1e9
-        // P9 error-row pass-through: a failing combo yields a row with
-        // null metrics + error, never aborts the sweep
+        // P9 error-row pass-through: a failing build yields error rows
+        // for all its combos, never aborts the sweep
         // (cuvs_bench_grid_search_v3.py:706-722)
-        def evalCombo(c: Combo): ResultRow =
-          scala.util.Try {
-            val t1 = System.nanoTime()
-            val found = AnnIvf.search(indexed, centroids, q, k, c.nprobe)
-            val rec = Recall.ofRanked(found, truth).head()
-            val searchSec = (System.nanoTime() - t1) / 1e9
-            // deterministic cost metric: candidate rows scanned
-            val nCand = AnnIvf.searchCandidates(indexed, centroids, q, c.nprobe)
+        scala.util.Try {
+          val t0 = System.nanoTime()
+          val centroids = AnnIvf.train(filtered, npart, iterations = 2).cache()
+          val indexed = AnnIvf.index(filtered, centroids).cache()
+          indexed.count()
+          val buildSec = (System.nanoTime() - t0) / 1e9
+
+          val nprobes = combos.map(_.nprobe).distinct.sorted
+          val maxP = nprobes.max
+          val t1 = System.nanoTime()
+          // one probe ranking at max nprobe; r = 1-based probe rank
+          val probes = q
+            .crossJoin(broadcast(centroids))
+            .groupBy(col("qid"))
+            .agg(GraftFunctions.topK(maxP,
+              GraftFunctions.sqDist(col("q_embedding"), col("centroid")),
+              col("cid").cast("long")).as("probe"))
+            .select(col("qid"), posexplode(col("probe.id")).as(Seq("r0", "pcid")))
+            .select(col("qid"), (col("r0") + 1).as("r"), col("pcid"))
+            .join(q, "qid")
+          // ONE index scan at max nprobe, probe rank attached
+          val cand = indexed.join(broadcast(probes),
+            indexed("cid") === probes("pcid").cast("int"))
+          // fan out to the nprobe levels (row survives at level p iff
+          // its cell rank r <= p), then per-(level, qid) exact top-k
+          val levels = nprobes.toDF("np")
+          val leveled = cand.join(broadcast(levels), col("r") <= col("np"))
+            .select(col("np"), col("qid"), col("vec_id").cast("long").as("_nnid"),
+              GraftFunctions.sqDist(col("embedding"), col("q_embedding")).as("_dist"))
+            .cache()
+          val perLevel = leveled
+            .groupBy(col("np"), col("qid"))
+            .agg(GraftFunctions.topK(k, col("_dist"), col("_nnid")).as("topk"))
+            .select(col("np"), col("qid"), col("topk.id").as("found_ids"))
+            .join(broadcast(truthSets), "qid")
+            .groupBy(col("np"))
+            .agg(
+              (sum(size(array_intersect(col("found_ids"), col("gt_ids"))))
+                / sum(size(col("gt_ids")))).as("recall"),
+              count(lit(1)).as("nq"))
+          val candCounts = leveled.groupBy(col("np"))
+            .agg(count(lit(1)).as("n_cand"))
+          val recallByNp = perLevel.join(candCounts, "np")
+            .select("np", "recall", "n_cand").collect()
+            .map(r => r.getInt(0) ->
+              (r.getDouble(1), r.getLong(2))).toMap
+          leveled.unpersist()
+          val searchWall = (System.nanoTime() - t1) / 1e9
+          val totalCand = math.max(recallByNp.values.map(_._2).sum, 1L)
+
+          centroids.unpersist(); indexed.unpersist()
+          combos.sortBy(_.nprobe).map { c =>
+            val (rec, nCand) = recallByNp(c.nprobe)
+            // cost-proportional share of the shared-scan wall clock
+            val searchSec = searchWall * nCand / totalCand
             ResultRow("ivf", npart, c.nprobe, k, filterName, nVec, nQ,
-              keptPct, buildSec, searchSec, nQ / math.max(searchSec, 1e-9),
-              rec.getDouble(rec.fieldIndex("recall")), nCand)
-          }.recover { case e =>
+              keptPct, buildSec, searchSec,
+              nQ / math.max(searchSec, 1e-9),
+              math.rint(rec * 1e6) / 1e6, nCand)
+          }
+        }.recover { case e =>
+          combos.sortBy(_.nprobe).map(c =>
             ResultRow("ivf", npart, c.nprobe, k, filterName, nVec, nQ,
-              keptPct, buildSec, -1.0, -1.0, -1.0, -1L,
-              Some(e.toString.take(200)))
-          }.get
-        // combos of one build evaluated concurrently: independent Spark
-        // jobs interleave on the shared executors (wall ~= slowest
-        // combo, not the sum); per-combo wall clock still measured
-        // around that combo's own actions
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-        implicit val ec: scala.concurrent.ExecutionContext =
-          scala.concurrent.ExecutionContext.fromExecutor(pool)
-        val futures = combos.sortBy(_.nprobe).map { c =>
-          scala.concurrent.Future(evalCombo(c))
-        }
-        val out = futures.map(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf))
-        pool.shutdown()
-        out
+              keptPct, -1.0, -1.0, -1.0, -1.0, -1L,
+              Some(e.toString.take(200))))
+        }.get
     }
-    truth.unpersist(); filtered.unpersist(); q.unpersist()
+    truthSets.unpersist(); filtered.unpersist(); q.unpersist()
     rows.toDF()
   }
 }
