@@ -294,6 +294,17 @@ object IngestQueries {
       graft.sources.Multimodal.extractFeatures(
         graft.sources.Multimodal.mediaTable(Tables.load(s, d, "documents")))
     }),
+    // S4: typed-binary (.fbin) sink + source round trip — write the
+    // embeddings as 4 header+matrix shards, read them back; ids become
+    // consecutive positions in global vec_id order (the reference's
+    // row-id-as-identity made explicit)
+    "fbin_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_fbin_q").toString
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      graft.sources.FbinIO.write(vecs, tmp, dim = 64, numShards = 4)
+      graft.sources.FbinIO.read(s, tmp)
+    }),
     "ingest_embedded" -> ((s, d) => {
       // full output incl. the synthetic embedding (seeded xxhash —
       // rows-only check; embedder determinism is asserted in ScalaTest)
@@ -325,6 +336,10 @@ object IngestQueries {
         |SELECT doc_id,
         |  CAST(floor((row_number() OVER (ORDER BY doc_id) - 1) / 100)
         |    AS BIGINT) AS shard
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+    "fbin_roundtrip" ->
+      """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        |    AS vec_id, embedding
+        |FROM embeddings""".stripMargin
   )
 }

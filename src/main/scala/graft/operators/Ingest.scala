@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ingestion pipeline — the Spark re-expression of the reference's
@@ -35,13 +34,31 @@ object Ingest {
       textCol: String = "text"): DataFrame =
     docs.filter(size(split(col(textCol), " ")) >= minTokens)
 
-  /** Global row cap with deterministic order (P3 —
-    * `row_number over (order by id) <= n`, the exact semantics of the
-    * reference's cross-category running limit). */
+  /** Scalable global row number in `idCol` order, 1-based.
+    *
+    * `row_number().over(Window.orderBy(id))` funnels the whole table
+    * through ONE task — the classic scale cliff. Instead: range-
+    * partition by id (distributed sort), then zipWithIndex, which
+    * computes per-partition counts in one pass and adds partition
+    * offsets locally — O(n/P) per task, no single-partition stage. */
+  def globalRowNumber(docs: DataFrame, idCol: String,
+      outCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val sorted = docs.repartitionByRange(col(idCol))
+      .sortWithinPartitions(col(idCol))
+    val schema = sorted.schema.add(outCol, "long", nullable = false)
+    val rows = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Global row cap with deterministic order (P3 — the exact semantics
+    * of the reference's cross-category running limit:
+    * `row_number over (order by id) <= n`). */
   def globalCap(docs: DataFrame, maxRows: Int,
       idCol: String = "doc_id"): DataFrame =
-    docs.withColumn("_rn",
-        row_number().over(Window.orderBy(col(idCol))))
+    globalRowNumber(docs, idCol, "_rn")
       .filter(col("_rn") <= maxRows)
       .drop("_rn")
 
@@ -49,9 +66,9 @@ object Ingest {
     * The writer-side equivalent is option("maxRecordsPerFile"). */
   def shardIds(docs: DataFrame, shardSize: Int,
       idCol: String = "doc_id"): DataFrame =
-    docs.withColumn("shard",
-      floor((row_number().over(Window.orderBy(col(idCol))) - 1)
-        / shardSize).cast("long"))
+    globalRowNumber(docs, idCol, "_rn")
+      .withColumn("shard", floor((col("_rn") - 1) / shardSize).cast("long"))
+      .drop("_rn")
 
   /** Full pipeline: filter → cap → embed → dim-truncate (P4). */
   def pipeline(docs: DataFrame, minTokens: Int, maxRows: Int,

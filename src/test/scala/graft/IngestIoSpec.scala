@@ -70,4 +70,32 @@ class IngestIoSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(a == b)
   }
+
+  test("fbin typed-binary sink -> sharded read-back (S4)") {
+    val tmp = Files.createTempDirectory("graft_fbin").toString
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val n = vecs.count()
+    graft.sources.FbinIO.write(vecs, s"$tmp/fbin", dim = 64, numShards = 4)
+    val shardFiles = new java.io.File(s"$tmp/fbin")
+      .listFiles((_, name) => name.endsWith(".fbin"))
+    assert(shardFiles.length == 4)
+    // header sanity: rows*dim*4 + 8 == file size
+    shardFiles.foreach { f =>
+      val hdr = java.nio.ByteBuffer.wrap(
+          Files.readAllBytes(f.toPath).take(8))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      assert(f.length == 8L + hdr.getInt(0).toLong * hdr.getInt(4) * 4)
+    }
+    val back = graft.sources.FbinIO.read(spark, s"$tmp/fbin")
+    assert(back.count() == n)
+    // ids are consecutive positions in global vec_id order, so row i of
+    // the re-read matrix is the i-th smallest original vec_id
+    val orig = vecs.orderBy($"vec_id").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    val rt = back.orderBy($"vec_id").collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    assert(orig.length == rt.length)
+    orig.zip(rt).foreach { case (x, y) => assert(x.sameElements(y)) }
+  }
 }
