@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIvf, Dedup, Knn}
+
+/** Physical-plan property pins — the "would this survive 100x data"
+  * assertions. Each test locks in a plan property that is load-bearing
+  * at scale; if a refactor regresses it (a lost pushdown, a surprise
+  * cartesian, an extra shuffle), the suite fails even though results
+  * stay correct.
+  */
+class PlanPropertiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  private def physical(df: DataFrame): String = {
+    // default maxMetadataStringLength=100 truncates PushedFilters /
+    // ReadSchema mid-token; raise it so assertions see the full lists
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val plan = physical(
+      SparkEntry.queries("q02_filter_pushdown")(spark, sf))
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+    // projection needs 6 of 11 lineitem columns; the scan must not
+    // read the others
+    assert(!plan.contains("l_returnflag"), "scan reads unneeded column")
+    assert(!plan.contains("l_suppkey"), "scan reads unneeded column")
+  }
+
+  test("q03: small dimension tables broadcast, never shuffled") {
+    val plan = physical(SparkEntry.queries("q03_join_revenue")(spark, sf))
+    assert(count(plan, "BroadcastHashJoin") >= 2, plan)
+  }
+
+  test("q13: global top-N plans as TakeOrderedAndProject, not full sort") {
+    val plan = physical(SparkEntry.queries("q13_top_orders")(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("exact knn: exactly one shuffle (the q-by-q top-k merge)") {
+    val df = Knn.exact(SparkEntry.dataDf(spark, sf),
+      SparkEntry.queriesDf(spark, sf), 10)
+    val plan = physical(df)
+    assert(count(plan, "Exchange") == 1,
+      s"expected 1 exchange (partial top-k merge), got plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("ivf assignment and index are narrow: zero shuffles") {
+    val data = SparkEntry.dataDf(spark, sf)
+    val centroids = AnnIvf.train(data, 8, iterations = 1)
+    val plan = physical(AnnIvf.index(data, centroids))
+    assert(!plan.contains("Exchange"),
+      s"index build must not shuffle the data side:\n$plan")
+  }
+
+  test("minhash-LSH candidate join is an equi join, never a cartesian") {
+    val plan = physical(
+      Dedup.minhashLsh(Tables.load(spark, sf, "documents"),
+        shingleN = 3, threshold = 0.5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("knn_plan_node: query-side filter is pushed below KnnJoin") {
+    GraftFunctions.register(spark)
+    val df = graft.plans.KnnJoin.run(
+      SparkEntry.dataDf(spark, sf), SparkEntry.queriesDf(spark, sf), 10)
+      .filter(col("qid") >= 100)
+    val optimized = df.queryExecution.optimizedPlan
+    // after PushQueryFilterThroughKnn the top node is the KnnJoin
+    // itself (or a project) — no Filter remains above it
+    val topIsFilter = optimized match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter => true
+      case _ => false
+    }
+    assert(!topIsFilter, s"filter not pushed:\n$optimized")
+    assert(optimized.collect {
+      case kj: graft.plans.KnnJoin => kj
+    }.nonEmpty, s"KnnJoin node lost in optimization:\n$optimized")
+  }
+
+  test("column pruning: id-only projection does not read the vectors") {
+    val plan = physical(
+      Tables.load(spark, sf, "embeddings").select($"vec_id"))
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"scan reads more than the id column for an id-only query:\n$plan")
+  }
+
+  test("hot paths stay inside whole-stage codegen") {
+    // executedPlan.toString marks whole-stage-codegen spans as "*(n)";
+    // with AQE the final plan exists only after an action
+    val q01 = SparkEntry.queries("q01_pricing_summary")(spark, sf)
+    q01.collect()
+    val plan = physical(q01)
+    assert(plan.contains("*("), plan)
+    // the knn distance projection (below the imperative aggregate)
+    // must also be codegen'd: the Project holding graft_sqdist carries
+    // the codegen star
+    val knn = Knn.exactDeclarative(
+      SparkEntry.dataDf(spark, sf), SparkEntry.queriesDf(spark, sf), 10)
+    knn.collect()
+    val knnPlan = physical(knn)
+    val distLine = knnPlan.linesIterator
+      .find(_.contains("graft_sqdist"))
+    assert(distLine.exists(_.contains("*(")),
+      s"distance projection fell out of codegen:\n$knnPlan")
+  }
+}
