@@ -111,6 +111,21 @@ object VectorQueries {
           round(col("n_high") * 100.0 / col("n_total"), 6).as("pct_high"),
           round(col("n_mid") * 100.0 / col("n_total"), 6).as("pct_mid"))
     }),
+    // A2 literal form: materialize the filter as a PACKED BITSET
+    // (vec_id bit in 32-bit words — the reference's uint32-word bitmap,
+    // utils_grid_search.py:238-239) and popcount it with bit_count —
+    // the Kernighan-loop count at :171-185 as one hash aggregate
+    "filter_bitset_popcount" -> ((spark: SparkSession, dir: String) => {
+      val d = dataDf(spark, dir)
+      d.filter(filterHigh)
+        .select((col("vec_id") / 32).cast("long").as("word_idx"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(vec_id, 32) AS INT))")
+            .as("bit"))
+        .groupBy(col("word_idx"))
+        .agg(sum(col("bit")).as("word")) // vec_ids unique -> bits disjoint
+        .agg(sum(bit_count(col("word"))).cast("long").as("n_set"),
+          count(lit(1)).as("n_words"))
+    }),
     // A3 probability normalization (p_i = v_i / Σv over the label
     // distribution, utils_grid_search.py:218-219)
     "label_distribution" -> ((spark: SparkSession, dir: String) => {
@@ -199,7 +214,17 @@ object VectorQueries {
     "label_distribution" ->
       """SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
         |  round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS p
-        |FROM embeddings GROUP BY label""".stripMargin
+        |FROM embeddings GROUP BY label""".stripMargin,
+    "filter_bitset_popcount" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(vec_id / 32) AS BIGINT) AS word_idx,
+        |    sum(CAST(1 AS BIGINT) << CAST(vec_id % 32 AS INTEGER)) AS word
+        |  FROM embeddings
+        |  WHERE vec_id % 50 <> 0 AND label IN (0, 1)
+        |  GROUP BY 1)
+        |SELECT CAST(sum(bit_count(word)) AS BIGINT) AS n_set,
+        |  count(*) AS n_words
+        |FROM b""".stripMargin
     // sample_exact: seeded xxhash ranking not expressible in the oracle
     // dialect → rows-only (count is deterministic).
   )

@@ -52,4 +52,58 @@ class GridSpec extends AnyFunSuite {
     assert(rows.sliding(2).forall(p => p.length < 2 || p(0)._2 < p(1)._2),
       s"candidates not increasing: ${rows.toSeq}")
   }
+
+  test("csv results sink round-trips the sweep (S6)") {
+    // the reference writes the results table as CSV after each combo
+    // and at the end (cuvs_bench_grid_search_v3.py:692-693, 728-729)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    results.drop("error")
+      .write.mode("overwrite").option("header", "true").csv(tmp)
+    val back = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(tmp)
+    assert(back.count() == results.count())
+    val a = results.select($"npartitions", $"nprobe",
+        round($"recall", 6).as("r")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val b = back.select($"npartitions", $"nprobe",
+        round($"recall", 6).as("r")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
+  test("yaml config source drives filters and the param grid (S7)") {
+    import graft.sources.ConfigSource
+    val cfg = ConfigSource.parse(
+      """# engine sweep config (filter_config.yaml/params_config.yaml shape)
+        |filters:
+        |  low_label:
+        |    ranges:
+        |      - [0.0, 3.0]
+        |      - [4.0, 6.0]
+        |  mid_label:
+        |    ranges:
+        |      - [5.0, 6.0]
+        |grid:
+        |  npartitions: [8, 16]
+        |  nprobe: [1, 2, 4, 8]
+        |defaults:
+        |  k: 10
+        |""".stripMargin)
+    val filters = ConfigSource.rangeFilters(cfg)
+    assert(filters.map(_.name) == Seq("low_label", "mid_label"))
+    // the parsed predicate selects exactly the rows the ranges say
+    val emb = Tables.load(spark, sf, "embeddings")
+    val kept = emb.filter(filters.head.predicate($"label".cast("double")))
+      .count()
+    val direct = emb.filter(($"label" >= 0 && $"label" < 3) ||
+      ($"label" >= 4 && $"label" < 6)).count()
+    assert(kept == direct && kept > 0)
+    // cartesian grid with constraint pruning = the runner's combos
+    val combos = ConfigSource.paramGrid(cfg)
+      .filter(m => m("nprobe") <= m("npartitions"))
+      .map(m => GridSearch.Combo(m("npartitions"), m("nprobe")))
+    assert(combos.toSet == GridSearch.defaultGrid.toSet)
+    assert(cfg("defaults").asInstanceOf[ConfigSource.YMap]("k")
+      .asInstanceOf[ConfigSource.YScalar].asInt == 10)
+  }
 }

@@ -71,6 +71,32 @@ class IngestIoSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("glob scan derives category from file path (S2)") {
+    // reference: per-category JSONL files under raw/review_categories/,
+    // category = filename (download_dataset/download_amazon_dataset
+    // .py:10-19, exec_embed.py:28-34)
+    val tmp = Files.createTempDirectory("graft_glob").toString
+    Files.createDirectories(Paths.get(s"$tmp/raw/review_categories"))
+    Seq("Books", "Baby", "Kindle").foreach { cat =>
+      val lines = (0 until 20).map(i =>
+        s"""{"text": "doc $i of $cat", "rating": ${(i % 6).toDouble}}""")
+      Files.write(Paths.get(s"$tmp/raw/review_categories/$cat.jsonl"),
+        lines.mkString("\n").getBytes)
+    }
+    val df = spark.read
+      .schema(StructType(Seq(StructField("text", StringType),
+        StructField("rating", DoubleType))))
+      .json(s"$tmp/raw/review_categories/*.jsonl")
+      .withColumn("category",
+        regexp_extract(input_file_name(), "([^/]+)\\.jsonl$", 1))
+    assert(df.count() == 60)
+    val cats = df.groupBy($"category").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cats == Map("Books" -> 20L, "Baby" -> 20L, "Kindle" -> 20L))
+    // P2 on top of S2: category membership filter
+    assert(df.filter($"category".isin("Books", "Baby")).count() == 40)
+  }
+
   test("fbin typed-binary sink -> sharded read-back (S4)") {
     val tmp = Files.createTempDirectory("graft_fbin").toString
     val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
