@@ -156,8 +156,12 @@ object Knn {
 
   /** Hamming-space exact top-k over sign-binarized vectors
     * (reference binary-quantized path, utils_grid_search.py:433-434,
-    * :649-654). Vectors are packed to 8 bytes (64 dims) on the fly;
-    * at scale the packed column is precomputed and stored. */
+    * :649-654). Vectors are packed by the codegen'd PackSignBits
+    * projection (8 bytes for 64 dims); at scale the packed column is
+    * precomputed and stored. Same physical shape as `exact`: broadcast
+    * packed queries, per-partition bounded heaps over a popcount(xor)
+    * byte loop, one q x k shuffle. Ties (equal distance) break on id
+    * asc via the shared TopKSmallest merge. */
   def exactHamming(
       data: DataFrame,
       queries: DataFrame,
@@ -166,11 +170,43 @@ object Knn {
       vecCol: String = "embedding",
       qidCol: String = "qid",
       qvecCol: String = "q_embedding"): DataFrame = {
-    val packedData = data.withColumn("_bits", GraftFunctions.packBits(col(vecCol)))
-    val packedQ = queries.withColumn("_qbits", GraftFunctions.packBits(col(qvecCol)))
-    val pairs = packedData.crossJoin(broadcast(packedQ))
-    topKFrom(pairs, k,
-      GraftFunctions.hamming(col("_bits"), col("_qbits")).cast("double"),
-      col(idCol), col(qidCol))
+    val spark = data.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long"),
+        GraftFunctions.packBits(col(qvecCol)))
+      .as[(Long, Array[Byte])].collect()
+    val bc = spark.sparkContext.broadcast(qRows)
+    val partials = data
+      .select(col(idCol).cast("long"),
+        GraftFunctions.packBits(col(vecCol)))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
+        it.foreach { case (id, bits) =>
+          var qi = 0
+          while (qi < qs.length) {
+            heaps(qi).insert(hammingBytes(bits, qs(qi)._2).toDouble, id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.iterator.map { case (d, id) => (qs(qi)._1, id, d) }
+        }
+      }
+      .toDF("qid", "_nnid", "_dist")
+    topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
+  }
+
+  /** popcount(xor) over packed-bit arrays — same arithmetic as the
+    * HammingDistance expression, so both lowerings agree exactly. */
+  def hammingBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var acc = 0; var i = 0
+    while (i < n) {
+      acc += java.lang.Integer.bitCount((a(i) ^ b(i)) & 0xff); i += 1
+    }
+    acc
   }
 }
