@@ -66,6 +66,11 @@ object GraftFunctions {
       "graft_nearest_centroid",
       es => NearestCentroid(es(0), foldableMatrix(es(1), "graft_nearest_centroid")),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nearest_cells",
+      es => NearestCells(es(0), foldableMatrix(es(1), "graft_nearest_cells"),
+        foldableInt(es(2), "graft_nearest_cells")),
+      "built-in")
   }
 
   /** Evaluate a foldable array<array<float>> literal to a JVM matrix
@@ -108,5 +113,11 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.typedlit
     call_function("graft_nearest_centroid", vec,
       typedlit(centroids.map(_.toSeq).toSeq))
+  }
+  def nearestCells(vec: Column, centroids: Array[Array[Float]],
+      nprobe: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("graft_nearest_cells", vec,
+      typedlit(centroids.map(_.toSeq).toSeq), lit(nprobe))
   }
 }

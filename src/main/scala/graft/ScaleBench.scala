@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIvf, Knn, Recall}
+
+/** Reference-workload scale benchmark: the filtered-ANN pipeline at
+  * the reference's own shape (5M x 64-dim vectors, 10K queries, k=10,
+  * rating-range filter — README_reviews.md:84, BASELINE.md) run
+  * single-node on local[cpus].
+  *
+  * Stages timed separately, mirroring the reference's result record
+  * (cuvs_bench_grid_search_v3.py:315-335): index build seconds,
+  * search wall + QPS per nprobe, recall@10 against the exact oracle on
+  * a query sample (the full 10K-query exact oracle at 5M rows is a
+  * GPU-day; a seeded 200-query sample bounds recall to ±~3%).
+  *
+  * usage: runMain graft.ScaleBench [nVectors] [nQueries] [nCells]
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(5000000)
+    val nQ = args.lift(1).map(_.toInt).getOrElse(10000)
+    val nCells = args.lift(2).map(_.toInt).getOrElse(1024)
+    val dim = 64
+    val k = 10
+    val recallSample = 200
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // seeded synthetic vectors: a 1000-component Gaussian-mixture
+    // analog (cluster center + small noise). Real text embeddings
+    // cluster (the reference's review embeddings group by category /
+    // sentiment); uniform-random vectors are the degenerate case where
+    // NO coarse quantizer can work (distance concentration), so a
+    // mixture is the representative workload for IVF recall.
+    val nClusters = 1000
+    def synth(rows: Long, idCol: String, vecCol: String) = {
+      def u(h: org.apache.spark.sql.Column) =
+        pmod(h, lit(1000001L)).cast("double") / 500000.0 - 1.0
+      spark.range(rows).toDF(idCol)
+        .withColumn("_c", pmod(xxhash64(col(idCol), lit(11)), lit(nClusters)))
+        .withColumn(vecCol,
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (u(xxhash64(col("_c"), j, lit(1))) +
+              u(xxhash64(col(idCol), j)) * 0.25).cast("float")))
+        .drop("_c")
+    }
+
+    val data = synth(n, "vec_id", "embedding")
+      .withColumn("rating",
+        (pmod(xxhash64(col("vec_id"), lit(777)), lit(10)) / 2.0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val queries = synth(nQ, "qid", "q_embedding").cache()
+    val (_, genSec) = time { data.count(); queries.count() }
+    println(f"[scale] generated n=$n q=$nQ dim=$dim in $genSec%.1fs")
+
+    // low-rated analog filter: keeps ~80% (reference low_rated keeps 84%)
+    val filtered = data.filter(col("rating") < 4.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nKept = filtered.count()
+
+    val (centroids, trainSec) = time {
+      val c = AnnIvf.train(filtered.sample(math.min(1.0, 200000.0 / n), 42),
+        nCells, iterations = 2)
+      c.count(); c
+    }
+    val (indexed, assignSec) = time {
+      val idx = AnnIvf.index(filtered, centroids)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      idx.count(); idx
+    }
+    val buildSec = trainSec + assignSec
+    println(f"[scale] filter keeps $nKept (${100.0 * nKept / n}%.1f%%); " +
+      f"build: train=$trainSec%.1fs assign=$assignSec%.1fs " +
+      f"(cells=$nCells)")
+
+    // exact oracle on a seeded query sample for recall
+    val qSample = queries
+      .orderBy(xxhash64(col("qid"), lit(7))).limit(recallSample).cache()
+    qSample.count()
+    val (truth, oracleSec) = time {
+      val t = Knn.exact(filtered, qSample, k).cache(); t.count(); t
+    }
+    println(f"[scale] exact oracle on $recallSample queries: $oracleSec%.1fs")
+
+    Seq(1, 4, 16).foreach { nprobe =>
+      // cold pass compiles/JITs, second pass is the steady-state number
+      // (the reference likewise warms its search loops before timing)
+      val (_, coldSec) = time {
+        AnnIvf.searchFast(indexed, centroids, queries, k, nprobe).count()
+      }
+      val (_, searchSec) = time {
+        AnnIvf.searchFast(indexed, centroids, queries, k, nprobe).count()
+      }
+      val rec = AnnIvf.searchFast(indexed, centroids, qSample, k, nprobe)
+      val r = Recall.ofRanked(rec, truth).head()
+      val recall = r.getDouble(r.fieldIndex("recall"))
+      val qps = nQ / searchSec
+      println(f"[scale] nprobe=$nprobe%3d search=$searchSec%7.2fs " +
+        f"(cold $coldSec%.2fs) qps=$qps%9.1f recall@10=$recall%.4f " +
+        f"(build=$buildSec%.1fs n=$nKept)")
+    }
+    spark.stop()
+  }
+}

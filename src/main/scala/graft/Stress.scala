@@ -38,12 +38,15 @@ object Stress {
       .withColumn("qid", col("qid") + 1000000000L).cache()
     data.count(); queries.count()
 
-    val t0 = System.nanoTime()
-    val out = Knn.exact(data, queries, 10).count()
-    val sec = (System.nanoTime() - t0) / 1e9
-    val pairs = n.toLong * q
-    println(f"n=$n q=$q dim=$dim -> $out rows in $sec%.2fs  " +
-      f"(${pairs / sec / 1e6}%.1f M pairs/s, ${pairs * dim / sec / 1e9}%.2f Gdim/s)")
+    // iter1 = cold (includes codegen+JIT), iter2 = steady state
+    (1 to 2).foreach { iter =>
+      val t0 = System.nanoTime()
+      val out = Knn.exact(data, queries, 10).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val pairs = n.toLong * q
+      println(f"iter$iter: n=$n q=$q dim=$dim -> $out rows in $sec%.2fs  " +
+        f"(${pairs / sec / 1e6}%.1f M pairs/s, ${pairs * dim / sec / 1e9}%.2f Gdim/s)")
+    }
     spark.stop()
   }
 }

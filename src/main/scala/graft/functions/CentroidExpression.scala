@@ -78,3 +78,63 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Top-`nprobe` nearest centroids of a vector, ordered by (dist, cid)
+  * asc — the probe-ranking step of IVF search as one narrow expression
+  * (no crossJoin against the centroid table, no aggregate, no
+  * shuffle). Returns array<int> of cell ids. Selection is a bounded
+  * insertion into two parallel local arrays (nprobe is small); for the
+  * workloads in SURVEY §6 the whole probe phase is q x C x dim flops
+  * inside whole-stage codegen. */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]],
+    nprobe: Int) extends UnaryExpression {
+  override def prettyName: String = "graft_nearest_cells"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private def np: Int = math.min(nprobe, centroids.length)
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val ids = new Array[Int](np)
+    val ds = new Array[Double](np)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      val n = math.min(x.numElements(), cen.length)
+      var acc = 0.0; var i = 0
+      while (i < n) {
+        val d = x.getFloat(i).toDouble - cen(i).toDouble
+        acc += d * d; i += 1
+      }
+      // bounded insertion sort: strict < keeps lowest cid on ties
+      if (filled < np || acc < ds(filled - 1)) {
+        var p = math.min(filled, np - 1)
+        while (p > 0 && ds(p - 1) > acc) {
+          if (p < np) { ds(p) = ds(p - 1); ids(p) = ids(p - 1) }
+          p -= 1
+        }
+        ds(p) = acc; ids(p) = c
+        if (filled < np) filled += 1
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      java.util.Arrays.copyOf(ids, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCells", this,
+      classOf[NearestCells].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s"$self.nullSafeEval($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -108,38 +108,101 @@ object AnnIvf {
   /** Candidate rows a search at `nprobe` would scan (deterministic
     * cost metric for the grid-search analytics). Computed from the
     * cell-size histogram — O(cells) instead of rescanning the index. */
+  /** (qid, probe-rank r [1-based], cid) — narrow NearestCells
+    * projection, no join/agg/shuffle. */
+  def probeRanks(centroids: DataFrame, queries: DataFrame, nprobe: Int,
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val matrix = collectCentroids(centroids)
+    queries.select(col(qidCol),
+        posexplode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+          .as(Seq("r0", "cid")))
+      .select(col(qidCol), (col("r0") + 1).as("r"), col("cid"))
+  }
+
   def searchCandidates(indexed: DataFrame, centroids: DataFrame,
       queries: DataFrame, nprobe: Int,
       qidCol: String = "qid", qvecCol: String = "q_embedding"): Long = {
     val cellSizes = indexed.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-    val probes = queries
-      .crossJoin(broadcast(centroids))
-      .groupBy(col(qidCol))
-      .agg(GraftFunctions.topK(nprobe,
-        GraftFunctions.sqDist(col(qvecCol), col("centroid")),
-        col("cid").cast("long")).as("probe"))
-      .select(col(qidCol), explode(col("probe.id")).as("cid"))
-    probes.join(broadcast(cellSizes),
-        probes("cid").cast("int") === cellSizes("cid"))
+    val probes = probeRanks(centroids, queries, nprobe, qidCol, qvecCol)
+    probes.join(broadcast(cellSizes), "cid")
       .agg(sum(col("n"))).head().getLong(0)
   }
 
-  /** Probe-and-scan search: exact top-k within the nprobe nearest
-    * cells per query. Output (qid, rank, neighbor_id, dist). */
+  /** Probe-and-scan search, heap lowering: same semantics as `search`
+    * (exact top-k within the nprobe nearest cells per query,
+    * deterministic tie-break) but the candidate stream is never
+    * materialized as join rows. Queries + their probed cell lists are
+    * broadcast as a cid→queries index; one narrow pass over the data
+    * updates per-query bounded heaps for the queries probing that
+    * row's cell; only q x k partial rows shuffle into the shared
+    * TopKSmallest merge. At the reference workload (5M x 64, 10K
+    * queries, nprobe 16) this is the difference between streaming
+    * ~8x10^8 pairs at ~30ns each and shuffling them as rows. */
+  def searchFast(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    // probe ranking as a narrow per-row expression, then collected:
+    // (qid, vec, probed cells)
+    val matrix = collectCentroids(centroids)
+    val probed = queries
+      .select(col(qidCol).cast("long"), col(qvecCol),
+        GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    val bc = spark.sparkContext.broadcast(probed)
+    val partials = indexed
+      .select(col(idCol).cast("long"), col(vecCol), col("cid"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val qs = bc.value
+        // cid -> indices of queries probing it
+        val byCell = scala.collection.mutable.HashMap
+          .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+        var qi = 0
+        while (qi < qs.length) {
+          qs(qi)._3.foreach(c =>
+            byCell.getOrElseUpdate(c.toInt,
+              scala.collection.mutable.ArrayBuffer.empty) += qi)
+          qi += 1
+        }
+        val cells = byCell.map { case (c, l) => c -> l.toArray }.toMap
+        val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
+        it.foreach { case (id, v, cid) =>
+          cells.get(cid) match {
+            case Some(qids) =>
+              var j = 0
+              while (j < qids.length) {
+                val q = qids(j)
+                heaps(q).insert(
+                  Knn.scalarDistance("sqeuclidean", v, qs(q)._2), id)
+                j += 1
+              }
+            case None => ()
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (d, id) => (qs(i)._1, id, d) }
+        }
+      }
+      .toDF("qid", "_nnid", "_dist")
+    Knn.topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
+  }
+
+  /** Probe-and-scan search, declarative lowering: exact top-k within
+    * the nprobe nearest cells per query. Output
+    * (qid, rank, neighbor_id, dist). */
   def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
-    val probes = queries
-      .crossJoin(broadcast(centroids))
-      .groupBy(col(qidCol))
-      .agg(GraftFunctions.topK(nprobe,
-        GraftFunctions.sqDist(col(qvecCol), col("centroid")),
-        col("cid").cast("long")).as("probe"))
-      .select(col(qidCol), explode(col("probe.id")).as("cid"))
-      .join(queries, qidCol)
+    val matrix = collectCentroids(centroids)
+    val probes = queries.select(col(qidCol), col(qvecCol),
+      explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+        .as("_pcid"))
     val candidates = indexed.join(
-      broadcast(probes), indexed("cid") === probes("cid").cast("int"))
+      broadcast(probes), indexed("cid") === probes("_pcid"))
     Knn.topKFrom(candidates, k,
       GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
       col(idCol), col(qidCol))

@@ -74,19 +74,14 @@ object GridSearch {
           val nprobes = combos.map(_.nprobe).distinct.sorted
           val maxP = nprobes.max
           val t1 = System.nanoTime()
-          // one probe ranking at max nprobe; r = 1-based probe rank
-          val probes = q
-            .crossJoin(broadcast(centroids))
-            .groupBy(col("qid"))
-            .agg(GraftFunctions.topK(maxP,
-              GraftFunctions.sqDist(col("q_embedding"), col("centroid")),
-              col("cid").cast("long")).as("probe"))
-            .select(col("qid"), posexplode(col("probe.id")).as(Seq("r0", "pcid")))
-            .select(col("qid"), (col("r0") + 1).as("r"), col("pcid"))
+          // one probe ranking at max nprobe (narrow NearestCells
+          // projection); r = 1-based probe rank
+          val probes = AnnIvf.probeRanks(centroids, q, maxP)
+            .withColumnRenamed("cid", "pcid")
             .join(q, "qid")
           // ONE index scan at max nprobe, probe rank attached
           val cand = indexed.join(broadcast(probes),
-            indexed("cid") === probes("pcid").cast("int"))
+            indexed("cid") === probes("pcid"))
           // fan out to the nprobe levels (row survives at level p iff
           // its cell rank r <= p), then per-(level, qid) exact top-k
           val levels = nprobes.toDF("np")

@@ -87,6 +87,17 @@ class KnnSpec extends AnyFunSuite {
     assert(recall >= 0.45, s"IVF recall $recall below floor")
   }
 
+  test("IVF searchFast equals the declarative probe-and-scan search") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val idx = AnnIvf.index(filtered, centroids)
+    Seq(1, 4).foreach { np =>
+      val a = asTuples(AnnIvf.search(idx, centroids, queries, 10, np))
+      val b = asTuples(AnnIvf.searchFast(idx, centroids, queries, 10, np))
+      assert(a == b, s"lowering mismatch at nprobe=$np")
+    }
+  }
+
   test("IVF recall increases with nprobe (knob monotonicity)") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
