@@ -31,6 +31,15 @@ object DedupQueries {
     "dedup_embed_cosine" -> ((s, d) => {
       GraftFunctions.register(s)
       Dedup.embeddingTopPairs(Tables.load(s, d, "embeddings"), topN = 20)
+    }),
+    // the 100-TB path: same-cell pairs only (rows-only here — cell
+    // assignments come from the seeded k-means; the cell-restricted
+    // equivalence vs brute force is asserted in PipelineSpec)
+    "dedup_embed_bucketed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val vecs = Tables.load(s, d, "embeddings")
+      val centroids = AnnIvf.train(vecs, numCentroids = 8, iterations = 2)
+      Dedup.embeddingNearPairsBucketed(vecs, centroids, threshold = 0.9)
     })
   )
 

@@ -158,8 +158,7 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate: top-N most similar vector pairs.
     * Exact all-pairs here (fine to ~10^4 rows / partition-streamed);
-    * the 100-TB path buckets by IVF centroid (AnnIvf) or LSH
-    * hyperplane sign so only same-bucket pairs are scored. */
+    * `embeddingNearPairsBucketed` is the 100-TB path. */
   def embeddingTopPairs(vecs: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
@@ -169,6 +168,30 @@ object Dedup {
         GraftFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
       .orderBy(col("cos").desc, col("id_a"), col("id_b"))
       .limit(topN)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Embedding near-dup pairs at scale: bucket by nearest IVF centroid
+    * (narrow NearestCentroid assignment — near-duplicate vectors land
+    * in the same cell), score pairs only WITHIN a cell via a
+    * self-equi-join on cid, keep pairs above the cosine threshold.
+    * Quadratic work is bounded per cell instead of per corpus; recall
+    * loss is only for near-dup pairs straddling a cell boundary (add
+    * `nprobe`-style multi-assign for those — same plumbing). */
+  def embeddingNearPairsBucketed(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = AnnIvf.index(vecs, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val a = bucketed.select(col("cid"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val b = bucketed.select(col("cid"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
 }

@@ -82,6 +82,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId.values.forall(_._2.length == Multimodal.FeatureDim))
   }
 
+  test("bucketed embedding near-dup finds the same-cell brute-force pairs") {
+    val centroids = graft.operators.AnnIvf.train(embeddings, 8, iterations = 2)
+    val threshold = 0.9
+    val bucketed = Dedup.embeddingNearPairsBucketed(
+        embeddings, centroids, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force pairs above threshold, restricted to same-cell —
+    // exactly what the bucketed path promises
+    val cells = graft.operators.AnnIvf.index(embeddings, centroids)
+      .select($"vec_id", $"cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = embeddings.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val brute = (for {
+      (ia, va) <- a; (ib, vb) <- a
+      if ia < ib && cells(ia) == cells(ib) &&
+        -graft.operators.Knn.scalarDistance("cosine", va, vb) >= threshold
+    } yield (ia, ib)).toSet
+    assert(bucketed == brute)
+    // and the bucketing keeps most genuinely-near pairs: every
+    // brute-force pair above a TIGHT threshold shares a cell
+    val tight = (for {
+      (ia, va) <- a; (ib, vb) <- a
+      if ia < ib && -graft.operators.Knn.scalarDistance("cosine", va, vb) >= 0.98
+    } yield (cells(ia) == cells(ib))).toSeq
+    assert(tight.isEmpty || tight.count(identity).toDouble / tight.size >= 0.8,
+      s"cell bucketing split ${tight.count(!_)} of ${tight.size} near pairs")
+  }
+
+  test("multimodal resize + frame sampling: plumbing shapes (1->1, 1->N)") {
+    val media = Multimodal.mediaTable(docs)
+    val resized = Multimodal.resize(media, targetLen = 32)
+    assert(resized.collect().forall(_.payload.length <= 32))
+    val frames = Multimodal.sampleFrames(media, frameLen = 16, stride = 2)
+    val fr = frames.collect()
+    // every frame is frameLen bytes and indices follow the stride
+    assert(fr.forall(f => f.frame.length == 16 && f.frame_idx % 2 == 0))
+    // cardinality is data-dependent: matches the per-doc frame count
+    val expected = media.collect()
+      .map(r => (0 until r.payload.length / 16 by 2).size.toLong).sum
+    assert(fr.length.toLong == expected && expected > 0)
+    // frame tables feed the same feature extractor downstream
+    val feats = Multimodal.extractFeatures(
+      frames.map(f => Multimodal.MediaRow(f.doc_id, "video/frame", f.frame)))
+    assert(feats.count() == expected)
+  }
+
   test("language id + quality + fingerprint run and are total") {
     assert(TextAnalysis.languageId(docs).count() == docs.count())
     assert(TextAnalysis.qualityScore(docs)
