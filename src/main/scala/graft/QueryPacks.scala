@@ -32,14 +32,17 @@ object DedupQueries {
       GraftFunctions.register(s)
       Dedup.embeddingTopPairs(Tables.load(s, d, "embeddings"), topN = 20)
     }),
-    // the 100-TB path: same-cell pairs only (rows-only here — cell
-    // assignments come from the seeded k-means; the cell-restricted
-    // equivalence vs brute force is asserted in PipelineSpec)
+    // the 100-TB path: same-cell pairs only, top-20 by cosine
+    // (rows-only here — cell assignments come from the seeded k-means;
+    // the cell-restricted equivalence vs brute force is asserted in
+    // PipelineSpec)
     "dedup_embed_bucketed" -> ((s, d) => {
       GraftFunctions.register(s)
       val vecs = Tables.load(s, d, "embeddings")
       val centroids = AnnIvf.train(vecs, numCentroids = 8, iterations = 2)
-      Dedup.embeddingNearPairsBucketed(vecs, centroids, threshold = 0.9)
+      Dedup.embeddingNearPairsBucketed(vecs, centroids, threshold = -1.0)
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+        .limit(20)
     })
   )
 
