@@ -247,6 +247,28 @@ object AnnQueries {
       val vecs = Tables.load(s, d, "embeddings")
       Quantize.roundTripError(vecs.filter(col("vec_id") % 50 === 0),
         Quantize.train(vecs))
+    }),
+    // the quantized SEARCH path (reference `_scalar.npy` variant,
+    // utils_grid_search.py:358-363): filtered exact k-NN over int8
+    // vectors, integer distance (no fp ordering flap), same pre-filter
+    // semantics and (dist, id) tie-break as the fp32 paths. zip_with +
+    // aggregate are codegen'd built-ins — the whole distance stays in
+    // WSCG with zero custom code.
+    "knn_int8" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val vecs = Tables.load(s, d, "embeddings")
+      val bounds = Quantize.train(vecs)
+      val dataQ = Quantize.apply(
+        vecs.filter(col("vec_id") % 50 =!= 0 && filterLow), bounds)
+      val queriesQ = Quantize.apply(
+        vecs.filter(col("vec_id") % 50 === 0), bounds)
+        .select(col("vec_id").as("qid"), col("qvec").as("qqvec"))
+      val pairs = dataQ.crossJoin(broadcast(queriesQ))
+      val dist = aggregate(
+        zip_with(col("qvec"), col("qqvec"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v.cast("long")).cast("double")
+      graft.operators.Knn.topKFrom(pairs, K, dist, col("vec_id"), col("qid"))
+        .select(col("qid"), col("rank"), col("neighbor_id"))
     })
   )
 
@@ -275,7 +297,41 @@ object AnnQueries {
          |      + 0.5) AS INTEGER)))
          |    ORDER BY e.dim) AS qvec
          |FROM e JOIN b ON e.dim = b.dim
-         |GROUP BY e.vec_id""".stripMargin
+         |GROUP BY e.vec_id""".stripMargin,
+    "knn_int8" ->
+      s"""WITH b AS (
+         |  SELECT dim, quantile_cont(CAST(v AS DOUBLE), 0.005) AS lo,
+         |    quantile_cont(CAST(v AS DOUBLE), 0.995) AS hi
+         |  FROM $unnestDims GROUP BY dim
+         |), e AS (
+         |  SELECT vec_id, label, unnest(embedding) AS v,
+         |    unnest(range(0, len(embedding))) AS dim
+         |  FROM embeddings
+         |), qz AS (
+         |  SELECT e.vec_id, e.label, list(
+         |      greatest(-128, least(127, CAST(floor(
+         |        (CAST(e.v AS DOUBLE) - b.lo) / (b.hi - b.lo) * 255.0 - 128.0
+         |        + 0.5) AS INTEGER)))
+         |      ORDER BY e.dim) AS qvec
+         |  FROM e JOIN b ON e.dim = b.dim
+         |  GROUP BY e.vec_id, e.label
+         |), d AS (
+         |  SELECT vec_id, qvec FROM qz
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), q AS (
+         |  SELECT vec_id AS qid, qvec AS qq FROM qz WHERE vec_id % 50 = 0
+         |), dist AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT sum(CAST((z.a - z.b) * (z.a - z.b) AS BIGINT))
+         |     FROM (SELECT unnest(q.qq) AS a, unnest(d.qvec) AS b) z) AS dst
+         |  FROM q CROSS JOIN d
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id ASC) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin
     // ann_ivf_*: approximate index behavior — verified against the
     // exact oracle via the recall metric in ScalaTest; rows-only here.
     // quant_roundtrip: depends on quantized values → rows-only.
