@@ -3,9 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Cold-query JIT triage: each iteration builds a FRESH query shape
-  * (distinct literal → distinct codegen class) so every run pays the
-  * cold-path cost the driver's bench pays. */
+import graft.operators.Dedup
+
+/** ngram-jaccard stage triage at sf0.1. */
 object ProfileScan {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -13,24 +13,34 @@ object ProfileScan {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[pscan] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      println(f"[pscan] $label%-40s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
       r
     }
-    val li = Tables.load(spark, dir, "lineitem").cache()
-    time("cache populate")(li.count())
-    for (i <- 1 to 3)
-      time(s"q01 fresh-shape iter$i")(
-        li.filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp") &&
-            col("l_quantity") >= lit(-1000.0 - i))
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(
-            sum(col("l_quantity").cast("decimal(18,2)")).as("a"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")).as("b"),
-            sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-              .cast("decimal(18,4)")).as("c"),
-            count(lit(1))).collect())
+    val docs = Tables.load(spark, dir, "documents")
+    val sh = docs.select(col("doc_id"),
+      explode(Dedup.shinglesOf(col("text"), 3)).as("sh")).cache()
+    time("shingle explode+cache")(sh.count())
+    println("[pscan] exploded rows: " + sh.count())
+    // shingle frequency skew
+    val freq = sh.groupBy("sh").count()
+    time("freq")(freq.count())
+    println("[pscan] top shingle freqs: " + freq.orderBy(col("count").desc)
+      .limit(5).collect().map(_.getLong(1)).mkString(","))
+    println("[pscan] sum freq^2 (join rows): " + freq
+      .agg(sum(col("count") * col("count"))).head().get(0))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    time("common-shingle join + pair agg")(inter.count())
+    time("full ngramJaccard")(
+      Dedup.ngramJaccard(docs, 3, 0.4).count())
+    time("full ngramJaccard again")(
+      Dedup.ngramJaccard(docs, 3, 0.4).count())
     spark.stop()
   }
 }

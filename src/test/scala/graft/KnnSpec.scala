@@ -68,6 +68,18 @@ class KnnSpec extends AnyFunSuite {
       perQ.head.getLong(0) == math.min(10, legal.size))
   }
 
+  test("top-k monotonicity: results at k are a prefix of results at k' > k") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    def ranked(k: Int): Map[(Long, Long), Long] =
+      Knn.exact(filtered, queries, k)
+        .select($"qid", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k5 = ranked(5); val k10 = ranked(10); val k20 = ranked(20)
+    assert(k5.forall { case (key, id) => k10(key) == id && k20(key) == id })
+    assert(k10.forall { case (key, id) => k20(key) == id })
+    assert(k5.size * 2 == k10.size)
+  }
+
   test("recall of exact vs exact is 1.0") {
     val f = Knn.exact(data.filter(SparkEntry.filterLow), queries, 10)
     val r = Recall.ofRanked(f, f).head()
