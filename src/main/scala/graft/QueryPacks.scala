@@ -257,7 +257,9 @@ object AnnQueries {
     "knn_int8" -> ((s, d) => {
       GraftFunctions.register(s)
       val vecs = Tables.load(s, d, "embeddings")
-      val bounds = Quantize.train(vecs)
+      // bounds feed both quantize calls — cache the 64-row table so
+      // the percentile scan runs once
+      val bounds = Quantize.train(vecs).cache()
       val dataQ = Quantize.apply(
         vecs.filter(col("vec_id") % 50 =!= 0 && filterLow), bounds)
       val queriesQ = Quantize.apply(

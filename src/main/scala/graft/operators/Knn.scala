@@ -209,4 +209,27 @@ object Knn {
     }
     acc
   }
+
+  /** Cost-based physical selection — the engine-side analog of the
+    * reference's brute-force-vs-CAGRA duality (SURVEY §4 strategy 3):
+    * below `exactThresholdBytes` of (post-filter) scan, brute force is
+    * both exact and cheapest; above it, build/probe a partitioned IVF
+    * index sized C = sqrt(n) with `nprobe` as the recall knob. The
+    * decision reads Catalyst's own size estimate off the optimized
+    * plan, so predicate selectivity (filter pushdown) is priced in.
+    * Returns (chosen path name, ranked results). */
+  def adaptive(data: DataFrame, queries: DataFrame, k: Int,
+      nprobe: Int = 8,
+      exactThresholdBytes: Long = 256L << 20): (String, DataFrame) = {
+    val est = data.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= exactThresholdBytes) ("exact", exact(data, queries, k))
+    else {
+      val n = data.count()
+      val cells = math.max(2, math.sqrt(n.toDouble).toInt)
+      val centroids = AnnIvf.train(data, cells, iterations = 2)
+      val indexed = AnnIvf.index(data, centroids)
+      ("ivf", AnnIvf.searchFast(indexed, centroids, queries, k,
+        math.min(nprobe, cells)))
+    }
+  }
 }

@@ -110,6 +110,21 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive path: exact under the size threshold, IVF above it") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val (smallPath, smallRes) = Knn.adaptive(filtered, queries, 10)
+    assert(smallPath == "exact")
+    assert(asTuples(smallRes) == asTuples(Knn.exact(filtered, queries, 10)))
+    // force the IVF arm with a 1-byte threshold; results must still be
+    // valid ranked rows with recall in a sane band
+    val (bigPath, bigRes) = Knn.adaptive(filtered, queries, 10,
+      nprobe = 16, exactThresholdBytes = 1L)
+    assert(bigPath == "ivf")
+    val truth = Knn.exact(filtered, queries, 10)
+    val r = Recall.ofRanked(bigRes, truth).head()
+    assert(r.getDouble(r.fieldIndex("recall")) >= 0.45)
+  }
+
   test("IVF recall increases with nprobe (knob monotonicity)") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
