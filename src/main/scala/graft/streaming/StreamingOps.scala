@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,6 +54,32 @@ object StreamingOps {
   def streamStaticJoin(stream: DataFrame, static: DataFrame,
       key: String): DataFrame =
     stream.join(broadcast(static), key)
+
+  case class UserState(n: Long, sum: Double)
+  case class UserStats(user_id: Long, n: Long, sum_value: Double)
+
+  /** Custom keyed state via mapGroupsWithState: per-user running
+    * (count, sum) maintained across micro-batches in the state store —
+    * the arbitrary-stateful-processing shape (KeyValueGroupedDataset)
+    * a production pipeline needs for sessionization/rate tracking.
+    * Update-mode output: one refreshed row per user per batch. */
+  def runningUserStats(events: DataFrame): Dataset[UserStats] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserStats](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n; var s = prev.sum
+          rows.foreach { r => n += 1; s += r._2 }
+          val next = UserState(n, s)
+          state.update(next)
+          UserStats(uid, next.n, next.sum)
+      }
+  }
 
   /** Streaming k-NN serving shape (SURVEY §2.9's optional extension):
     * each micro-batch of query vectors is searched against the static

@@ -55,6 +55,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("stateful mapGroupsWithState converges to the batch aggregate") {
+    val stream = StreamingOps.readEventStream(spark, sf)
+    val q = StreamingOps.runningUserStats(stream)
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // last emitted row per user = final running state
+      val finalRows = spark.table("user_stats")
+        .groupBy($"user_id")
+        .agg(max(struct($"n", $"sum_value")).as("last"))
+        .select($"user_id", $"last.n", round($"last.sum_value", 4))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = Tables.load(spark, sf, "events")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value"), 4).as("sum_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(finalRows == batch && finalRows.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches streamed rows") {
     val stream = StreamingOps.readEventStream(spark, sf)
       .select($"event_id", $"user_id", $"event_type")
