@@ -105,6 +105,36 @@ object AnnIvf {
       GraftFunctions.nearestCentroid(col(vecCol), matrix))
   }
 
+  /** Persist the index clustered by cell: one parquet partition
+    * directory per cid. Probes against the persisted layout become
+    * parquet PARTITION PRUNING — a search at nprobe touches only
+    * nprobe/C of the files on disk, before any row is read. */
+  def writeIndex(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** Search the persisted clustered index: the probed-cell filter is a
+    * partition-column predicate, so Catalyst prunes unprobed cell
+    * directories at planning time (PartitionFilters in the scan —
+    * asserted in KnnSpec). Semantics identical to search/searchFast. */
+  def searchPersisted(spark: SparkSession, path: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val matrix = collectCentroids(centroids)
+    val probes = queries.select(col(qidCol), col(qvecCol),
+      explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+        .as("_pcid"))
+    val probedCells = probes.select(col("_pcid")).distinct()
+      .collect().map(_.getInt(0))
+    val indexed = spark.read.parquet(path)
+      .filter(col("cid").isin(probedCells.toSeq: _*))
+    val candidates = indexed.join(
+      broadcast(probes), indexed("cid") === probes("_pcid"))
+    Knn.topKFrom(candidates, k,
+      GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
+      col(idCol), col(qidCol))
+  }
+
   /** Candidate rows a search at `nprobe` would scan (deterministic
     * cost metric for the grid-search analytics). Computed from the
     * cell-size histogram — O(cells) instead of rescanning the index. */

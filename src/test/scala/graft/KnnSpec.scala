@@ -110,6 +110,28 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted clustered index: partition pruning + identical results") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val idx = AnnIvf.index(filtered, centroids)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    AnnIvf.writeIndex(idx, s"$tmp/index")
+    // one directory per cell on disk
+    val cellDirs = new java.io.File(s"$tmp/index")
+      .listFiles((f: java.io.File) => f.getName.startsWith("cid="))
+    assert(cellDirs.length == 16)
+    val persisted = AnnIvf.searchPersisted(spark, s"$tmp/index",
+      centroids, queries, 10, nprobe = 4)
+    // probed-cell predicate lands in PartitionFilters (pruned BEFORE
+    // any row read), and results match the in-memory lowering
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.contains("PartitionFilters: [in(cid"), s"no pruning:\n$plan")
+    assert(asTuples(persisted) ==
+      asTuples(AnnIvf.search(idx, centroids, queries, 10, nprobe = 4)))
+  }
+
   test("adaptive path: exact under the size threshold, IVF above it") {
     val filtered = data.filter(SparkEntry.filterLow)
     val (smallPath, smallRes) = Knn.adaptive(filtered, queries, 10)
