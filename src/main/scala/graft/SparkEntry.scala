@@ -84,7 +84,8 @@ object VectorQueries {
     }),
     "knn_recall_self" -> ((spark: SparkSession, dir: String) => {
       GraftFunctions.register(spark)
-      val found = knnWith(filterLow, "sqeuclidean")(spark, dir)
+      // consumed twice by the recall join — cache, don't recompute
+      val found = knnWith(filterLow, "sqeuclidean")(spark, dir).cache()
       Recall.ofRanked(found, found)
     }),
     // the same search expressed through the first-class KnnJoin
