@@ -113,6 +113,33 @@ object ScaleBench {
         f"(cold $coldSec%.2fs) qps=$qps%9.1f recall@10=$recall%.4f " +
         f"(build=$buildSec%.1fs n=$nKept)")
     }
+
+    // HNSW-analog serving path: per-cell graphs built once, then
+    // beam-searched (~efSearch·M visits per probed cell vs a full
+    // cell scan)
+    val (graphs, graphBuildSec) = time {
+      val g = graft.operators.NswGraph.buildIndex(indexed, m = 8,
+          efConstruction = 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      g.count(); g
+    }
+    println(f"[scale] graph index build: $graphBuildSec%.1fs (per-cell NSW)")
+    Seq(4, 16).foreach { nprobe =>
+      val (_, cold) = time {
+        graft.operators.NswGraph.searchIndex(graphs, centroids, queries,
+          k, nprobe, efSearch = 48).count()
+      }
+      val (_, warm) = time {
+        graft.operators.NswGraph.searchIndex(graphs, centroids, queries,
+          k, nprobe, efSearch = 48).count()
+      }
+      val rec = graft.operators.NswGraph.searchIndex(graphs, centroids,
+        qSample, k, nprobe, efSearch = 48)
+      val r = Recall.ofRanked(rec, truth).head()
+      println(f"[scale] graph nprobe=$nprobe%3d search=$warm%7.2fs " +
+        f"(cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
+        f"recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
+    }
     spark.stop()
   }
 }

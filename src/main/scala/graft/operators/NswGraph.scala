@@ -92,6 +92,89 @@ object NswGraph {
     adj
   }
 
+  /** A materialized per-cell graph: the engine's persistable index
+    * artifact (the relational form of the reference's saved HNSW
+    * index). One row per IVF cell — ids, vectors, and adjacency lists
+    * travel together, so a probe reads exactly its cells' rows
+    * (partition pruning when written `partitionBy("cid")`). */
+  case class CellGraph(cid: Int, ids: Array[Long],
+      vecs: Array[Array[Float]], adj: Array[Array[Int]])
+
+  /** Build the per-cell graphs ONCE (embarrassingly parallel across
+    * cells); search many query batches against the result. */
+  def buildIndex(indexed: DataFrame, m: Int = 8, efConstruction: Int = 64,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): org.apache.spark.sql.Dataset[CellGraph] = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val (mm, efc, met) = (m, efConstruction, metric)
+    indexed
+      .select(col(idCol).cast("long"), col(vecCol), col("cid"))
+      .as[(Long, Array[Float], Int)]
+      .repartition(col("cid"))
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._3).iterator.map { case (cid, cellRows) =>
+          val vecs = cellRows.map(_._2)
+          CellGraph(cid, cellRows.map(_._1), vecs,
+            build(vecs, mm, efc, met).map(_.toArray))
+        }
+      }
+  }
+
+  /** Beam-search a prebuilt graph index: each query visits only the
+    * graphs of its nprobe probed cells, ~efSearch·M vectors per cell
+    * instead of the whole cell. */
+  def searchIndex(graphs: org.apache.spark.sql.Dataset[CellGraph],
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val matrix = graft.operators.AnnIvf.collectCentroids(centroids)
+    val probed = queries
+      .select(col(qidCol).cast("long"), col(qvecCol),
+        graft.GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+      .as[(Long, Array[Float], Array[Int])].collect()
+    val bc = spark.sparkContext.broadcast(probed)
+    val probedCells = probed.flatMap(_._3).toSet
+    val (efs, met, kk) = (math.max(k, efSearch), metric, k)
+    val partials = graphs
+      .filter(col("cid").isin(probedCells.toSeq: _*))
+      .mapPartitions { it =>
+        val qs = bc.value
+        it.flatMap { g =>
+          val adj = g.adj.map(a => mutable.ArrayBuffer.from(a))
+          qs.iterator
+            .filter(_._3.contains(g.cid))
+            .flatMap { case (qid, qv, _) =>
+              beamSearch(g.vecs, adj, 0, qv, efs, met)
+                .dequeueAll.sorted.take(kk)
+                .map { case (d, idx) => (qid, g.ids(idx), d) }
+            }
+        }
+      }
+      .toDF("qid", "_nnid", "_dist")
+    Knn.topKFrom(partials, kk, col("_dist"), col("_nnid"), col("qid"))
+  }
+
+  /** IVF-layered graph search — the HNSW-at-scale composition
+    * (SURVEY §7.3 "per-partition graphs layered under AnnIvf"): data
+    * is range-partitioned by cell; inside each partition one NSW graph
+    * is built PER CELL, and each query beam-searches only the graphs
+    * of its `nprobe` probed cells. Per probed cell the beam visits
+    * ~efSearch·M vectors instead of the whole cell — the asymptotic
+    * win over `AnnIvf.searchFast` once cells outgrow the beam.
+    * Same TopKSmallest merge; approximate (graph recall < 1). */
+  def searchIvf(indexed: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+    searchIndex(buildIndex(indexed, m, efConstruction, metric, idCol, vecCol),
+      centroids, queries, k, nprobe, efSearch, metric, qidCol, qvecCol)
+
   /** Approximate top-k for every query. Output (qid, rank,
     * neighbor_id, dist); recall rises with efSearch. */
   def search(data: DataFrame, queries: DataFrame, k: Int,

@@ -32,6 +32,21 @@ class NswSpec extends AnyFunSuite {
     assert(rec >= 0.80, s"recall $rec")
   }
 
+  test("IVF-layered graph search: recall floor and subset-of-probed-cells") {
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val indexed = graft.operators.AnnIvf.index(data, centroids)
+    val found = NswGraph.searchIvf(indexed, centroids, queries, 10,
+      nprobe = 8, m = 16, efSearch = 128)
+    // nprobe = all cells + high ef → recall close to the flat-IVF path
+    val rec = recallOf(found)
+    assert(rec >= 0.80, s"layered recall $rec")
+    // results only come from cells the query probed (here: all), and
+    // every returned id exists in the index
+    val legal = indexed.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ids = found.select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(legal))
+  }
+
   test("recall rises with efSearch (knob direction)") {
     val lo = recallOf(NswGraph.search(
       data.repartition(2), queries, 10, m = 8, efSearch = 10))
