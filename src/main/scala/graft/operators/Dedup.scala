@@ -183,6 +183,29 @@ object Dedup {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = AnnIvf.index(vecs, centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cid"))
+    pairsWithinCells(bucketed, threshold, idCol, vecCol)
+  }
+
+  /** Multi-probe variant: each vector is assigned to its `nassign`
+    * nearest cells (NearestCells — the same narrow expression the
+    * search probes use), so a near-dup pair straddling a cell boundary
+    * still shares at least one cell with high probability. Work grows
+    * ~nassign^2/C per pair candidate; distinct() dedupes pairs found
+    * in several shared cells. Single-assign (nassign=1) is exactly
+    * `embeddingNearPairsBucketed`. */
+  def embeddingNearPairsMultiProbe(vecs: DataFrame, centroids: DataFrame,
+      threshold: Double, nassign: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val matrix = AnnIvf.collectCentroids(centroids)
+    val bucketed = vecs.select(col(idCol), col(vecCol),
+      explode(GraftFunctions.nearestCells(col(vecCol), matrix, nassign))
+        .as("cid"))
+    pairsWithinCells(bucketed, threshold, idCol, vecCol)
+      .distinct()
+  }
+
+  private def pairsWithinCells(bucketed: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
     val a = bucketed.select(col("cid"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))
     val b = bucketed.select(col("cid"), col(idCol).as("id_b"),

@@ -111,6 +111,28 @@ class PipelineSpec extends AnyFunSuite {
       s"cell bucketing split ${tight.count(!_)} of ${tight.size} near pairs")
   }
 
+  test("multi-probe bucketing is a superset of single-assign pairs") {
+    val centroids = graft.operators.AnnIvf.train(embeddings, 8, iterations = 2)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsOf(Dedup.embeddingNearPairsBucketed(
+      embeddings, centroids, threshold = 0.3))
+    val multi = pairsOf(Dedup.embeddingNearPairsMultiProbe(
+      embeddings, centroids, threshold = 0.3, nassign = 3))
+    assert(single.subsetOf(multi),
+      s"multi-probe lost pairs: ${(single -- multi).take(5)}")
+    // boundary pairs recovered: multi-probe finds strictly more on
+    // this data (cells are small, boundaries common)
+    assert(multi.size >= single.size)
+    // and every multi-probe pair is genuinely above the threshold
+    val all = embeddings.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(multi.forall { case (a, b) =>
+      -graft.operators.Knn.scalarDistance("cosine", all(a), all(b)) >= 0.3
+    })
+  }
+
   test("multimodal resize + frame sampling: plumbing shapes (1->1, 1->N)") {
     val media = Multimodal.mediaTable(docs)
     val resized = Multimodal.resize(media, targetLen = 32)
