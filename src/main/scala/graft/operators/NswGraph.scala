@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Per-partition navigable-small-world graph search — the contained
@@ -120,6 +120,21 @@ object NswGraph {
             build(vecs, mm, efc, met).map(_.toArray))
         }
       }
+  }
+
+  /** Persist / reload the graph index. One parquet partition directory
+    * per cell, so `searchIndex` over a reloaded index prunes unprobed
+    * cells at the file level — build offline once, serve online. */
+  def writeGraphIndex(graphs: org.apache.spark.sql.Dataset[CellGraph],
+      path: String): Unit =
+    graphs.write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  def readGraphIndex(spark: SparkSession,
+      path: String): org.apache.spark.sql.Dataset[CellGraph] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("cid").cast("int"), col("ids"), col("vecs"), col("adj"))
+      .as[CellGraph]
   }
 
   /** Beam-search a prebuilt graph index: each query visits only the

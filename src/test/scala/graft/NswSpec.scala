@@ -47,6 +47,23 @@ class NswSpec extends AnyFunSuite {
     assert(ids.subsetOf(legal))
   }
 
+  test("graph index round-trips through parquet; reloaded search identical") {
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val indexed = graft.operators.AnnIvf.index(data, centroids)
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gidx").toString
+    NswGraph.writeGraphIndex(graphs, s"$tmp/gidx")
+    val reloaded = NswGraph.readGraphIndex(spark, s"$tmp/gidx")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = tuples(NswGraph.searchIndex(graphs, centroids, queries, 10,
+      nprobe = 4, efSearch = 64))
+    val b = tuples(NswGraph.searchIndex(reloaded, centroids, queries, 10,
+      nprobe = 4, efSearch = 64))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("recall rises with efSearch (knob direction)") {
     val lo = recallOf(NswGraph.search(
       data.repartition(2), queries, 10, m = 8, efSearch = 10))
