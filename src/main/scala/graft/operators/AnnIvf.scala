@@ -112,6 +112,18 @@ object AnnIvf {
   def writeIndex(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** Incremental maintenance: assign NEW vectors against the frozen
+    * centroid table (narrow, deterministic — identical cells to a full
+    * rebuild) and append into the clustered layout. Each batch adds
+    * files inside the cell directories it touches; no existing data is
+    * rewritten, and probes keep pruning. Re-train + rewrite only when
+    * drift degrades cell balance (an offline decision, as in any IVF
+    * system). */
+  def appendToIndex(newData: DataFrame, centroids: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    index(newData, centroids, idCol, vecCol)
+      .write.mode("append").partitionBy("cid").parquet(path)
+
   /** Search the persisted clustered index: the probed-cell filter is a
     * partition-column predicate, so Catalyst prunes unprobed cell
     * directories at planning time (PartitionFilters in the scan —

@@ -81,6 +81,21 @@ object StreamingOps {
       }
   }
 
+  /** Streaming index refresh: each micro-batch of new vectors is
+    * assigned against the frozen centroids and appended into the
+    * persisted clustered index — queries served from the index see new
+    * vectors one micro-batch later. Pairs with `AnnIvf.searchPersisted`
+    * for the full ingest→serve loop. */
+  def streamingIndexAppend(vectorStream: DataFrame, centroids: DataFrame,
+      indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.AnnIvf.appendToIndex(batch, centroids, indexPath)
+        ()
+      }
+      .start()
+
   /** Streaming k-NN serving shape (SURVEY §2.9's optional extension):
     * each micro-batch of query vectors is searched against the static
     * data table with the exact k-NN operator and the ranked results

@@ -132,6 +132,42 @@ class KnnSpec extends AnyFunSuite {
       asTuples(AnnIvf.search(idx, centroids, queries, 10, nprobe = 4)))
   }
 
+  test("incremental append to the persisted index equals a full rebuild") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val first = filtered.filter($"vec_id" % 3 =!= 0)
+    val second = filtered.filter($"vec_id" % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    AnnIvf.writeIndex(AnnIvf.index(first, centroids), s"$tmp/idx")
+    AnnIvf.appendToIndex(second, centroids, s"$tmp/idx")
+    val incr = asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 4))
+    val rebuilt = asTuples(AnnIvf.search(
+      AnnIvf.index(filtered, centroids), centroids, queries, 10, nprobe = 4))
+    assert(incr == rebuilt && incr.nonEmpty)
+  }
+
+  test("streaming index refresh: appended micro-batches become searchable") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    // seed the index with nothing; stream the vectors in as files
+    val vecStream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sf)
+      .filter($"vec_id" % 50 =!= 0 && SparkEntry.filterLow)
+      .select($"vec_id", $"embedding")
+    val q = graft.streaming.StreamingOps.streamingIndexAppend(
+      vecStream, centroids, s"$tmp/idx")
+    try q.processAllAvailable() finally q.stop()
+    val served = asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 4))
+    val batch = asTuples(AnnIvf.search(
+      AnnIvf.index(filtered, centroids), centroids, queries, 10, nprobe = 4))
+    assert(served == batch && served.nonEmpty)
+  }
+
   test("adaptive path: exact under the size threshold, IVF above it") {
     val filtered = data.filter(SparkEntry.filterLow)
     val (smallPath, smallRes) = Knn.adaptive(filtered, queries, 10)
