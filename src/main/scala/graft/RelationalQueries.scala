@@ -297,7 +297,8 @@ object RelationalQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q16_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  count(json_extract_string(props, '$.k')) AS n_k
         |FROM events GROUP BY event_type""".stripMargin
   )

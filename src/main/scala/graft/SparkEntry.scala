@@ -142,8 +142,11 @@ object VectorQueries {
     // for the reference's rand-shuffle bitset fill,
     // utils_grid_search.py:242-247)
     "sample_exact" -> ((spark: SparkSession, dir: String) => {
+      // md5 ranking hash (not xxhash) so the oracle reproduces the
+      // identical sample — same determinism, engine-portable
       Tables.load(spark, dir, "embeddings")
-        .orderBy(xxhash64(col("vec_id"), lit(7)), col("vec_id"))
+        .orderBy(md5(concat(col("vec_id").cast("string"), lit(":7"))),
+          col("vec_id"))
         .limit(25)
         .select(col("vec_id"), col("label").cast("long").as("label"))
     })
@@ -225,8 +228,10 @@ object VectorQueries {
         |  GROUP BY 1)
         |SELECT CAST(sum(bit_count(word)) AS BIGINT) AS n_set,
         |  count(*) AS n_words
-        |FROM b""".stripMargin
-    // sample_exact: seeded xxhash ranking not expressible in the oracle
-    // dialect → rows-only (count is deterministic).
+        |FROM b""".stripMargin,
+    "sample_exact" ->
+      """SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
+        |ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':7')), vec_id
+        |LIMIT 25""".stripMargin
   )
 }

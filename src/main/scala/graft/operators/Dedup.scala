@@ -135,6 +135,64 @@ object Dedup {
     docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simHash(tokens(col(textCol))).as("simhash"))
 
+  /** Portable 60-bit SimHash over distinct whitespace tokens: token
+    * hash = first 15 hex chars of md5 (identical in every engine —
+    * unlike seeded xxhash — so a SQL oracle reproduces the fingerprint
+    * bit-for-bit; 15 chars keep the value < 2^60, positive in a signed
+    * 64-bit integer everywhere, so no sign-extension games); bit b is
+    * set iff the ±1 majority vote over token hashes' bit b is
+    * positive. Relational map-reduce formulation: explode tokens × 60
+    * bit positions, partial-aggregated votes (map-side combine keeps
+    * the shuffle at ≤60 rows/doc), OR the winning bits. The native
+    * one-pass SimHash64 expression above is the hot-path variant; this
+    * one trades a constant factor for engine-portability of the exact
+    * bits. */
+  val portableBits = 60
+
+  def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val h = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("hv"))
+    h.select(col("doc_id"), col("hv"),
+        explode(sequence(lit(0), lit(portableBits - 1))).as("b"))
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(when(expr("(shiftright(hv, b) & 1) = 1"), 1)
+        .otherwise(-1)).as("v"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
+        .cast("long").as("simhash"))
+  }
+
+  /** Near-dup pairs on the portable 60-bit SimHash, pigeonhole-banded
+    * into 4×15-bit chunks: any pair within Hamming distance 3 shares an
+    * identical chunk, so with maxHamming <= 3 the banded result EQUALS
+    * the brute-force pair set (exact, oracle-checkable) while the join
+    * stays an equi-join on (chunk_idx, chunk) — never all-pairs. */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole is only exact for maxHamming <= 3")
+    val sigs = simhashPortable(docs, idCol, textCol).cache()
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))): _*))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.as("a")
+      .join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash near-dup pairs: pigeonhole-banded (4×16-bit chunks — any
     * pair within Hamming distance 3 shares an identical chunk), then
     * verified with the exact 64-bit Hamming distance. */

@@ -36,6 +36,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((a, b)) || pairs.contains((b, a)))
   }
 
+  test("portable simhash: banded pairs equal brute force (pigeonhole)") {
+    val sigs = Dedup.simhashPortable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // fingerprints fit in 60 bits (portable positive range)
+    assert(sigs.forall { case (_, s) => s >= 0L && s < (1L << 60) })
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val banded = Dedup.simhashPairsPortable(docs, maxHamming = 3)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded == brute,
+      s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("portable simhash is partition-count independent") {
+    val a = Dedup.simhashPortable(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhashPortable(docs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("exact dedup groups: sum of copies equals row count") {
     val g = Dedup.exact(docs).agg(sum($"n_copies")).head().getLong(0)
     assert(g == docs.count())
