@@ -264,6 +264,37 @@ object AnnQueries {
       val truth = Knn.exact(data, q, K)
       Recall.ofRanked(found, truth)
     }),
+    // PQ compressed-storage search (rows-only: codebooks come from
+    // seeded k-means; the ADC==decoded-brute-force identity and recall
+    // floors are pinned in PqSpec): one row with ADC and refined
+    // recall vs the exact oracle
+    "ann_pq_recall" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val q = queriesDf(s, d)
+      val cb = Pq.train(data, m = 8, ksub = 16, iterations = 2)
+      val codes = Pq.encode(data, cb).cache()
+      val truth = Knn.exact(data, q, K).cache()
+      val pure = Recall.ofRanked(Pq.searchAdc(codes, cb, q, K), truth)
+        .select(col("n_queries"), col("recall").as("recall_adc"))
+      val refined = Recall.ofRanked(
+          Pq.searchAdcRefined(codes, cb, data, q, K, kfactor = 4), truth)
+        .select(col("recall").as("recall_refined"))
+      pure.crossJoin(refined)
+    }),
+    // fp16-stored corpus (the reference's embedding dtype,
+    // README_reviews.md:84): vectors round-trip through the Fp16
+    // codec before the exact search — rows-only (no fp16 rounding in
+    // the oracle dialect; codec exactness is pinned in Fp16Spec)
+    "knn_fp16" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val dataF16 = dataDf(s, d).filter(filterLow)
+        .select(col("vec_id"),
+          GraftFunctions.fp16Decode(
+            GraftFunctions.fp16Encode(col("embedding"))).as("embedding"))
+      Knn.exact(dataF16, queriesDf(s, d), K)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "ann_nsw_recall" -> ((s, d) => {
       // per-partition NSW graph (HNSW-path analog, J3): recall vs the
       // exact oracle; rows-only (approximate + partitioning-dependent)

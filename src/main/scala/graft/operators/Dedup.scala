@@ -141,12 +141,15 @@ object Dedup {
     * bit-for-bit; 15 chars keep the value < 2^60, positive in a signed
     * 64-bit integer everywhere, so no sign-extension games); bit b is
     * set iff the ±1 majority vote over token hashes' bit b is
-    * positive. Relational map-reduce formulation: explode tokens × 60
-    * bit positions, partial-aggregated votes (map-side combine keeps
-    * the shuffle at ≤60 rows/doc), OR the winning bits. The native
-    * one-pass SimHash64 expression above is the hot-path variant; this
-    * one trades a constant factor for engine-portability of the exact
-    * bits. */
+    * positive. Relational map-reduce formulation: each token yields a
+    * ±1 vote vector over the 60 bit positions; the element-wise
+    * VectorSum aggregate (map-side partial) reduces them to one
+    * 60-long tally per doc — one shuffle row per (doc × partition)
+    * instead of tokens×60 exploded rows. Vote sums are small integers,
+    * exact in the double accumulator, so the bits match the oracle's
+    * integer arithmetic. The native one-pass SimHash64 expression
+    * above is the hot-path variant; this one trades a constant factor
+    * for engine-portability of the exact bits. */
   val portableBits = 60
 
   def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
@@ -156,15 +159,18 @@ object Dedup {
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("hv"))
-    h.select(col("doc_id"), col("hv"),
-        explode(sequence(lit(0), lit(portableBits - 1))).as("b"))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(when(expr("(shiftright(hv, b) & 1) = 1"), 1)
-        .otherwise(-1)).as("v"))
+    h.select(col("doc_id"),
+        expr(s"transform(sequence(0, ${portableBits - 1}), " +
+          "b -> CAST(IF((shiftright(hv, b) & 1) = 1, 1, -1) AS FLOAT))")
+          .as("vs"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0,
-          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L))
-        .cast("long").as("simhash"))
+      .agg(GraftFunctions.vecSum(col("vs")).as("vsum"))
+      .select(col("doc_id"),
+        expr(s"aggregate(sequence(0, ${portableBits - 1}), " +
+          "CAST(0 AS BIGINT), " +
+          "(acc, b) -> acc + IF(element_at(vsum, b + 1) > 0D, " +
+          "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
+          .cast("long").as("simhash"))
   }
 
   /** Near-dup pairs on the portable 60-bit SimHash, pigeonhole-banded

@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+
+/** Product quantization (PQ) — the memory-compressed vector storage +
+  * asymmetric-distance (ADC) search path.
+  *
+  * The reference ships a scalar-quantized copy of its corpus (the
+  * `_scalar.npy` variant, /root/reference/utils_grid_search.py:358-363)
+  * to trade precision for footprint; PQ is the stronger form of the
+  * same trade used by every large-scale ANN system (IVF-PQ): split
+  * each d-dim vector into `m` subvectors of d/m dims, k-means each
+  * subspace to `ksub` centroids, store only the m one-byte centroid
+  * codes. At m=8, ksub=256 a 64-dim fp32 vector compresses 256 B →
+  * 8 B (32×): a 100 TB fp32 corpus becomes ~3 TB of codes — the
+  * difference between spilling to disk and searching in memory.
+  *
+  * Search is ADC: per query, precompute LUT[sub][code] =
+  * sqdist(query_sub, codebook[sub][code]) — m×ksub entries, once per
+  * query — then each candidate's distance is m table lookups + adds,
+  * no float math against the vector itself. Mathematically
+  * ADC(q, codes) == sqdist(q, reconstruct(codes)) exactly (the
+  * subspace squared distances partition the full squared distance), a
+  * property PqSpec pins by comparing against exact k-NN over the
+  * decoded vectors.
+  *
+  * Spark shape mirrors Knn.exact: codebooks + queries broadcast, one
+  * narrow mapPartitions pass over the code table with per-query
+  * bounded heaps, q×k partial rows into the shared TopKSmallest
+  * merge. Training, assignment and search never shuffle data-side
+  * rows.
+  */
+object Pq {
+
+  /** Per-subspace codebooks: codebooks(sub)(code) is a d/m-dim
+    * centroid. */
+  final case class Codebook(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Float]]]) {
+    def reconstruct(codes: Array[Int]): Array[Float] = {
+      val out = new Array[Float](m * dsub)
+      var s = 0
+      while (s < m) {
+        System.arraycopy(codebooks(s)(codes(s)), 0, out, s * dsub, dsub)
+        s += 1
+      }
+      out
+    }
+  }
+
+  /** Train per-subspace k-means codebooks. Each subspace reuses the
+    * seeded deterministic Lloyd machinery of AnnIvf.train over the
+    * sliced subvector column; the m trainings are independent (at
+    * scale: run them concurrently on a sample — PQ codebooks are
+    * trained on ~10^5-10^6 rows regardless of corpus size). */
+  def train(data: DataFrame, m: Int = 8, ksub: Int = 16,
+      iterations: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Codebook = {
+    val dim = data.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val books = (0 until m).map { s =>
+      val sub = data.select(col(idCol),
+        slice(col(vecCol), s * dsub + 1, dsub).as(vecCol))
+      AnnIvf.collectCentroids(
+        AnnIvf.train(sub, numCentroids = ksub, iterations = iterations,
+          idCol = idCol, vecCol = vecCol))
+    }.toArray
+    Codebook(m, dsub, books)
+  }
+
+  /** Encode every vector to its m nearest-subspace-centroid codes:
+    * (idCol, codes ARRAY<INT>). m narrow argmin expressions against
+    * the broadcast codebooks — zero shuffle, codegen'd end to end. */
+  def encode(data: DataFrame, cb: Codebook,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val codeCols = (0 until cb.m).map { s =>
+      GraftFunctions.nearestCentroid(
+        slice(col(vecCol), s * cb.dsub + 1, cb.dsub), cb.codebooks(s))
+    }
+    data.select(col(idCol), array(codeCols: _*).as("codes"))
+  }
+
+  /** Decode codes back to the reconstructed (quantized) vectors —
+    * test/debug surface for the ADC identity. */
+  def decode(codes: DataFrame, cb: Codebook,
+      idCol: String = "vec_id"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cb)
+    codes.select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+      .map { case (id, cs) => (id, bc.value.reconstruct(cs)) }
+      .toDF(idCol, "embedding")
+  }
+
+  /** ADC top-k search over the code table. Exactly equivalent to
+    * brute-force sqeuclidean k-NN over `decode(codes)` (same
+    * tie-break: dist asc, id asc), at m lookups per candidate. */
+  def searchAdc(codes: DataFrame, cb: Codebook, queries: DataFrame, k: Int,
+      idCol: String = "vec_id",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val partials = codes
+      .select(col(idCol).cast("long"), col("codes"))
+      .as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val book = bcCb.value
+        val m = book.m; val dsub = book.dsub; val ksub = book.codebooks(0).length
+        // LUT(q)(sub*ksub + code) = sqdist(query subvector, centroid);
+        // built once per (partition × query), amortized over the scan
+        val luts = Array.tabulate(qs.length) { qi =>
+          val q = qs(qi)._2
+          val lut = new Array[Double](m * ksub)
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < ksub) {
+              val cen = book.codebooks(s)(c)
+              var acc = 0.0; var j = 0
+              while (j < dsub) {
+                val d = q(s * dsub + j).toDouble - cen(j).toDouble
+                acc += d * d; j += 1
+              }
+              lut(s * ksub + c) = acc
+              c += 1
+            }
+            s += 1
+          }
+          lut
+        }
+        val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
+        it.foreach { case (id, cs) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val lut = luts(qi)
+            var acc = 0.0; var s = 0
+            while (s < m) { acc += lut(s * ksub + cs(s)); s += 1 }
+            heaps(qi).insert(acc, id)
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (d, id) => (qs(i)._1, id, d) }
+        }
+      }
+      .toDF("qid", "_nnid", "_dist")
+    Knn.topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
+  }
+
+  /** ADC shortlist + exact re-rank (the standard IVF-PQ "refine"
+    * stage): ADC retrieves k×kfactor candidates from the code table,
+    * then only those rows' original vectors are fetched (equi-join on
+    * id — candidate-sized, not corpus-sized) and re-scored exactly.
+    * Recovers most of the recall PQ loses while still scanning only
+    * codes: the full-precision corpus is touched for q×k×kfactor rows
+    * per batch. */
+  def searchAdcRefined(codes: DataFrame, cb: Codebook, data: DataFrame,
+      queries: DataFrame, k: Int, kfactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val shortlist = searchAdc(codes, cb, queries, k * kfactor, idCol,
+        qidCol, qvecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val candidates = shortlist
+      .join(data.select(col(idCol).as("neighbor_id"), col(vecCol)),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol))),
+        "qid")
+    Knn.topKFrom(candidates, k,
+      GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
+      col("neighbor_id"), col("qid"))
+  }
+}

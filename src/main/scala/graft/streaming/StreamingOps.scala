@@ -81,6 +81,36 @@ object StreamingOps {
       }
   }
 
+  case class DedupDoc(doc_id: Long, text_hash: String)
+
+  /** Streaming exact deduplication: keyed on the md5 content hash via
+    * flatMapGroupsWithState — a document is emitted only the FIRST
+    * time its hash appears anywhere in the stream (within a
+    * micro-batch, the minimum doc_id wins, matching Dedup.exact's
+    * keeper rule; across batches, earliest batch wins). State per
+    * distinct hash is a single boolean, so the state store grows with
+    * the number of DISTINCT documents, not the stream length — the
+    * streaming twin of the batch hash-aggregate dedup, and the shape a
+    * continuous training-data ingest pipeline needs. Append output
+    * mode: emitted keepers are final, never retracted. */
+  def streamingExactDedup(docs: DataFrame): Dataset[DedupDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    docs.select(md5(col("text")).as("h"), col("doc_id").cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, DedupDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (h, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(DedupDoc(rows.map(_._2).min, h))
+          }
+      }
+  }
+
   /** Streaming index refresh: each micro-batch of new vectors is
     * assigned against the frozen centroids and appended into the
     * persisted clustered index — queries served from the index see new

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Knn, Pq, Recall}
+
+/** Product-quantization operator tests: code shape/determinism, the
+  * ADC==decoded-brute-force identity, and a recall floor vs the exact
+  * search. */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+  private def embeddings = Tables.load(spark, sf, "embeddings")
+  private def data = embeddings.filter($"vec_id" % 50 =!= 0)
+  private def queries = embeddings.filter($"vec_id" % 50 === 0)
+    .select($"vec_id".as("qid"), $"embedding".as("q_embedding"))
+
+  private lazy val cb = Pq.train(data, m = 8, ksub = 16, iterations = 2)
+
+  test("encode: m one-byte-range codes per vector, deterministic") {
+    val codes = Pq.encode(data, cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes.values.forall(c =>
+      c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+    val again = Pq.encode(data.repartition(5), cb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == again)
+  }
+
+  test("ADC search equals exact k-NN over the decoded vectors") {
+    val codes = Pq.encode(data, cb).cache()
+    val adc = Pq.searchAdc(codes, cb, queries, k = 10)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brute = Knn.exact(Pq.decode(codes, cb), queries, k = 10)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(adc == brute)
+  }
+
+  test("PQ recall@10 vs exact search clears a floor; refine recovers") {
+    val codes = Pq.encode(data, cb).cache()
+    val truth = Knn.exact(data, queries, k = 10)
+    val pure = Recall.ofRanked(
+        Pq.searchAdc(codes, cb, queries, k = 10), truth)
+      .select($"recall").head().getDouble(0)
+    // 8x16 codebooks on 64-dim synthetic data: coarse, but far above
+    // chance; the floor catches a broken codebook/LUT, not noise
+    assert(pure >= 0.15, s"PQ recall $pure")
+    val refined = Recall.ofRanked(
+        Pq.searchAdcRefined(codes, cb, data, queries, k = 10, kfactor = 4),
+        truth)
+      .select($"recall").head().getDouble(0)
+    assert(refined >= pure && refined >= 0.5,
+      s"refined recall $refined (pure $pure)")
+  }
+
+  test("compression accounting: 8 codes vs 64 floats per vector") {
+    // the stored representation is m ints (1 byte each at ksub<=256)
+    // against d floats: 32x at fp32, documented in the scaladoc
+    assert(cb.m * cb.dsub == 64)
+    val bytesCodes = cb.m // 1 byte per code
+    val bytesFp32 = 64 * 4
+    assert(bytesFp32 / bytesCodes == 32)
+  }
+}

@@ -79,6 +79,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup emits one keeper per distinct text") {
+    val docStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    val q = StreamingOps.streamingExactDedup(docStream)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_stream")
+        .select($"text_hash", $"doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch twin: one keeper (min doc_id) per distinct content hash;
+      // the whole table arrives in one micro-batch here, so the
+      // within-batch min-id rule makes the two ends identical
+      val batch = graft.operators.Dedup.exact(
+          Tables.load(spark, sf, "documents"))
+        .select($"text_hash", $"keeper_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches streamed rows") {
     val stream = StreamingOps.readEventStream(spark, sf)
       .select($"event_id", $"user_id", $"event_type")
