@@ -18,11 +18,11 @@ object DedupQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
-      // trigram shingles: under a small vocabulary, bigrams are shared
-      // by hundreds of docs and the common-shingle join degenerates
-      // toward all-pairs (observed 54s at sf0.1); trigrams keep the
-      // join selective (2.5s) with identical near-dup recall
-      Dedup.ngramJaccard(docs(s, d), n = 3, threshold = 0.4)),
+      // trigram shingles (bigrams are shared by hundreds of docs under
+      // a small vocabulary and degenerate toward all-pairs) through
+      // the PREFIX-FILTERED exact join — identical output to the plain
+      // common-shingle join (PipelineSpec), far fewer candidate pairs
+      Dedup.ngramJaccardPrefix(docs(s, d), n = 3, threshold = 0.4)),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), shingleN = 3, threshold = 0.5)),
     // portable md5-based fingerprints so the DuckDB oracle reproduces

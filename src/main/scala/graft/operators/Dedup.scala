@@ -75,6 +75,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Exact n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin): for
+    * threshold t, any two shingle sets with J >= t must share a
+    * shingle within the first |S| - ceil(t*|S|) + 1 elements of a
+    * common global ordering (rarest shingle first). Candidates
+    * therefore come from an equi-join on PREFIX shingles only — on a
+    * corpus with frequent shingles this shrinks the candidate pair
+    * stream by orders of magnitude versus joining on every common
+    * shingle, while staying EXACT (same output as `ngramJaccard`,
+    * asserted in PipelineSpec). The verify step re-scores candidates
+    * against the full shingle sets. This is the 100-TB path: the only
+    * quadratic-ish stage is bounded by prefix-bucket sizes, and the
+    * rarest-first order makes hot buckets the rarest shingles. */
+  def ngramJaccardPrefix(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        explode(shinglesOf(col(textCol), n)).as("sh"))
+      .cache() // frequency count + prefix build + verify sets
+    val freq = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+    // per-doc shingle list in global (f, sh) order + full set size
+    val ordered = sh.join(freq, "sh")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("f"), col("sh")))).as("os"),
+        count(lit(1)).as("n_sh"))
+    // prefix length |S| - ceil(t|S|) + 1
+    val prefLen = (col("n_sh") -
+      ceil(col("n_sh") * threshold) + 1).cast("int")
+    val pref = ordered
+      .select(col("doc_id"), prefLen.as("pl"), col("os"))
+      .select(col("doc_id"),
+        explode(slice(col("os"), lit(1), col("pl"))).as("p"))
+      .select(col("doc_id"), col("p.sh").as("sh"))
+    val candidates = pref.as("a")
+      .join(pref.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify against full sets (same arithmetic as ngramJaccard)
+    val shSets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("sh")).as("shs"))
+    candidates
+      .join(shSets.select(col("doc_id").as("doc_a"), col("shs").as("sh_a")),
+        "doc_a")
+      .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
+        "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** MinHash signature via the native expression: one xxhash64 per
     * shingle + a universal-hash family (k multiply-adds) — ~100×
     * cheaper than k string hashes per shingle at equal LSH quality. */

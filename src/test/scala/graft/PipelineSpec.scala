@@ -36,6 +36,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((a, b)) || pairs.contains((b, a)))
   }
 
+  test("prefix-filtered jaccard join equals the common-shingle join") {
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val plain = pairsOf(Dedup.ngramJaccard(docs, n = 3, threshold = 0.4))
+    val prefix = pairsOf(Dedup.ngramJaccardPrefix(docs, n = 3, threshold = 0.4))
+    assert(prefix == plain, s"prefix=${prefix.size} plain=${plain.size}")
+    assert(plain.nonEmpty, "fixture should contain planted near-dups")
+  }
+
   test("portable simhash: banded pairs equal brute force (pigeonhole)") {
     val sigs = Dedup.simhashPortable(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
