@@ -19,18 +19,29 @@ object DedupQueries {
     "dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "dedup_ngram_jaccard" -> ((s, d) =>
       // trigram shingles (bigrams are shared by hundreds of docs under
-      // a small vocabulary and degenerate toward all-pairs) through
-      // the PREFIX-FILTERED exact join — identical output to the plain
-      // common-shingle join (PipelineSpec), far fewer candidate pairs
-      Dedup.ngramJaccardPrefix(docs(s, d), n = 3, threshold = 0.4)),
+      // a small vocabulary and degenerate toward all-pairs), lowered
+      // adaptively: the plain common-shingle count join when the
+      // estimated pair volume is modest (this corpus — frequencies are
+      // near-uniform, so prefix filtering prunes little but its verify
+      // carries full shingle arrays per candidate), the prefix-filtered
+      // AllPairs join when hot shingles blow the volume up (100-TB
+      // regime). Both lowerings are exact and oracle-identical.
+      Dedup.ngramJaccardAuto(docs(s, d), n = 3, threshold = 0.4)),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), shingleN = 3, threshold = 0.5)),
     // portable md5-based fingerprints so the DuckDB oracle reproduces
     // the exact bits; the native xxhash SimHash64 expression (hot path)
-    // is exercised by PipelineSpec
+    // is benched by the *_native queries below and spec'd in PipelineSpec
     "dedup_simhash" -> ((s, d) => Dedup.simhashPortable(docs(s, d))),
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairsPortable(docs(s, d), maxHamming = 3)),
+    // the production fingerprint path (one-pass native SimHash64
+    // expression, seeded xxhash — rows-only: no SQL oracle can
+    // reproduce seeded xxhash bits; kept in the bench pack so the
+    // measured numbers cover the hot path, not only the portable one)
+    "dedup_simhash_native" -> ((s, d) => Dedup.simhashSignatures(docs(s, d))),
+    "dedup_simhash_pairs_native" -> ((s, d) =>
+      Dedup.simhashPairs(docs(s, d), maxHamming = 3)),
     "dedup_embed_cosine" -> ((s, d) => {
       GraftFunctions.register(s)
       Dedup.embeddingTopPairs(Tables.load(s, d, "embeddings"), topN = 20)

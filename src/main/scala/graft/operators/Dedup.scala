@@ -99,9 +99,12 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("f"), col("sh")))).as("os"),
         count(lit(1)).as("n_sh"))
-    // prefix length |S| - ceil(t|S|) + 1
+    // prefix length |S| - ceil(t|S|) + 1. The 1e-9 guard keeps an
+    // exact-integer product from rounding UP in floating point (e.g.
+    // fl(0.07)*100 = 7.000000000000001 → ceil 8, one prefix element
+    // too short, silently dropping a pair at exactly J = t).
     val prefLen = (col("n_sh") -
-      ceil(col("n_sh") * threshold) + 1).cast("int")
+      ceil(col("n_sh") * threshold - lit(1e-9)) + 1).cast("int")
     val pref = ordered
       .select(col("doc_id"), prefLen.as("pl"), col("os"))
       .select(col("doc_id"),
@@ -126,6 +129,31 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Stats-adaptive exact n-gram Jaccard: same output as `ngramJaccard`
+    * / `ngramJaccardPrefix` (both are exact), choosing the lowering
+    * from corpus statistics. The plain common-shingle join emits
+    * Σ_s f(s)·(f(s)−1)/2 pair rows (f = docs containing shingle s) —
+    * skinny rows, counted by a hash aggregate, never carrying shingle
+    * arrays. The prefix path prunes candidates but its verify join
+    * carries both full shingle arrays per candidate. When the join
+    * volume is modest (uniform shingle frequencies — this corpus:
+    * 1.27 M pairs from 5 000 docs), plain wins outright; when a few
+    * hot shingles push the join volume past `maxPlainPairs` (the
+    * 100-TB regime, where f² explodes), prefix filtering is the only
+    * viable shape. One cheap stats pass (a count-distinct-size
+    * aggregate over the shingle table) makes the choice. */
+  def ngramJaccardAuto(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxPlainPairs: Long = 200000000L): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shinglesOf(col(textCol), n)).as("sh"))
+    val joinPairs = sh.groupBy(col("sh")).agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * (col("f") - 1) / 2).cast("long"))
+      .head().getLong(0)
+    if (joinPairs <= maxPlainPairs) ngramJaccard(docs, n, threshold, idCol, textCol)
+    else ngramJaccardPrefix(docs, n, threshold, idCol, textCol)
   }
 
   /** MinHash signature via the native expression: one xxhash64 per
@@ -212,18 +240,22 @@ object Dedup {
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("hv"))
-    h.select(col("doc_id"),
-        expr(s"transform(sequence(0, ${portableBits - 1}), " +
-          "b -> CAST(IF((shiftright(hv, b) & 1) = 1, 1, -1) AS FLOAT))")
-          .as("vs"))
-      .groupBy(col("doc_id"))
-      .agg(GraftFunctions.vecSum(col("vs")).as("vsum"))
+    // Per-bit ±1 vote sums, flattened to 60 integer sum() aggregates in
+    // ONE codegen'd HashAggregate (vote_b = 2·ones_b − n > 0  ⟺
+    // 2·ones_b > n — same sign as the oracle's ±1 sum, all-integer, so
+    // the bits match exactly). This replaces the earlier 60-float vote
+    // array through the imperative VectorSum aggregate, which fell out
+    // of whole-stage codegen and — cached — tripped a pathological
+    // ~40 s build stall on this host.
+    val bitSums = (0 until portableBits).map(b =>
+      sum(shiftright(col("hv"), b).bitwiseAND(lit(1L))).as(s"_b$b"))
+    h.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("_n"), bitSums: _*)
       .select(col("doc_id"),
-        expr(s"aggregate(sequence(0, ${portableBits - 1}), " +
-          "CAST(0 AS BIGINT), " +
-          "(acc, b) -> acc + IF(element_at(vsum, b + 1) > 0D, " +
-          "shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))")
-          .cast("long").as("simhash"))
+        (0 until portableBits).map(b =>
+          when(col(s"_b$b") * 2 > col("_n"), shiftleft(lit(1L), b))
+            .otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Near-dup pairs on the portable 60-bit SimHash, pigeonhole-banded
@@ -235,7 +267,12 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk pigeonhole is only exact for maxHamming <= 3")
-    val sigs = simhashPortable(docs, idCol, textCol).cache()
+    // No .cache(): the signature aggregate is one cheap codegen'd pass,
+    // and caching an aggregate-topped plan trips this host's
+    // InMemoryRelation build stall (~40 s for a 1.7 s plan). Each join
+    // side recomputes the signatures once; at 100 TB persist the
+    // signature table to parquet instead.
+    val sigs = simhashPortable(docs, idCol, textCol)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))): _*))
@@ -248,8 +285,8 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // shrink before the distinct shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup pairs: pigeonhole-banded (4×16-bit chunks — any
