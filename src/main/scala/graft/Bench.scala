@@ -14,6 +14,19 @@ import org.apache.spark.sql.SparkSession
   * this host's wall-clock varies ±3x run-to-run, and a single cold
   * sample is dominated by that noise, not engine cost. Disable warmup
   * with SPARK_GRAFT_WARMUP=0.
+  *
+  * Failure handling: a pass that throws is EXCLUDED from the per-query
+  * min (a fast failure must not report as a fast success); a query
+  * failing every pass reports -1 and its error lands in an "errors"
+  * JSON field.
+  *
+  * Cache policy: the grid_* and ann_* packs intentionally share state
+  * within their pack (one sweep / one oracle — the reference likewise
+  * post-processes one CSV and computes ground truth once per run).
+  * Whenever the measured query's name-prefix group changes, all spark
+  * caches and the shared pack state are dropped, so caches built by
+  * one query never subsidize an unrelated one and per-operator cache
+  * leaks don't accumulate across the 60-query pack.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -31,30 +44,64 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    if (doWarmup) queries.foreach { case (_, fn) =>
-      try fn(spark, warmupDir).count()
-      catch { case _: Throwable => () }
+
+    def group(name: String): String = name.takeWhile(_ != '_')
+    def clearShared(): Unit = {
+      AnnQueries.clearGridCache()
+      AnnQueries.clearAnnCache()
+      spark.catalog.clearCache()
     }
+
+    if (doWarmup) {
+      queries.foreach { case (_, fn) =>
+        try fn(spark, warmupDir).count()
+        catch { case _: Throwable => () }
+      }
+      clearShared()
+    }
+
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left((e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("")).take(160))
+      }
     }
-    // each pass is a full cold run of the pack (shared grid-sweep and
-    // per-query caches dropped between passes), so the per-query min is
-    // a real end-to-end execution, not a cache readback
-    val perPass = (1 to passes).map { p =>
-      if (p > 1) { AnnQueries.clearGridCache(); spark.catalog.clearCache() }
-      queries.map { case (name, fn) => name -> timeOnce(fn) }.toMap
-    }
+
+    // each pass is a full cold run of the pack (shared pack state and
+    // spark caches dropped at every group boundary), so the per-query
+    // min is a real end-to-end execution, not a cache readback
+    val perPass: Seq[Map[String, Either[String, Double]]] =
+      (1 to passes).map { _ =>
+        val m = queries.zipWithIndex.map { case ((name, fn), i) =>
+          val r = timeOnce(fn)
+          val nextGroup = queries.lift(i + 1).map(q => group(q._1))
+          if (!nextGroup.contains(group(name))) clearShared()
+          name -> r
+        }.toMap
+        m
+      }
     val results = queries.map { case (name, _) =>
-      name -> perPass.map(_(name)).min
+      val samples = perPass.map(_(name))
+      val ok = samples.collect { case Right(t) => t }
+      val sec = if (ok.nonEmpty) ok.min else -1.0
+      (name, sec, samples.collectFirst { case Left(e) => e })
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
+                  case c if c < ' ' => " "; case c => c.toString }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + esc(e) + "\"" }
+    val errField = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

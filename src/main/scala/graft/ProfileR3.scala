@@ -3,10 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators._
 
-/** Stage-by-stage timing of the round-2 bench hot spots:
-  * dedup_simhash_pairs (portable path) and dedup_ngram_jaccard. */
+/** Stage timing of the annShared build (round-3 perf triage). */
 object ProfileR3 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -15,7 +14,7 @@ object ProfileR3 {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
-    val docs = Tables.load(spark, dir, "documents")
+    import SparkEntry._
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -24,15 +23,19 @@ object ProfileR3 {
       r
     }
 
-    time("warmup count")(docs.count())
-    time("simhash portable")(Dedup.simhashPortable(docs).count())
-    time("simhash_pairs portable")(
-      Dedup.simhashPairsPortable(docs, maxHamming = 3).count())
-    time("simhash native")(Dedup.simhashSignatures(docs).count())
-    time("simhash_pairs native")(
-      Dedup.simhashPairs(docs, maxHamming = 3).count())
-    time("jaccard auto")(
-      Dedup.ngramJaccardAuto(docs, n = 3, threshold = 0.4).count())
+    val data = dataDf(spark, dir).filter(filterLow)
+    time("warmup count")(data.count())
+    val centroids = time("ivf train (16c, 2 it)")(
+      AnnIvf.train(data, numCentroids = 16, iterations = 2))
+    val truth = time("exact truth")(
+      { val t = Knn.exact(data, queriesDf(spark, dir), K).cache(); t.count(); t })
+    val cb = time("pq train (m=8, ksub=16)")(
+      Pq.train(data, m = 8, ksub = 16, iterations = 2))
+    val found = time("ivf search")(
+      AnnIvf.search(AnnIvf.index(data, centroids), centroids,
+        queriesDf(spark, dir), K, nprobe = 4))
+    time("ivf recall")(Recall.ofRanked(found, truth).count())
+    time("2nd ivf train")(AnnIvf.train(data, numCentroids = 16, iterations = 2))
     spark.stop()
   }
 }

@@ -51,18 +51,24 @@ object AnnIvf {
       .orderBy(col("_h"), col("_id"))
       .limit(numCentroids)
       .select(col("_v")).as[Array[Float]].collect()
+    val dim = if (centroids.nonEmpty) centroids(0).length else 0
     var it = 0
     while (it < iterations) {
-      // Lloyd update as ONE narrow assign + ONE hash aggregate:
-      // map-side partial vector sums, dim-length buffers on the wire
+      // Lloyd update as ONE narrow assign + ONE hash aggregate. The
+      // per-dimension sums are flattened to `dim` scalar sum() columns
+      // so the whole update stays in whole-stage codegen (the earlier
+      // array-buffer imperative aggregate dropped the hot loop out of
+      // codegen and dominated training time).
+      val dimSums = (0 until dim).map(i =>
+        sum(element_at(col("_v"), i + 1).cast("double")).as(s"_s$i"))
       val means = data
         .select(GraftFunctions.nearestCentroid(col(vecCol), centroids).as("cid"),
-          col(vecCol))
+          col(vecCol).as("_v"))
         .groupBy(col("cid"))
-        .agg(GraftFunctions.vecSum(col(vecCol)).as("sums"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n"), dimSums: _*)
         .select(col("cid"),
-          transform(col("sums"), s => (s / col("n")).cast("float")).as("centroid"))
+          array((0 until dim).map(i =>
+            (col(s"_s$i") / col("n")).cast("float")): _*).as("centroid"))
         .as[(Int, Array[Float])].collect()
       // empty cells keep their previous centroid (standard Lloyd)
       val next = centroids.clone()

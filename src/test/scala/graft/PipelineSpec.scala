@@ -46,6 +46,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(plain.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("prefix jaccard boundary: exact-integer threshold product (t=0.07)") {
+    // doc A: 100 distinct shingles; doc B: its last 7 — J = 7/100 =
+    // 0.07 exactly. fl(0.07)*100 = 7.000000000000001 rounds UP without
+    // the epsilon guard, shortening A's prefix below the first shared
+    // shingle (shared shingles have f=2 and sort LAST in rarest-first
+    // order) and silently dropping the boundary pair.
+    val wordsA = (1 to 102).map(i => s"w$i").mkString(" ")
+    val wordsB = (94 to 102).map(i => s"w$i").mkString(" ")
+    val two = Seq((1L, wordsA), (2L, wordsB)).toDF("doc_id", "text")
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = triples(Dedup.ngramJaccard(two, n = 3, threshold = 0.07))
+    assert(plain == Set((1L, 2L, 0.07)))
+    assert(triples(Dedup.ngramJaccardPrefix(two, n = 3, threshold = 0.07)) == plain)
+    assert(triples(Dedup.ngramJaccardAuto(two, n = 3, threshold = 0.07)) == plain)
+  }
+
   test("portable simhash: banded pairs equal brute force (pigeonhole)") {
     val sigs = Dedup.simhashPortable(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
