@@ -149,10 +149,18 @@ object TextQueries {
     "text_quality" -> ((s, d) => TextAnalysis.qualityScore(docs(s, d))),
     "text_langid" -> ((s, d) => TextAnalysis.languageId(docs(s, d))),
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
-    // sketch digested to scalars (the driver compare hashes cell
-    // values — array cells are not comparable); the sketch content is
-    // pinned by the digest, full arrays asserted in ScalaTest
+    // portable md5-prefix window hashes, sketch digested to scalars
+    // (the driver compare hashes cell values — array cells are not
+    // comparable): the digest pins every sketch element and its order,
+    // and the SQL oracle reproduces it bit-for-bit. The native xxhash
+    // winnow path is benched below and asserted in ScalaTest.
     "text_winnow" -> ((s, d) =>
+      TextAnalysis.winnowPortable(docs(s, d)).select(col("doc_id"),
+        size(col("sketch")).cast("long").as("sketch_size"),
+        md5(concat_ws(",",
+          transform(col("sketch"), _.cast("string")))).as("sketch_digest"))),
+    // production winnow path (seeded xxhash64 — rows-only)
+    "text_winnow_native" -> ((s, d) =>
       TextAnalysis.winnow(docs(s, d)).select(col("doc_id"),
         size(col("sketch")).cast("long").as("sketch_size"),
         xxhash64(concat_ws(",",
@@ -203,8 +211,34 @@ object TextQueries {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
         |    ' ')) AS fingerprint
-        |FROM documents""".stripMargin
-    // text_winnow: seeded-xxhash sketch → rows-only check.
+        |FROM documents""".stripMargin,
+    // winnow (k=4, w=8): k-grams deduped in FIRST-OCCURRENCE order
+    // (min window position), md5-prefix hashed, min per band of 8,
+    // distinct band minima in band order — mirrors winnowPortable.
+    "text_winnow" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g AS (
+        |  SELECT doc_id, i, l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3] AS s
+        |  FROM tok, UNNEST(range(1, len(l) - 2)) AS t(i)
+        |  WHERE len(l) >= 4
+        |),
+        |fo AS (SELECT doc_id, s, min(i) AS pos FROM g GROUP BY doc_id, s),
+        |h AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx
+        |  FROM fo),
+        |bands AS (SELECT doc_id, CAST(floor(idx / 8) AS INTEGER) AS b,
+        |    min(hv) AS mh
+        |  FROM h GROUP BY doc_id, b),
+        |dmin AS (SELECT doc_id, mh, min(b) AS fb FROM bands GROUP BY doc_id, mh),
+        |sk AS (SELECT doc_id, count(*) AS sketch_size,
+        |    md5(array_to_string(list(CAST(mh AS VARCHAR) ORDER BY fb), ','))
+        |      AS sketch_digest
+        |  FROM dmin GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(sk.sketch_size, 0) AS BIGINT) AS sketch_size,
+        |  coalesce(sk.sketch_digest, md5('')) AS sketch_digest
+        |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin
   )
 }
 
@@ -542,17 +576,22 @@ object IngestQueries {
           round(array_max(col("embedding")).cast("double"), 6).as("e_max"))
     }),
     "ingest_embedded" -> ((s, d) => {
-      // synthetic-embedding digest (seeded xxhash — rows-only check;
-      // embedder determinism is asserted in ScalaTest). Scalars only:
-      // dim + elementwise digest of the vector.
+      // portable md5-based synthetic embedder (S8 slot): the digest
+      // pins the integer hash pre-image of every dimension, and
+      // e_first pins the float scaling — both reproduced exactly by
+      // the SQL oracle. The native xxhash embedder stays covered by
+      // ingest_pipeline + PipelineSpec determinism tests.
       GraftFunctions.register(s)
       Ingest.pipeline(Tables.load(s, d, "documents"),
-          minTokens = 20, maxRows = 400)
+          minTokens = 20, maxRows = 400,
+          embedder = Ingest.syntheticEmbeddingPortable)
         .select(col("doc_id"),
           size(col("embedding")).cast("long").as("dim"),
-          xxhash64(concat_ws(",",
-            transform(col("embedding"),
-              v => round(v.cast("double"), 6).cast("string")))).as("vec_hash"))
+          md5(concat_ws(",", transform(
+            Ingest.portableHashInts(col("text")), _.cast("string"))))
+            .as("vec_digest"),
+          round(element_at(col("embedding"), 1).cast("double"), 6)
+            .as("e_first"))
     })
   )
 
@@ -590,6 +629,29 @@ object IngestQueries {
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,
         |  CAST(8 AS BIGINT) AS n_features
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // portable embedder: per-dim md5-prefix ints mod 2000001, scaled
+    // (h/1e6 - 1) to float32 — mirrors Ingest.syntheticEmbeddingPortable
+    "ingest_embedded" ->
+      """WITH f AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 20
+        |), capped AS (
+        |  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM f
+        |), sel AS (
+        |  SELECT doc_id, text FROM capped WHERE rn <= 400
+        |), h AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |      CAST(concat('0x',
+        |        substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2000001) AS hs
+        |  FROM sel
+        |)
+        |SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+        |  md5(array_to_string(hs, ',')) AS vec_digest,
+        |  round(CAST(CAST(hs[1] / 1000000.0 - 1.0 AS REAL) AS DOUBLE), 6)
+        |    AS e_first
+        |FROM h""".stripMargin
   )
 }

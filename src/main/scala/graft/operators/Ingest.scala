@@ -29,6 +29,22 @@ object Ingest {
       j => (pmod(xxhash64(text, j), lit(2000001L)).cast("double") / 1000000.0
         - 1.0).cast("float"))
 
+  /** Engine-portable hash pre-image of the portable embedder: per
+    * dimension j, the first 15 hex chars of md5(text || ':' || j) as a
+    * positive long, reduced mod 2000001 — identical integers in any
+    * engine (no seeded-xxhash dependency), so a SQL oracle reproduces
+    * the embedding exactly. */
+  def portableHashInts(text: Column, dim: Int = Dim): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      j => conv(substring(md5(concat(text, lit(":"), j.cast("string"))),
+        1, 15), 16, 10).cast("long") % 2000001L)
+
+  /** Portable synthetic embedding: the md5 pre-image scaled to [-1, 1)
+    * with the same arithmetic as `syntheticEmbedding`. */
+  def syntheticEmbeddingPortable(text: Column, dim: Int = Dim): Column =
+    transform(portableHashInts(text, dim),
+      h => (h.cast("double") / 1000000.0 - 1.0).cast("float"))
+
   /** Min-token filter (P1): whitespace token count >= minTokens. */
   def minTokenFilter(docs: DataFrame, minTokens: Int,
       textCol: String = "text"): DataFrame =
@@ -73,8 +89,9 @@ object Ingest {
   /** Full pipeline: filter → cap → embed → dim-truncate (P4). */
   def pipeline(docs: DataFrame, minTokens: Int, maxRows: Int,
       dim: Int = Dim, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+      textCol: String = "text",
+      embedder: (Column, Int) => Column = syntheticEmbedding): DataFrame =
     globalCap(minTokenFilter(docs, minTokens, textCol), maxRows, idCol)
       .withColumn("embedding",
-        slice(syntheticEmbedding(col(textCol), Dim), 1, dim))
+        slice(embedder(col(textCol), Dim), 1, dim))
 }

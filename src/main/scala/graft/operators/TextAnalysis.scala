@@ -96,9 +96,22 @@ object TextAnalysis {
     * keep the minimum hash per sliding band of w windows (document
     * sketch for local similarity). Expression-only implementation. */
   def winnow(docs: DataFrame, k: Int = 4, w: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowWith(docs, k, w, idCol, textCol, g => xxhash64(g))
+
+  /** Winnow with the engine-portable 60-bit md5-prefix window hash
+    * (identical bits in any engine — a SQL oracle reproduces the full
+    * sketch; the xxhash64 variant above is the cheaper native path). */
+  def winnowPortable(docs: DataFrame, k: Int = 4, w: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    winnowWith(docs, k, w, idCol, textCol,
+      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+
+  private def winnowWith(docs: DataFrame, k: Int, w: Int,
+      idCol: String, textCol: String,
+      hashFn: Column => Column): DataFrame = {
     val grams = Dedup.shinglesOf(col(textCol), k) // distinct k-gram strings
-    val hashes = transform(grams, g => xxhash64(g))
+    val hashes = transform(grams, hashFn)
     val nBands = floor((size(hashes) + w - 1) / lit(w.toDouble)).cast("int")
     docs.select(col(idCol).as("doc_id"), hashes.as("h"), nBands.as("nb"))
       .select(col("doc_id"),
