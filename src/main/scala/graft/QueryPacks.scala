@@ -379,6 +379,28 @@ object AnnQueries {
       Knn.exact(dataF16, queriesDf(s, d), K)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // Hamming-metric APPROXIMATE search — the reference's binary-HNSW
+    // path (IndexBinaryHNSW over sign-packed vectors,
+    // utils_grid_search.py:649-654): NSW graph + IVF probes with the
+    // bitwise-hamming fine distance (coarse quantizer stays float
+    // k-means, the standard binary-IVF shape). Rows-only: approximate,
+    // and hamming's massive distance ties make top-k id sets
+    // tie-ordering-dependent (the reference admits ignoring ties,
+    // utils_grid_search.py:84); recall floors are pinned in NswSpec.
+    "ann_hamming_recall" -> ((s, d) => {
+      val sh = annShared(s, d)
+      val data = dataDf(s, d).filter(filterLow)
+      val q = queriesDf(s, d)
+      val truth = Knn.exactHamming(data, q, K)
+      val foundNsw = NswGraph.search(data.repartition(4), q, K,
+        m = 8, efSearch = 64, metric = "hamming")
+      val foundIvf = AnnIvf.search(AnnIvf.index(data, sh.centroids),
+        sh.centroids, q, K, nprobe = 4, metric = "hamming")
+      Recall.ofRanked(foundNsw, truth)
+        .select(col("n_queries"), col("recall").as("recall_nsw"))
+        .crossJoin(Recall.ofRanked(foundIvf, truth)
+          .select(col("recall").as("recall_ivf")))
+    }),
     "ann_nsw_recall" -> ((s, d) => {
       // per-partition NSW graph (HNSW-path analog, J3): recall vs the
       // exact oracle; rows-only (approximate + partitioning-dependent)
@@ -575,6 +597,78 @@ object IngestQueries {
           round(array_min(col("embedding")).cast("double"), 6).as("e_min"),
           round(array_max(col("embedding")).cast("double"), 6).as("e_max"))
     }),
+    // .hbin (float16) round trip: vectors are first snapped to the
+    // 2^-7 grid (every multiple of 1/128 with |v| < 16 is exactly
+    // representable in binary16), so the fp16 encode/decode is
+    // LOSSLESS and the oracle reproduces the exact floats — a true
+    // end-to-end oracle over the half-precision codec + file format.
+    "hbin_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hbin_q").toString
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), v =>
+            (floor(v.cast("double") * 128.0 + 0.5) / 128.0).cast("float"))
+            .as("embedding"))
+      graft.sources.FbinIO.write(vecs, tmp, dim = 64, numShards = 4,
+        dtype = graft.sources.FbinIO.F16)
+      graft.sources.FbinIO.read(s, tmp)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e_first"),
+          round(array_min(col("embedding")).cast("double"), 6).as("e_min"),
+          round(array_max(col("embedding")).cast("double"), 6).as("e_max"))
+    }),
+    // .ibin (int32) round trip — integral dtypes surface as ARRAY<INT>
+    "ibin_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ibin_q").toString
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), v =>
+            floor(v.cast("double") * 1000.0).cast("int")).as("embedding"))
+      graft.sources.FbinIO.write(vecs, tmp, dim = 64, numShards = 4,
+        dtype = graft.sources.FbinIO.I32)
+      graft.sources.FbinIO.read(s, tmp)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("long").as("e_first"),
+          array_min(col("embedding")).cast("long").as("e_min"),
+          array_max(col("embedding")).cast("long").as("e_max"))
+    }),
+    // .u8bin (uint8, values 0..255) round trip
+    "u8bin_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_u8_q").toString
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), v =>
+            pmod(floor(v.cast("double") * 1000.0), lit(256)).cast("int"))
+            .as("embedding"))
+      graft.sources.FbinIO.write(vecs, tmp, dim = 64, numShards = 4,
+        dtype = graft.sources.FbinIO.U8)
+      graft.sources.FbinIO.read(s, tmp)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("long").as("e_first"),
+          array_min(col("embedding")).cast("long").as("e_min"),
+          array_max(col("embedding")).cast("long").as("e_max"))
+    }),
+    // .i8bin (int8, values -128..127) round trip — the dtype of the
+    // reference's scalar-quantized corpora
+    "i8bin_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_i8_q").toString
+      val vecs = Tables.load(s, d, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), v =>
+            (pmod(floor(v.cast("double") * 1000.0), lit(256)) - 128)
+              .cast("int")).as("embedding"))
+      graft.sources.FbinIO.write(vecs, tmp, dim = 64, numShards = 4,
+        dtype = graft.sources.FbinIO.I8)
+      graft.sources.FbinIO.read(s, tmp)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("dim"),
+          element_at(col("embedding"), 1).cast("long").as("e_first"),
+          array_min(col("embedding")).cast("long").as("e_min"),
+          array_max(col("embedding")).cast("long").as("e_max"))
+    }),
     "ingest_embedded" -> ((s, d) => {
       // portable md5-based synthetic embedder (S8 slot): the digest
       // pins the integer hash pre-image of every dimension, and
@@ -625,6 +719,55 @@ object IngestQueries {
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS e_min,
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS e_max
         |FROM embeddings""".stripMargin,
+    "hbin_roundtrip" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |      CAST(CAST(floor(CAST(x AS DOUBLE) * 128.0 + 0.5) / 128.0
+        |        AS REAL) AS DOUBLE)) AS e
+        |  FROM embeddings
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        |    AS vec_id,
+        |  CAST(len(e) AS BIGINT) AS dim,
+        |  round(e[1], 6) AS e_first,
+        |  round(list_min(e), 6) AS e_min,
+        |  round(list_max(e), 6) AS e_max
+        |FROM q""".stripMargin,
+    "ibin_roundtrip" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS e
+        |  FROM embeddings
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        |    AS vec_id,
+        |  CAST(len(e) AS BIGINT) AS dim,
+        |  e[1] AS e_first, list_min(e) AS e_min, list_max(e) AS e_max
+        |FROM q""".stripMargin,
+    "u8bin_roundtrip" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |      ((CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) % 256)
+        |        + 256) % 256) AS e
+        |  FROM embeddings
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        |    AS vec_id,
+        |  CAST(len(e) AS BIGINT) AS dim,
+        |  e[1] AS e_first, list_min(e) AS e_min, list_max(e) AS e_max
+        |FROM q""".stripMargin,
+    "i8bin_roundtrip" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |      ((CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT) % 256)
+        |        + 256) % 256 - 128) AS e
+        |  FROM embeddings
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+        |    AS vec_id,
+        |  CAST(len(e) AS BIGINT) AS dim,
+        |  e[1] AS e_first, list_min(e) AS e_min, list_max(e) AS e_max
+        |FROM q""".stripMargin,
     "multimodal_features" ->
       """SELECT doc_id, 'text/plain' AS media_type,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_len,

@@ -137,6 +137,37 @@ object VectorQueries {
         .withColumn("p", round(col("n") /
           sum(col("n")).over(Window.partitionBy()), 6))
     }),
+    // Embedding sanity check (reference embedding_test.py:44-105):
+    // exact k-NN of probe docs against the doc-aligned corpus, SELF
+    // EXCLUDED (the reference searches k+1 and skips the query row),
+    // neighbor + probe texts joined back for human review. Fully
+    // deterministic -> full DuckDB oracle.
+    "knn_sanity_texts" -> ((spark: SparkSession, dir: String) => {
+      import org.apache.spark.sql.expressions.Window
+      GraftFunctions.register(spark)
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .join(docs, col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"), col("text"))
+      val probes = corpus.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+      // k+1 then drop self, re-rank by (dist, id) over the k survivors
+      val found = Knn.exact(corpus, probes, K + 1)
+        .filter(col("neighbor_id") =!= col("qid"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("dist"), col("neighbor_id"))).cast("long"))
+        .filter(col("rank") <= K)
+      found
+        .join(broadcast(docs.select(col("doc_id").as("qid"),
+          col("text").as("probe_text"))), "qid")
+        .join(broadcast(docs.select(col("doc_id").as("neighbor_id"),
+          col("text").as("neighbor_text"))), "neighbor_id")
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          col("probe_text"), col("neighbor_text"),
+          round(col("dist"), 6).as("dist"))
+    }),
     // P7/A9/F9: deterministic exact-count sample — seed-per-id hash
     // ranking, partition-count independent (the engine's replacement
     // for the reference's rand-shuffle bitset fill,
@@ -202,6 +233,27 @@ object VectorQueries {
     "knn_recall_self" ->
       """WITH q AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT nq AS n_queries, 1.0 AS recall FROM q""".stripMargin,
+    "knn_sanity_texts" ->
+      s"""WITH c AS (
+         |  SELECT e.vec_id, e.embedding, d.text
+         |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, text AS probe_text
+         |  FROM c WHERE vec_id % 100 = 0
+         |), dist AS (
+         |  SELECT q.qid, c.vec_id, q.probe_text, c.text AS neighbor_text,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.embedding) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |  WHERE c.vec_id <> q.qid
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id ASC) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, probe_text, neighbor_text,
+         |  round(dst, 6) AS dist
+         |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "filter_selectivity" ->
       """WITH d AS (SELECT * FROM embeddings WHERE vec_id % 50 <> 0),
         |a AS (SELECT count(*) AS n_total,

@@ -189,7 +189,8 @@ object AnnIvf {
   def searchFast(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      metric: String = "sqeuclidean"): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
     // probe ranking as a narrow per-row expression, then collected:
@@ -200,6 +201,7 @@ object AnnIvf {
         GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
       .as[(Long, Array[Float], Array[Int])].collect()
     val bc = spark.sparkContext.broadcast(probed)
+    val met = metric
     val partials = indexed
       .select(col(idCol).cast("long"), col(vecCol), col("cid"))
       .as[(Long, Array[Float], Int)]
@@ -224,7 +226,7 @@ object AnnIvf {
               while (j < qids.length) {
                 val q = qids(j)
                 heaps(q).insert(
-                  Knn.scalarDistance("sqeuclidean", v, qs(q)._2), id)
+                  Knn.scalarDistance(met, v, qs(q)._2), id)
                 j += 1
               }
             case None => ()
@@ -244,7 +246,8 @@ object AnnIvf {
   def search(indexed: DataFrame, centroids: DataFrame, queries: DataFrame,
       k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      metric: String = "sqeuclidean"): DataFrame = {
     val matrix = collectCentroids(centroids)
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
@@ -252,7 +255,7 @@ object AnnIvf {
     val candidates = indexed.join(
       broadcast(probes), indexed("cid") === probes("_pcid"))
     Knn.topKFrom(candidates, k,
-      GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
+      Knn.distance(metric, col(vecCol), col(qvecCol)),
       col(idCol), col(qidCol))
   }
 }

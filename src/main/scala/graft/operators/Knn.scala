@@ -35,6 +35,10 @@ object Knn {
     case "sqeuclidean" => GraftFunctions.sqDist(v, q)
     case "cosine"      => -GraftFunctions.cosine(v, q)
     case "dot"         => -GraftFunctions.dot(v, q)
+    case "hamming"     => // sign-binarized bitwise hamming (reference bq
+      // metric, utils_grid_search.py:433-434): pack + popcount(xor)
+      GraftFunctions.hamming(GraftFunctions.packBits(v),
+        GraftFunctions.packBits(q)).cast("double")
     case other => throw new IllegalArgumentException(s"unknown metric: $other")
   }
 
@@ -112,6 +116,12 @@ object Knn {
         }
         if (na == 0.0 || nb == 0.0) 0.0
         else -(dot / (math.sqrt(na) * math.sqrt(nb)))
+      case "hamming" =>
+        // sign-binarized: dims whose signs differ — identical count to
+        // popcount(xor) over PackSignBits-packed bytes (exactHamming)
+        var acc = 0; var i = 0
+        while (i < n) { if ((a(i) > 0f) != (b(i) > 0f)) acc += 1; i += 1 }
+        acc.toDouble
       case other => throw new IllegalArgumentException(s"unknown metric: $other")
     }
   }

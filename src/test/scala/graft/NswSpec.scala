@@ -64,6 +64,34 @@ class NswSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("hamming-metric ANN: scalar/expression agreement + recall floors") {
+    // scalar branch == packed popcount(xor) (the exactHamming path)
+    val a = Array(0.5f, -1f, 0f, 2f, -0.1f, 3f, -4f, 1f)
+    val b = Array(-0.5f, -1f, 1f, 2f, 0.1f, -3f, -4f, 0f)
+    val expected = a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }
+    assert(Knn.scalarDistance("hamming", a, b) == expected.toDouble)
+    // approximate hamming search (reference IndexBinaryHNSW analog,
+    // utils_grid_search.py:649-654) vs the exact hamming oracle.
+    // Hamming has massive distance ties (64 discrete levels), so
+    // top-k id sets are tie-ordering-dependent and floors are looser
+    // than the float metrics'.
+    val truth = Knn.exactHamming(data, queries, 10)
+    def hamRecall(found: org.apache.spark.sql.DataFrame): Double = {
+      val r = Recall.ofRanked(found, truth).head()
+      r.getDouble(r.fieldIndex("recall"))
+    }
+    val nsw = hamRecall(NswGraph.search(
+      data.repartition(4), queries, 10, m = 8, efSearch = 64,
+      metric = "hamming"))
+    assert(nsw >= 0.30, s"nsw hamming recall $nsw")
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val indexed = graft.operators.AnnIvf.index(data, centroids)
+    val ivf = hamRecall(graft.operators.AnnIvf.search(
+      indexed, centroids, queries, 10, nprobe = 8, metric = "hamming"))
+    assert(ivf >= 0.30, s"ivf hamming recall $ivf")
+    println(s"[NswSpec] hamming recall: nsw=$nsw ivf=$ivf")
+  }
+
   test("recall rises with efSearch (knob direction)") {
     val lo = recallOf(NswGraph.search(
       data.repartition(2), queries, 10, m = 8, efSearch = 10))
