@@ -367,15 +367,21 @@ object AnnQueries {
       pure.crossJoin(refined)
     }),
     // fp16-stored corpus (the reference's embedding dtype,
-    // README_reviews.md:84): vectors round-trip through the Fp16
-    // codec before the exact search — rows-only (no fp16 rounding in
-    // the oracle dialect; codec exactness is pinned in Fp16Spec)
+    // README_reviews.md:84): the data side is snapped to the 2^-7
+    // grid (every multiple of 1/128 with |v| < 16 is binary16-exact)
+    // and round-tripped through the real Fp16 codec before the exact
+    // search — the codec is driven end to end, the round trip is
+    // provably lossless, and the DuckDB oracle reproduces every
+    // distance exactly. True-rounding behavior (non-grid inputs) is
+    // pinned separately in Fp16Spec.
     "knn_fp16" -> ((s, d) => {
       GraftFunctions.register(s)
+      val grid = transform(col("embedding"), v =>
+        (floor(v.cast("double") * 128.0 + 0.5) / 128.0).cast("float"))
       val dataF16 = dataDf(s, d).filter(filterLow)
         .select(col("vec_id"),
           GraftFunctions.fp16Decode(
-            GraftFunctions.fp16Encode(col("embedding"))).as("embedding"))
+            GraftFunctions.fp16Encode(grid)).as("embedding"))
       Knn.exact(dataF16, queriesDf(s, d), K)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
@@ -544,7 +550,31 @@ object AnnQueries {
          |  vec_id AS neighbor_id
          |FROM dist
          |QUALIFY rank <= 10
-         |ORDER BY qid, rank""".stripMargin
+         |ORDER BY qid, rank""".stripMargin,
+    // fp16-exact grid: the quantized floats round-trip losslessly
+    // through the binary16 codec, so knn over the quantized data side
+    // is fully deterministic and oracle-checkable
+    "knn_fp16" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id % 50 = 0
+        |), d AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |      CAST(CAST(floor(CAST(x AS DOUBLE) * 128.0 + 0.5) / 128.0
+        |        AS REAL) AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id % 50 <> 0 AND label <> 3
+        |), dist AS (
+        |  SELECT q.qid, d.vec_id,
+        |    (SELECT sum((CAST(z.a AS DOUBLE) - z.b) * (CAST(z.a AS DOUBLE) - z.b))
+        |     FROM (SELECT unnest(q.qe) AS a, unnest(d.e) AS b) z) AS dst
+        |  FROM q CROSS JOIN d
+        |)
+        |SELECT qid, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY dst, vec_id ASC) AS BIGINT) AS rank,
+        |  vec_id AS neighbor_id
+        |FROM dist
+        |QUALIFY rank <= 10
+        |ORDER BY qid, rank""".stripMargin
     // ann_ivf_*: approximate index behavior — verified against the
     // exact oracle via the recall metric in ScalaTest; rows-only here.
   )
