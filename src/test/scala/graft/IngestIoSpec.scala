@@ -124,4 +124,50 @@ class IngestIoSpec extends AnyFunSuite {
     assert(orig.length == rt.length)
     orig.zip(rt).foreach { case (x, y) => assert(x.sameElements(y)) }
   }
+
+  test("multi-dtype typed-binary round trips (.hbin/.ibin/.u8bin/.i8bin)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.FbinIO
+    val tmp = Files.createTempDirectory("graft_dtypes").toString
+    val vecs = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select($"vec_id", $"embedding")
+    val n = vecs.count()
+    // .hbin through the fp16 codec: snap to the 2^-7 grid (binary16-
+    // exact) -> round trip must be lossless float equality
+    val gridded = vecs.select($"vec_id",
+      transform($"embedding", v =>
+        (floor(v.cast("double") * 128.0 + 0.5) / 128.0).cast("float"))
+        .as("embedding"))
+    FbinIO.write(gridded, s"$tmp/h", dim = 64, numShards = 3,
+      dtype = FbinIO.F16)
+    val hBack = FbinIO.read(spark, s"$tmp/h").orderBy($"vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    val hOrig = gridded.orderBy($"vec_id").collect()
+      .map(_.getSeq[Float](1).toArray)
+    assert(hBack.length == n)
+    hOrig.zip(hBack).foreach { case (x, y) => assert(x.sameElements(y)) }
+    // integral dtypes: values at the dtype boundaries survive exactly
+    val ints = spark.range(7).toDF("vec_id")
+      .select($"vec_id", transform(sequence(lit(0), lit(63)), j =>
+        (pmod(xxhash64($"vec_id", j), lit(256)) - 128).cast("int"))
+        .as("embedding"))
+    for ((dt, dir2, fix) <- Seq(
+        (FbinIO.I8: FbinIO.Dtype, "i8", identity[Int] _),
+        (FbinIO.I32: FbinIO.Dtype, "i32", identity[Int] _),
+        (FbinIO.U8: FbinIO.Dtype, "u8", (x: Int) => x & 0xff))) {
+      FbinIO.write(ints, s"$tmp/$dir2", dim = 64, numShards = 2, dtype = dt)
+      val back = FbinIO.read(spark, s"$tmp/$dir2").orderBy($"vec_id")
+        .collect().map(_.getSeq[Int](1).toArray)
+      val orig = ints.orderBy($"vec_id").collect()
+        .map(_.getSeq[Int](1).toArray.map(fix))
+      assert(back.length == 7, dir2)
+      orig.zip(back).foreach { case (x, y) =>
+        assert(x.sameElements(y), s"$dir2: ${x.take(4).toSeq} vs ${y.take(4).toSeq}")
+      }
+    }
+    // Hadoop FileSystem path handling: an explicit file:// URI reads
+    // the same shards (no java.io assumption anywhere in the IO path)
+    val viaUri = FbinIO.read(spark, s"file://$tmp/h")
+    assert(viaUri.count() == n)
+  }
 }

@@ -92,6 +92,32 @@ class PlanPropertiesSpec extends AnyFunSuite {
     }.nonEmpty, s"KnnJoin node lost in optimization:\n$optimized")
   }
 
+  test("hamming IVF search: equi/broadcast joins only, no cartesian") {
+    GraftFunctions.register(spark)
+    val data = SparkEntry.dataDf(spark, sf)
+    val centroids = AnnIvf.train(data, 8, iterations = 1)
+    val plan = physical(AnnIvf.search(AnnIvf.index(data, centroids),
+      centroids, SparkEntry.queriesDf(spark, sf), 10, nprobe = 2,
+      metric = "hamming"))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("sanity-check query: text joins broadcast, no shuffled join") {
+    val plan = physical(
+      SparkEntry.queries("knn_sanity_texts")(spark, sf))
+    assert(count(plan, "BroadcastHashJoin") >= 2,
+      s"text side-car joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("portable simhash: one codegen'd hash aggregate, no imperative agg") {
+    val plan = physical(
+      Dedup.simhashPortable(Tables.load(spark, sf, "documents")))
+    assert(plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"portable simhash must not use the imperative aggregate path:\n$plan")
+  }
+
   test("column pruning: id-only projection does not read the vectors") {
     val plan = physical(
       Tables.load(spark, sf, "embeddings").select($"vec_id"))
