@@ -264,10 +264,24 @@ object AnnQueries {
     gridCache.getOrElseUpdate((s, d), {
       GraftFunctions.register(s)
       val base = Tables.load(s, d, "embeddings")
+      val totalBase = base.filter(col("vec_id") % 50 =!= 0).count()
+      // BOTH algo sweeps, harmonized via unionByName — the reference
+      // likewise loads the CAGRA and HNSW result CSVs, renames to a
+      // common column map and concats (create_plots.ipynb
+      // load_benchmark_csvs / DEFAULT_COLMAP, plot_bench.py:26-38):
+      // ivf rows carry nprobe, nsw rows carry (m, ef_search)
+      // ground truth computed ONCE and shared by both sweeps
+      val truth = GridSearch.truthSetsOf(dataDf(s, d), queriesDf(s, d),
+        filterLow).cache()
+      truth.count()
       val res = GridSearch.run(s, dataDf(s, d), queriesDf(s, d),
-        "low", filterLow, base.filter(col("vec_id") % 50 =!= 0).count())
+          "low", filterLow, totalBase, precomputedTruth = Some(truth))
+        .unionByName(GridSearch.runNsw(s, dataDf(s, d), queriesDf(s, d),
+          "low", filterLow, totalBase, precomputedTruth = Some(truth)),
+          allowMissingColumns = true)
       res.cache()
       res.count()
+      truth.unpersist(blocking = false)
       res
     })
 
@@ -317,21 +331,25 @@ object AnnQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "grid_search_results" -> ((s, d) => gridResults(s, d)),
     "grid_pareto" -> ((s, d) =>
-      // deterministic recall-vs-cost frontier: cost = nprobe (the knob),
-      // gain = recall; the QPS columns stay human-facing
+      // deterministic recall-vs-cost frontier per algo: the cost knob
+      // is nprobe for ivf rows and efSearch for nsw rows (each algo's
+      // own recall dial, like the reference's per-algo plots); the QPS
+      // columns stay human-facing
       Analytics.paretoFrontier(
         gridResults(s, d).select(col("algo"), col("npartitions"),
-          col("nprobe"), col("recall"), col("n_candidates")),
+          coalesce(col("nprobe"), col("ef_search")).as("cost_knob"),
+          col("recall"), col("n_candidates")),
         partCols = Seq("algo", "npartitions"),
-        costCol = "nprobe", gainCol = "recall")),
+        costCol = "cost_knob", gainCol = "recall")),
     "grid_summary" -> ((s, d) =>
       Analytics.bestBy(
         gridResults(s, d).select(col("algo"), col("npartitions"),
-          col("nprobe"), col("recall")),
+          coalesce(col("nprobe"), col("ef_search")).as("cost_knob"),
+          col("recall")),
         groupCols = Seq("algo", "npartitions"),
-        metric = "recall", tieCols = Seq("nprobe"))
+        metric = "recall", tieCols = Seq("cost_knob"))
         .select(col("algo"), col("npartitions"), col("best_recall"),
-          col("best_row.nprobe").as("best_nprobe"))),
+          col("best_row.cost_knob").as("best_cost_knob"))),
     "grid_brackets" -> ((s, d) =>
       Analytics.bracketSummary(gridResults(s, d), "npartitions")),
     "ann_ivf_topk" -> ((s, d) => {

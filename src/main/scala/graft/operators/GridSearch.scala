@@ -45,9 +45,18 @@ object GridSearch {
       recall: Double, n_candidates: Long,
       error: Option[String] = None)
 
+  /** Exact oracle pre-grouped to (qid, gt_ids) — shareable across
+    * both algo sweeps (the reference computes ground truth once per
+    * run, utils_grid_search.py:521-583). */
+  def truthSetsOf(data: DataFrame, queries: DataFrame, filterCol: Column,
+      k: Int = 10): DataFrame =
+    Knn.exact(data.filter(filterCol), queries, k)
+      .groupBy("qid").agg(collect_list("neighbor_id").as("gt_ids"))
+
   def run(spark: SparkSession, data: DataFrame, queries: DataFrame,
       filterName: String, filterCol: Column, totalBase: Long,
-      grid: Seq[Combo] = defaultGrid, k: Int = 10): DataFrame = {
+      grid: Seq[Combo] = defaultGrid, k: Int = 10,
+      precomputedTruth: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val filtered = data.filter(filterCol).cache()
     val q = queries.cache()
@@ -55,9 +64,11 @@ object GridSearch {
     val nQ = q.count()
     val keptPct = 100.0 * nVec / totalBase
     // exact oracle, pre-grouped once: (qid, gt_ids)
-    val truthSets = Knn.exact(filtered, q, k)
-      .groupBy("qid").agg(collect_list("neighbor_id").as("gt_ids")).cache()
-    truthSets.count()
+    val truthSets = precomputedTruth.getOrElse {
+      val t = truthSetsOf(data, queries, filterCol, k).cache()
+      t.count()
+      t
+    }
 
     val rows = grid.groupBy(_.npartitions).toSeq.sortBy(_._1).flatMap {
       case (npart, combos) =>
@@ -126,7 +137,92 @@ object GridSearch {
               Some(e.toString.take(200))))
         }.get
     }
-    truthSets.unpersist(); filtered.unpersist(); q.unpersist()
+    if (precomputedTruth.isEmpty) truthSets.unpersist()
+    filtered.unpersist(); q.unpersist()
+    rows.toDF()
+  }
+
+  /** HNSW-analog grid (the reference's second algo sweep,
+    * params_config.yaml:11-15: M / efConstruction / efSearch). One
+    * graph-index build per (npartitions, m); every efSearch level
+    * re-searches the SAME built graphs — matching the reference's
+    * build-once-search-per-efSearch loop (utils_grid_search.py:613-632).
+    */
+  case class NswCombo(npartitions: Int, m: Int, efSearch: Int)
+
+  def defaultNswGrid: Seq[NswCombo] =
+    for {
+      np <- Seq(8)
+      m <- Seq(8, 16)
+      ef <- Seq(16, 48)
+    } yield NswCombo(np, m, ef)
+
+  case class NswResultRow(
+      algo: String, npartitions: Int, m: Int, ef_search: Int, k: Int,
+      filter_name: String, total_vectors: Long, total_queries: Long,
+      filtering_percentage: Double, build_time_seconds: Double,
+      search_time_seconds: Double, queries_per_second: Double,
+      recall: Double, n_candidates: Long,
+      error: Option[String] = None)
+
+  def runNsw(spark: SparkSession, data: DataFrame, queries: DataFrame,
+      filterName: String, filterCol: Column, totalBase: Long,
+      grid: Seq[NswCombo] = defaultNswGrid, k: Int = 10,
+      nprobe: Int = 4,
+      precomputedTruth: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val filtered = data.filter(filterCol).cache()
+    val q = queries.cache()
+    val nVec = filtered.count()
+    val nQ = q.count()
+    val keptPct = 100.0 * nVec / totalBase
+    val truthSets = precomputedTruth.getOrElse {
+      val t = truthSetsOf(data, queries, filterCol, k).cache()
+      t.count()
+      t
+    }
+
+    val rows = grid.groupBy(c => (c.npartitions, c.m)).toSeq
+      .sortBy(_._1).flatMap { case ((npart, m), combos) =>
+        scala.util.Try {
+          val t0 = System.nanoTime()
+          val centroids = AnnIvf.train(filtered, npart, iterations = 2)
+          val indexed = AnnIvf.index(filtered, centroids)
+          val graphs = NswGraph.buildIndex(indexed, m,
+            efConstruction = 2 * m).cache()
+          graphs.count()
+          val buildSec = (System.nanoTime() - t0) / 1e9
+          val out = combos.sortBy(_.efSearch).map { c =>
+            val t1 = System.nanoTime()
+            val found = NswGraph.searchIndex(graphs, centroids, q, k,
+              math.min(nprobe, npart), c.efSearch)
+            val rec = found
+              .groupBy(col("qid"))
+              .agg(collect_list("neighbor_id").as("found_ids"))
+              .join(broadcast(truthSets), "qid")
+              .agg((sum(size(array_intersect(col("found_ids"), col("gt_ids"))))
+                / sum(size(col("gt_ids")))).as("recall"))
+              .head().getDouble(0)
+            val searchSec = (System.nanoTime() - t1) / 1e9
+            // deterministic cost proxy: beam visits are bounded by
+            // nprobe x efSearch x M per query
+            val nCand = nQ * math.min(nprobe, npart).toLong * c.efSearch * m
+            NswResultRow("nsw", npart, m, c.efSearch, k, filterName,
+              nVec, nQ, keptPct, buildSec, searchSec,
+              nQ / math.max(searchSec, 1e-9),
+              math.rint(rec * 1e6) / 1e6, nCand)
+          }
+          graphs.unpersist()
+          out
+        }.recover { case e =>
+          combos.sortBy(_.efSearch).map(c =>
+            NswResultRow("nsw", npart, m, c.efSearch, k, filterName,
+              nVec, nQ, keptPct, -1.0, -1.0, -1.0, -1.0, -1L,
+              Some(e.toString.take(200))))
+        }.get
+      }
+    if (precomputedTruth.isEmpty) truthSets.unpersist()
+    filtered.unpersist(); q.unpersist()
     rows.toDF()
   }
 }

@@ -11,11 +11,28 @@ class GridSpec extends AnyFunSuite {
   import spark.implicits._
   private val sf = TestSpark.sf
 
-  private lazy val results = AnnQueries.gridResults(spark, sf)
+  // gridResults is the harmonized union of BOTH algo sweeps (J8);
+  // ivf rows carry nprobe, nsw rows carry (m, ef_search)
+  private lazy val allResults = AnnQueries.gridResults(spark, sf)
+  private lazy val results = allResults.filter($"algo" === "ivf")
 
-  test("grid produces one row per pruned combo") {
+  test("grid produces one row per pruned combo, both algos present") {
     assert(results.count() == GridSearch.defaultGrid.size)
     assert(results.filter($"nprobe" > $"npartitions").count() == 0)
+    val nsw = allResults.filter($"algo" === "nsw")
+    assert(nsw.count() == GridSearch.defaultNswGrid.size)
+    // harmonized columns: nsw rows have null nprobe but real recall
+    assert(nsw.filter($"nprobe".isNotNull).count() == 0)
+    assert(nsw.filter($"recall".between(0.0, 1.0)).count() == nsw.count())
+    // recall rises (weakly) with efSearch per (npartitions, m)
+    val byBuild = nsw.select($"npartitions", $"m", $"ef_search", $"recall")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1)
+    byBuild.values.foreach { rows =>
+      val sorted = rows.sortBy(_._2).map(_._3)
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1e-9),
+        s"nsw recall not monotone in efSearch: ${rows.toSeq}")
+    }
   }
 
   test("recall deterministic and monotone in nprobe per npartitions") {
