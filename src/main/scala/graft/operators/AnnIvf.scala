@@ -137,7 +137,8 @@ object AnnIvf {
   def searchPersisted(spark: SparkSession, path: String,
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      metric: String = "sqeuclidean"): DataFrame = {
     val matrix = collectCentroids(centroids)
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
@@ -149,7 +150,7 @@ object AnnIvf {
     val candidates = indexed.join(
       broadcast(probes), indexed("cid") === probes("_pcid"))
     Knn.topKFrom(candidates, k,
-      GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
+      Knn.distance(metric, col(vecCol), col(qvecCol)),
       col(idCol), col(qidCol))
   }
 
