@@ -105,6 +105,17 @@ object GraftFunctions {
   def vecSum(a: Column): Column = call_function("graft_vecsum", a)
   def fp16Encode(a: Column): Column = call_function("graft_fp16_encode", a)
   def fp16Decode(a: Column): Column = call_function("graft_fp16_decode", a)
+
+  /** Snap every element of a float-array column to the 2^-7 grid
+    * (floor(v·128 + 0.5)/128). Every multiple of 1/128 with |v| < 16
+    * is exactly representable in IEEE binary16, so values snapped by
+    * this helper round-trip LOSSLESSLY through the Fp16 codec — the
+    * basis of the fp16 oracle queries (knn_fp16, hbin_roundtrip). Any
+    * SQL mirror must use the identical floor(x*128+0.5)/128 formula. */
+  def fp16Grid(a: Column): Column =
+    org.apache.spark.sql.functions.transform(a, v =>
+      (org.apache.spark.sql.functions.floor(v.cast("double") * 128.0 + 0.5)
+        / 128.0).cast("float"))
   def topK(k: Int, ord: Column, payload: Column): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_topk", lit(k), ord, payload)

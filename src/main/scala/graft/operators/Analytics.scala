@@ -37,12 +37,13 @@ object Analytics {
       .otherwise("ge99")
 
   def bracketSummary(results: DataFrame, groupCol: String,
-      recallCol: String = "recall"): DataFrame =
+      recallCol: String = "recall",
+      knobCol: String = "nprobe"): DataFrame =
     results
       .withColumn("bracket", recallBracket(col(recallCol)))
       .groupBy(col("bracket"), col(groupCol))
       .agg(count(lit(1)).as("n_configs"),
-        round(avg(col("nprobe")), 6).as("avg_nprobe"))
+        round(avg(col(knobCol)), 6).as("avg_knob"))
 
   /** A7: per-group best row by a metric, deterministic tie-break via
     * the full ordering struct (reference `best_recall`/`best_qps`
