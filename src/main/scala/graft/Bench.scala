@@ -43,7 +43,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the pack (iteration aid;
+    // the driver never sets it, so recorded benches stay full-pack)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
 
     def group(name: String): String = name.takeWhile(_ != '_')
     def clearShared(): Unit = {

@@ -57,7 +57,11 @@ object DedupQueries {
       Dedup.embeddingNearPairsBucketed(vecs, centroids, threshold = -1.0)
         .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
         .limit(20)
-    })
+    }),
+    // transitive closure of the jaccard pair relation: keep-one-per-
+    // cluster dedup (oracle: the same pairs + a recursive CTE)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(docs(s, d), n = 3, threshold = 0.4))
   )
 
   /** Shingle SQL fragment shared by the jaccard oracles: distinct
@@ -90,6 +94,23 @@ object DedupQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle(3, 0.4),
     "dedup_minhash_lsh" -> jaccardOracle(3, 0.5),
+    // min-reachable-id closure over the same pair relation: the
+    // recursive step follows symmetric edges until the fixpoint the
+    // min-label-propagation loop reaches in Spark
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM (${jaccardOracle(3, 0.4)})
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach(doc, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.doc
+         |)
+         |SELECT doc AS doc_id, min(root) AS cluster_id,
+         |  CAST(doc = min(root) AS BIGINT) AS is_canonical
+         |FROM reach GROUP BY doc""".stripMargin,
     "dedup_embed_cosine" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -239,6 +260,61 @@ object TextQueries {
         |  CAST(coalesce(sk.sketch_size, 0) AS BIGINT) AS sketch_size,
         |  coalesce(sk.sketch_digest, md5('')) AS sketch_digest
         |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin
+  )
+}
+
+/** Corpus-curation query pack over `documents`: composition stats,
+  * stratified sampling, test-set decontamination. */
+object CorpusQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.load(s, d, "documents")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_stats" -> ((s, d) => Corpus.stats(docs(s, d))),
+    // exactly 10 docs per language, md5-ranked (portable: the oracle
+    // reproduces the pick set via the hex-string order of the same
+    // 13-char md5 prefix)
+    "sample_stratified" -> ((s, d) =>
+      Corpus.stratifiedSample(docs(s, d), "lang", k = 10)),
+    // held-out split doc_id % 20 == 0 plays the eval set; 5-gram
+    // overlap flags leaked training docs
+    "decontaminate_ngram" -> ((s, d) =>
+      Dedup.decontaminate(docs(s, d), col("doc_id") % 20 === 0, n = 5))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(avg(n_chars), 6) AS avg_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
+    "sample_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 10""".stripMargin,
+    "decontaminate_ngram" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    l[i]||' '||l[i+1]||' '||l[i+2]||' '||l[i+3]||' '||l[i+4] AS s
+        |  FROM tok, UNNEST(range(1, len(l) - 3)) AS t(i)
+        |), test_sh AS (
+        |  SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0
+        |), hits AS (
+        |  SELECT sh.doc_id, count(*) AS n_shared
+        |  FROM sh JOIN test_sh USING (s)
+        |  WHERE sh.doc_id % 20 <> 0 GROUP BY sh.doc_id
+        |)
+        |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(coalesce(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 20 <> 0""".stripMargin
   )
 }
 

@@ -47,13 +47,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.all ++ RelationalQueries.all ++ DedupQueries.all ++
-      TextQueries.all ++ AnnQueries.all ++ IngestQueries.all
+      TextQueries.all ++ CorpusQueries.all ++ AnnQueries.all ++
+      IngestQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     VectorQueries.oracles ++ RelationalQueries.oracles ++
-      DedupQueries.oracles ++ TextQueries.oracles ++ AnnQueries.oracles ++
+      DedupQueries.oracles ++ TextQueries.oracles ++
+      CorpusQueries.oracles ++ AnnQueries.oracles ++
       IngestQueries.oracles
 }
 

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions
+
+/** Corpus-level operators for training-data pipelines: stratified
+  * sampling and per-stratum statistics. (The reference samples
+  * uniformly for its train/val split, cuvs_bench_grid_search_v3.py:
+  * 771-779; a data-curation pipeline additionally needs PER-STRATUM
+  * exact-count sampling — e.g. "50k docs per language" — and corpus
+  * composition reports.)
+  */
+object Corpus {
+
+  /** Exactly min(k, stratum size) rows per stratum, deterministic and
+    * portable: rows are ranked inside each stratum by the first 13 hex
+    * chars of md5(id) (52 bits — exactly representable in a double, so
+    * numeric order == hex-string order and a SQL oracle reproduces the
+    * pick set bit-for-bit), ties broken by id.
+    *
+    * Scale design (100 TB): NO per-stratum window sort — a window
+    * would hash-partition whole strata onto single tasks and die on a
+    * skewed language mix. Instead the bounded-heap top-k aggregate
+    * (TopKAgg) keeps k candidates per stratum PER PARTITION map-side
+    * and merges heaps at reduce: shuffle volume is strata × k rows,
+    * independent of corpus size.
+    */
+  def stratifiedSample(docs: DataFrame, groupCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    docs.select(col(groupCol), col(idCol).as("id"), rank.as("rk"))
+      .groupBy(col(groupCol))
+      .agg(GraftFunctions.topK(k, col("rk"), col("id")).as("picks"))
+      .select(col(groupCol), explode(col("picks.id")).as(idCol))
+  }
+
+  /** Corpus composition per (lang, source): doc count, whitespace
+    * token total, char statistics. One map-side-combined hash
+    * aggregate — linear, no joins. */
+  def stats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+      round(avg(col("n_chars")), 6).as("avg_chars"),
+      max(col("n_chars")).as("max_chars"))
+}

@@ -371,4 +371,104 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round a node takes the min of its label and its neighbors'
+    * labels; at the fixpoint every component carries its minimum
+    * member id. Convergence is O(component diameter) rounds — dup
+    * clusters are near-cliques (a near-dup of a near-dup is usually a
+    * near-dup), so diameters stay in the single digits even when
+    * components are huge.
+    *
+    * Scale design (100 TB): each round is ONE shuffle join of the
+    * edge list against the current labels plus one map-side-combined
+    * min aggregate — never an all-pairs product, state is one (id,
+    * label) row per node. The driver-side loop only issues rounds and
+    * checks the converged count; no data is collected. Lineage is
+    * truncated every round by the localCheckpoint, so round N's plan
+    * does not re-derive rounds 1..N-1.
+    *
+    * nodes: one column `id` (long). edges: columns `src`, `dst`
+    * (long, undirected — one row per pair suffices).
+    * Returns (id, label) where label = min id of the component.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIterations: Int = 50): DataFrame = {
+    // materialize the (possibly expensive) edge derivation ONCE — the
+    // propagation loop consumes `sym` every round, and without this a
+    // pair join feeding `edges` would re-execute per round
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val viaNeighbor = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(eager = true)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") < col("o.label"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxIterations rounds")
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS: the transitive closure of the n-gram
+    * Jaccard pair relation (pairs from `ngramJaccardAuto`, components
+    * via `connectedComponents`). One row per document:
+    * (doc_id, cluster_id = min doc_id of its cluster, is_canonical =
+    * 1 for the cluster representative). Dropping `is_canonical = 0`
+    * rows yields the deduplicated corpus — the standard keep-one-per-
+    * cluster step of a training-data pipeline (the pair queries alone
+    * under-delete: near-dup is not transitive, A~B, B~C with A!~C
+    * still must collapse to ONE kept doc, not two). */
+  def dupClusters(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pairs = ngramJaccardAuto(docs, n, threshold, idCol, textCol)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).cast("long").as("is_canonical"))
+  }
+
+  /** Test-set DECONTAMINATION: drop (flag) every training document
+    * that shares at least one n-gram shingle with any held-out test
+    * document — the standard guard against benchmark leakage when a
+    * training corpus and an eval set may overlap (n=5..13 word n-grams
+    * in published pipelines; the shingle machinery is the same as the
+    * Jaccard dedup path). Returns one row per TRAIN doc:
+    * (doc_id, n_shared = distinct shingles also present in the test
+    * set, contaminated = 1 if n_shared > 0).
+    *
+    * Scale design: the test-set shingle table is DISTINCT shingles of
+    * the eval set only — eval sets are orders of magnitude smaller
+    * than a 100-TB training corpus, so it broadcasts; the train side
+    * streams through one broadcast-hash join + a map-side-combined
+    * count. No shuffle of the training corpus at all. */
+  def decontaminate(docs: DataFrame, isTest: Column, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"), isTest.as("is_test"),
+      explode(shinglesOf(col(textCol), n)).as("s"))
+    val testSh = sh.filter(col("is_test")).select("s").distinct()
+    val hits = sh.filter(!col("is_test"))
+      .join(broadcast(testSh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(!isTest).select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("long")
+          .as("contaminated"))
+  }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Corpus-curation operators: connected-component dup clusters,
+  * decontamination, stratified sampling, composition stats. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+  private def docs = Tables.load(spark, sf, "documents")
+
+  test("connectedComponents labels a chain and an isolate correctly") {
+    // 1-2-3 chain, 4-5 pair, 6 isolated: components {1,2,3} {4,5} {6}
+    val nodes = (1L to 6L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L))
+  }
+
+  test("dupClusters partitions the corpus and closes over pairs") {
+    val clusters = Dedup.dupClusters(docs, n = 3, threshold = 0.4)
+    val rows = clusters.collect()
+    val nDocs = docs.count()
+    assert(rows.length == nDocs, "one row per document")
+    val label = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // representative is a member of its own cluster and is the minimum
+    rows.foreach { r =>
+      val (id, cid, canon) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(cid <= id, s"cluster id must be the min member ($id -> $cid)")
+      assert(label(cid) == cid, "cluster id must itself carry its label")
+      assert((canon == 1L) == (id == cid))
+    }
+    // every near-dup pair is co-clustered
+    val pairs = Dedup.ngramJaccard(docs, n = 3, threshold = 0.4)
+      .select($"doc_a", $"doc_b").collect()
+    assert(pairs.nonEmpty, "fixture should contain planted near-dups")
+    pairs.foreach { r =>
+      assert(label(r.getLong(0)) == label(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
+    // and at least one cluster actually merged
+    assert(label.values.toSet.size < nDocs)
+  }
+
+  test("decontaminate flags exactly the train docs sharing a shingle") {
+    val isTest = col("doc_id") % 20 === 0
+    val out = Dedup.decontaminate(docs, isTest, n = 5)
+    val rows = out.collect()
+    assert(rows.length == docs.filter(!isTest).count())
+    // recompute the overlap declaratively and compare
+    val sh = docs.select(col("doc_id"), (col("doc_id") % 20 === 0).as("t"),
+      explode(Dedup.shinglesOf(col("text"), 5)).as("s"))
+    val testSh = sh.filter($"t").select("s").distinct()
+    val expected = sh.filter(!$"t").join(testSh, "s")
+      .groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (id, n, flag) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(n == expected.getOrElse(id, 0L), s"doc $id n_shared")
+      assert((flag == 1L) == (n > 0))
+      assert(id % 20 != 0, "test docs must not appear in train output")
+    }
+  }
+
+  test("stratifiedSample returns exactly min(k, stratum) rows, stably") {
+    val k = 7
+    val a = Corpus.stratifiedSample(docs, "lang", k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Corpus.stratifiedSample(docs, "lang", k).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b, "sample must be deterministic")
+    val perGroup = a.groupBy(_._1).map { case (g, s) => g -> s.size }
+    val sizes = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (g, n) =>
+      assert(perGroup.getOrElse(g, 0) == math.min(k.toLong, n).toInt,
+        s"stratum $g")
+    }
+  }
+
+  test("corpus stats agree with a direct recount") {
+    val got = Corpus.stats(docs).agg(
+      sum($"n_docs"), sum($"n_tokens")).collect().head
+    val direct = docs.agg(count(lit(1)),
+      sum(size(split($"text", " ")).cast("long"))).collect().head
+    assert(got.getLong(0) == direct.getLong(0))
+    assert(got.getLong(1) == direct.getLong(1))
+  }
+}
