@@ -185,7 +185,10 @@ object TextQueries {
       TextAnalysis.winnow(docs(s, d)).select(col("doc_id"),
         size(col("sketch")).cast("long").as("sketch_size"),
         xxhash64(concat_ws(",",
-          transform(col("sketch"), _.cast("string")))).as("sketch_hash")))
+          transform(col("sketch"), _.cast("string")))).as("sketch_hash"))),
+    // Gopher-rules repetition family: top-unigram / top-bigram /
+    // duplicated-trigram occupancy per doc
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d)))
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -259,7 +262,30 @@ object TextQueries {
         |SELECT d.doc_id,
         |  CAST(coalesce(sk.sketch_size, 0) AS BIGINT) AS sketch_size,
         |  coalesce(sk.sketch_digest, md5('')) AS sketch_digest
-        |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin
+        |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |g1 AS (SELECT doc_id, 1 AS k, unnest(l) AS g FROM tok),
+        |g2 AS (SELECT doc_id, 2 AS k, l[i]||' '||l[i+1] AS g
+        |  FROM tok, UNNEST(range(1, len(l))) t(i)),
+        |g3 AS (SELECT doc_id, 3 AS k, l[i]||' '||l[i+1]||' '||l[i+2] AS g
+        |  FROM tok, UNNEST(range(1, len(l) - 1)) t(i)),
+        |grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |  UNION ALL SELECT * FROM g3),
+        |counts AS (SELECT doc_id, k, g, count(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3),
+        |perk AS (SELECT doc_id, k, max(c) AS maxc, sum(c) AS tot,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+        |  FROM counts GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(max(CASE WHEN k = 1 THEN tot END) AS BIGINT) AS n_tokens,
+        |  round(coalesce(max(CASE WHEN k = 1
+        |    THEN CAST(maxc AS DOUBLE) / tot END), 0), 6) AS top_unigram_frac,
+        |  round(coalesce(max(CASE WHEN k = 2
+        |    THEN CAST(maxc AS DOUBLE) / tot END), 0), 6) AS top_bigram_frac,
+        |  round(coalesce(max(CASE WHEN k = 3
+        |    THEN CAST(dup AS DOUBLE) / tot END), 0), 6) AS dup_trigram_frac
+        |FROM perk GROUP BY doc_id""".stripMargin
   )
 }
 

@@ -107,6 +107,52 @@ object TextAnalysis {
     winnowWith(docs, k, w, idCol, textCol,
       g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
 
+  /** Repetition quality signals (the Gopher-rules repetition family):
+    * per document, the fraction of token occurrences claimed by the
+    * single most frequent unigram / bigram, and the fraction of
+    * trigram occurrences whose trigram occurs more than once.
+    * Heavily-repeated boilerplate (keyword stuffing, nav bars, looped
+    * generations) scores high and gets filtered before training.
+    *
+    * Scale design: one explode of ~3n gram rows, then two hash
+    * aggregates. All occurrences of one document live in ONE input
+    * row, so the (doc, k, gram) partial aggregate completes map-side
+    * within the partition holding the doc — the shuffle carries only
+    * distinct (doc, k, gram, count) rows, and the second aggregate is
+    * per (doc, k). Linear, no joins, no window.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = whitespaceTokens(col(textCol))
+    // n-gram OCCURRENCE list (duplicates kept — unlike the dedup
+    // shingles, counts are the whole point here)
+    def gramArr(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (1 to n).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val exploded = docs.select(col(idCol).as("doc_id"),
+        explode(flatten(array((1 to 3).map(n =>
+          transform(gramArr(n),
+            g => struct(lit(n).as("k"), g.as("g")))): _*))).as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+    val perKind = exploded
+      .groupBy(col("doc_id"), col("k"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("k"))
+      .agg(max(col("c")).as("maxc"), sum(col("c")).as("tot"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup"))
+    perKind.groupBy(col("doc_id")).agg(
+        max(when(col("k") === 1, col("tot"))).as("n_tokens"),
+        max(when(col("k") === 1, col("maxc") / col("tot"))).as("u"),
+        max(when(col("k") === 2, col("maxc") / col("tot"))).as("b"),
+        max(when(col("k") === 3, col("dup") / col("tot"))).as("t"))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(coalesce(col("u"), lit(0.0)), 6).as("top_unigram_frac"),
+        round(coalesce(col("b"), lit(0.0)), 6).as("top_bigram_frac"),
+        round(coalesce(col("t"), lit(0.0)), 6).as("dup_trigram_frac"))
+  }
+
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,
       hashFn: Column => Column): DataFrame = {

@@ -84,6 +84,22 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionStats matches hand-computed fractions") {
+    // "a a a b": unigrams a×3,b×1 → top 3/4; bigrams "a a"×2,"a b"×1 →
+    // top 2/3; trigrams "a a a","a a b" both once → dup 0.
+    // "x y x y x y": top unigram 3/6; bigrams "x y"×3,"y x"×2 → 3/5;
+    // trigrams "x y x"×2, "y x y"×2 → dup 4/4.
+    // "z": 1 token, no bigrams/trigrams → 1.0, 0, 0.
+    val df = Seq((1L, "a a a b"), (2L, "x y x y x y"), (3L, "z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 0.75, 0.666667, 0.0)))
+    assert(got(2L) == ((6L, 0.5, 0.6, 1.0)))
+    assert(got(3L) == ((1L, 1.0, 0.0, 0.0)))
+  }
+
   test("corpus stats agree with a direct recount") {
     val got = Corpus.stats(docs).agg(
       sum($"n_docs"), sum($"n_tokens")).collect().head
