@@ -182,16 +182,26 @@ object GridSearch {
       t
     }
 
-    val rows = grid.groupBy(c => (c.npartitions, c.m)).toSeq
-      .sortBy(_._1).flatMap { case ((npart, m), combos) =>
+    val rows = grid.groupBy(_.npartitions).toSeq.sortBy(_._1)
+      .flatMap { case (npart, npCombos) =>
+        // ONE coarse quantizer per npartitions, shared by every m —
+        // AnnIvf.train is seeded/deterministic, so the shared centroids
+        // are bit-identical to per-m retraining and every recall value
+        // is unchanged; per-combo build time reports quantizer + graph
+        // (the full from-scratch cost of that config)
+        val tq = System.nanoTime()
+        val centroids = AnnIvf.train(filtered, npart, iterations = 2)
+        val indexed = AnnIvf.index(filtered, centroids).cache()
+        indexed.count()
+        val quantSec = (System.nanoTime() - tq) / 1e9
+        val npRows = npCombos.groupBy(_.m).toSeq.sortBy(_._1)
+          .flatMap { case (m, combos) =>
         scala.util.Try {
           val t0 = System.nanoTime()
-          val centroids = AnnIvf.train(filtered, npart, iterations = 2)
-          val indexed = AnnIvf.index(filtered, centroids)
           val graphs = NswGraph.buildIndex(indexed, m,
             efConstruction = 2 * m).cache()
           graphs.count()
-          val buildSec = (System.nanoTime() - t0) / 1e9
+          val buildSec = quantSec + (System.nanoTime() - t0) / 1e9
           val out = combos.sortBy(_.efSearch).map { c =>
             val t1 = System.nanoTime()
             val found = NswGraph.searchIndex(graphs, centroids, q, k,
@@ -220,6 +230,9 @@ object GridSearch {
               nVec, nQ, keptPct, -1.0, -1.0, -1.0, -1.0, -1L,
               Some(e.toString.take(200))))
         }.get
+        }
+        indexed.unpersist()
+        npRows
       }
     if (precomputedTruth.isEmpty) truthSets.unpersist()
     filtered.unpersist(); q.unpersist()
