@@ -100,13 +100,19 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The consumer keeps only a bounded tail of stdout, so the line must
+    // stay well under 2000 chars: 3-decimal seconds (1 ms resolution, an
+    // order of magnitude below this host's run-to-run noise), short sf
+    // basename, and errors capped at 3 entries x 80 chars.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + esc(e) + "\"" }
+      s"\"" + k + "\":\"" + esc(e.take(80)) + "\"" }.take(3)
     val errField = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errField,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -383,45 +383,71 @@ object Dedup {
     *
     * Scale design (100 TB): each round is ONE shuffle join of the
     * edge list against the current labels plus one map-side-combined
-    * min aggregate — never an all-pairs product, state is one (id,
+    * min reduce — never an all-pairs product, state is one (id,
     * label) row per node. The driver-side loop only issues rounds and
-    * checks the converged count; no data is collected. Lineage is
-    * truncated every round by the localCheckpoint, so round N's plan
-    * does not re-derive rounds 1..N-1.
+    * checks the converged count; no data is collected. The loop runs
+    * on the RDD API deliberately: every round localCheckpoints the new
+    * label snapshot (truncating lineage so round N never re-derives
+    * rounds 1..N-1) and then UNPERSISTS the superseded one, so block-
+    * manager state is two snapshots + the edge list, regardless of
+    * round count — a DataFrame localCheckpoint loop cannot release its
+    * superseded snapshots.
     *
     * nodes: one column `id` (long). edges: columns `src`, `dst`
-    * (long, undirected — one row per pair suffices).
-    * Returns (id, label) where label = min id of the component.
+    * (long, undirected — one row per pair suffices). Edge endpoints
+    * that are not in `nodes` still propagate labels (they can bridge
+    * two components, exactly as if they were nodes) but are dropped
+    * from the output: the result has one (id, label = min component
+    * member id) row per `nodes` row, always.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = nodes.sparkSession
+    import spark.implicits._
     // materialize the (possibly expensive) edge derivation ONCE — the
     // propagation loop consumes `sym` every round, and without this a
     // pair join feeding `edges` would re-execute per round
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(eager = true)
-    var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint(eager = true)
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodeIds = nodes.select(col("id").cast("long")).as[Long].rdd
+      .map(id => (id, id)).persist(StorageLevel.MEMORY_AND_DISK)
+    // seed: own id, or min neighbor id if smaller (sym IS (id,
+    // candidate-label) pairs — one free propagation half-round)
+    var labels = sym.union(nodeIds).reduceByKey(math.min)
+    labels.localCheckpoint()
     var converged = false
     var iter = 0
+    var superseded: Option[org.apache.spark.rdd.RDD[(Long, Long)]] = None
     while (!converged && iter < maxIterations) {
-      val viaNeighbor = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(viaNeighbor)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(eager = true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") < col("o.label"))
-        .count()
+      val next = sym.join(labels)
+        .map { case (_, (dst, label)) => (dst, label) }
+        .union(labels)
+        .reduceByKey(math.min)
+      next.localCheckpoint()
+      // the count materializes `next` (while `labels` is still live),
+      // after which the PREVIOUS round's snapshot has no referents
+      val changed = next.join(labels)
+        .filter { case (_, (n, o)) => n < o }.count()
+      superseded.foreach(_.unpersist(blocking = false))
+      superseded = Some(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist(blocking = false)
     require(converged,
       s"connectedComponents: no fixpoint after $maxIterations rounds")
-    labels
+    // restrict to `nodes` (propagation may have touched edge-only ids)
+    val out = labels.join(nodeIds).mapValues(_._1)
+    val result = out.toDF("id", "label")
+    result.cache().count() // materialize before releasing the snapshots
+    superseded.foreach(_.unpersist(blocking = false))
+    labels.unpersist(blocking = false)
+    nodeIds.unpersist(blocking = false)
+    result
   }
 
   /** Near-duplicate CLUSTERS: the transitive closure of the n-gram

@@ -188,12 +188,22 @@ object GridSearch {
         // AnnIvf.train is seeded/deterministic, so the shared centroids
         // are bit-identical to per-m retraining and every recall value
         // is unchanged; per-combo build time reports quantizer + graph
-        // (the full from-scratch cost of that config)
-        val tq = System.nanoTime()
-        val centroids = AnnIvf.train(filtered, npart, iterations = 2)
-        val indexed = AnnIvf.index(filtered, centroids).cache()
-        indexed.count()
-        val quantSec = (System.nanoTime() - tq) / 1e9
+        // (the full from-scratch cost of that config). A quantizer
+        // failure degrades to error rows for every combo of this
+        // npartitions (P9 pass-through) instead of aborting the sweep.
+        scala.util.Try {
+          val tq = System.nanoTime()
+          val centroids = AnnIvf.train(filtered, npart, iterations = 2)
+          val indexed = AnnIvf.index(filtered, centroids).cache()
+          indexed.count()
+          (centroids, indexed, (System.nanoTime() - tq) / 1e9)
+        } match {
+          case scala.util.Failure(e) =>
+            npCombos.sortBy(c => (c.m, c.efSearch)).map(c =>
+              NswResultRow("nsw", npart, c.m, c.efSearch, k, filterName,
+                nVec, nQ, keptPct, -1.0, -1.0, -1.0, -1.0, -1L,
+                Some(e.toString.take(200))))
+          case scala.util.Success((centroids, indexed, quantSec)) =>
         val npRows = npCombos.groupBy(_.m).toSeq.sortBy(_._1)
           .flatMap { case (m, combos) =>
         scala.util.Try {
@@ -231,8 +241,9 @@ object GridSearch {
               Some(e.toString.take(200))))
         }.get
         }
-        indexed.unpersist()
-        npRows
+            indexed.unpersist()
+            npRows
+        }
       }
     if (precomputedTruth.isEmpty) truthSets.unpersist()
     filtered.unpersist(); q.unpersist()
