@@ -67,6 +67,8 @@ object GraftFunctions {
       es => NearestCentroid(es(0), foldableMatrix(es(1), "graft_nearest_centroid")),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_repetition", es => RepetitionStats(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_nearest_cells",
       es => NearestCells(es(0), foldableMatrix(es(1), "graft_nearest_cells"),
         foldableInt(es(2), "graft_nearest_cells")),
@@ -103,6 +105,7 @@ object GraftFunctions {
     call_function("graft_minhash", shingles, lit(numHashes))
   }
   def vecSum(a: Column): Column = call_function("graft_vecsum", a)
+  def repetition(text: Column): Column = call_function("graft_repetition", text)
   def fp16Encode(a: Column): Column = call_function("graft_fp16_encode", a)
   def fp16Decode(a: Column): Column = call_function("graft_fp16_decode", a)
 

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -63,6 +64,87 @@ case class NGramShingles(child: Expression, n: Int) extends UnaryExpression {
     val ref = ctx.addReferenceObj("shingles", this,
       classOf[NGramShingles].getName)
     defineCodeGen(ctx, ev, c => s"$ref.shingle($c)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Gopher-family repetition signals of a space-separated text in ONE
+  * pass: struct(n_tokens, top_unigram_frac, top_bigram_frac,
+  * dup_trigram_frac). Semantics are bit-identical to the declarative
+  * explode(1..3-grams) → count → per-k max/sum formulation (which the
+  * SQL oracle still uses), but all occurrences of one document are
+  * counted inside the row — no gram explosion, no shuffle of
+  * (doc, k, gram) rows at all. The declarative plan spent ~15 s on
+  * 5 000 sf0.1 docs across three hash aggregates of ~3n string rows;
+  * this is a linear scan.
+  *
+  * Fractions are unrounded raw doubles (max_count/total computed as
+  * long→double division, exactly as the aggregate plan produced) —
+  * callers apply their own rounding.
+  */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_repetition"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("top_unigram_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false),
+    StructField("dup_trigram_frac", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    stats(v.asInstanceOf[UTF8String])
+
+  def stats(text: UTF8String): InternalRow = {
+    // split(text, ' ') semantics incl. empty tokens from runs of spaces
+    val toks = text.toString.split(" ", -1)
+    val len = toks.length
+    // per-k counting: gram -> occurrence count (int[] cell avoids
+    // Integer boxing churn on the update path)
+    def counts(n: Int): java.util.HashMap[String, Array[Int]] = {
+      val m = new java.util.HashMap[String, Array[Int]]((len + 1) * 2)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i <= len - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val cell = m.computeIfAbsent(sb.toString, _ => new Array[Int](1))
+        cell(0) += 1
+        i += 1
+      }
+      m
+    }
+    def maxFrac(n: Int): Double = {
+      if (len < n) return 0.0
+      var maxc = 0L
+      val it = counts(n).values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c > maxc) maxc = c }
+      maxc.toDouble / (len - n + 1).toDouble
+    }
+    def dupFrac(n: Int): Double = {
+      if (len < n) return 0.0
+      var dup = 0L
+      val it = counts(n).values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c >= 2) dup += c }
+      dup.toDouble / (len - n + 1).toDouble
+    }
+    new GenericInternalRow(Array[Any](
+      len.toLong, maxFrac(1), maxFrac(2), dupFrac(3)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetition", this,
+      classOf[RepetitionStats].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.stats($c)")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
