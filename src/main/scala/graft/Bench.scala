@@ -54,6 +54,7 @@ object Bench {
     def clearShared(): Unit = {
       AnnQueries.clearGridCache()
       AnnQueries.clearAnnCache()
+      DedupQueries.clearPairsCache()
       spark.catalog.clearCache()
     }
 

@@ -235,11 +235,19 @@ object Dedup {
 
   def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val h = docs
+    val toks = docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
-      .select(col("doc_id"),
+    // TOKEN DICTIONARY: md5+conv once per distinct token corpus-wide,
+    // joined back to occurrences — identical bits to hashing in place
+    // (same function of the same token), but the expensive md5/conv
+    // work drops from Σ tokens-per-doc to |vocabulary|. The broadcast
+    // hint fits any real vocabulary (even 10^8 tokens × 16 B is
+    // executor-memory scale); AQE would pick a shuffle join past that.
+    val dict = toks.select(col("tok")).distinct()
+      .select(col("tok"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("hv"))
+    val h = toks.join(broadcast(dict), "tok").select(col("doc_id"), col("hv"))
     // Per-bit ±1 vote sums, flattened to 60 integer sum() aggregates in
     // ONE codegen'd HashAggregate (vote_b = 2·ones_b − n > 0  ⟺
     // 2·ones_b > n — same sign as the oracle's ±1 sum, all-integer, so
@@ -267,12 +275,13 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk pigeonhole is only exact for maxHamming <= 3")
-    // No .cache(): the signature aggregate is one cheap codegen'd pass,
-    // and caching an aggregate-topped plan trips this host's
-    // InMemoryRelation build stall (~40 s for a 1.7 s plan). Each join
-    // side recomputes the signatures once; at 100 TB persist the
-    // signature table to parquet instead.
+    // localCheckpoint, not .cache(): both join sides read ONE
+    // materialized signature table (8+8 bytes/doc), and the row-level
+    // block write sidesteps the InMemoryRelation columnar-build stall
+    // this host exhibits on aggregate-topped cached plans (~40 s for a
+    // 1.7 s plan). At 100 TB persist the signature table to parquet.
     val sigs = simhashPortable(docs, idCol, textCol)
+      .localCheckpoint(eager = true)
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))): _*))
@@ -381,17 +390,20 @@ object Dedup {
     * near-dup), so diameters stay in the single digits even when
     * components are huge.
     *
-    * Scale design (100 TB): each round is ONE shuffle join of the
-    * edge list against the current labels plus one map-side-combined
-    * min reduce — never an all-pairs product, state is one (id,
-    * label) row per node. The driver-side loop only issues rounds and
-    * checks the converged count; no data is collected. The loop runs
-    * on the RDD API deliberately: every round localCheckpoints the new
-    * label snapshot (truncating lineage so round N never re-derives
-    * rounds 1..N-1) and then UNPERSISTS the superseded one, so block-
-    * manager state is two snapshots + the edge list, regardless of
-    * round count — a DataFrame localCheckpoint loop cannot release its
-    * superseded snapshots.
+    * Scale design (100 TB): the edge list and the label state are
+    * hash-partitioned by id ONCE; every per-round join is then narrow
+    * (co-partitioned), so the only data moved per round is the
+    * map-side-combined (id, min candidate label) update stream —
+    * the edge list itself is never re-shuffled. Never an all-pairs
+    * product; state is one (id, label) row per node. The driver-side
+    * loop only issues rounds and checks the converged count; no data
+    * is collected. The loop runs on the RDD API deliberately: every
+    * round localCheckpoints the new label snapshot (truncating
+    * lineage so round N never re-derives rounds 1..N-1) and then
+    * UNPERSISTS the superseded one, so block-manager state is two
+    * snapshots + the edge list, regardless of round count — a
+    * DataFrame localCheckpoint loop cannot release its superseded
+    * snapshots.
     *
     * nodes: one column `id` (long). edges: columns `src`, `dst`
     * (long, undirected — one row per pair suffices). Edge endpoints
@@ -407,33 +419,47 @@ object Dedup {
     import spark.implicits._
     // materialize the (possibly expensive) edge derivation ONCE — the
     // propagation loop consumes `sym` every round, and without this a
-    // pair join feeding `edges` would re-execute per round
+    // pair join feeding `edges` would re-execute per round. Everything
+    // is hash-partitioned by id up front: the per-round edge-side join
+    // and the convergence-check join are then NARROW (co-partitioned)
+    // — the edge list is shuffled exactly once for the whole run, and
+    // each round moves only the propagated (id, label) updates.
+    val part = new org.apache.spark.HashPartitioner(
+      spark.sessionState.conf.numShufflePartitions)
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd
       .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
+      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodeIds = nodes.select(col("id").cast("long")).as[Long].rdd
-      .map(id => (id, id)).persist(StorageLevel.MEMORY_AND_DISK)
+      .map(id => (id, id)).partitionBy(part)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // seed: own id, or min neighbor id if smaller (sym IS (id,
     // candidate-label) pairs — one free propagation half-round)
-    var labels = sym.union(nodeIds).reduceByKey(math.min)
-    labels.localCheckpoint()
+    val seed = sym.union(nodeIds).reduceByKey(part, math.min(_, _))
+    seed.localCheckpoint()
+    var labels: org.apache.spark.rdd.RDD[(Long, Long)] = seed
+    // the localCheckpointed RDD backing the live `labels` view
+    var snapshot: org.apache.spark.rdd.RDD[_] = seed
     var converged = false
     var iter = 0
-    var superseded: Option[org.apache.spark.rdd.RDD[(Long, Long)]] = None
     while (!converged && iter < maxIterations) {
-      val next = sym.join(labels)
+      // candidate labels via one hop, combined map-side; the ONLY
+      // per-round shuffle, and it carries updates, not edges
+      val updates = sym.join(labels) // narrow: both partitioned by `part`
         .map { case (_, (dst, label)) => (dst, label) }
-        .union(labels)
-        .reduceByKey(math.min)
-      next.localCheckpoint()
-      // the count materializes `next` (while `labels` is still live),
-      // after which the PREVIOUS round's snapshot has no referents
-      val changed = next.join(labels)
-        .filter { case (_, (n, o)) => n < o }.count()
-      superseded.foreach(_.unpersist(blocking = false))
-      superseded = Some(labels)
-      labels = next
+        .reduceByKey(part, math.min(_, _))
+      // merge + convergence flag in one narrow co-partitioned pass
+      val merged = labels.leftOuterJoin(updates)
+        .mapValues { case (o, u) =>
+          val n = u.fold(o)(math.min(o, _)); (n, n < o) }
+      merged.localCheckpoint()
+      // the count materializes `merged` (while `labels` is still
+      // live), after which the previous snapshot has no referents
+      val changed = merged.filter(_._2._2).count()
+      snapshot.unpersist(blocking = false)
+      snapshot = merged
+      labels = merged.mapValues(_._1)
       converged = changed == 0
       iter += 1
     }
@@ -444,8 +470,7 @@ object Dedup {
     val out = labels.join(nodeIds).mapValues(_._1)
     val result = out.toDF("id", "label")
     result.cache().count() // materialize before releasing the snapshots
-    superseded.foreach(_.unpersist(blocking = false))
-    labels.unpersist(blocking = false)
+    snapshot.unpersist(blocking = false)
     nodeIds.unpersist(blocking = false)
     result
   }
@@ -460,10 +485,18 @@ object Dedup {
     * under-delete: near-dup is not transitive, A~B, B~C with A!~C
     * still must collapse to ONE kept doc, not two). */
   def dupClusters(docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val pairs = ngramJaccardAuto(docs, n, threshold, idCol, textCol)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(docs.select(col(idCol).as("id")), pairs)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    dupClustersFromPairs(docs,
+      ngramJaccardAuto(docs, n, threshold, idCol, textCol), idCol)
+
+  /** `dupClusters` over an ALREADY-COMPUTED near-dup pair relation
+    * (columns doc_a, doc_b) — the pipeline shape at scale: the pair
+    * relation is produced once and consumed by both the pair report
+    * and the cluster closure. */
+  def dupClustersFromPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs.select(col(idCol).as("id")), edges)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).cast("long").as("is_canonical"))
   }
