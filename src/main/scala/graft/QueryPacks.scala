@@ -328,10 +328,48 @@ object CorpusQueries {
     // held-out split doc_id % 20 == 0 plays the eval set; 5-gram
     // overlap flags leaked training docs
     "decontaminate_ngram" -> ((s, d) =>
-      Dedup.decontaminate(docs(s, d), col("doc_id") % 20 === 0, n = 5))
+      Dedup.decontaminate(docs(s, d), col("doc_id") % 20 === 0, n = 5)),
+    // the full curation funnel in one fused scan: quality >= 0.45,
+    // predicted-English only, keep-one-per-exact-content
+    "corpus_curate" -> ((s, d) =>
+      Corpus.curate(docs(s, d), minQuality = 0.45, langs = Seq("en")))
   )
 
+  private val curateMarkersSql = TextAnalysis.langMarkers.map {
+    case (lang, ms) => lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+  }
+
   val oracles: Map[String, String] = Map(
+    "corpus_curate" -> {
+      val en = curateMarkersSql.toMap.apply("en")
+      val scores = curateMarkersSql.map { case (lang, arr) =>
+        s"CAST(len(list_filter(toks, x -> list_contains($arr, x))) AS BIGINT) AS s_$lang"
+      }.mkString(",\n    ")
+      val best = curateMarkersSql.map(m => s"s_${m._1}")
+        .mkString("greatest(", ", ", ")")
+      val pred = curateMarkersSql.map { case (lang, _) =>
+        s"WHEN best > 0 AND s_$lang = best THEN '$lang'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH t AS (SELECT doc_id, md5(text) AS text_hash,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, text_hash,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, x -> list_contains($en, x))) AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq,
+         |    $scores
+         |  FROM t),
+         |g AS (SELECT doc_id, text_hash, CAST(n AS BIGINT) AS n_tokens,
+         |    round(least(n / 100.0, 1.0) * 0.5 +
+         |      least(n_stop / n * 5.0, 1.0) * 0.2 + (n_uniq / n) * 0.3, 6) AS quality,
+         |    $pred AS lang_pred
+         |  FROM (SELECT *, $best AS best FROM s)),
+         |kept AS (SELECT * FROM g
+         |  WHERE quality >= 0.45 AND lang_pred IN ('en')),
+         |keepers AS (SELECT text_hash, min(doc_id) AS doc_id
+         |  FROM kept GROUP BY text_hash)
+         |SELECT k.doc_id, k.lang_pred, k.n_tokens, k.quality
+         |FROM kept k JOIN keepers USING (text_hash, doc_id)""".stripMargin
+    },
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

@@ -46,4 +46,38 @@ object Corpus {
       sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
       round(avg(col("n_chars")), 6).as("avg_chars"),
       max(col("n_chars")).as("max_chars"))
+
+  /** End-to-end CURATION pipeline, fused: quality score + language ID
+    * + exact-content dedup in one pass, the canonical pre-training
+    * data funnel (score → gate → keep-one-per-content). Returns the
+    * curated corpus: one row per kept doc — (doc_id, lang_pred,
+    * n_tokens, quality), where kept = quality ≥ minQuality AND
+    * predicted language ∈ langs AND doc_id is the minimum id of its
+    * exact-content (md5) group among survivors.
+    *
+    * Scale design (100 TB): ONE scan of the corpus computes tokens,
+    * both scores, and the content hash; the quality/language gates
+    * filter BEFORE any shuffle, so the only shuffled state is the
+    * survivors' (text_hash, doc_id) pairs through a map-side-combined
+    * min aggregate and the keeper semi-join. Compare: running the
+    * qualityScore / languageId / exact-dedup operators separately
+    * scans the corpus three times and joins full score tables — this
+    * fused form is why the column-level helpers exist. */
+  def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (nTokens, quality) = TextAnalysis.qualityCols(col("toks"))
+    val (langPred, _) = TextAnalysis.langIdCols(col("toks"))
+    val scored = docs
+      .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("text_hash"), nTokens.as("n_tokens"),
+        quality.as("quality"), langPred.as("lang_pred"))
+      .filter(col("quality") >= minQuality &&
+        col("lang_pred").isin(langs: _*))
+    val keepers = scored.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    scored.join(keepers, Seq("text_hash", "doc_id"))
+      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+        col("quality"))
+  }
 }

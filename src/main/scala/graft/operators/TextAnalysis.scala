@@ -39,49 +39,57 @@ object TextAnalysis {
       length(col(textCol)).cast("long").as("n_chars_computed"))
   }
 
-  /** Quality score in [0,1]: length saturation + stopword presence +
-    * lexical diversity. Same arithmetic order as the SQL oracle so the
-    * doubles match bit-for-bit before rounding. */
-  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = whitespaceTokens(col(textCol))
+  /** Quality-score columns (n_tokens, quality) over a token-array
+    * column — the single definition shared by `qualityScore` and the
+    * fused curation pipeline (`Corpus.curate`). Quality in [0,1]:
+    * length saturation + stopword presence + lexical diversity, same
+    * arithmetic order as the SQL oracle so the doubles match
+    * bit-for-bit before rounding. Repeated subexpressions (size) are
+    * deduplicated by whole-stage-codegen CSE. */
+  def qualityCols(toks: Column): (Column, Column) = {
     val en = langMarkers.toMap.apply("en")
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(
-        col("doc_id"),
-        size(col("toks")).cast("double").as("n"),
-        size(filter(col("toks"),
-          t => t.isin(en: _*))).cast("double").as("n_stop"),
-        size(array_distinct(col("toks"))).cast("double").as("n_uniq"))
-      .select(
-        col("doc_id"),
-        col("n").cast("long").as("n_tokens"),
-        round(
-          least(col("n") / 100.0, lit(1.0)) * 0.5 +
-            least(col("n_stop") / col("n") * 5.0, lit(1.0)) * 0.2 +
-            (col("n_uniq") / col("n")) * 0.3, 6).as("quality"))
+    val n = size(toks).cast("double")
+    val nStop = size(filter(toks, t => t.isin(en: _*))).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    (n.cast("long"),
+      round(
+        least(n / 100.0, lit(1.0)) * 0.5 +
+          least(nStop / n * 5.0, lit(1.0)) * 0.2 +
+          (nUniq / n) * 0.3, 6))
   }
 
-  /** Language ID: marker-stopword hit counts per language, argmax with
-    * alphabetical tie-break; 'und' (undetermined) when no marker hits.
-    */
-  def languageId(docs: DataFrame, idCol: String = "doc_id",
+  def qualityScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = whitespaceTokens(col(textCol))
-    val scored = docs.select(col(idCol).as("doc_id"), toks.as("toks"))
-      .select(col("doc_id") +: langMarkers.map { case (lang, markers) =>
-        size(filter(col("toks"), t => t.isin(markers: _*))).as(s"s_$lang")
-      }: _*)
+    val (nTokens, quality) = qualityCols(col("toks"))
+    docs.select(col(idCol).as("doc_id"),
+        whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), nTokens.as("n_tokens"), quality.as("quality"))
+  }
+
+  /** Language-ID columns (lang_pred, marker_hits) over a token-array
+    * column: marker-stopword hit counts per language, argmax with
+    * alphabetical tie-break; 'und' (undetermined) when no marker hits.
+    * Shared by `languageId` and `Corpus.curate`. */
+  def langIdCols(toks: Column): (Column, Column) = {
+    val scores = langMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*)))
+    }
     // argmax over the per-lang scores; langMarkers is alphabetical so
     // the first max wins ties deterministically
-    val best = langMarkers.map(l => col(s"s_${l._1}"))
-      .reduce((a, b) => greatest(a, b))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // foldRight keeps the FIRST (alphabetically smallest) matching lang
-    scored.select(col("doc_id"),
-      langMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
-        when(best > 0 && col(s"s_$lang") === best, lit(lang)).otherwise(acc)
-      }.as("lang_pred"),
-      best.cast("long").as("marker_hits"))
+    (scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(best > 0 && s === best, lit(lang)).otherwise(acc)
+    }, best.cast("long"))
+  }
+
+  def languageId(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val (langPred, hits) = langIdCols(col("toks"))
+    docs.select(col(idCol).as("doc_id"),
+        whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), langPred.as("lang_pred"),
+        hits.as("marker_hits"))
   }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct

@@ -108,4 +108,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.getLong(0) == direct.getLong(0))
     assert(got.getLong(1) == direct.getLong(1))
   }
+
+  test("curate fuses the gates and equals the composed operators") {
+    val minQ = 0.45
+    val got = Corpus.curate(docs, minQuality = minQ, langs = Seq("en"))
+      .collect()
+    assert(got.nonEmpty && got.length < docs.count(),
+      "curation must keep a strict, non-empty subset")
+    got.foreach { r =>
+      assert(r.getString(1) == "en")
+      assert(r.getDouble(3) >= minQ)
+    }
+    // fused result == the same funnel built from the standalone
+    // operators (quality join langid join exact-dedup keeper)
+    val q = TextAnalysis.qualityScore(docs)
+    val l = TextAnalysis.languageId(docs)
+    val survivors = docs.select($"doc_id", md5($"text").as("th"))
+      .join(q, "doc_id").join(l, "doc_id")
+      .filter($"quality" >= minQ && $"lang_pred" === "en")
+    val keepers = survivors.groupBy($"th").agg(min($"doc_id").as("doc_id"))
+    val expected = survivors.join(keepers, Seq("th", "doc_id"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got.map(_.getLong(0)).toSet == expected)
+  }
 }
