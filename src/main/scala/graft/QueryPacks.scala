@@ -519,6 +519,27 @@ object AnnQueries {
           queriesDf(s, d), K, nprobe = 4)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // IVF mechanics under a FULL oracle: the coarse centroids are
+    // FIXED data rows (vec_id % 311 == 7) instead of k-means output,
+    // so cell assignment (argmin, ties to lowest cid), probe pruning
+    // (2 nearest cells per query), and the in-cell exact top-k are
+    // all reproducible in SQL — the one configuration where the
+    // approximate-search machinery is exactly checkable end to end.
+    // The engine code path is IDENTICAL to ann_ivf_topk; only the
+    // centroid table differs.
+    "ann_ivf_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      // single-task window is fine: this is the centroid table
+      // (O(cells) rows), not the corpus
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = data.filter(col("vec_id") % 311 === 7)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      AnnIvf.search(AnnIvf.index(data, centroids), centroids,
+          queriesDf(s, d), K, nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "ann_ivf_recall" -> ((s, d) => {
       val sh = annShared(s, d)
       val data = dataDf(s, d).filter(filterLow)
@@ -652,7 +673,58 @@ object AnnQueries {
   private val unnestDims =
     "(SELECT unnest(embedding) AS v, unnest(range(0, len(embedding))) AS dim FROM embeddings)"
 
+  private val sqdistZ =
+    "sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)) * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))"
+
   val oracles: Map[String, String] = Map(
+    // the full IVF pipeline in SQL: fixed centroids -> argmin cell
+    // assignment -> 2-nearest-cell probes -> exact in-cell top-10
+    "ann_ivf_fixed" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 311 = 7
+         |), ad AS (
+         |  SELECT d.vec_id, d.embedding, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qd AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |), probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.qid, p.qe, a.vec_id, a.embedding
+         |  FROM probes p JOIN assign a USING (cid)
+         |), dist AS (
+         |  SELECT qid, vec_id,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
+         |  FROM cand
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "quant_train" ->
       s"""SELECT CAST(dim AS BIGINT) AS dim,
          |  round(quantile_cont(CAST(v AS DOUBLE), 0.005), 6) AS lo,
