@@ -81,7 +81,21 @@ object DedupQueries {
     // transitive closure of the jaccard pair relation: keep-one-per-
     // cluster dedup (oracle: the same pairs + a recursive CTE)
     "dedup_clusters" -> ((s, d) =>
-      Dedup.dupClustersFromPairs(docs(s, d), jaccardPairs(s, d)))
+      Dedup.dupClustersFromPairs(docs(s, d), jaccardPairs(s, d))),
+    // the bucketed near-dup path under a FULL oracle: FIXED data-row
+    // centroids (vec_id % 63 == 11) make the cell assignment and the
+    // same-cell cosine pairs exactly SQL-reproducible — same engine
+    // code path as dedup_embed_bucketed, which stays rows-only because
+    // its centroids come from seeded k-means
+    "dedup_embed_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val vecs = Tables.load(s, d, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = vecs.filter(col("vec_id") % 63 === 11)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      Dedup.embeddingNearPairsBucketed(vecs, centroids, threshold = 0.3)
+    })
   )
 
   /** Shingle SQL fragment shared by the jaccard oracles: distinct
@@ -143,6 +157,42 @@ object DedupQueries {
         |)
         |SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
         |ORDER BY cos DESC, id_a, id_b LIMIT 20""".stripMargin,
+    // fixed-centroid bucketed near-dup: argmin cell assignment (ties
+    // to lowest cid), pairs only within a cell, cosine >= 0.3 on the
+    // UNROUNDED value (rounding applies to the output column only)
+    "dedup_embed_fixed" -> {
+      val sq =
+        "sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)) * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))"
+      val cosz =
+        """sum(CAST(z.a AS DOUBLE) * CAST(z.b AS DOUBLE)) /
+          | (sqrt(sum(CAST(z.a AS DOUBLE) * CAST(z.a AS DOUBLE))) *
+          |  sqrt(sum(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))))""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM v WHERE vec_id % 63 = 11
+         |), ad AS (
+         |  SELECT v.vec_id, v.embedding, c.cid,
+         |    (SELECT $sq
+         |     FROM (SELECT unnest(v.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM v CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    (SELECT $cosz
+         |     FROM (SELECT unnest(a.embedding) AS a, unnest(b.embedding) AS b) z) AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine
+         |FROM pairs WHERE cos >= 0.3""".stripMargin
+    },
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       s"""WITH sig AS ($simhashSql)
