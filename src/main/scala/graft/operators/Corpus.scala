@@ -57,27 +57,34 @@ object Corpus {
     *
     * Scale design (100 TB): ONE scan of the corpus computes tokens,
     * both scores, and the content hash; the quality/language gates
-    * filter BEFORE any shuffle, so the only shuffled state is the
-    * survivors' (text_hash, doc_id) pairs through a map-side-combined
-    * min aggregate and the keeper semi-join. Compare: running the
-    * qualityScore / languageId / exact-dedup operators separately
-    * scans the corpus three times and joins full score tables — this
-    * fused form is why the column-level helpers exist. */
+    * filter BEFORE any shuffle; and keep-one-per-content is a single
+    * map-side-combined `min_by` aggregate carrying the keeper's row —
+    * NOT a groupBy + join back to the scored table, which would
+    * evaluate (and scan) the whole funnel twice. The only shuffled
+    * state is the survivors' (text_hash, keeper-row) pairs. Compare:
+    * running the qualityScore / languageId / exact-dedup operators
+    * separately scans the corpus three times and joins full score
+    * tables — this fused form is why the column-level helpers exist.
+    * Pinned in PlanPropertiesSpec: exactly one FileScan, gates below
+    * the exchange. */
   def curate(docs: DataFrame, minQuality: Double, langs: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val (nTokens, quality) = TextAnalysis.qualityCols(col("toks"))
     val (langPred, _) = TextAnalysis.langIdCols(col("toks"))
-    val scored = docs
+    docs
       .select(col(idCol).as("doc_id"), md5(col(textCol)).as("text_hash"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("text_hash"), nTokens.as("n_tokens"),
         quality.as("quality"), langPred.as("lang_pred"))
       .filter(col("quality") >= minQuality &&
         col("lang_pred").isin(langs: _*))
-    val keepers = scored.groupBy(col("text_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    scored.join(keepers, Seq("text_hash", "doc_id"))
-      .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
-        col("quality"))
+      .groupBy(col("text_hash"))
+      .agg(min_by(
+        struct(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("quality")), col("doc_id")).as("kr"))
+      .select(col("kr.doc_id").as("doc_id"),
+        col("kr.lang_pred").as("lang_pred"),
+        col("kr.n_tokens").as("n_tokens"),
+        col("kr.quality").as("quality"))
   }
 }

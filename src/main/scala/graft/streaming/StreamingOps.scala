@@ -111,6 +111,46 @@ object StreamingOps {
       }
   }
 
+  case class CuratedDoc(doc_id: Long, lang_pred: String, n_tokens: Long,
+      quality: Double)
+
+  /** Streaming CURATION: the batch `Corpus.curate` funnel over a
+    * document stream. The quality and language gates are STATELESS —
+    * the identical fused column expressions run inside each
+    * micro-batch, filtering before any state — so the only stateful
+    * stage is keep-one-per-content: one boolean per distinct content
+    * hash, exactly as `streamingExactDedup`. Within a micro-batch the
+    * minimum doc_id wins (matching the batch keeper rule); across
+    * batches the earliest arrival wins — at a continuously-ingesting
+    * 100 TB pipeline, arrival order IS the dedup policy. Append mode:
+    * emitted keepers are final. */
+  def streamingCurate(docs: DataFrame, minQuality: Double,
+      langs: Seq[String]): Dataset[CuratedDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val (nTokens, quality) = graft.operators.TextAnalysis.qualityCols(col("toks"))
+    val (langPred, _) = graft.operators.TextAnalysis.langIdCols(col("toks"))
+    val scored = docs
+      .select(col("doc_id").cast("long"), md5(col("text")).as("h"),
+        graft.operators.TextAnalysis.whitespaceTokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("h"), nTokens.as("n_tokens"),
+        quality.as("quality"), langPred.as("lang_pred"))
+      .filter(col("quality") >= minQuality && col("lang_pred").isin(langs: _*))
+    scored.as[(Long, String, Long, Double, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, CuratedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val r = rows.minBy(_._1)
+            Iterator.single(CuratedDoc(r._1, r._5, r._3, r._4))
+          }
+      }
+  }
+
   /** Streaming index refresh: each micro-batch of new vectors is
     * assigned against the frozen centroids and appended into the
     * persisted clustered index — queries served from the index see new

@@ -118,6 +118,22 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"portable simhash must not use the imperative aggregate path:\n$plan")
   }
 
+  test("curate: ONE corpus scan; gates filter before the dedup shuffle") {
+    val plan = physical(graft.operators.Corpus.curate(
+      Tables.load(spark, sf, "documents"), minQuality = 0.45,
+      langs = Seq("en")))
+    // the fused funnel must not rescan documents per stage (the
+    // composed-operators formulation scans it three times)
+    assert(count(plan, "documents.parquet") == 1,
+      s"curate scans the corpus more than once:\n$plan")
+    // quality/lang filter sits below the exchange: the Filter keeps
+    // the quality predicate and some exchange appears above it
+    val filterIdx = plan.indexOf("Filter")
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(filterIdx >= 0 && exchangeIdx >= 0 && exchangeIdx < filterIdx,
+      s"gates must filter before the dedup shuffle:\n$plan")
+  }
+
   test("column pruning: id-only projection does not read the vectors") {
     val plan = physical(
       Tables.load(spark, sf, "embeddings").select($"vec_id"))

@@ -79,6 +79,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curate equals the batch curation funnel") {
+    val docStream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sf)
+    val q = StreamingOps.streamingCurate(docStream,
+        minQuality = 0.45, langs = Seq("en"))
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+        .select($"doc_id", $"lang_pred", $"n_tokens", $"quality").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      // batch twin: the whole table arrives in one micro-batch, so the
+      // within-batch min-id keeper rule makes the two ends identical
+      val batch = graft.operators.Corpus.curate(
+          Tables.load(spark, sf, "documents"),
+          minQuality = 0.45, langs = Seq("en"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup emits one keeper per distinct text") {
     val docStream = spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING")
