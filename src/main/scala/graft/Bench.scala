@@ -101,19 +101,27 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
-    // The consumer keeps only a bounded tail of stdout, so the line must
-    // stay well under 2000 chars: 3-decimal seconds (1 ms resolution, an
-    // order of magnitude below this host's run-to-run noise), short sf
-    // basename, and errors capped at 3 entries x 80 chars.
-    def fmt(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
-      s"\"" + k + "\":\"" + esc(e.take(80)) + "\"" }.take(3)
-    val errField = if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}""")
+    // The consumer keeps only the last ~2000 chars of stdout (plus the
+    // build tool's trailing success line), so the JSON line must stay
+    // comfortably under that: 2-decimal seconds (10 ms resolution —
+    // two orders below this host's run-to-run noise), short sf
+    // basename, errors capped at 1 entry x 60 chars, and a hard
+    // fallback to 1-decimal if the pack ever grows the line past
+    // 1880 chars.
+    def build(dec: Int): String = {
+      def fmt(v: Double): String = s"%.${dec}f".format(v)
+      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val errs = results.collect { case (k, _, Some(e)) =>
+        s"\"" + k + "\":\"" + esc(e.take(60)) + "\"" }.take(1)
+      val errField =
+        if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
+      val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+      val sfName = new java.io.File(sfDir).getName
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
+    }
+    val line = { val l2 = build(2); if (l2.length <= 1880) l2 else build(1) }
+    println(line)
     spark.stop()
   }
 }
