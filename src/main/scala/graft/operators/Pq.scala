@@ -211,4 +211,114 @@ object Pq {
       GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
       col("neighbor_id"), col("qid"))
   }
+
+  /** Persist the FULL IVF-PQ index: coarse cell assignment + PQ codes,
+    * clustered `partitionBy(cid)` — one parquet partition directory
+    * per cell, rows are (id, codes) only. This is the production
+    * 100-TB layout: a fp32 corpus stored as ~3% codes, AND probe-time
+    * cell selection becomes parquet PARTITION PRUNING (the unprobed
+    * ~1−nprobe/C of the files are never opened). Assignment and
+    * encoding are both narrow expressions — building the index never
+    * shuffles the corpus; the only cost is the clustered write. */
+  def writeIvfPqIndex(data: DataFrame, centroids: DataFrame, cb: Codebook,
+      path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val codeCols = (0 until cb.m).map { s =>
+      GraftFunctions.nearestCentroid(
+        slice(col(vecCol), s * cb.dsub + 1, cb.dsub), cb.codebooks(s))
+    }
+    AnnIvf.index(data, centroids, idCol, vecCol)
+      .select(col(idCol), array(codeCols: _*).as("codes"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  /** ADC search over the persisted clustered code table: per query,
+    * probe the `nprobe` nearest coarse cells; the probed-cell filter
+    * is a partition-column predicate (planning-time pruning); within
+    * the scanned partitions each row is scored via the per-query LUT
+    * ONLY against the queries that probed its cell. Equivalent to
+    * `searchAdc` restricted to each query's probed cells — at
+    * nprobe == C it is bit-identical to full ADC (pinned in PqSpec).
+    *
+    * Scale shape: queries/probe-map/codebook broadcast; the code scan
+    * is narrow (no data-side shuffle); the only shuffle is the q×k
+    * partial-heap merge, exactly as `Knn.exact`. */
+  def searchPersistedAdc(spark: SparkSession, path: String,
+      centroids: DataFrame, cb: Codebook, queries: DataFrame, k: Int,
+      nprobe: Int, idCol: String = "vec_id",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val qIndex = qRows.iterator.map(_._1).zipWithIndex.toMap
+    // (cell -> probing query positions), computed with the same
+    // NearestCells expression the float IVF probes use
+    val probePairs = AnnIvf
+      .probeRanks(centroids, queries, nprobe, qidCol, qvecCol)
+      .select(col(qidCol).cast("long"), col("cid")).as[(Long, Int)]
+      .collect()
+    val cellToQ: Map[Int, Array[Int]] = probePairs.groupBy(_._2)
+      .map { case (c, arr) => c -> arr.map(p => qIndex(p._1)).sorted }
+    val probedCells = cellToQ.keys.toSeq.sorted
+    val bcQ = spark.sparkContext.broadcast(qRows)
+    val bcCb = spark.sparkContext.broadcast(cb)
+    val bcCellToQ = spark.sparkContext.broadcast(cellToQ)
+    val partials = spark.read.parquet(path)
+      .filter(col("cid").isin(probedCells: _*))
+      .select(col(idCol).cast("long"), col("codes"), col("cid"))
+      .as[(Long, Array[Int], Int)]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val book = bcCb.value
+        val toQ = bcCellToQ.value
+        val m = book.m; val dsub = book.dsub
+        val ksub = book.codebooks(0).length
+        // per-query LUTs built lazily: a partition only pays for the
+        // queries that probe cells it actually holds
+        val luts = new Array[Array[Double]](qs.length)
+        def lut(qi: Int): Array[Double] = {
+          if (luts(qi) == null) {
+            val q = qs(qi)._2
+            val t = new Array[Double](m * ksub)
+            var s = 0
+            while (s < m) {
+              var c = 0
+              while (c < ksub) {
+                val cen = book.codebooks(s)(c)
+                var acc = 0.0; var j = 0
+                while (j < dsub) {
+                  val d = q(s * dsub + j).toDouble - cen(j).toDouble
+                  acc += d * d; j += 1
+                }
+                t(s * ksub + c) = acc
+                c += 1
+              }
+              s += 1
+            }
+            luts(qi) = t
+          }
+          luts(qi)
+        }
+        val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
+        it.foreach { case (id, cs, cid) =>
+          toQ.get(cid).foreach { qis =>
+            var i = 0
+            while (i < qis.length) {
+              val qi = qis(i)
+              val t = lut(qi)
+              var acc = 0.0; var s = 0
+              while (s < m) { acc += t(s * ksub + cs(s)); s += 1 }
+              heaps(qi).insert(acc, id)
+              i += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (d, id) => (qs(i)._1, id, d) }
+        }
+      }
+      .toDF("qid", "_nnid", "_dist")
+    Knn.topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
+  }
 }

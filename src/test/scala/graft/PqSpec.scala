@@ -57,6 +57,33 @@ class PqSpec extends AnyFunSuite {
       s"refined recall $refined (pure $pure)")
   }
 
+  test("persisted IVF-PQ: pruned ADC equals full ADC at nprobe=C") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val centroids = graft.operators.AnnIvf.train(data, numCentroids = 8,
+      iterations = 2)
+    Pq.writeIvfPqIndex(data, centroids, cb, s"$tmp/idx")
+    // nprobe == C probes every cell: bit-identical to in-memory ADC
+    val persisted = Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids,
+        cb, queries, k = 10, nprobe = 8)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = Pq.searchAdc(Pq.encode(data, cb), cb, queries, k = 10)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(persisted == full && persisted.nonEmpty)
+    // nprobe < C: probed-cell predicate lands in PartitionFilters
+    // (pruned at planning, before any file is opened) and recall
+    // still clears the pure-ADC floor
+    val pruned = Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids,
+      cb, queries, k = 10, nprobe = 4)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.contains("PartitionFilters: [in(cid"), s"no pruning:\n$plan")
+    val rec = Recall.ofRanked(pruned, Knn.exact(data, queries, k = 10))
+      .select($"recall").head().getDouble(0)
+    assert(rec >= 0.1, s"pruned IVF-PQ recall $rec")
+  }
+
   test("compression accounting: 8 codes vs 64 floats per vector") {
     // the stored representation is m ints (1 byte each at ksub<=256)
     // against d floats: 32x at fp32, documented in the scaladoc
