@@ -106,6 +106,17 @@ object GraftFunctions {
   }
   def vecSum(a: Column): Column = call_function("graft_vecsum", a)
   def repetition(text: Column): Column = call_function("graft_repetition", text)
+
+  /** Bloom-filter membership probe. The filter object cannot be a SQL
+    * literal, so the expression is registered (capturing the filter)
+    * and resolved immediately — re-registration on the next call is
+    * fine because resolution happens at analysis time. */
+  def bloomMightContain(spark: SparkSession, text: Column,
+      bf: org.apache.spark.util.sketch.BloomFilter): Column = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains", es => BloomMightContain(es(0), bf), "built-in")
+    call_function("graft_bloom_contains", text)
+  }
   def fp16Encode(a: Column): Column = call_function("graft_fp16_encode", a)
   def fp16Decode(a: Column): Column = call_function("graft_fp16_decode", a)
 

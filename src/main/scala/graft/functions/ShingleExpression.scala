@@ -68,6 +68,36 @@ case class NGramShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Membership probe against a pre-built Bloom filter — a codegen'd
+  * boolean expression (no black-box UDF). `putString` and
+  * `mightContainBinary` agree on UTF-8 bytes, so probing with the
+  * UTF8String's bytes matches filters built from the string column by
+  * `DataFrameStatFunctions.bloomFilter`. The filter rides the task
+  * binary via the expression's reference object — at 10 bits/element
+  * a 10^9-element filter is ~1.2 GB; past broadcast comfort, fall
+  * back to the exact join the caller verifies with anyway. */
+case class BloomMightContain(child: Expression,
+    bf: org.apache.spark.util.sketch.BloomFilter) extends UnaryExpression {
+  override def prettyName: String = "graft_bloom_contains"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.simpleString}")
+  }
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    bf.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainBinary($c.getBytes())")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Gopher-family repetition signals of a space-separated text in ONE
   * pass: struct(n_tokens, top_unigram_frac, top_bigram_frac,
   * dup_trigram_frac). Semantics are bit-identical to the declarative

@@ -530,4 +530,35 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).cast("long")
           .as("contaminated"))
   }
+
+  /** `decontaminate` with a BLOOM-FILTER prefilter on the train side —
+    * the shape for when even the distinct test-shingle table is heavy
+    * to probe per row: a Bloom filter is ~10 bits/element (vs ~50+
+    * bytes/entry in a broadcast hash table), so the codegen'd
+    * `BloomMightContain` probe drops the overwhelmingly-clean train
+    * shingle stream BEFORE the join; only the surviving candidates
+    * (true hits + the fpp false positives) reach the exact join that
+    * eliminates false positives. Output is IDENTICAL to
+    * `decontaminate` for any fpp (pinned in CorpusSpec) — the filter
+    * only prunes, never decides. */
+  def decontaminateBloom(docs: DataFrame, isTest: Column, n: Int,
+      fpp: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val sh = docs.select(col(idCol).as("doc_id"), isTest.as("is_test"),
+      explode(shinglesOf(col(textCol), n)).as("s"))
+    val testSh = sh.filter(col("is_test")).select("s").distinct().cache()
+    val nTest = testSh.count() // also materializes the cache
+    val bf = testSh.stat.bloomFilter("s", math.max(nTest, 1L), fpp)
+    val hits = sh.filter(!col("is_test"))
+      .filter(GraftFunctions.bloomMightContain(spark, col("s"), bf))
+      .join(broadcast(testSh), Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    docs.filter(!isTest).select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).cast("long")
+          .as("contaminated"))
+  }
 }

@@ -109,6 +109,19 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.getLong(1) == direct.getLong(1))
   }
 
+  test("bloom-prefiltered decontamination equals the exact path") {
+    val isTest = $"doc_id" % 20 === 0
+    val exact = Dedup.decontaminate(docs, isTest, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // even at a sloppy 10% fpp the exact verify join makes the result
+    // identical — the filter prunes, never decides
+    val bloomed = Dedup.decontaminateBloom(docs, isTest, n = 5, fpp = 0.1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bloomed == exact && exact.nonEmpty)
+    assert(exact.exists(_._3 == 1L), "fixture should contain leakage")
+  }
+
   test("curate fuses the gates and equals the composed operators") {
     val minQ = 0.45
     val got = Corpus.curate(docs, minQuality = minQ, langs = Seq("en"))
