@@ -108,6 +108,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(err < 0.1, s"round-trip mae $err")
   }
 
+  test("approx quantizer bounds track the exact ones within grid slack") {
+    val exact = Quantize.train(embeddings).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Quantize.trainApprox(embeddings).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // bounds position the int8 grid; the sketch may move each bound a
+    // few ranks, so allow a small fraction of the exact span per dim
+    exact.foreach { case (d, (lo, hi)) =>
+      val (alo, ahi) = approx(d)
+      val slack = 0.05 * (hi - lo)
+      assert(math.abs(alo - lo) <= slack && math.abs(ahi - hi) <= slack,
+        s"dim $d: approx ($alo,$ahi) vs exact ($lo,$hi)")
+    }
+  }
+
   test("synthetic embedder: deterministic, partition-independent, in range") {
     val a = Ingest.pipeline(docs, 20, 400).select($"doc_id", $"embedding")
     val b = Ingest.pipeline(docs.repartition(7), 20, 400)
