@@ -382,7 +382,12 @@ object CorpusQueries {
     // the full curation funnel in one fused scan: quality >= 0.45,
     // predicted-English only, keep-one-per-exact-content
     "corpus_curate" -> ((s, d) =>
-      Corpus.curate(docs(s, d), minQuality = 0.45, langs = Seq("en")))
+      Corpus.curate(docs(s, d), minQuality = 0.45, langs = Seq("en"))),
+    // sequence packing: 1024-token training windows over the id-ordered
+    // token stream (distributed two-pass prefix sum; the oracle runs
+    // the single-window twin)
+    "corpus_pack" -> ((s, d) =>
+      Corpus.packSequences(docs(s, d), maxTokens = 1024L))
   )
 
   private val curateMarkersSql = TextAnalysis.langMarkers.map {
@@ -420,6 +425,19 @@ object CorpusQueries {
          |SELECT k.doc_id, k.lang_pred, k.n_tokens, k.quality
          |FROM kept k JOIN keepers USING (text_hash, doc_id)""".stripMargin
     },
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n, coalesce(sum(n) OVER (
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS ex
+        |  FROM t
+        |)
+        |SELECT doc_id, n AS n_tokens, ex // 1024 AS seq_id,
+        |  ex % 1024 AS seq_offset
+        |FROM c""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

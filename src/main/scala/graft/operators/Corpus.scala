@@ -47,6 +47,51 @@ object Corpus {
       round(avg(col("n_chars")), 6).as("avg_chars"),
       max(col("n_chars")).as("max_chars"))
 
+  /** SEQUENCE PACKING for pre-training batches: concatenate the corpus
+    * in doc_id order into fixed token-budget windows and report, per
+    * document, which training sequence it lands in and at what token
+    * offset (contiguous packing — a document may straddle a window
+    * boundary, exactly like the token stream fed to an LLM trainer).
+    * Returns (doc_id, n_tokens, seq_id, seq_offset) where
+    * seq_id = exclusive-prefix-tokens / maxTokens and seq_offset =
+    * exclusive-prefix-tokens % maxTokens.
+    *
+    * Scale design (100 TB): the global token prefix sum does NOT use
+    * a single-task window. Range-partition by id (distributed sort),
+    * then the classic two-pass distributed scan: pass 1 reduces each
+    * partition to ONE total (P longs to the driver), pass 2 adds the
+    * broadcast exclusive partition offsets to a local running sum —
+    * O(n/P) per task, no stage ever sees the whole corpus. The
+    * window-function twin (sum OVER (ORDER BY id)) is what the SQL
+    * oracle runs and what CorpusSpec pins equality against. */
+  def packSequences(docs: DataFrame, maxTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxTokens > 0)
+    val sorted = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .as[(Long, Long)]
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { case (pid, it) =>
+        var ex = bcOff.value(pid)
+        it.map { case (id, n) =>
+          val start = ex
+          ex += n
+          (id, n, start / maxTokens, start % maxTokens)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
+  }
+
   /** End-to-end CURATION pipeline, fused: quality score + language ID
     * + exact-content dedup in one pass, the canonical pre-training
     * data funnel (score → gate → keep-one-per-content). Returns the

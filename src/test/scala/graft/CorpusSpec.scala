@@ -109,6 +109,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.getLong(1) == direct.getLong(1))
   }
 
+  test("sequence packing: distributed scan equals the window twin") {
+    import org.apache.spark.sql.expressions.Window
+    val got = Corpus.packSequences(docs.repartition(7), maxTokens = 1024L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // single-task window twin (test reference only — the scale cliff
+    // the operator exists to avoid)
+    val w = Window.orderBy($"doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val twin = docs
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .withColumn("ex", coalesce(sum($"n").over(w), lit(0L)))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2) / 1024L, r.getLong(2) % 1024L))
+      .toMap
+    assert(got == twin && got.nonEmpty)
+    // packing invariants: seq ids are a prefix of the naturals and
+    // every offset respects the budget
+    val seqIds = got.values.map(_._2).toSet
+    assert(seqIds == (0L until (seqIds.max + 1)).toSet)
+    assert(got.values.forall(_._3 < 1024L))
+  }
+
   test("bloom-prefiltered decontamination equals the exact path") {
     val isTest = $"doc_id" % 20 === 0
     val exact = Dedup.decontaminate(docs, isTest, n = 5).collect()
