@@ -35,6 +35,18 @@ class GridSpec extends AnyFunSuite {
     }
   }
 
+  test("nsw sweep degrades to error rows when the quantizer cannot train") {
+    val data = SparkEntry.dataDf(spark, sf)
+    val queries = SparkEntry.queriesDf(spark, sf)
+    // an impossible filter starves AnnIvf.train — every combo of the
+    // sweep must come back as an error row, never an exception (P9)
+    val res = GridSearch.runNsw(spark, data, queries, "none",
+      lit(false), totalBase = 1)
+    val rows = res.select($"algo", $"error").collect()
+    assert(rows.length == GridSearch.defaultNswGrid.size)
+    assert(rows.forall(r => r.getString(0) == "nsw" && !r.isNullAt(1)))
+  }
+
   test("recall deterministic and monotone in nprobe per npartitions") {
     val byPart = results.select($"npartitions", $"nprobe", $"recall")
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
