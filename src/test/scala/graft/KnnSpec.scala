@@ -45,6 +45,41 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("query-batch independence across exact, IVF, and NSW paths " +
+      "(tests.py analog)") {
+    // the reference's whole test suite asserts this property: a
+    // query's results must not depend on WHICH OTHER queries share
+    // its batch (tests.py:7,140,228,308 — brute-force/CAGRA/HNSW
+    // batch-consistency). Spark analog: searching the query set in
+    // two arbitrary halves and unioning equals one combined search.
+    val filtered = data.filter(SparkEntry.filterLow)
+    val qA = queries.filter($"qid" % 2 === 0)
+    val qB = queries.filter($"qid" % 2 =!= 0)
+    // exact
+    val exAll = asTuples(Knn.exact(filtered, queries, 10))
+    val exSplit = asTuples(Knn.exact(filtered, qA, 10)) ++
+      asTuples(Knn.exact(filtered, qB, 10))
+    assert(exAll == exSplit)
+    // IVF (shared centroids/index — only the query batch varies)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(filtered, centroids).cache()
+    val ivfAll = asTuples(AnnIvf.search(indexed, centroids, queries, 10, 4))
+    val ivfSplit = asTuples(AnnIvf.search(indexed, centroids, qA, 10, 4)) ++
+      asTuples(AnnIvf.search(indexed, centroids, qB, 10, 4))
+    assert(ivfAll == ivfSplit)
+    // NSW under IVF (shared graphs — beam search is per-query)
+    val graphs = graft.operators.NswGraph.buildIndex(indexed, m = 8,
+      efConstruction = 16).cache()
+    def nsw(q: DataFrame) = graft.operators.NswGraph
+      .searchIndex(graphs, centroids, q, 10, nprobe = 4, efSearch = 32)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nswAll = nsw(queries)
+    val nswSplit = nsw(qA) ++ nsw(qB)
+    assert(nswAll == nswSplit)
+    indexed.unpersist(); graphs.unpersist()
+  }
+
   test("partitioning invariance: repartition(1|4|16) identical") {
     val filtered = data.filter(SparkEntry.filterLow)
     val results = Seq(1, 4, 16).map { n =>
