@@ -109,7 +109,13 @@ object Bench {
     // fallback to 1-decimal if the pack ever grows the line past
     // 1880 chars.
     def build(dec: Int): String = {
-      def fmt(v: Double): String = s"%.${dec}f".format(v)
+      // trim trailing zeros ("0.30"->"0.3", "2.00"->"2") — same
+      // resolution, shorter line; JSON numbers stay valid
+      def fmt(v: Double): String = {
+        val s = s"%.${dec}f".format(v)
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+        else s
+      }
       val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
       val errs = results.collect { case (k, _, Some(e)) =>
@@ -120,7 +126,8 @@ object Bench {
       val sfName = new java.io.File(sfDir).getName
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
     }
-    val line = { val l2 = build(2); if (l2.length <= 1880) l2 else build(1) }
+    val line = Iterator(2, 1, 0).map(build)
+      .find(_.length <= 1880).getOrElse(build(0))
     println(line)
     spark.stop()
   }

@@ -258,7 +258,13 @@ object TextQueries {
           transform(col("sketch"), _.cast("string")))).as("sketch_hash"))),
     // Gopher-rules repetition family: top-unigram / top-bigram /
     // duplicated-trigram occupancy per doc
-    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d)))
+    "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
+    // TF-IDF salient terms (integer-ratio idf = N/df, so the score
+    // doubles are engine-exact); tf side pre-pruned to the probe docs,
+    // df from one corpus-wide hash aggregate
+    "text_tfidf" -> ((s, d) =>
+      TextAnalysis.tfIdfTopTerms(docs(s, d), topK = 5,
+        docFilter = col("doc_id") % 25 === 0))
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -355,7 +361,30 @@ object TextQueries {
         |    THEN CAST(maxc AS DOUBLE) / tot END), 0), 6) AS top_bigram_frac,
         |  round(coalesce(max(CASE WHEN k = 3
         |    THEN CAST(dup AS DOUBLE) / tot END), 0), 6) AS dup_trigram_frac
-        |FROM perk GROUP BY doc_id""".stripMargin
+        |FROM perk GROUP BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents WHERE doc_id % 25 = 0)
+        |  GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM (
+        |    SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      (CAST((SELECT count(*) FROM documents) AS DOUBLE)
+        |        / CAST(dfreq.df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (term)
+        |)
+        |SELECT doc_id, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank,
+        |  term, tf, df, round(score, 6) AS score
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin
   )
 }
 
@@ -387,7 +416,14 @@ object CorpusQueries {
     // token stream (distributed two-pass prefix sum; the oracle runs
     // the single-window twin)
     "corpus_pack" -> ((s, d) =>
-      Corpus.packSequences(docs(s, d), maxTokens = 1024L))
+      Corpus.packSequences(docs(s, d), maxTokens = 1024L)),
+    // weighted training-mix: 200-doc budget split 50/20/15/10/5 across
+    // languages, portable md5-rank picks, bounded-heap per stratum
+    "corpus_mix" -> ((s, d) =>
+      Corpus.weightedMix(docs(s, d),
+        Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.15, "fr" -> 0.1,
+          "es" -> 0.05),
+        budget = 200L))
   )
 
   private val curateMarkersSql = TextAnalysis.langMarkers.map {
@@ -449,6 +485,18 @@ object CorpusQueries {
         |    PARTITION BY lang
         |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rk
         |  FROM documents) WHERE rk <= 10""".stripMargin,
+    "corpus_mix" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS rk
+        |  FROM documents
+        |  WHERE lang IN ('en', 'de', 'zh', 'fr', 'es')
+        |)
+        |SELECT lang, CAST(rk AS BIGINT) AS pick_rank, doc_id
+        |FROM r
+        |WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
+        |  WHEN 'zh' THEN 30 WHEN 'fr' THEN 20 WHEN 'es' THEN 10 END""".stripMargin,
     "decontaminate_ngram" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Sessions
+
 /** Relational operator pack over the TPC-H-ish testdata — exercises the
   * SURVEY §2 inventory that is expressible on these tables: predicate
   * pushdown (P1-P6), equi/semi/anti/broadcast joins (J5/J6), hash aggs
@@ -189,6 +191,12 @@ object RelationalQueries {
           col("n"), col("sum_value"))
     }),
 
+    // Gap-based sessionization of the event stream (6h gap): one
+    // shuffle by user, lag + running-count windows under the same
+    // sort, DECIMAL value totals so the rollup is engine-exact
+    "q17_sessionize" -> ((s, d) =>
+      Sessions.sessionSummary(t(s, d)("events"), gapSec = 21600L)),
+
     // F6: JSON field extraction from the props column
     "q16_json_extract" -> ((s, d) => {
       t(s, d)("events")
@@ -295,6 +303,28 @@ object RelationalQueries {
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q17_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+        |), l AS (
+        |  SELECT *, lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR ts_us - prev > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_sec,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q16_json_extract" ->
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

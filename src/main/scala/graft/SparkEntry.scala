@@ -170,6 +170,17 @@ object VectorQueries {
           col("probe_text"), col("neighbor_text"),
           round(col("dist"), 6).as("dist"))
     }),
+    // Coarse-to-fine truncated-dim search (Matryoshka pattern): coarse
+    // shortlist on the first 32 of 64 dims, exact re-rank of the 100
+    // candidates at full width. Both passes deterministic -> full
+    // oracle, even though the result is approximate w.r.t. knn_exact.
+    "knn_truncate_refine" -> ((spark: SparkSession, dir: String) => {
+      GraftFunctions.register(spark)
+      Knn.truncateRefine(dataDf(spark, dir).filter(filterLow),
+          queriesDf(spark, dir), K, coarseDims = 32, nCandidates = 100)
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
     // P7/A9/F9: deterministic exact-count sample — seed-per-id hash
     // ranking, partition-count independent (the engine's replacement
     // for the reference's rand-shuffle bitset fill,
@@ -232,6 +243,38 @@ object VectorQueries {
     "knn_cosine" -> knnOracle("label <> 3", cosine, desc = true),
     "knn_dot" -> knnOracle("label <> 3", dot, desc = true),
     "knn_hamming" -> knnOracle("label <> 3", hammingSign),
+    "knn_truncate_refine" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), cd AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe[1:32]) AS a,
+         |           unnest(d.embedding[1:32]) AS b) z) AS cdst
+         |  FROM q CROSS JOIN d
+         |), cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cdst, vec_id) AS crk FROM cd)
+         |  WHERE crk <= 100
+         |), fd AS (
+         |  SELECT c.qid, c.vec_id,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z) AS dst
+         |  FROM cand c
+         |  JOIN q ON q.qid = c.qid
+         |  JOIN d ON d.vec_id = c.vec_id
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id ASC) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, round(dst, 6) AS dist
+         |FROM fd
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "knn_recall_self" ->
       """WITH q AS (SELECT count(*) AS nq FROM embeddings WHERE vec_id % 50 = 0)
         |SELECT nq AS n_queries, 1.0 AS recall FROM q""".stripMargin,

@@ -18,13 +18,16 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS), which the Spark parquet
-    // reader rejects by default; read nanos as long and convert (µs
-    // truncation — harmless: all consumers truncate to >= second).
+    // reader rejects by default; read nanos as long and convert. The
+    // ns -> µs step MUST be integer division: `/` on longs is double
+    // division, and ~1.7e18 ns exceeds a double's 53-bit exact range,
+    // so it lands up to ~256 ns off and can flip the µs (observed as
+    // an off-by-one against the DuckDB oracle).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") {
-      import org.apache.spark.sql.functions.{col, timestamp_micros}
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else df
   }
 

@@ -37,6 +37,44 @@ object Corpus {
       .select(col(groupCol), explode(col("picks.id")).as(idCol))
   }
 
+  /** WEIGHTED TRAINING-MIX sampling: draw a deterministic sample whose
+    * per-stratum sizes follow a target weight vector (the "data
+    * mixture" step of a pre-training pipeline — e.g. 50% en, 20% de…
+    * out of a fixed document budget). Quota per stratum =
+    * floor(budget × weight), capped by stratum size; rows are picked
+    * by the same portable 52-bit md5 rank as `stratifiedSample`, so
+    * the pick set is reproducible in any engine.
+    *
+    * Scale design (100 TB): identical to `stratifiedSample` — a
+    * bounded-heap top-k aggregate per stratum (k = max quota) keeps
+    * candidates map-side, so shuffle volume is strata × maxQuota rows
+    * regardless of corpus size; the variable per-stratum quota is then
+    * applied as a broadcast-joined filter on the (tiny) exploded pick
+    * list. NO per-stratum window sort anywhere.
+    * Output: (groupCol, pick_rank, id) with pick_rank 1-based. */
+  def weightedMix(docs: DataFrame, weights: Map[String, Double],
+      budget: Long, groupCol: String = "lang",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = weights.map { case (g, wt) => (g, (budget * wt).toLong) }
+    val kMax = quotas.values.max.toInt
+    require(kMax > 0, "budget x max weight must reach at least one row")
+    val quotaDf = broadcast(quotas.toSeq.toDF(groupCol, "_quota"))
+    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    docs.filter(col(groupCol).isin(weights.keys.toSeq: _*))
+      .select(col(groupCol), col(idCol).as("id"), rank.as("rk"))
+      .groupBy(col(groupCol))
+      .agg(GraftFunctions.topK(kMax, col("rk"), col("id")).as("picks"))
+      .select(col(groupCol), posexplode(col("picks.id")).as(Seq("pos", "id")))
+      .join(quotaDf, groupCol)
+      .filter(col("pos") < col("_quota"))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("pick_rank"),
+        col("id").as(idCol))
+  }
+
   /** Corpus composition per (lang, source): doc count, whitespace
     * token total, char statistics. One map-side-combined hash
     * aggregate — linear, no joins. */

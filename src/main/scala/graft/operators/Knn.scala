@@ -220,6 +220,52 @@ object Knn {
     acc
   }
 
+  /** COARSE-TO-FINE search over truncated dimensions (the
+    * Matryoshka-representation pattern: leading dims carry most of the
+    * signal, so a cheap scan over the first `coarseDims` components
+    * shortlists candidates and only the shortlist pays full-width
+    * distance math). The reference stores full-width fp16 rows and
+    * scans them all (utils_grid_search.py:890-951); at 100 TB the
+    * truncated column is the difference between scanning 100 TB and
+    * scanning 25 TB per query batch.
+    *
+    * Physical shape: pass 1 = `exact` over `slice(vec, 1, coarseDims)`
+    * (broadcast queries + bounded heaps, one q x nCandidates shuffle);
+    * pass 2 joins the (small) candidate list back into the data scan
+    * BY BROADCAST — the full-width side is never shuffled, only
+    * candidate rows survive the scan — then re-ranks with the exact
+    * metric. Both passes are deterministic ((dist, id) tie-break), so
+    * the whole operator is SQL-oracle-reproducible even though it is
+    * "approximate" with respect to the unrestricted exact answer.
+    */
+  def truncateRefine(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      coarseDims: Int,
+      nCandidates: Int,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qidCol: String = "qid",
+      qvecCol: String = "q_embedding"): DataFrame = {
+    require(nCandidates >= k,
+      s"nCandidates ($nCandidates) must be >= k ($k)")
+    val coarse = exact(
+      data.select(col(idCol), slice(col(vecCol), 1, coarseDims).as(vecCol)),
+      queries.select(col(qidCol),
+        slice(col(qvecCol), 1, coarseDims).as(qvecCol)),
+      nCandidates, metric, idCol, vecCol, qidCol, qvecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val gathered = data
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_v"))
+      .join(broadcast(coarse), "neighbor_id")
+      .join(broadcast(queries.select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).as("_q"))), "qid")
+    topKFrom(gathered, k, distance(metric, col("_v"), col("_q")),
+      col("neighbor_id"), col("qid"))
+  }
+
   /** Cost-based physical selection — the engine-side analog of the
     * reference's brute-force-vs-CAGRA duality (SURVEY §4 strategy 3):
     * below `exactThresholdBytes` of (post-filter) scan, brute force is

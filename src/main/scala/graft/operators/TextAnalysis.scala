@@ -140,6 +140,51 @@ object TextAnalysis {
         round(col("rs.top_bigram_frac"), 6).as("top_bigram_frac"),
         round(col("rs.dup_trigram_frac"), 6).as("dup_trigram_frac"))
 
+  /** TF-IDF top terms per document — the standard relevance weighting
+    * for corpus analysis (salient-term extraction, topic auditing of a
+    * training mix). The idf factor is the PLAIN RATIO N/df, not
+    * log(N/df): tf * (N/df) is three correctly-rounded IEEE double
+    * operations on integers, identical in every engine, whereas `ln`
+    * is libm-dependent and can flap a rank on a near-tie. Ranking uses
+    * (score desc, term asc) so ties are deterministic.
+    *
+    * Scale design (100 TB): document frequencies come from ONE hash
+    * aggregate over the full corpus (map-side combined); the per-doc
+    * term counts are computed only for `docFilter` survivors, so the
+    * expensive explode side is pre-pruned; the tf-df equi-join
+    * shuffles by term (both sides already aggregated — rows, not
+    * occurrences). The per-doc top-k window partitions by doc_id,
+    * whose group size is bounded by document length, not corpus size.
+    */
+  def tfIdfTopTerms(docs: DataFrame, topK: Int,
+      docFilter: Column = lit(true),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.count()
+    val terms = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        docFilter.as("_keep"))
+    val tf = terms.filter(col("_keep"))
+      .select(col("doc_id"),
+        explode(whitespaceTokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = terms
+      .select(explode(array_distinct(whitespaceTokens(col("text"))))
+        .as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf").cast("double") * (lit(nDocs.toDouble) / col("df").cast("double")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), round(col("score"), 6).as("score"))
+  }
+
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,
       hashFn: Column => Column): DataFrame = {
