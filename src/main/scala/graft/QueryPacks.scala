@@ -264,7 +264,11 @@ object TextQueries {
     // df from one corpus-wide hash aggregate
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(docs(s, d), topK = 5,
-        docFilter = col("doc_id") % 25 === 0))
+        docFilter = col("doc_id") % 25 === 0)),
+    // corpus-wide vocabulary heavy hitters: top-50 tokens by
+    // occurrence (vocab/tokenizer construction, stopword discovery);
+    // two map-side-combined aggregates + TakeOrderedAndProject
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabTopK(docs(s, d), k = 50))
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -384,7 +388,24 @@ object TextQueries {
         |    PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank,
         |  term, tf, df, round(score, 6) AS score
         |FROM scored
-        |QUALIFY rank <= 5""".stripMargin
+        |QUALIFY rank <= 5""".stripMargin,
+    "text_vocab" ->
+      """WITH td AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), pd AS (
+        |  SELECT term, doc_id, count(*) AS c FROM td GROUP BY 1, 2
+        |), t AS (
+        |  SELECT term, CAST(sum(c) AS BIGINT) AS n_occ,
+        |    count(*) AS n_docs
+        |  FROM pd GROUP BY 1
+        |)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY n_occ DESC, term) AS BIGINT) AS rank,
+        |  term, n_occ, n_docs
+        |FROM t
+        |QUALIFY rank <= 50
+        |ORDER BY rank""".stripMargin
   )
 }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Sessions
+import graft.operators.{AsOf, Sessions}
 
 /** Relational operator pack over the TPC-H-ish testdata — exercises the
   * SURVEY §2 inventory that is expressible on these tables: predicate
@@ -197,6 +197,26 @@ object RelationalQueries {
     "q17_sessionize" -> ((s, d) =>
       Sessions.sessionSummary(t(s, d)("events"), gapSec = 21600L)),
 
+    // As-of join: each purchase matched to the user's most recent
+    // prior-or-equal view (union-and-carry lowering — one shuffle,
+    // one sort, no range join); integer-microsecond time base
+    "q18_asof_join" -> ((s, d) => {
+      val e = t(s, d)("events")
+        .withColumn("ts_us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as("view_event_id"),
+          col("ts_us").as("view_ts_us"))
+      AsOf.join(purchases, views, "user_id", "ts_us",
+          payload = Seq("view_event_id", "view_ts_us"),
+          leftKeep = Seq("event_id"), rightTieCol = "view_event_id")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof_view_event_id").as("view_event_id"),
+          col("asof_view_ts_us").as("view_ts_us"),
+          (col("ts_us") - col("asof_view_ts_us")).as("gap_us"))
+    }),
+
     // F6: JSON field extraction from the props column
     "q16_json_extract" -> ((s, d) => {
       t(s, d)("events")
@@ -303,6 +323,33 @@ object RelationalQueries {
         |  event_type, count(*) AS n,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q18_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS side, event_id,
+        |    NULL::BIGINT AS rtie,
+        |    NULL::BIGINT AS p_view_event_id, NULL::BIGINT AS p_view_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, epoch_us(ts), 0, NULL::BIGINT, event_id,
+        |    event_id, epoch_us(ts)
+        |  FROM events WHERE event_type = 'view'
+        |), u AS (
+        |  SELECT * FROM l UNION ALL SELECT * FROM r
+        |), c AS (
+        |  SELECT *,
+        |    last_value(p_view_event_id IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, side, rtie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS view_event_id,
+        |    last_value(p_view_ts_us IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, side, rtie
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS view_ts_us
+        |  FROM u
+        |)
+        |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
+        |  ts_us - view_ts_us AS gap_us
+        |FROM c WHERE side = 1""".stripMargin,
     "q17_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events

@@ -185,6 +185,35 @@ object TextAnalysis {
         col("df"), round(col("score"), 6).as("score"))
   }
 
+  /** Corpus-wide VOCABULARY heavy hitters: the k most frequent tokens
+    * with occurrence and document counts (the first step of vocab /
+    * tokenizer construction and of stopword discovery over a training
+    * corpus).
+    *
+    * Scale design (100 TB): occurrences reduce through TWO map-side-
+    * combined hash aggregates — (term, doc) partial counts, then per-
+    * term totals (sum + count covers both statistics in one pass, no
+    * count-distinct shuffle) — and the global top-k is orderBy+limit,
+    * which Catalyst plans as TakeOrderedAndProject (per-partition
+    * bounded heaps, k rows to the driver, never a global sort). The
+    * final rank window runs over k rows only. */
+  def vocabTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(col(idCol).as("doc_id"),
+        explode(whitespaceTokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("term"))
+      .agg(sum(col("c")).as("n_occ"), count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occ").desc, col("term"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("term"))).cast("long"))
+      .select(col("rank"), col("term"), col("n_occ"), col("n_docs"))
+  }
+
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,
       hashFn: Column => Column): DataFrame = {

@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Corpus, Sessions, TextAnalysis}
+import graft.operators.{AsOf, Corpus, Sessions, TextAnalysis}
 
 /** Gap-based sessionization, TF-IDF ranking, and weighted-mix
   * sampling — hand-computable fixtures plus partitioning invariance. */
@@ -75,6 +75,51 @@ class SessionsSpec extends AnyFunSuite {
     val got = TextAnalysis.tfIdfTopTerms(docs, topK = 2)
       .orderBy($"rank").collect().map(_.getString(2))
     assert(got.toSeq == Seq("aa", "bb"))
+  }
+
+  test("asof join carries the latest right row at or before each left ts") {
+    // key 1: rights at t=10 (id 100), t=20 (ids 200, 201 — tie, max id
+    // wins), t=40; lefts at t=5 (no match), t=20 (inclusive -> 201),
+    // t=30 (carry 201), t=50 (-> 400)
+    val left = Seq((1L, 5L, 90L), (1L, 20L, 91L), (1L, 30L, 92L),
+      (1L, 50L, 93L), (2L, 10L, 94L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, 100L), (1L, 20L, 200L), (1L, 20L, 201L),
+      (1L, 40L, 400L))
+      .toDF("k", "t", "rid")
+    val got = AsOf.join(left, right, "k", "t",
+        payload = Seq("rid"), leftKeep = Seq("lid"), rightTieCol = "rid")
+      .collect() // columns: (k, t, lid, asof_rid)
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+      .toMap
+    assert(got == Map(90L -> None, 91L -> Some(201L), 92L -> Some(201L),
+      93L -> Some(400L), 94L -> None))
+  }
+
+  test("asof join is partition-count independent") {
+    val e = Tables.load(spark, sf, "events")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val l = e.filter($"event_type" === "purchase")
+    val r = e.filter($"event_type" === "view")
+      .select($"user_id", $"ts_us", $"event_id".as("vid"))
+    def run(lp: org.apache.spark.sql.DataFrame) =
+      AsOf.join(lp, r, "user_id", "ts_us",
+        payload = Seq("vid"), leftKeep = Seq("event_id"),
+        rightTieCol = "vid").collect().toSet
+    assert(run(l.repartition(1)) == run(l.repartition(7)))
+  }
+
+  test("vocabTopK ranks by occurrence count with doc counts") {
+    val docs = Seq(
+      (1L, "a a b"),
+      (2L, "a c b"),
+      (3L, "c")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTopK(docs, k = 2)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // a: 3 occurrences in 2 docs; b and c tie at 2 -> 'b' by term asc
+    assert(got.toSeq == Seq((1L, "a", 3L, 2L), (2L, "b", 2L, 2L)))
   }
 
   test("weightedMix honors quotas and picks the stratified-rank prefix") {
