@@ -36,7 +36,9 @@ object StreamingOps {
       .schema(eventsRawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div: `/` on longs is double division and 1.7e18 ns
+      // exceeds 2^53 (same off-by-one-µs hazard fixed in Tables.load)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Watermarked tumbling-window counts per event type. */
@@ -148,6 +150,56 @@ object StreamingOps {
             val r = rows.minBy(_._1)
             Iterator.single(CuratedDoc(r._1, r._5, r._3, r._4))
           }
+      }
+  }
+
+  case class OpenSession(sessionIdx: Long, startUs: Long, lastUs: Long,
+      n: Long)
+  case class ClosedSession(user_id: Long, session_idx: Long,
+      n_events: Long, start_us: Long, end_us: Long)
+
+  /** STREAMING SESSIONIZATION — the streaming twin of
+    * `Sessions.sessionize`: per-user gap-based sessions maintained in
+    * keyed state, each COMPLETED session emitted exactly once (append
+    * mode) when a later event opens the next session. State per user
+    * is one open-session summary (4 longs) — bounded by the user
+    * population, not the stream length. Events are sorted by
+    * (ts_us, event_id) inside each micro-batch group, so any
+    * within-batch arrival order yields the same sessions; across
+    * batches, events are assumed gap-ordered per user (a production
+    * deployment would add a watermark + EventTimeTimeout to close
+    * idle sessions; here the final open session stays in state, which
+    * is what the batch-twin spec asserts against). */
+  def streamingSessionize(events: DataFrame,
+      gapSec: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val gapUs = gapSec * 1000000L
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          var open = state.getOption.orNull
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { case (_, _, ts) =>
+            open =
+              if (open == null)
+                OpenSession(1L, ts, ts, 1L)
+              else if (ts - open.lastUs > gapUs) {
+                closed += ClosedSession(uid, open.sessionIdx, open.n,
+                  open.startUs, open.lastUs)
+                OpenSession(open.sessionIdx + 1, ts, ts, 1L)
+              } else
+                OpenSession(open.sessionIdx, open.startUs, ts, open.n + 1L)
+          }
+          if (open != null) state.update(open)
+          closed.result().iterator
       }
   }
 

@@ -130,6 +130,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming sessionize: state carries across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ms = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = StreamingOps.streamingSessionize(
+        ms.toDF.toDF("user_id", "event_id", "ts"), gapSec = 600L)
+      .writeStream.format("memory").queryName("msess")
+      .outputMode("append").start()
+    try {
+      // batch 1: session 1 opens (events at 0s, 100s)
+      ms.addData((1L, 10L, ts(0L)), (1L, 11L, ts(100L)))
+      q.processAllAvailable()
+      assert(spark.table("msess").count() == 0, "session still open")
+      // batch 2: a 49900s gap closes session 1 and opens session 2
+      ms.addData((1L, 12L, ts(50000L)))
+      q.processAllAvailable()
+      val got = spark.table("msess").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(got.toSeq == Seq((1L, 1L, 2L, 0L, 100000000L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionize equals batch sessions minus open tails") {
+    import org.apache.spark.sql.expressions.Window
+    val stream = StreamingOps.readEventStream(spark, sf)
+    val q = StreamingOps.streamingSessionize(stream, gapSec = 21600L)
+      .writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ssess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // each user's LAST session is still open in the stream state
+      val w = Window.partitionBy($"user_id")
+      val closedBatch = graft.operators.Sessions.sessionSummary(
+          Tables.load(spark, sf, "events"), 21600L)
+        .withColumn("_max", max($"session_idx").over(w))
+        .filter($"session_idx" < $"_max")
+        .select($"user_id", $"session_idx", $"n_events", $"start_us",
+          $"end_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(streamed == closedBatch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches streamed rows") {
     val stream = StreamingOps.readEventStream(spark, sf)
       .select($"event_id", $"user_id", $"event_type")
