@@ -444,7 +444,33 @@ object CorpusQueries {
       Corpus.weightedMix(docs(s, d),
         Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.15, "fr" -> 0.1,
           "es" -> 0.05),
-        budget = 200L))
+        budget = 200L)),
+    // fixed token-window chunking (40-token chunks every 32 tokens —
+    // 8-token overlap); chunk text pinned by md5 (hashable cell)
+    "corpus_chunks" -> ((s, d) =>
+      Corpus.chunkDocs(docs(s, d), chunkTokens = 40, stride = 32)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+          col("n_chunk_tokens"), md5(col("chunk_text")).as("chunk_md5"))),
+    // END-TO-END retrieval pipeline: chunk -> portable-embed (16-dim
+    // md5 embedder) -> exact chunk-level search, probe docs vs the
+    // rest. Every stage deterministic, so the WHOLE pipeline is one
+    // full DuckDB oracle — the engine's fused analog of the
+    // reference's embed->index->search loop.
+    "pipeline_rag" -> ((s, d) => {
+      val chunks = Corpus.chunkDocs(docs(s, d), chunkTokens = 40,
+          stride = 32)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("doc_id"),
+          Ingest.syntheticEmbeddingPortable(col("chunk_text"), dim = 16)
+            .as("emb"))
+      val probes = chunks.filter(col("doc_id") % 100 === 0)
+        .select(col("cid").as("qid"), col("emb").as("q_embedding"))
+      val dataSide = chunks.filter(col("doc_id") % 100 =!= 0)
+        .select(col("cid").as("vec_id"), col("emb").as("embedding"))
+      Knn.exact(dataSide, probes, 5)
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    })
   )
 
   private val curateMarkersSql = TextAnalysis.langMarkers.map {
@@ -518,6 +544,52 @@ object CorpusQueries {
         |FROM r
         |WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
         |  WHEN 'zh' THEN 30 WHEN 'fr' THEN 20 WHEN 'es' THEN 10 END""".stripMargin,
+    "corpus_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), c AS (
+        |  SELECT doc_id, i // 32 AS chunk_idx, i AS chunk_start,
+        |    list_slice(l, i + 1, least(i + 40, len(l))) AS ctoks
+        |  FROM t, UNNEST(range(0, greatest(len(l), 1), 32)) u(i)
+        |  WHERE i < len(l)
+        |)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_start AS BIGINT) AS chunk_start,
+        |  CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        |FROM c""".stripMargin,
+    "pipeline_rag" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), c AS (
+        |  SELECT doc_id, doc_id * 1000 + i // 32 AS cid,
+        |    array_to_string(
+        |      list_slice(l, i + 1, least(i + 40, len(l))), ' ') AS ctext
+        |  FROM t, UNNEST(range(0, greatest(len(l), 1), 32)) u(i)
+        |  WHERE i < len(l)
+        |), emb AS (
+        |  SELECT cid, doc_id, list_transform(range(0, 16), j ->
+        |      CAST(CAST(concat('0x',
+        |        substr(md5(ctext || ':' || CAST(j AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2000001 / 1000000.0 - 1.0 AS REAL)) AS e
+        |  FROM c
+        |), q AS (
+        |  SELECT cid AS qid, e AS qe FROM emb WHERE doc_id % 100 = 0
+        |), d AS (
+        |  SELECT cid, e FROM emb WHERE doc_id % 100 <> 0
+        |), dist AS (
+        |  SELECT q.qid, d.cid,
+        |    (SELECT sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE))
+        |        * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))
+        |     FROM (SELECT unnest(q.qe) AS a, unnest(d.e) AS b) z) AS dst
+        |  FROM q CROSS JOIN d
+        |)
+        |SELECT qid, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY dst, cid ASC) AS BIGINT) AS rank,
+        |  cid AS neighbor_id, round(dst, 6) AS dist
+        |FROM dist
+        |QUALIFY rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
     "decontaminate_ngram" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

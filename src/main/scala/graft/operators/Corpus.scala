@@ -75,6 +75,37 @@ object Corpus {
         col("id").as(idCol))
   }
 
+  /** DOCUMENT CHUNKING for embedding pipelines: split each document
+    * into fixed token windows (`chunkTokens` wide, every `stride`
+    * tokens — stride < chunkTokens gives overlapping chunks), the
+    * unit of work for embedding generation / RAG indexing over long
+    * documents. Output one row per chunk: (doc_id, chunk_idx,
+    * chunk_start, n_chunk_tokens, chunk_text); the final chunk may be
+    * shorter.
+    *
+    * Scale design (100 TB): expression-only — tokenize once, generate
+    * window starts with `sequence`, `posexplode`, slice per window.
+    * Zero shuffle, stays inside whole-stage codegen, and the 1→N
+    * explosion is bounded by document length. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && stride > 0)
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .filter(col("start") < size(col("toks"))) // n=0 -> no chunks
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("chunk_start"),
+        slice(col("toks"), col("start") + 1, lit(chunkTokens)).as("ctoks"))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_start"),
+        size(col("ctoks")).cast("long").as("n_chunk_tokens"),
+        array_join(col("ctoks"), " ").as("chunk_text"))
+  }
+
   /** Corpus composition per (lang, source): doc count, whitespace
     * token total, char statistics. One map-side-combined hash
     * aggregate — linear, no joins. */

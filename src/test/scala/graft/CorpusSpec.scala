@@ -13,6 +13,37 @@ class CorpusSpec extends AnyFunSuite {
   private val sf = TestSpark.sf
   private def docs = Tables.load(spark, sf, "documents")
 
+  test("chunkDocs: overlap, final short chunk, tiny doc") {
+    val d = Seq(
+      (1L, (1 to 75).map(i => s"t$i").mkString(" ")), // 75 tokens
+      (2L, "a b c")                                   // 3 tokens
+    ).toDF("doc_id", "text")
+    val got = Corpus.chunkDocs(d, chunkTokens = 40, stride = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toList.sortBy(t => (t._1, t._2))
+    // doc 1: starts 0, 32, 64 -> widths 40, 40, 11; doc 2: one chunk
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == List(
+      (1L, 0L, 0L, 40L), (1L, 1L, 32L, 40L), (1L, 2L, 64L, 11L),
+      (2L, 0L, 0L, 3L)))
+    // overlap: chunk 1 of doc 1 starts at token 33 ("t33")
+    assert(got(1)._5.startsWith("t33 "))
+    assert(got(3)._5 == "a b c")
+  }
+
+  test("chunkDocs windows reassemble the document at stride == chunk") {
+    val docsDf = docs.limit(50)
+    // collect (chunk_idx, text) structs, sort by idx, re-join — order
+    // inside collect_list is not shuffle-stable, so sort explicitly
+    val joined = Corpus.chunkDocs(docsDf, 32, 32)
+      .groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"chunk_idx", $"chunk_text"))),
+        _.getField("chunk_text")), " ").as("re"))
+      .join(docsDf.select($"doc_id", $"text"), "doc_id")
+    assert(joined.count() == 50)
+    assert(joined.filter($"re" =!= $"text").count() == 0)
+  }
+
   test("connectedComponents labels a chain and an isolate correctly") {
     // 1-2-3 chain, 4-5 pair, 6 isolated: components {1,2,3} {4,5} {6}
     val nodes = (1L to 6L).toDF("id")
