@@ -217,6 +217,21 @@ object RelationalQueries {
           (col("ts_us") - col("asof_view_ts_us")).as("gap_us"))
     }),
 
+    // Deterministic salted join (manual skew mitigation): events'
+    // user keys spread over 8 salt buckets against the replicated
+    // customer dim — row-identical to the plain join, which is
+    // exactly what the oracle checks
+    "q19_salted_join" -> ((s, d) => {
+      val users = t(s, d)("customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(t(s, d)("events"), users,
+          key = "user_id", identityCol = "event_id", factor = 8)
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(dec2)), 2).cast("double")
+            .as("sum_value"))
+    }),
+
     // F6: JSON field extraction from the props column
     "q16_json_extract" -> ((s, d) => {
       t(s, d)("events")
@@ -350,6 +365,12 @@ object RelationalQueries {
         |SELECT event_id, user_id, ts_us, view_event_id, view_ts_us,
         |  ts_us - view_ts_us AS gap_us
         |FROM c WHERE side = 1""".stripMargin,
+    "q19_salted_join" ->
+      """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+        |  CAST(round(sum(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "q17_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
