@@ -457,15 +457,18 @@ object CorpusQueries {
     // full DuckDB oracle — the engine's fused analog of the
     // reference's embed->index->search loop.
     "pipeline_rag" -> ((s, d) => {
+      // embed BELOW the split filters: each side hashes only its own
+      // chunks (the embedder is the expensive stage — 16 md5/chunk)
       val chunks = Corpus.chunkDocs(docs(s, d), chunkTokens = 40,
           stride = 32)
         .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
-          col("doc_id"),
-          Ingest.syntheticEmbeddingPortable(col("chunk_text"), dim = 16)
-            .as("emb"))
-      val probes = chunks.filter(col("doc_id") % 100 === 0)
+          col("doc_id"), col("chunk_text"))
+      def embed(df: DataFrame): DataFrame = df.select(col("cid"),
+        Ingest.syntheticEmbeddingPortable(col("chunk_text"), dim = 16)
+          .as("emb"))
+      val probes = embed(chunks.filter(col("doc_id") % 100 === 0))
         .select(col("cid").as("qid"), col("emb").as("q_embedding"))
-      val dataSide = chunks.filter(col("doc_id") % 100 =!= 0)
+      val dataSide = embed(chunks.filter(col("doc_id") % 100 =!= 0))
         .select(col("cid").as("vec_id"), col("emb").as("embedding"))
       Knn.exact(dataSide, probes, 5)
         .select(col("qid"), col("rank"), col("neighbor_id"),
