@@ -187,10 +187,7 @@ object Dedup {
     val sig = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .cache()
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
-        .as(Seq("band", "band_hash")))
+    val banded = bandHashes(sig, numHashes, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -208,6 +205,39 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** LSH band hashes of a signature table (`doc_id`, `sig`): one
+    * (doc_id, band, band_hash) row per band — the banding shared by
+    * the batch candidate join and the streaming bucket state. */
+  def bandHashes(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
+        .as(Seq("band", "band_hash")))
+  }
+
+  /** The PRE-VERIFICATION LSH candidate pair set (distinct doc pairs
+    * sharing at least one band) — exposed for the streaming twin's
+    * equality spec. */
+  def lshCandidatePairs(docs: DataFrame, shingleN: Int,
+      numHashes: Int = 128, bands: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = docs.select(col(idCol).as("doc_id"),
+        shinglesOf(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .cache()
+    val banded = bandHashes(sig, numHashes, bands)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** SimHash 64-bit fingerprints (native expression, §2.10). */

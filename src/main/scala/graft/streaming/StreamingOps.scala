@@ -153,6 +153,60 @@ object StreamingOps {
       }
   }
 
+  case class NearDupCandidate(doc_a: Long, doc_b: Long)
+
+  /** STREAMING MinHash-LSH near-dup detection — the streaming twin of
+    * `Dedup.minhashLsh`'s candidate stage: each incoming document is
+    * shingled, minhashed, and banded with the SAME expressions as the
+    * batch path; the stream is keyed by (band, band_hash) and each
+    * bucket's state holds the doc ids already seen there. A new doc
+    * landing in a non-empty bucket emits one candidate pair per prior
+    * occupant (append mode — pairs are final). The pair set over a
+    * drained stream equals the batch banding's candidate set exactly
+    * (pinned in StreamingSpec); a pair surfacing in several bands is
+    * emitted once per band, so downstream consumers dedupe — the
+    * batch path's `.distinct()` — and verify exact Jaccard against
+    * the stored corpus before acting.
+    *
+    * State: doc ids per occupied bucket — duplicates cluster, so
+    * bucket occupancy (and per-event emission) stays small on real
+    * corpora; a production deployment ages buckets out with a
+    * timeout. */
+  def streamingNearDupCandidates(docs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 128, bands: Int = 64): Dataset[NearDupCandidate] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        graft.operators.Dedup.shinglesOf(col("text"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        graft.operators.Dedup.minhashSignature(col("sh"), numHashes)
+          .as("sig"))
+    graft.operators.Dedup.bandHashes(sig, numHashes, bands)
+      .as[(Long, Int, Long)]
+      .groupByKey(x => (x._2, x._3))
+      .flatMapGroupsWithState[List[Long], NearDupCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var occupants = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[NearDupCandidate]
+          // deterministic within-batch order: smaller ids enter first
+          rows.map(_._1).toSeq.distinct.sorted.foreach { d =>
+            if (!occupants.contains(d)) {
+              occupants.foreach { p =>
+                out += NearDupCandidate(math.min(p, d), math.max(p, d))
+              }
+              occupants = d :: occupants
+            }
+          }
+          state.update(occupants)
+          out.result().iterator
+      }
+  }
+
   case class OpenSession(sessionIdx: Long, startUs: Long, lastUs: Long,
       n: Long)
   case class ClosedSession(user_id: Long, session_idx: Long,

@@ -180,6 +180,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming minhash candidates equal the batch banding") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpus = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (first, second) = corpus.splitAt(corpus.size / 2)
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingNearDupCandidates(
+        ms.toDF.toDF("doc_id", "text"), shingleN = 3)
+      .writeStream.format("memory").queryName("mnear")
+      .outputMode("append").start()
+    try {
+      ms.addData(first); q.processAllAvailable()
+      ms.addData(second); q.processAllAvailable()
+      val streamed = spark.table("mnear").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.lshCandidatePairs(
+          Tables.load(spark, sf, "documents"), shingleN = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches streamed rows") {
     val stream = StreamingOps.readEventStream(spark, sf)
       .select($"event_id", $"user_id", $"event_type")
