@@ -134,6 +134,35 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"gates must filter before the dedup shuffle:\n$plan")
   }
 
+  test("asof join: one exchange + one sort, no range join") {
+    val e = Tables.load(spark, sf, "events")
+      .withColumn("ts_us", unix_micros($"ts"))
+    val plan = physical(graft.operators.AsOf.join(
+      e.filter($"event_type" === "purchase"),
+      e.filter($"event_type" === "view")
+        .select($"user_id", $"ts_us", $"event_id".as("vid")),
+      "user_id", "ts_us", payload = Seq("vid"),
+      leftKeep = Seq("event_id"), rightTieCol = "vid"))
+    assert(count(plan, "Exchange") == 1,
+      s"asof must shuffle exactly once (by key):\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("sessionize: lag + running count share one exchange and sort") {
+    val plan = physical(graft.operators.Sessions.sessionize(
+      Tables.load(spark, sf, "events"), 21600L))
+    assert(count(plan, "Exchange") == 1, plan)
+    assert(count(plan, "Sort") == 1,
+      s"both windows must reuse the same sort:\n$plan")
+  }
+
+  test("chunkDocs: expression-only, zero shuffles") {
+    val plan = physical(graft.operators.Corpus.chunkDocs(
+      Tables.load(spark, sf, "documents"), 40, 32))
+    assert(count(plan, "Exchange") == 0, plan)
+  }
+
   test("column pruning: id-only projection does not read the vectors") {
     val plan = physical(
       Tables.load(spark, sf, "embeddings").select($"vec_id"))
