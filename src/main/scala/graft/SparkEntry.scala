@@ -181,6 +181,18 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))
     }),
+    // Contrastive negative sampling (embedding-training data prep):
+    // 5 different-label negatives per query from a 60-row hash-ranked
+    // pool — two-stage (global pool -> broadcast -> per-query rank),
+    // fully deterministic -> full oracle
+    "knn_negatives" -> ((spark: SparkSession, dir: String) => {
+      val items = dataDf(spark, dir)
+      val qs = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("q_label"))
+      graft.operators.Corpus.contrastiveNegatives(items, qs,
+        m = 5, poolSize = 60)
+    }),
     // P7/A9/F9: deterministic exact-count sample — seed-per-id hash
     // ranking, partition-count independent (the engine's replacement
     // for the reference's rand-shuffle bitset fill,
@@ -329,6 +341,27 @@ object VectorQueries {
     "sample_exact" ->
       """SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
         |ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':7')), vec_id
-        |LIMIT 25""".stripMargin
+        |LIMIT 25""".stripMargin,
+    "knn_negatives" ->
+      """WITH pool AS (
+        |  SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl
+        |  FROM embeddings WHERE vec_id % 50 <> 0
+        |  ORDER BY md5(CAST(vec_id AS VARCHAR) || ':pool'), vec_id
+        |  LIMIT 60
+        |), q AS (
+        |  SELECT vec_id AS qid, CAST(label AS BIGINT) AS q_label
+        |  FROM embeddings WHERE vec_id % 50 = 0
+        |), x AS (
+        |  SELECT q.qid, pool.id, pool.lbl,
+        |    substr(md5(CAST(q.qid AS VARCHAR) || ':'
+        |      || CAST(pool.id AS VARCHAR)), 1, 13) AS rkhex
+        |  FROM q CROSS JOIN pool
+        |  WHERE pool.lbl <> q.q_label
+        |)
+        |SELECT qid, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY rkhex, id) AS BIGINT) AS neg_rank,
+        |  id AS neg_id, lbl AS neg_label
+        |FROM x
+        |QUALIFY neg_rank <= 5""".stripMargin
   )
 }

@@ -75,6 +75,47 @@ object Corpus {
         col("id").as(idCol))
   }
 
+  /** CONTRASTIVE NEGATIVE SAMPLING for embedding-training data prep:
+    * for each query row, `m` deterministic negatives drawn from a
+    * fixed candidate pool, excluding candidates that share the query's
+    * label (the "different class" negative policy). Ranking is the
+    * portable 52-bit md5(qid:id) hash, so every query gets its own
+    * pseudo-random negative order and a SQL oracle reproduces the
+    * exact pick set.
+    *
+    * Scale design (100 TB): per-query ranking over the FULL corpus
+    * would be q × n — instead the classic two-stage: (1) a global
+    * `poolSize` candidate pool via hash-ranked TakeOrderedAndProject
+    * (per-partition heaps, poolSize rows to the driver), (2) the
+    * small pool broadcasts and each query ranks only pool rows. The
+    * per-query window group is bounded by poolSize, never by corpus
+    * size. Output: (qid, neg_rank, neg_id, neg_label). */
+  def contrastiveNegatives(items: DataFrame, queries: DataFrame,
+      m: Int, poolSize: Int,
+      idCol: String = "vec_id", labelCol: String = "label",
+      qidCol: String = "qid", qlabelCol: String = "q_label"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && poolSize >= m)
+    val pool = items
+      .select(col(idCol).cast("long").as("id"),
+        col(labelCol).cast("long").as("lbl"))
+      .orderBy(md5(concat(col("id").cast("string"), lit(":pool"))),
+        col("id"))
+      .limit(poolSize)
+    val rank = conv(substring(md5(concat(col(qidCol).cast("string"),
+      lit(":"), col("id").cast("string"))), 1, 13), 16, 10).cast("double")
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("rk"), col("id"))
+    queries.select(col(qidCol).cast("long").as(qidCol),
+        col(qlabelCol).cast("long").as(qlabelCol))
+      .crossJoin(broadcast(pool))
+      .filter(col("lbl") =!= col(qlabelCol))
+      .select(col(qidCol), col("id"), col("lbl"), rank.as("rk"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= m)
+      .select(col(qidCol), col("neg_rank"), col("id").as("neg_id"),
+        col("lbl").as("neg_label"))
+  }
+
   /** DOCUMENT CHUNKING for embedding pipelines: split each document
     * into fixed token windows (`chunkTokens` wide, every `stride`
     * tokens — stride < chunkTokens gives overlapping chunks), the

@@ -44,6 +44,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(joined.filter($"re" =!= $"text").count() == 0)
   }
 
+  test("contrastiveNegatives: label exclusion, exact count, determinism") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val items = emb.filter($"vec_id" % 50 =!= 0)
+    val qs = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"label".as("q_label"))
+    val negs = Corpus.contrastiveNegatives(items, qs, m = 5, poolSize = 60)
+      .cache()
+    val labels = qs.collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val rows = negs.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) != labels(r.getLong(0)),
+        "negative shares the query's label")
+    }
+    // every query with >= 5 different-label pool rows gets exactly 5
+    val perQ = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ <= 5))
+    assert(perQ.values.count(_ == 5) > perQ.size / 2,
+      "most queries should fill their negative quota")
+    // deterministic under repartitioning
+    val again = Corpus.contrastiveNegatives(
+      items.repartition(7), qs, m = 5, poolSize = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("connectedComponents labels a chain and an isolate correctly") {
     // 1-2-3 chain, 4-5 pair, 6 isolated: components {1,2,3} {4,5} {6}
     val nodes = (1L to 6L).toDF("id")
