@@ -101,13 +101,15 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
-    // The consumer keeps only the last ~2000 chars of stdout (plus the
-    // build tool's trailing success line), so the JSON line must stay
-    // comfortably under that: 2-decimal seconds (10 ms resolution —
-    // two orders below this host's run-to-run noise), short sf
-    // basename, errors capped at 1 entry x 60 chars, and a hard
-    // fallback to 1-decimal if the pack ever grows the line past
-    // 1880 chars.
+    // The consumer keeps EXACTLY the last 2000 chars of stdout
+    // (measured: every recorded tail is 2000 chars), and the build
+    // tool's trailing success line ("[success] Total time: ...",
+    // ~74 chars + newlines) eats from that window. The JSON line must
+    // therefore stay <= ~1915 chars to survive intact: 2-decimal
+    // seconds preferred (10 ms resolution — two orders below this
+    // host's run-to-run noise), trailing zeros trimmed, errors capped
+    // at 1 entry x 60 chars, with 1-decimal and integer fallbacks if
+    // the pack outgrows the budget.
     def build(dec: Int): String = {
       // trim trailing zeros ("0.30"->"0.3", "2.00"->"2") — same
       // resolution, shorter line; JSON numbers stay valid
@@ -127,7 +129,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
     }
     val line = Iterator(2, 1, 0).map(build)
-      .find(_.length <= 1880).getOrElse(build(0))
+      .find(_.length <= 1910).getOrElse(build(0))
     println(line)
     spark.stop()
   }
