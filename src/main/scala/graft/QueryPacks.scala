@@ -459,9 +459,11 @@ object CorpusQueries {
     "pipeline_rag" -> ((s, d) => {
       // embed BELOW the split filters: each side hashes only its own
       // chunks (the embedder is the expensive stage — 16 md5/chunk)
+      // 1e6 multiplier: chunk ids stay collision-free up to ~32M
+      // tokens per doc (1000 would collide at 32k tokens)
       val chunks = Corpus.chunkDocs(docs(s, d), chunkTokens = 40,
           stride = 32)
-        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("cid"),
           col("doc_id"), col("chunk_text"))
       def embed(df: DataFrame): DataFrame = df.select(col("cid"),
         Ingest.syntheticEmbeddingPortable(col("chunk_text"), dim = 16)
@@ -565,7 +567,7 @@ object CorpusQueries {
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
         |), c AS (
-        |  SELECT doc_id, doc_id * 1000 + i // 32 AS cid,
+        |  SELECT doc_id, doc_id * 1000000 + i // 32 AS cid,
         |    array_to_string(
         |      list_slice(l, i + 1, least(i + 40, len(l))), ' ') AS ctext
         |  FROM t, UNNEST(range(0, greatest(len(l), 1), 32)) u(i)

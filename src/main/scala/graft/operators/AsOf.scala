@@ -40,20 +40,23 @@ object AsOf {
     require(payload.nonEmpty, "payload columns required")
     val lt = left.select((Seq(col(keyCol), col(tsCol).as("_ts"),
       lit(1).as("_side")) ++ leftKeep.map(col)): _*)
+    // the payload travels as ONE struct (built on the right side only,
+    // null on left rows after the union): carrying each column with
+    // its own last(ignoreNulls) would blend fields from different
+    // right rows whenever a payload value is genuinely null
     val rt = right.select((Seq(col(keyCol), col(tsCol).as("_ts"),
-      lit(0).as("_side"), col(rightTieCol).as("_rtie")) ++
-      payload.map(c => col(c).as(s"asof_$c"))): _*)
+      lit(0).as("_side"), col(rightTieCol).as("_rtie"),
+      struct(payload.map(col): _*).as("_payload"))): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_ts"), col("_side"), col("_rtie"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried: Seq[Column] =
-      payload.map(c => last(col(s"asof_$c"), ignoreNulls = true)
-        .over(w).as(s"asof_$c"))
     lt.unionByName(rt, allowMissingColumns = true)
       .select((Seq(col(keyCol), col("_ts"), col("_side")) ++
-        leftKeep.map(col) ++ carried): _*)
+        leftKeep.map(col) :+
+        last(col("_payload"), ignoreNulls = true).over(w).as("_carried")): _*)
       .filter(col("_side") === 1)
       .select((Seq(col(keyCol), col("_ts").as(tsCol)) ++
-        leftKeep.map(col) ++ payload.map(c => col(s"asof_$c"))): _*)
+        leftKeep.map(col) ++
+        payload.map(c => col(s"_carried.$c").as(s"asof_$c"))): _*)
   }
 }

@@ -58,7 +58,13 @@ object Corpus {
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0))
     val spark = docs.sparkSession
     import spark.implicits._
-    val quotas = weights.map { case (g, wt) => (g, (budget * wt).toLong) }
+    // floor of the EXACT product: (budget * wt).toLong truncates the
+    // double product, which undercounts when the exact product is an
+    // integer but the double lands just below it (10 x 0.7 = 6.999…)
+    val quotas = weights.map { case (g, wt) =>
+      (g, (BigDecimal(budget) * BigDecimal(wt))
+        .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+    }
     val kMax = quotas.values.max.toInt
     require(kMax > 0, "budget x max weight must reach at least one row")
     val quotaDf = broadcast(quotas.toSeq.toDF(groupCol, "_quota"))

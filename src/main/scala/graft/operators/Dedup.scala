@@ -187,14 +187,7 @@ object Dedup {
     val sig = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .cache()
-    val banded = bandHashes(sig, numHashes, bands)
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val candidates = candidatesOf(bandHashes(sig, numHashes, bands))
     // verify candidates against exact shingle-set Jaccard
     val shSets = withSh.select(col("doc_id"), col("sh"))
     candidates
@@ -219,18 +212,10 @@ object Dedup {
         .as(Seq("band", "band_hash")))
   }
 
-  /** The PRE-VERIFICATION LSH candidate pair set (distinct doc pairs
-    * sharing at least one band) — exposed for the streaming twin's
-    * equality spec. */
-  def lshCandidatePairs(docs: DataFrame, shingleN: Int,
-      numHashes: Int = 128, bands: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sig = docs.select(col(idCol).as("doc_id"),
-        shinglesOf(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .cache()
-    val banded = bandHashes(sig, numHashes, bands)
+  /** Distinct (doc_a < doc_b) pairs sharing at least one band — the
+    * single definition of the LSH candidate condition, used by the
+    * verified batch path and the streaming twin's equality spec. */
+  private def candidatesOf(banded: DataFrame): DataFrame =
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") &&
@@ -238,6 +223,21 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+
+  /** The PRE-VERIFICATION LSH candidate pair set — exposed for the
+    * streaming twin's equality spec. */
+  def lshCandidatePairs(docs: DataFrame, shingleN: Int,
+      numHashes: Int = 128, bands: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // localCheckpoint, not cache: same CollapseProject hazard as
+    // minhashLsh (the banded self-join would inline the 128-hash
+    // signature twice), but nothing here survives to unpersist later
+    val sig = docs.select(col(idCol).as("doc_id"),
+        shinglesOf(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .localCheckpoint(eager = false)
+    candidatesOf(bandHashes(sig, numHashes, bands))
   }
 
   /** SimHash 64-bit fingerprints (native expression, §2.10). */

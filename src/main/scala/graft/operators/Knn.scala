@@ -251,6 +251,7 @@ object Knn {
       qvecCol: String = "q_embedding"): DataFrame = {
     require(nCandidates >= k,
       s"nCandidates ($nCandidates) must be >= k ($k)")
+    require(coarseDims > 0, s"coarseDims must be positive: $coarseDims")
     val coarse = exact(
       data.select(col(idCol), slice(col(vecCol), 1, coarseDims).as(vecCol)),
       queries.select(col(qidCol),

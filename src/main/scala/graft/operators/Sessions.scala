@@ -63,9 +63,13 @@ object Sessions {
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"),
-        ((max(col("ts_us")) - min(col("ts_us"))) / 1000000L).cast("long")
-          .as("duration_sec"),
         round(sum(col(valueCol).cast("decimal(18,2)")), 2).cast("double")
           .as("sum_value"))
+      // integer div, not `/` (double division — same 2^53 hazard as
+      // the ns->us conversion in Tables.load)
+      .withColumn("duration_sec", expr("(end_us - start_us) div 1000000"))
+      .select(col(userCol), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"), col("duration_sec"),
+        col("sum_value"))
   }
 }

@@ -160,7 +160,6 @@ object TextAnalysis {
       docFilter: Column = lit(true),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nDocs = docs.count()
     val terms = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         docFilter.as("_keep"))
@@ -174,11 +173,17 @@ object TextAnalysis {
         .as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
+    // N folded into the plan as a broadcast 1-row aggregate — an eager
+    // docs.count() here would launch a separate corpus-scan job at
+    // DataFrame-construction time, before (and in addition to) the
+    // real query
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("_n"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        col("tf").cast("double") * (lit(nDocs.toDouble) / col("df").cast("double")))
+        col("tf").cast("double") * (col("_n") / col("df").cast("double")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= topK)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),

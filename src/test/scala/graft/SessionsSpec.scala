@@ -122,6 +122,27 @@ class SessionsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", 3L, 2L), (2L, "b", 2L, 2L)))
   }
 
+  test("asof null payload field does not blend with an older right row") {
+    // right at t=10 has (a=1); right at t=20 has (a=null, b=9); the
+    // carried payload must be the t=20 ROW — a=null, not a=1
+    val left = Seq((1L, 30L, 90L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, Some(1L), Some(2L)),
+      (1L, 20L, None: Option[Long], Some(9L)))
+      .toDF("k", "t", "a", "b")
+    val r = AsOf.join(left, right, "k", "t",
+      payload = Seq("a", "b"), leftKeep = Seq("lid"), rightTieCol = "b")
+      .head()
+    assert(r.isNullAt(3), s"a must be null (the true match's field): $r")
+    assert(r.getLong(4) == 9L)
+  }
+
+  test("weightedMix quota is the floor of the EXACT budget x weight") {
+    // 10 x 0.7: the double product is 6.999…, naive truncation gives 6
+    val docs = Tables.load(spark, sf, "documents")
+    val mix = Corpus.weightedMix(docs, Map("en" -> 0.7), budget = 10L)
+    assert(mix.count() == 7L)
+  }
+
   test("weightedMix honors quotas and picks the stratified-rank prefix") {
     val docs = Tables.load(spark, sf, "documents")
     val weights = Map("en" -> 0.6, "de" -> 0.4)
