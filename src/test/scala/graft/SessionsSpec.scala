@@ -136,6 +136,52 @@ class SessionsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 9L)
   }
 
+  test("sessionize matches a brute-force reference on random events") {
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 400).map(i =>
+      (i.toLong, ts(rnd.nextInt(5000).toLong), rnd.nextInt(6).toLong))
+    val gap = 300L
+    val got = Sessions.sessionize(
+        events.toDF("event_id", "ts", "user_id"), gap)
+      .collect().map(r => (r.getLong(1)) -> (r.getLong(0), r.getLong(3)))
+      .toMap // event_id -> (user_id, session_idx)
+    val expected = events.groupBy(_._3).flatMap { case (uid, evs) =>
+      val sorted = evs.map(e => (e._2.getTime / 1000L, e._1))
+        .sortBy(identity)
+      var idx = 0L; var last = Long.MinValue
+      sorted.map { case (sec, eid) =>
+        if (last == Long.MinValue || sec - last > gap) idx += 1
+        last = sec
+        eid -> (uid, idx)
+      }
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("asof matches a brute-force reference on seeded random streams") {
+    val rnd = new scala.util.Random(42)
+    // small key/ts domains force heavy collisions (equal ts across
+    // sides, duplicate right ts, empty keys)
+    val left = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, i.toLong))
+    val right = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, (1000 + i).toLong))
+    val got = AsOf.join(left.toDF("k", "t", "lid"),
+        right.toDF("k", "t", "rid"),
+        "k", "t", payload = Seq("rid"), leftKeep = Seq("lid"),
+        rightTieCol = "rid")
+      .collect()
+      .map(r => r.getLong(2) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    // brute force: per left row, the right row with max (t, rid)
+    // among t <= left.t on the same key
+    val expected = left.map { case (k, t, lid) =>
+      val m = right.filter(r => r._1 == k && r._2 <= t)
+      lid -> (if (m.isEmpty) None else Some(m.maxBy(r => (r._2, r._3))._3))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("weightedMix quota is the floor of the EXACT budget x weight") {
     // 10 x 0.7: the double product is 6.999…, naive truncation gives 6
     val docs = Tables.load(spark, sf, "documents")
