@@ -181,6 +181,19 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))
     }),
+    // Ranking-quality metrics beyond recall (MRR, binary-relevance
+    // NDCG@10) of the deterministic coarse-to-fine search against the
+    // exact oracle — both inputs deterministic, so the metric values
+    // themselves are fully oracle-checkable
+    "knn_rank_metrics" -> ((spark: SparkSession, dir: String) => {
+      GraftFunctions.register(spark)
+      val filtered = dataDf(spark, dir).filter(filterLow)
+      val qs = queriesDf(spark, dir)
+      val found = Knn.truncateRefine(filtered, qs, K,
+        coarseDims = 16, nCandidates = 30)
+      val truth = Knn.exact(filtered, qs, K)
+      Recall.rankMetrics(found, truth, K)
+    }),
     // Contrastive negative sampling (embedding-training data prep):
     // 5 different-label negatives per query from a 60-row hash-ranked
     // pool — two-stage (global pool -> broadcast -> per-query rank),
@@ -342,6 +355,64 @@ object VectorQueries {
       """SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
         |ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':7')), vec_id
         |LIMIT 25""".stripMargin,
+    "knn_rank_metrics" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), cd AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe[1:16]) AS a,
+         |           unnest(d.embedding[1:16]) AS b) z) AS cdst
+         |  FROM q CROSS JOIN d
+         |), cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY cdst, vec_id) AS crk FROM cd)
+         |  WHERE crk <= 30
+         |), fd AS (
+         |  SELECT c.qid, c.vec_id,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z) AS dst
+         |  FROM cand c
+         |  JOIN q ON q.qid = c.qid
+         |  JOIN d ON d.vec_id = c.vec_id
+         |), found AS (
+         |  SELECT qid, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, vec_id) AS rank,
+         |    vec_id AS neighbor_id
+         |  FROM fd QUALIFY rank <= 10
+         |), tdist AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z) AS dst
+         |  FROM q CROSS JOIN d
+         |), truth AS (
+         |  SELECT qid, vec_id AS neighbor_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, vec_id) AS trk FROM tdist)
+         |  WHERE trk <= 10
+         |), hits AS (
+         |  SELECT f.qid, f.rank,
+         |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM found f LEFT JOIN truth t
+         |    ON f.qid = t.qid AND f.neighbor_id = t.neighbor_id
+         |), perq AS (
+         |  SELECT qid, sum(hit) / 10.0 AS q_recall,
+         |    coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0)
+         |      AS q_mrr,
+         |    sum(CASE WHEN hit = 1
+         |        THEN 1.0 / (ln(rank + 1.0) / ln(2.0)) ELSE 0 END) /
+         |      (SELECT sum(1.0 / (ln(i + 1.0) / ln(2.0)))
+         |       FROM UNNEST(range(1, 11)) t(i)) AS q_ndcg
+         |  FROM hits GROUP BY qid
+         |)
+         |SELECT count(*) AS n_queries, round(avg(q_recall), 6) AS recall,
+         |  round(avg(q_mrr), 6) AS mrr, round(avg(q_ndcg), 6) AS ndcg
+         |FROM perq""".stripMargin,
     "knn_negatives" ->
       """WITH pool AS (
         |  SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl

@@ -32,4 +32,42 @@ object Recall {
       .agg(
         count("*").as("n_queries"),
         round(sum(col("hits")) / sum(col("k")), 6).as("recall"))
+
+  /** RANKING-QUALITY metrics beyond plain recall (the reference
+    * evaluates recall only, utils_grid_search.py:64-88; a retrieval
+    * stack also reports rank-sensitive quality): per ranked-row
+    * inputs (qid, rank, neighbor_id), returns one row —
+    * (n_queries, recall, mrr, ndcg), averaged over queries, where per
+    * query
+    *   recall = |found ∩ truth| / k,
+    *   MRR    = 1 / (first rank whose id is in truth)   (0 if none),
+    *   NDCG@k = Σ_{hits} 1/log2(rank+1)  /  Σ_{i=1..k} 1/log2(i+1)
+    * (binary relevance; the ideal DCG assumes a full truth set, which
+    * holds for k-NN ground truth).
+    *
+    * Scale shape: one equi-join of the two ranked tables on
+    * (qid, neighbor_id) marks the hits; per-query aggregation is a
+    * map-side-combined hash agg; the final average is one row. */
+  def rankMetrics(found: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val hitsMarked = found
+      .join(truth.select(col("qid"), col("neighbor_id"), lit(1).as("_hit")),
+        Seq("qid", "neighbor_id"), "left")
+      .select(col("qid"), col("rank"),
+        coalesce(col("_hit"), lit(0)).as("hit"))
+    val idcg = (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0))).sum
+    val perQ = hitsMarked
+      .groupBy(col("qid"))
+      .agg(
+        (sum(col("hit")) / k.toDouble).as("q_recall"),
+        coalesce(lit(1.0) / min(when(col("hit") === 1, col("rank"))),
+          lit(0.0)).as("q_mrr"),
+        (sum(when(col("hit") === 1,
+          lit(1.0) / (log(col("rank") + 1.0) / lit(math.log(2.0))))
+          .otherwise(0.0)) / idcg).as("q_ndcg"))
+    perQ.agg(
+      count(lit(1)).as("n_queries"),
+      round(avg(col("q_recall")), 6).as("recall"),
+      round(avg(col("q_mrr")), 6).as("mrr"),
+      round(avg(col("q_ndcg")), 6).as("ndcg"))
+  }
 }

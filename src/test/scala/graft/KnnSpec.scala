@@ -140,6 +140,23 @@ class KnnSpec extends AnyFunSuite {
       "candidate shortlist grows")
   }
 
+  test("rankMetrics: self-evaluation is perfect; degraded search is not") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val exact = Knn.exact(filtered, queries, 10).cache()
+    val self = Recall.rankMetrics(exact, exact, 10).head()
+    assert(self.getDouble(1) == 1.0 && self.getDouble(2) == 1.0 &&
+      self.getDouble(3) == 1.0, s"self metrics must all be 1.0: $self")
+    val rough = Recall.rankMetrics(
+      Knn.truncateRefine(filtered, queries, 10,
+        coarseDims = 8, nCandidates = 15), exact, 10).head()
+    // degraded search: every metric in (0, 1), and NDCG >= recall
+    // (hits it does find are rank-weighted toward the top)
+    Seq(1, 2, 3).foreach { i =>
+      assert(rough.getDouble(i) > 0.0 && rough.getDouble(i) < 1.0, rough)
+    }
+    assert(rough.getDouble(3) >= rough.getDouble(1), rough)
+  }
+
   test("recall of exact vs exact is 1.0") {
     val f = Knn.exact(data.filter(SparkEntry.filterLow), queries, 10)
     val r = Recall.ofRanked(f, f).head()
