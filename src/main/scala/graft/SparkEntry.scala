@@ -181,6 +181,19 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))
     }),
+    // Hard-negative mining: the k nearest DIFFERENT-label vectors per
+    // query — queries grouped by label, one bounded-heap search per
+    // label against the complement corpus; fully deterministic
+    "knn_hard_negatives" -> ((spark: SparkSession, dir: String) => {
+      GraftFunctions.register(spark)
+      val qs = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"),
+          col("label").as("q_label"))
+      Knn.hardNegatives(dataDf(spark, dir), qs, k = 5)
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
     // Ranking-quality metrics beyond recall (MRR, binary-relevance
     // NDCG@10) of the deterministic coarse-to-fine search against the
     // exact oracle — both inputs deterministic, so the metric values
@@ -355,6 +368,26 @@ object VectorQueries {
       """SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
         |ORDER BY md5(concat(CAST(vec_id AS VARCHAR), ':7')), vec_id
         |LIMIT 25""".stripMargin,
+    "knn_hard_negatives" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe, label AS ql
+         |  FROM embeddings WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id % 50 <> 0
+         |), dist AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z) AS dst
+         |  FROM q CROSS JOIN d
+         |  WHERE d.label <> q.ql
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id ASC) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, round(dst, 6) AS dist
+         |FROM dist
+         |QUALIFY rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
     "knn_rank_metrics" ->
       s"""WITH q AS (
          |  SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -267,6 +267,31 @@ object Knn {
       col("neighbor_id"), col("qid"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: for each query,
+    * the k NEAREST vectors with a different label (the negatives that
+    * actually move an embedding model, vs. the uniform pool draws of
+    * `Corpus.contrastiveNegatives`). A per-pair label predicate would
+    * force the all-pairs row path; instead queries are grouped by
+    * their label (bounded distinct values) and each group runs the
+    * bounded-heap `exact` search against the complement corpus —
+    * L searches that each stream the data side once, no all-pairs
+    * materialization. Output: (qid, rank, neighbor_id, dist). */
+  def hardNegatives(data: DataFrame, queries: DataFrame, k: Int,
+      metric: String = "sqeuclidean",
+      labelCol: String = "label", qlabelCol: String = "q_label",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val labels = queries.select(col(qlabelCol)).distinct()
+      .collect().map(_.get(0))
+    require(labels.nonEmpty, "no query labels")
+    labels.map { l =>
+      exact(data.filter(col(labelCol) =!= lit(l)),
+        queries.filter(col(qlabelCol) === lit(l))
+          .select(col(qidCol), col(qvecCol)),
+        k, metric, idCol, vecCol, qidCol, qvecCol)
+    }.reduce(_ unionByName _)
+  }
+
   /** Cost-based physical selection — the engine-side analog of the
     * reference's brute-force-vs-CAGRA duality (SURVEY §4 strategy 3):
     * below `exactThresholdBytes` of (post-filter) scan, brute force is

@@ -140,6 +140,27 @@ class KnnSpec extends AnyFunSuite {
       "candidate shortlist grows")
   }
 
+  test("hardNegatives equals the declarative pair-filtered reference") {
+    val qs = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q_embedding"),
+        $"label".as("q_label"))
+    val got = Knn.hardNegatives(data, qs, k = 5)
+    // declarative reference: all-pairs with a per-pair label filter
+    val pairs = data.crossJoin(broadcast(qs))
+      .filter($"label" =!= $"q_label")
+    val ref = Knn.topKFrom(pairs, 5,
+      graft.GraftFunctions.sqDist($"embedding", $"q_embedding"),
+      $"vec_id", $"qid")
+    assert(asTuples(got) == asTuples(ref) && got.count() > 0)
+    // every mined negative really has a different label
+    val labels = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+    val joined = got.join(labels, "neighbor_id")
+      .join(qs.select($"qid", $"q_label"), "qid")
+    assert(joined.filter($"n_label" === $"q_label").count() == 0)
+  }
+
   test("rankMetrics: self-evaluation is perfect; degraded search is not") {
     val filtered = data.filter(SparkEntry.filterLow)
     val exact = Knn.exact(filtered, queries, 10).cache()
