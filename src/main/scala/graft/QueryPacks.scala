@@ -445,6 +445,10 @@ object CorpusQueries {
         Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.15, "fr" -> 0.1,
           "es" -> 0.05),
         budget = 200L)),
+    // token-budget data selection: best-quality docs until 20k
+    // tokens, via the distributed prefix sum over the quality order
+    "corpus_select" -> ((s, d) =>
+      Corpus.selectByBudget(docs(s, d), tokenBudget = 20000L)),
     // fixed token-window chunking (40-token chunks every 32 tokens —
     // 8-token overlap); chunk text pinned by md5 (hashable cell)
     "corpus_chunks" -> ((s, d) =>
@@ -549,6 +553,34 @@ object CorpusQueries {
         |FROM r
         |WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
         |  WHEN 'zh' THEN 30 WHEN 'fr' THEN 20 WHEN 'es' THEN 10 END""".stripMargin,
+    "corpus_select" -> {
+      val en = curateMarkersSql.toMap.apply("en")
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, x -> list_contains($en, x)))
+         |      AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+         |  FROM t
+         |), g AS (
+         |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |    round(least(n / 100.0, 1.0) * 0.5 +
+         |      least(n_stop / n * 5.0, 1.0) * 0.2 + (n_uniq / n) * 0.3, 6)
+         |      AS quality
+         |  FROM s
+         |), c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (
+         |      ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tokens_before
+         |  FROM g
+         |)
+         |SELECT doc_id, quality, n_tokens, tokens_before
+         |FROM c WHERE tokens_before < 20000""".stripMargin
+    },
     "corpus_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents

@@ -208,6 +208,53 @@ object Corpus {
       .toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
   }
 
+  /** DATA SELECTION UNDER A TOKEN BUDGET: keep the highest-quality
+    * documents until the corpus reaches `tokenBudget` whitespace
+    * tokens — the "select the best N billion tokens" step of a
+    * pre-training data pipeline. A document is kept iff the token sum
+    * of all strictly-better documents (quality desc, doc_id asc) is
+    * still below the budget, so the crossing document is included and
+    * the kept set is a prefix of the quality ordering.
+    *
+    * Scale design (100 TB): same distributed two-pass prefix sum as
+    * `packSequences`, but over the QUALITY ordering — range-partition
+    * by (-quality, doc_id) (distributed sort), reduce each partition
+    * to one token total, broadcast the exclusive partition offsets,
+    * local running sum. No single-task window anywhere; quality is
+    * rounded to 6dp so the ordering (and therefore the kept set) is
+    * engine-exact. Output: (doc_id, quality, n_tokens, tokens_before).
+    */
+  def selectByBudget(docs: DataFrame, tokenBudget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(tokenBudget > 0)
+    val (nTokens, quality) = TextAnalysis.qualityCols(col("toks"))
+    val sorted = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), quality.as("q"), nTokens.as("n"))
+      .repartitionByRange(col("q").desc, col("doc_id"))
+      .sortWithinPartitions(col("q").desc, col("doc_id"))
+      .as[(Long, Double, Long)]
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L; it.foreach(s += _._3); Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val bcOff = spark.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { case (pid, it) =>
+        var ex = bcOff.value(pid)
+        it.flatMap { case (id, q, n) =>
+          val before = ex
+          ex += n
+          if (before < tokenBudget) Iterator((id, q, n, before))
+          else Iterator.empty
+        }
+      }
+      .toDF("doc_id", "quality", "n_tokens", "tokens_before")
+  }
+
   /** End-to-end CURATION pipeline, fused: quality score + language ID
     * + exact-content dedup in one pass, the canonical pre-training
     * data funnel (score → gate → keep-one-per-content). Returns the

@@ -13,6 +13,35 @@ class CorpusSpec extends AnyFunSuite {
   private val sf = TestSpark.sf
   private def docs = Tables.load(spark, sf, "documents")
 
+  test("selectByBudget keeps the quality-desc prefix incl. the crossing doc") {
+    val budget = 20000L
+    val kept = Corpus.selectByBudget(docs, budget).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    // exclusive prefix sums stay below budget; inclusive may cross once
+    val sorted = kept.sortBy(t => (-t._2, t._1))
+    sorted.foreach { case (_, _, _, before) => assert(before < budget) }
+    val total = sorted.map(_._3).sum
+    val last = sorted.last._3
+    assert(total - last < budget && total >= math.min(budget,
+      TextAnalysis.tokenStats(docs).agg(sum($"n_ws_tokens"))
+        .head().getLong(0)))
+    // prefix property: every unkept doc is strictly worse than the
+    // worst kept one
+    val keptIds = kept.map(_._1).toSet
+    val all = TextAnalysis.qualityScore(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val worstKept = sorted.last
+    all.filterNot(d => keptIds.contains(d._1)).foreach { case (id, q) =>
+      assert(q < worstKept._2 || (q == worstKept._2 && id > worstKept._1),
+        s"unkept ($id, $q) outranks worst kept $worstKept")
+    }
+    // partition-count independence
+    val again = Corpus.selectByBudget(docs.repartition(7), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == kept.map(t => (t._1, t._4)).toSet)
+  }
+
   test("chunkDocs: overlap, final short chunk, tiny doc") {
     val d = Seq(
       (1L, (1 to 75).map(i => s"t$i").mkString(" ")), // 75 tokens
