@@ -44,13 +44,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=name1,name2 restricts the pack (iteration aid;
-    // the driver never sets it, so recorded benches stay full-pack)
+    // the driver never sets it, so recorded benches measure the full
+    // pack minus the fixed exclusion list below)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
     // the *_native bench twins exist to contrast the seeded-xxhash
     // lowerings with their md5-portable oracle variants; that contrast
     // is pinned in ScalaTest and recorded in BENCH_r01-r05, and their
-    // ~82 chars of names are what pushes the 87-query JSON line past
+    // ~82 chars of names are what pushes the pack's JSON line past
     // the consumer's tail window — excluded from the measured pack so
     // every remaining query keeps sub-second resolution
     val benchExcluded = Set("dedup_simhash_native",

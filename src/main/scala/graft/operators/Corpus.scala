@@ -191,19 +191,9 @@ object Corpus {
       .repartitionByRange(col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .as[(Long, Long)]
-    val rdd = sorted.rdd
-    val partTotals = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var s = 0L; it.foreach(s += _._2); Iterator((pid, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _)
-    val bcOff = spark.sparkContext.broadcast(offsets)
-    rdd.mapPartitionsWithIndex { case (pid, it) =>
-        var ex = bcOff.value(pid)
-        it.map { case (id, n) =>
-          val start = ex
-          ex += n
-          (id, n, start / maxTokens, start % maxTokens)
-        }
+    withExclusivePrefix[(Long, Long)](sorted.rdd, _._2)
+      .map { case ((id, n), start) =>
+        (id, n, start / maxTokens, start % maxTokens)
       }
       .toDF("doc_id", "n_tokens", "seq_id", "seq_offset")
   }
@@ -237,22 +227,33 @@ object Corpus {
       .repartitionByRange(col("q").desc, col("doc_id"))
       .sortWithinPartitions(col("q").desc, col("doc_id"))
       .as[(Long, Double, Long)]
-    val rdd = sorted.rdd
+    withExclusivePrefix[(Long, Double, Long)](sorted.rdd, _._3)
+      // prefixes are monotone, so takeWhile short-circuits: a
+      // partition whose offset already exceeds the budget stops after
+      // one row instead of deserializing everything for zero output
+      .mapPartitions(_.takeWhile(_._2 < tokenBudget))
+      .map { case ((id, q, n), before) => (id, q, n, before) }
+      .toDF("doc_id", "quality", "n_tokens", "tokens_before")
+  }
+
+  /** The shared two-pass distributed prefix sum: pass 1 reduces each
+    * partition of an already-range-sorted RDD to one weight total
+    * (P longs to the driver), pass 2 adds the broadcast exclusive
+    * partition offsets to a local running sum. O(n/P) per task, no
+    * single-task window — the scale pattern behind `packSequences`
+    * and `selectByBudget`. Emits (row, exclusive-prefix-weight). */
+  private def withExclusivePrefix[T: scala.reflect.ClassTag](
+      rdd: org.apache.spark.rdd.RDD[T],
+      weight: T => Long): org.apache.spark.rdd.RDD[(T, Long)] = {
     val partTotals = rdd.mapPartitionsWithIndex { case (pid, it) =>
-      var s = 0L; it.foreach(s += _._3); Iterator((pid, s))
+      var s = 0L; it.foreach(s += weight(_)); Iterator((pid, s))
     }.collect().sortBy(_._1).map(_._2)
     val offsets = partTotals.scanLeft(0L)(_ + _)
-    val bcOff = spark.sparkContext.broadcast(offsets)
+    val bcOff = rdd.sparkContext.broadcast(offsets)
     rdd.mapPartitionsWithIndex { case (pid, it) =>
-        var ex = bcOff.value(pid)
-        it.flatMap { case (id, q, n) =>
-          val before = ex
-          ex += n
-          if (before < tokenBudget) Iterator((id, q, n, before))
-          else Iterator.empty
-        }
-      }
-      .toDF("doc_id", "quality", "n_tokens", "tokens_before")
+      var ex = bcOff.value(pid)
+      it.map { t => val before = ex; ex += weight(t); (t, before) }
+    }
   }
 
   /** End-to-end CURATION pipeline, fused: quality score + language ID

@@ -275,18 +275,24 @@ object Knn {
     * their label (bounded distinct values) and each group runs the
     * bounded-heap `exact` search against the complement corpus —
     * L searches that each stream the data side once, no all-pairs
-    * materialization. Output: (qid, rank, neighbor_id, dist). */
+    * materialization. Null labels are excluded on BOTH sides ("label
+    * unknown" is neither a query group nor a safe negative); an empty
+    * query set yields an empty result, matching `exact`.
+    * Output: (qid, rank, neighbor_id, dist). */
   def hardNegatives(data: DataFrame, queries: DataFrame, k: Int,
       metric: String = "sqeuclidean",
       labelCol: String = "label", qlabelCol: String = "q_label",
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
-    val labels = queries.select(col(qlabelCol)).distinct()
-      .collect().map(_.get(0))
-    require(labels.nonEmpty, "no query labels")
-    labels.map { l =>
-      exact(data.filter(col(labelCol) =!= lit(l)),
-        queries.filter(col(qlabelCol) === lit(l))
+    val qs = queries.filter(col(qlabelCol).isNotNull)
+    val d = data.filter(col(labelCol).isNotNull)
+    val labels = qs.select(col(qlabelCol)).distinct().collect().map(_.get(0))
+    if (labels.isEmpty)
+      exact(d.limit(0), qs.limit(0).select(col(qidCol), col(qvecCol)),
+        k, metric, idCol, vecCol, qidCol, qvecCol)
+    else labels.map { l =>
+      exact(d.filter(col(labelCol) =!= lit(l)),
+        qs.filter(col(qlabelCol) === lit(l))
           .select(col(qidCol), col(qvecCol)),
         k, metric, idCol, vecCol, qidCol, qvecCol)
     }.reduce(_ unionByName _)

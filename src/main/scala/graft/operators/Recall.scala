@@ -64,10 +64,16 @@ object Recall {
         (sum(when(col("hit") === 1,
           lit(1.0) / (log(col("rank") + 1.0) / lit(math.log(2.0))))
           .otherwise(0.0)) / idcg).as("q_ndcg"))
-    perQ.agg(
-      count(lit(1)).as("n_queries"),
-      round(avg(col("q_recall")), 6).as("recall"),
-      round(avg(col("q_mrr")), 6).as("mrr"),
-      round(avg(col("q_ndcg")), 6).as("ndcg"))
+    // average over TRUTH's query set, not found's: a query the search
+    // returned nothing for must score 0, not silently shrink the
+    // denominator (answering 1 of 100 queries perfectly is not
+    // recall = 1.0)
+    truth.select(col("qid")).distinct()
+      .join(perQ, Seq("qid"), "left")
+      .agg(
+        count(lit(1)).as("n_queries"),
+        round(avg(coalesce(col("q_recall"), lit(0.0))), 6).as("recall"),
+        round(avg(coalesce(col("q_mrr"), lit(0.0))), 6).as("mrr"),
+        round(avg(coalesce(col("q_ndcg"), lit(0.0))), 6).as("ndcg"))
   }
 }
