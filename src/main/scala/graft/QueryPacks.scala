@@ -517,18 +517,21 @@ object CorpusQueries {
          |SELECT k.doc_id, k.lang_pred, k.n_tokens, k.quality
          |FROM kept k JOIN keepers USING (text_hash, doc_id)""".stripMargin
     },
+    // DuckDB's windowed sum(BIGINT) returns HUGEINT (Arrow decimal128)
+    // which the driver's type-sensitive hash rejects against Spark's
+    // int64 — CAST back to BIGINT (q07_running_sum pattern).
     "corpus_pack" ->
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         |  FROM documents
         |), c AS (
-        |  SELECT doc_id, n, coalesce(sum(n) OVER (
+        |  SELECT doc_id, n, CAST(coalesce(sum(n) OVER (
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
-        |    AND 1 PRECEDING), 0) AS ex
+        |    AND 1 PRECEDING), 0) AS BIGINT) AS ex
         |  FROM t
         |)
-        |SELECT doc_id, n AS n_tokens, ex // 1024 AS seq_id,
-        |  ex % 1024 AS seq_offset
+        |SELECT doc_id, n AS n_tokens, CAST(ex // 1024 AS BIGINT) AS seq_id,
+        |  CAST(ex % 1024 AS BIGINT) AS seq_offset
         |FROM c""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
@@ -572,10 +575,10 @@ object CorpusQueries {
          |  FROM s
          |), c AS (
          |  SELECT doc_id, quality, n_tokens,
-         |    coalesce(sum(n_tokens) OVER (
-         |      ORDER BY quality DESC, doc_id
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY CAST(quality AS DECIMAL(9,6)) DESC, doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS tokens_before
+         |      AS BIGINT) AS tokens_before
          |  FROM g
          |)
          |SELECT doc_id, quality, n_tokens, tokens_before

@@ -442,10 +442,14 @@ object VectorQueries {
          |      (SELECT sum(1.0 / (ln(i + 1.0) / ln(2.0)))
          |       FROM UNNEST(range(1, 11)) t(i)) AS q_ndcg
          |  FROM hits GROUP BY qid
+         |), tq AS (
+         |  SELECT DISTINCT qid FROM truth
          |)
-         |SELECT count(*) AS n_queries, round(avg(q_recall), 6) AS recall,
-         |  round(avg(q_mrr), 6) AS mrr, round(avg(q_ndcg), 6) AS ndcg
-         |FROM perq""".stripMargin,
+         |SELECT count(*) AS n_queries,
+         |  round(avg(coalesce(q_recall, 0)), 6) AS recall,
+         |  round(avg(coalesce(q_mrr, 0)), 6) AS mrr,
+         |  round(avg(coalesce(q_ndcg, 0)), 6) AS ndcg
+         |FROM tq LEFT JOIN perq USING (qid)""".stripMargin,
     "knn_negatives" ->
       """WITH pool AS (
         |  SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl

@@ -65,6 +65,10 @@ object Corpus {
       (g, (BigDecimal(budget) * BigDecimal(wt))
         .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
     }
+    // the heap size is an Int — fail loudly on oversize budgets rather
+    // than silently truncating a >2^31 quota
+    require(quotas.values.max <= Int.MaxValue,
+      s"max stratum quota ${quotas.values.max} exceeds Int.MaxValue")
     val kMax = quotas.values.max.toInt
     require(kMax > 0, "budget x max weight must reach at least one row")
     val quotaDf = broadcast(quotas.toSeq.toDF(groupCol, "_quota"))
@@ -224,8 +228,12 @@ object Corpus {
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), quality.as("q"), nTokens.as("n"))
-      .repartitionByRange(col("q").desc, col("doc_id"))
-      .sortWithinPartitions(col("q").desc, col("doc_id"))
+      // sort key is the DECIMAL(9,6) image of the 6dp-rounded quality,
+      // not the raw double: both engines order the cumsum by the exact
+      // decimal, so a last-ulp double divergence can never reorder
+      // near-ties and shift tokens_before
+      .repartitionByRange(col("q").cast("decimal(9,6)").desc, col("doc_id"))
+      .sortWithinPartitions(col("q").cast("decimal(9,6)").desc, col("doc_id"))
       .as[(Long, Double, Long)]
     withExclusivePrefix[(Long, Double, Long)](sorted.rdd, _._3)
       // prefixes are monotone, so takeWhile short-circuits: a
