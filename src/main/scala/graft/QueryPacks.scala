@@ -864,6 +864,72 @@ object AnnQueries {
         m = 8, efSearch = 64)
       Recall.ofRanked(found, sh.truth)
     }),
+    // the NSW/graph path (J3) under a FULL oracle — the ann_ivf_fixed
+    // recipe applied to the graph half: fixed data-row centroids
+    // (vec_id % 31 == 7) give cells of <= 49 rows at the verified SFs,
+    // so with m = 32 the per-cell graph NEVER prunes (max adjacency
+    // 48 <= 2m), stays symmetric and connected, and efSearch = 128 >=
+    // cell size forces the beam to visit every reachable node — the
+    // graph search provably degrades to EXACT in-cell search,
+    // reproducible in SQL. The engine path is the real persistable one
+    // (buildIndex -> CellGraph -> searchIndex); only the parameters
+    // pin it. NswFixedSpec proves the no-prune/full-traversal bound.
+    "ann_nsw_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = data.filter(col("vec_id") % 31 === 7)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      val graphs = NswGraph.buildIndex(AnnIvf.index(data, centroids),
+        m = 32, efConstruction = 64)
+      NswGraph.searchIndex(graphs, centroids, queriesDf(s, d), K,
+          nprobe = 2, efSearch = 128)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    // the persisted, partition-pruned read path under the SAME full
+    // oracle as ann_ivf_fixed: writeIndex clusters the index
+    // partitionBy(cid) into a temp dir, searchPersisted probes it with
+    // a partition-column predicate (planning-time parquet pruning —
+    // the actual 100-TB serving layout, plan-pinned in KnnSpec).
+    // Identical semantics to ann_ivf_fixed; only the storage differs.
+    "ann_ivf_persist" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = data.filter(col("vec_id") % 311 === 7)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      AnnIvf.writeIndex(AnnIvf.index(data, centroids), tmp)
+      AnnIvf.searchPersisted(s, tmp, centroids, queriesDf(s, d), K,
+          nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    // PQ encode + ADC under a FULL oracle: codebooks are FIXED data
+    // rows (vec_id % 31 == 3, sliced per subspace) instead of k-means
+    // output, so the per-subspace argmin codes and the ADC lookup sums
+    // are exactly SQL-reproducible. The oracle adds the 8 subspace LUT
+    // terms left-to-right — the engine's accumulation order — so fp
+    // addition order is identical; ADC ties (shared code arrays) break
+    // on vec_id in both engines. Engine path is the real Pq.encode /
+    // Pq.searchAdc; ann_pq_recall keeps covering the k-means variant.
+    "ann_pq_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val data = dataDf(s, d).filter(filterLow)
+      val seeds = data.filter(col("vec_id") % 31 === 3)
+        .orderBy(col("vec_id"))
+        .select(col("embedding")).as[Array[Float]].collect()
+      val m = 8
+      val dsub = seeds(0).length / m
+      val cb = Pq.Codebook(m, dsub,
+        Array.tabulate(m)(sb =>
+          seeds.map(_.slice(sb * dsub, (sb + 1) * dsub))))
+      Pq.searchAdc(Pq.encode(data, cb), cb, queriesDf(s, d), K)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "quant_train" -> ((s, d) => {
       GraftFunctions.register(s)
       Quantize.train(Tables.load(s, d, "embeddings"))
@@ -925,21 +991,24 @@ object AnnQueries {
   private val sqdistZ =
     "sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)) * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))"
 
-  val oracles: Map[String, String] = Map(
-    // the full IVF pipeline in SQL: fixed centroids -> argmin cell
-    // assignment -> 2-nearest-cell probes -> exact in-cell top-10
-    "ann_ivf_fixed" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |  WHERE vec_id % 50 = 0
-         |), d AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id % 50 <> 0 AND label <> 3
-         |), c AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         |    embedding AS ce
-         |  FROM d WHERE vec_id % 311 = 7
-         |), ad AS (
+  /** The fixed-centroid IVF pipeline in SQL (fixed centroids -> argmin
+    * cell assignment -> 2-nearest-cell probes -> exact in-cell top-10),
+    * parameterized by the centroid-picking modulus: shared by
+    * ann_ivf_fixed and ann_ivf_persist (mod 311 — identical semantics,
+    * different storage) and ann_nsw_fixed (mod 31 — cells small enough
+    * that the graph search is provably exact, see the query comment). */
+  private def ivfFixedSql(mod: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id % 50 = 0
+       |), d AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 50 <> 0 AND label <> 3
+       |), c AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+       |    embedding AS ce
+       |  FROM d WHERE vec_id % $mod = 7
+       |), ad AS (
          |  SELECT d.vec_id, d.embedding, c.cid,
          |    (SELECT $sqdistZ
          |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
@@ -972,6 +1041,65 @@ object AnnQueries {
          |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
          |  vec_id AS neighbor_id
          |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivf_fixed" -> ivfFixedSql(311),
+    "ann_ivf_persist" -> ivfFixedSql(311),
+    "ann_nsw_fixed" -> ivfFixedSql(31),
+    // the full PQ pipeline in SQL: fixed codebook rows -> per-subspace
+    // argmin codes -> per-query LUT -> ADC sum in the engine's
+    // left-to-right subspace order -> exact top-10 over all candidates
+    "ann_pq_fixed" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), cb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 31 = 3
+         |), subs AS (
+         |  SELECT CAST(i AS INTEGER) AS sub FROM UNNEST(range(0, 8)) t(i)
+         |), enc AS (
+         |  SELECT d.vec_id, s.sub, cb.code,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding[s.sub*8+1 : s.sub*8+8]) AS a,
+         |           unnest(cb.ce[s.sub*8+1 : s.sub*8+8]) AS b) z) AS dst
+         |  FROM d CROSS JOIN subs s CROSS JOIN cb
+         |), codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dst, code) AS rn FROM enc)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.qid, s.sub, cb.code,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe[s.sub*8+1 : s.sub*8+8]) AS a,
+         |           unnest(cb.ce[s.sub*8+1 : s.sub*8+8]) AS b) z) AS ldst
+         |  FROM q CROSS JOIN subs s CROSS JOIN cb
+         |), contrib AS (
+         |  SELECT l.qid, c.vec_id, c.sub, l.ldst
+         |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+         |), adc AS (
+         |  SELECT qid, vec_id,
+         |    sum(CASE WHEN sub = 0 THEN ldst END)
+         |    + sum(CASE WHEN sub = 1 THEN ldst END)
+         |    + sum(CASE WHEN sub = 2 THEN ldst END)
+         |    + sum(CASE WHEN sub = 3 THEN ldst END)
+         |    + sum(CASE WHEN sub = 4 THEN ldst END)
+         |    + sum(CASE WHEN sub = 5 THEN ldst END)
+         |    + sum(CASE WHEN sub = 6 THEN ldst END)
+         |    + sum(CASE WHEN sub = 7 THEN ldst END) AS dst
+         |  FROM contrib GROUP BY qid, vec_id
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM adc
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
     "quant_train" ->
@@ -1090,6 +1218,28 @@ object IngestQueries {
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           size(col("embedding")).cast("long").as("dim"))
+    }),
+    // S1+S2 under the driver: the documents table round-trips through
+    // the reference's primary input format (one JSON object per line,
+    // category encoded in the path — download_dataset/exec_embed.py:
+    // 54-70): written as per-category JSONL directories, read back
+    // with an EXPLICIT schema + path-derived category
+    // (input_file_name regexp, the S2 glob-scan path), pinned against
+    // the parquet source by per-row content digest.
+    "jsonl_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_jsonl_q").toString
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"),
+          col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").json(tmp)
+      s.read
+        .schema("doc_id LONG, text STRING, source STRING, n_chars LONG")
+        .json(s"$tmp/lang=*")
+        .withColumn("category",
+          regexp_extract(input_file_name(), "lang=([^/]+)/", 1))
+        .select(col("doc_id"), col("category"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
     }),
     "ingest_shards" -> ((s, d) => {
       GraftFunctions.register(s)
@@ -1219,6 +1369,9 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "jsonl_roundtrip" ->
+      """SELECT doc_id, lang AS category, source, n_chars,
+        |  md5(text) AS text_md5 FROM documents""".stripMargin,
     "ingest_pipeline" ->
       """WITH f AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
