@@ -683,14 +683,29 @@ object AnnQueries {
       val truth = GridSearch.truthSetsOf(dataDf(s, d), queriesDf(s, d),
         filterLow).cache()
       truth.count()
+      // ... and ONE seeded quantizer per npartitions value, shared by
+      // both sweeps (bit-identical to per-sweep retraining — the IVF
+      // np=8 group and the whole NSW sweep reuse the same train)
+      val filtered = dataDf(s, d).filter(filterLow).cache()
+      // a failed shared train degrades to per-sweep training, whose
+      // per-npartitions Try produces P9 error rows instead of aborting
+      val quant = scala.util.Try(
+        GridSearch.trainQuantizers(filtered, Seq(8, 16)))
+        .getOrElse(Map.empty)
       val res = GridSearch.run(s, dataDf(s, d), queriesDf(s, d),
-          "low", filterLow, totalBase, precomputedTruth = Some(truth))
+          "low", filterLow, totalBase, precomputedTruth = Some(truth),
+          sharedQuantizers = quant)
         .unionByName(GridSearch.runNsw(s, dataDf(s, d), queriesDf(s, d),
-          "low", filterLow, totalBase, precomputedTruth = Some(truth)),
+          "low", filterLow, totalBase, precomputedTruth = Some(truth),
+          sharedQuantizers = quant),
           allowMissingColumns = true)
       res.cache()
       res.count()
       truth.unpersist(blocking = false)
+      quant.values.foreach { case (c, idx, _) =>
+        c.unpersist(blocking = false); idx.unpersist(blocking = false)
+      }
+      filtered.unpersist(blocking = false)
       res
     })
 
@@ -887,6 +902,27 @@ object AnnQueries {
           nprobe = 2, efSearch = 128)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the graph-index PERSISTENCE path under the same full oracle as
+    // ann_nsw_fixed: per-cell graphs written partitionBy(cid) to a
+    // temp dir, reloaded, and beam-searched — the offline-build /
+    // online-serve split for the graph index (parquet round trip was
+    // spec-only before this entry)
+    "ann_nsw_persist" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = data.filter(col("vec_id") % 31 === 7)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_gidx_q").toString
+      NswGraph.writeGraphIndex(
+        NswGraph.buildIndex(AnnIvf.index(data, centroids),
+          m = 32, efConstruction = 64), tmp)
+      NswGraph.searchIndex(NswGraph.readGraphIndex(s, tmp), centroids,
+          queriesDf(s, d), K, nprobe = 2, efSearch = 128)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // the persisted, partition-pruned read path under the SAME full
     // oracle as ann_ivf_fixed: writeIndex clusters the index
     // partitionBy(cid) into a temp dir, searchPersisted probes it with
@@ -1048,6 +1084,7 @@ object AnnQueries {
     "ann_ivf_fixed" -> ivfFixedSql(311),
     "ann_ivf_persist" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
+    "ann_nsw_persist" -> ivfFixedSql(31),
     // the full PQ pipeline in SQL: fixed codebook rows -> per-subspace
     // argmin codes -> per-query LUT -> ADC sum in the engine's
     // left-to-right subspace order -> exact top-10 over all candidates

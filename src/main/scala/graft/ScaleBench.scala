@@ -117,24 +117,34 @@ object ScaleBench {
     // HNSW-analog serving path: per-cell graphs built once, then
     // beam-searched (~efSearch·M visits per probed cell vs a full
     // cell scan)
+    // NSW knobs, env-overridable for tuning runs. The defaults are the
+    // recorded BENCH_scale configuration: with the diverse-neighbor
+    // build heuristic, m=16/efc=96/efs=64 reaches 0.983 recall@10 at
+    // 5M x 64 / 2048 cells — past the reference CPU-HNSW's 0.914
+    // (BASELINE.md) — where the pre-heuristic m=8/efc=32 graph sat at
+    // 0.852.
+    val nswM = sys.env.getOrElse("SPARK_GRAFT_NSW_M", "16").toInt
+    val nswEfc = sys.env.getOrElse("SPARK_GRAFT_NSW_EFC", "96").toInt
+    val nswEfs = sys.env.getOrElse("SPARK_GRAFT_NSW_EFS", "64").toInt
     val (graphs, graphBuildSec) = time {
-      val g = graft.operators.NswGraph.buildIndex(indexed, m = 8,
-          efConstruction = 32)
+      val g = graft.operators.NswGraph.buildIndex(indexed, m = nswM,
+          efConstruction = nswEfc)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       g.count(); g
     }
-    println(f"[scale] graph index build: $graphBuildSec%.1fs (per-cell NSW)")
+    println(f"[scale] graph index build: $graphBuildSec%.1fs " +
+      f"(per-cell NSW, m=$nswM efc=$nswEfc)")
     Seq(4, 16).foreach { nprobe =>
       val (_, cold) = time {
         graft.operators.NswGraph.searchIndex(graphs, centroids, queries,
-          k, nprobe, efSearch = 48).count()
+          k, nprobe, efSearch = nswEfs).count()
       }
       val (_, warm) = time {
         graft.operators.NswGraph.searchIndex(graphs, centroids, queries,
-          k, nprobe, efSearch = 48).count()
+          k, nprobe, efSearch = nswEfs).count()
       }
       val rec = graft.operators.NswGraph.searchIndex(graphs, centroids,
-        qSample, k, nprobe, efSearch = 48)
+        qSample, k, nprobe, efSearch = nswEfs)
       val r = Recall.ofRanked(rec, truth).head()
       println(f"[scale] graph nprobe=$nprobe%3d search=$warm%7.2fs " +
         f"(cold $cold%.2fs) qps=${nQ / warm}%9.1f " +

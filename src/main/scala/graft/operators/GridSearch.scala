@@ -53,10 +53,44 @@ object GridSearch {
     Knn.exact(data.filter(filterCol), queries, k)
       .groupBy("qid").agg(collect_list("neighbor_id").as("gt_ids"))
 
+  /** One coarse quantizer (centroids, cached index, build seconds) per
+    * npartitions value, shareable across BOTH algo sweeps: AnnIvf.train
+    * is seeded/deterministic, so the shared result is bit-identical to
+    * per-sweep retraining — only the wall clock changes (one train
+    * instead of two). Caller owns the caches (unpersist after use). */
+  def trainQuantizers(filtered: DataFrame, nparts: Seq[Int],
+      iterations: Int = 2): Map[Int, (DataFrame, DataFrame, Double)] = {
+    val built =
+      scala.collection.mutable.LinkedHashMap
+        .empty[Int, (DataFrame, DataFrame, Double)]
+    try {
+      nparts.distinct.foreach { np =>
+        val t0 = System.nanoTime()
+        val c = AnnIvf.train(filtered, np, iterations = iterations).cache()
+        val idx = AnnIvf.index(filtered, c).cache()
+        built(np) = (c, idx, 0.0) // registered for cleanup pre-materialize
+        idx.count()
+        built(np) = (c, idx, (System.nanoTime() - t0) / 1e9)
+      }
+      built.toMap
+    } catch {
+      // a failing np must not leak the caches of the nps built before
+      // it — the caller's fallback retrains per sweep and would never
+      // see these references again
+      case e: Throwable =>
+        built.values.foreach { case (c, idx, _) =>
+          c.unpersist(blocking = false); idx.unpersist(blocking = false)
+        }
+        throw e
+    }
+  }
+
   def run(spark: SparkSession, data: DataFrame, queries: DataFrame,
       filterName: String, filterCol: Column, totalBase: Long,
       grid: Seq[Combo] = defaultGrid, k: Int = 10,
-      precomputedTruth: Option[DataFrame] = None): DataFrame = {
+      precomputedTruth: Option[DataFrame] = None,
+      sharedQuantizers: Map[Int, (DataFrame, DataFrame, Double)] =
+        Map.empty): DataFrame = {
     import spark.implicits._
     val filtered = data.filter(filterCol).cache()
     val q = queries.cache()
@@ -76,11 +110,9 @@ object GridSearch {
         // for all its combos, never aborts the sweep
         // (cuvs_bench_grid_search_v3.py:706-722)
         scala.util.Try {
-          val t0 = System.nanoTime()
-          val centroids = AnnIvf.train(filtered, npart, iterations = 2).cache()
-          val indexed = AnnIvf.index(filtered, centroids).cache()
-          indexed.count()
-          val buildSec = (System.nanoTime() - t0) / 1e9
+          val shared = sharedQuantizers.get(npart)
+          val (centroids, indexed, buildSec) = shared.getOrElse(
+            trainQuantizers(filtered, Seq(npart))(npart))
 
           val nprobes = combos.map(_.nprobe).distinct.sorted
           val maxP = nprobes.max
@@ -94,33 +126,33 @@ object GridSearch {
           val cand = indexed.join(broadcast(probes),
             indexed("cid") === probes("pcid"))
           // fan out to the nprobe levels (row survives at level p iff
-          // its cell rank r <= p), then per-(level, qid) exact top-k
+          // its cell rank r <= p), then ONE fused aggregate pipeline:
+          // per-(level, qid) exact top-k AND candidate count in the
+          // same hash agg, recall + totals in the reduce — no
+          // intermediate cache, one job per npartitions group
           val levels = nprobes.toDF("np")
-          val leveled = cand.join(broadcast(levels), col("r") <= col("np"))
+          val recallByNp = cand
+            .join(broadcast(levels), col("r") <= col("np"))
             .select(col("np"), col("qid"), col("vec_id").cast("long").as("_nnid"),
               GraftFunctions.sqDist(col("embedding"), col("q_embedding")).as("_dist"))
-            .cache()
-          val perLevel = leveled
             .groupBy(col("np"), col("qid"))
-            .agg(GraftFunctions.topK(k, col("_dist"), col("_nnid")).as("topk"))
-            .select(col("np"), col("qid"), col("topk.id").as("found_ids"))
+            .agg(GraftFunctions.topK(k, col("_dist"), col("_nnid")).as("topk"),
+              count(lit(1)).as("qcand"))
+            .select(col("np"), col("qid"), col("topk.id").as("found_ids"),
+              col("qcand"))
             .join(broadcast(truthSets), "qid")
             .groupBy(col("np"))
             .agg(
               (sum(size(array_intersect(col("found_ids"), col("gt_ids"))))
                 / sum(size(col("gt_ids")))).as("recall"),
-              count(lit(1)).as("nq"))
-          val candCounts = leveled.groupBy(col("np"))
-            .agg(count(lit(1)).as("n_cand"))
-          val recallByNp = perLevel.join(candCounts, "np")
+              sum(col("qcand")).as("n_cand"))
             .select("np", "recall", "n_cand").collect()
             .map(r => r.getInt(0) ->
               (r.getDouble(1), r.getLong(2))).toMap
-          leveled.unpersist()
           val searchWall = (System.nanoTime() - t1) / 1e9
           val totalCand = math.max(recallByNp.values.map(_._2).sum, 1L)
 
-          centroids.unpersist(); indexed.unpersist()
+          if (shared.isEmpty) { centroids.unpersist(); indexed.unpersist() }
           combos.sortBy(_.nprobe).map { c =>
             val (rec, nCand) = recallByNp(c.nprobe)
             // cost-proportional share of the shared-scan wall clock
@@ -169,7 +201,9 @@ object GridSearch {
       filterName: String, filterCol: Column, totalBase: Long,
       grid: Seq[NswCombo] = defaultNswGrid, k: Int = 10,
       nprobe: Int = 4,
-      precomputedTruth: Option[DataFrame] = None): DataFrame = {
+      precomputedTruth: Option[DataFrame] = None,
+      sharedQuantizers: Map[Int, (DataFrame, DataFrame, Double)] =
+        Map.empty): DataFrame = {
     import spark.implicits._
     val filtered = data.filter(filterCol).cache()
     val q = queries.cache()
@@ -192,11 +226,8 @@ object GridSearch {
         // failure degrades to error rows for every combo of this
         // npartitions (P9 pass-through) instead of aborting the sweep.
         scala.util.Try {
-          val tq = System.nanoTime()
-          val centroids = AnnIvf.train(filtered, npart, iterations = 2)
-          val indexed = AnnIvf.index(filtered, centroids).cache()
-          indexed.count()
-          (centroids, indexed, (System.nanoTime() - tq) / 1e9)
+          sharedQuantizers.getOrElse(npart,
+            trainQuantizers(filtered, Seq(npart))(npart))
         } match {
           case scala.util.Failure(e) =>
             npCombos.sortBy(c => (c.m, c.efSearch)).map(c =>
@@ -204,6 +235,11 @@ object GridSearch {
                 nVec, nQ, keptPct, -1.0, -1.0, -1.0, -1.0, -1L,
                 Some(e.toString.take(200))))
           case scala.util.Success((centroids, indexed, quantSec)) =>
+        // probe lists depend only on (centroids, queries, nprobe) —
+        // collected ONCE per npartitions group and reused by every
+        // (m, efSearch) search below
+        val probed = NswGraph.probeQueries(centroids, q,
+          math.min(nprobe, npart))
         val npRows = npCombos.groupBy(_.m).toSeq.sortBy(_._1)
           .flatMap { case (m, combos) =>
         scala.util.Try {
@@ -214,8 +250,8 @@ object GridSearch {
           val buildSec = quantSec + (System.nanoTime() - t0) / 1e9
           val out = combos.sortBy(_.efSearch).map { c =>
             val t1 = System.nanoTime()
-            val found = NswGraph.searchIndex(graphs, centroids, q, k,
-              math.min(nprobe, npart), c.efSearch)
+            val found = NswGraph.searchIndexProbed(graphs, probed, k,
+              c.efSearch)
             val rec = found
               .groupBy(col("qid"))
               .agg(collect_list("neighbor_id").as("found_ids"))
@@ -241,7 +277,9 @@ object GridSearch {
               Some(e.toString.take(200))))
         }.get
         }
-            indexed.unpersist()
+            if (!sharedQuantizers.contains(npart)) {
+              indexed.unpersist(); centroids.unpersist()
+            }
             npRows
         }
       }

@@ -28,63 +28,157 @@ import org.apache.spark.sql.functions._
   */
 object NswGraph {
 
+  /** Primitive binary heap over (dist, idx) pairs, lexicographic
+    * (dist, then idx) order — the boxed `PriorityQueue[(Double, Int)]`
+    * it replaces allocated a tuple per visited node, which dominated
+    * graph-build wall time at 5M-row scale. `max = true` keeps the
+    * LARGEST pair on top (the bounded result set), `max = false` the
+    * smallest (the candidate frontier). */
+  private final class PairHeap(cap0: Int, max: Boolean) {
+    private var ds = new Array[Double](math.max(cap0, 8))
+    private var is = new Array[Int](ds.length)
+    var size = 0
+    def headDist: Double = ds(0)
+    def headIdx: Int = is(0)
+    // "a should sit above b": lexicographic (dist, idx), flipped by max
+    private def above(da: Double, ia: Int, db: Double, ib: Int): Boolean =
+      if (max) da > db || (da == db && ia > ib)
+      else da < db || (da == db && ia < ib)
+    def push(d: Double, i: Int): Unit = {
+      if (size == ds.length) {
+        ds = java.util.Arrays.copyOf(ds, size * 2)
+        is = java.util.Arrays.copyOf(is, size * 2)
+      }
+      var c = size; size += 1
+      while (c > 0 && above(d, i, ds((c - 1) / 2), is((c - 1) / 2))) {
+        ds(c) = ds((c - 1) / 2); is(c) = is((c - 1) / 2); c = (c - 1) / 2
+      }
+      ds(c) = d; is(c) = i
+    }
+    def pop(): Unit = {
+      size -= 1
+      val d = ds(size); val i = is(size)
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = l + 1
+        var b = c
+        var bd = d; var bi = i
+        if (l < size && above(ds(l), is(l), bd, bi)) { b = l; bd = ds(l); bi = is(l) }
+        if (r < size && above(ds(r), is(r), bd, bi)) { b = r; bd = ds(r); bi = is(r) }
+        if (b == c) done = true
+        else { ds(c) = ds(b); is(c) = is(b); c = b }
+      }
+      ds(c) = d; is(c) = i
+    }
+    /** Drain into an ascending-(dist, idx) array; heap becomes empty. */
+    def drainSortedAsc(): Array[(Double, Int)] = {
+      require(max, "drainSortedAsc is for the max-heap result set")
+      val out = new Array[(Double, Int)](size)
+      var k = size - 1
+      while (size > 0) { out(k) = (headDist, headIdx); pop(); k -= 1 }
+      out
+    }
+  }
+
   /** Greedy beam search over an adjacency list. Returns up to ef
-    * nearest (dist, id) pairs, deterministic (dist, idx) tie-break. */
+    * nearest (dist, idx) pairs ascending, deterministic (dist, idx)
+    * tie-break. */
   private def beamSearch(
       vecs: Array[Array[Float]], adj: Array[mutable.ArrayBuffer[Int]],
       entry: Int, target: Array[Float], ef: Int,
-      metric: String): mutable.PriorityQueue[(Double, Int)] = {
+      metric: String): Array[(Double, Int)] = {
     val visited = new java.util.BitSet(vecs.length)
     // candidates: nearest-first; results: farthest-first (bounded ef)
-    val candidates = mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.by[(Double, Int), (Double, Int)](identity).reverse)
-    val results = mutable.PriorityQueue.empty[(Double, Int)]
+    val candidates = new PairHeap(ef + 1, max = false)
+    val results = new PairHeap(ef + 1, max = true)
     val d0 = Knn.scalarDistance(metric, vecs(entry), target)
-    candidates.enqueue((d0, entry)); results.enqueue((d0, entry))
+    candidates.push(d0, entry); results.push(d0, entry)
     visited.set(entry)
-    while (candidates.nonEmpty) {
-      val (cd, c) = candidates.dequeue()
-      if (cd > results.head._1 && results.size >= ef) {
-        candidates.clear() // beam exhausted
+    var exhausted = false
+    while (!exhausted && candidates.size > 0) {
+      val cd = candidates.headDist; val c = candidates.headIdx
+      candidates.pop()
+      if (cd > results.headDist && results.size >= ef) {
+        exhausted = true
       } else {
-        adj(c).foreach { nb =>
+        val nbs = adj(c)
+        var j = 0
+        while (j < nbs.length) {
+          val nb = nbs(j)
           if (!visited.get(nb)) {
             visited.set(nb)
             val d = Knn.scalarDistance(metric, vecs(nb), target)
-            if (results.size < ef || d < results.head._1 ||
-              (d == results.head._1 && nb < results.head._2)) {
-              candidates.enqueue((d, nb))
-              results.enqueue((d, nb))
-              if (results.size > ef) results.dequeue()
+            if (results.size < ef || d < results.headDist ||
+              (d == results.headDist && nb < results.headIdx)) {
+              candidates.push(d, nb)
+              results.push(d, nb)
+              if (results.size > ef) results.pop()
             }
           }
+          j += 1
         }
       }
     }
-    results
+    results.drainSortedAsc()
+  }
+
+  /** Diverse-neighbor selection — the published HNSW heuristic
+    * (Malkov & Yashunin 2018, Algorithm 4, keepPrunedConnections):
+    * walk the candidates nearest-first and keep one iff it is closer
+    * to the new node than to every already-kept neighbor (so kept
+    * edges span DIFFERENT directions instead of one tight cluster),
+    * then fill any remaining slots with the nearest rejects. The
+    * nearest candidate is always kept, so every insert still links
+    * into the existing component. Deterministic given the ascending
+    * (dist, idx) candidate order. */
+  private def selectNeighbors(vecs: Array[Array[Float]],
+      cands: Array[(Double, Int)], m: Int,
+      metric: String): Array[(Double, Int)] = {
+    val selected = new mutable.ArrayBuffer[(Double, Int)](m)
+    val rejected = new mutable.ArrayBuffer[(Double, Int)]()
+    var i = 0
+    while (i < cands.length && selected.length < m) {
+      val (d, c) = cands(i)
+      var ok = true
+      var s = 0
+      while (ok && s < selected.length) {
+        if (Knn.scalarDistance(metric, vecs(c), vecs(selected(s)._2)) < d)
+          ok = false
+        s += 1
+      }
+      if (ok) selected += ((d, c)) else rejected += ((d, c))
+      i += 1
+    }
+    var r = 0
+    while (selected.length < m && r < rejected.length) {
+      selected += rejected(r); r += 1
+    }
+    selected.toArray
   }
 
   /** Build a single-layer NSW graph: sequential greedy insert, each
-    * node bidirectionally linked to its efConstruction-beam M nearest;
-    * neighbor lists pruned to 2M. */
+    * node bidirectionally linked to up to M heuristic-selected
+    * neighbors from its efConstruction beam; neighbor lists over 2M
+    * re-selected with the same heuristic (diversity-pruned). */
   private def build(vecs: Array[Array[Float]], m: Int, efConstruction: Int,
       metric: String): Array[mutable.ArrayBuffer[Int]] = {
     val n = vecs.length
     val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
     var i = 1
     while (i < n) {
-      val near = beamSearch(vecs, adj, 0, vecs(i),
+      val cands = beamSearch(vecs, adj, 0, vecs(i),
         math.max(m, efConstruction), metric)
-        .dequeueAll.sorted.take(m)
+      val near = selectNeighbors(vecs, cands, m, metric)
       near.foreach { case (_, nb) =>
         adj(i) += nb
         adj(nb) += i
         if (adj(nb).length > 2 * m) {
-          // keep the 2M nearest of nb (distance-pruned, deterministic)
-          val kept = adj(nb)
+          val withD = adj(nb)
             .map(x => (Knn.scalarDistance(metric, vecs(nb), vecs(x)), x))
-            .sorted.take(2 * m).map(_._2)
-          adj(nb) = kept
+            .sorted.toArray
+          adj(nb) = mutable.ArrayBuffer.from(
+            selectNeighbors(vecs, withD, 2 * m, metric).map(_._2))
         }
       }
       i += 1
@@ -137,20 +231,40 @@ object NswGraph {
       .as[CellGraph]
   }
 
+  /** Per-query probe lists for a graph-index search: (qid, vector,
+    * probed cell ids). Collected once and broadcast — shareable across
+    * every (m, efSearch) combination that probes the same centroids at
+    * the same nprobe (the grid sweep re-searches the same probes per
+    * level). */
+  def probeQueries(centroids: DataFrame, queries: DataFrame, nprobe: Int,
+      qidCol: String = "qid",
+      qvecCol: String = "q_embedding"): Array[(Long, Array[Float], Array[Int])] = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val matrix = graft.operators.AnnIvf.collectCentroids(centroids)
+    queries
+      .select(col(qidCol).cast("long"), col(qvecCol),
+        graft.GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+      .as[(Long, Array[Float], Array[Int])].collect()
+  }
+
   /** Beam-search a prebuilt graph index: each query visits only the
     * graphs of its nprobe probed cells, ~efSearch·M vectors per cell
     * instead of the whole cell. */
   def searchIndex(graphs: org.apache.spark.sql.Dataset[CellGraph],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+    searchIndexProbed(graphs,
+      probeQueries(centroids, queries, nprobe, qidCol, qvecCol),
+      k, efSearch, metric)
+
+  /** `searchIndex` over precollected probe lists. */
+  def searchIndexProbed(graphs: org.apache.spark.sql.Dataset[CellGraph],
+      probed: Array[(Long, Array[Float], Array[Int])], k: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean"): DataFrame = {
     val spark = graphs.sparkSession
     import spark.implicits._
-    val matrix = graft.operators.AnnIvf.collectCentroids(centroids)
-    val probed = queries
-      .select(col(qidCol).cast("long"), col(qvecCol),
-        graft.GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
-      .as[(Long, Array[Float], Array[Int])].collect()
     val bc = spark.sparkContext.broadcast(probed)
     val probedCells = probed.flatMap(_._3).toSet
     val (efs, met, kk) = (math.max(k, efSearch), metric, k)
@@ -164,7 +278,7 @@ object NswGraph {
             .filter(_._3.contains(g.cid))
             .flatMap { case (qid, qv, _) =>
               beamSearch(g.vecs, adj, 0, qv, efs, met)
-                .dequeueAll.sorted.take(kk)
+                .take(kk)
                 .map { case (d, idx) => (qid, g.ids(idx), d) }
             }
         }
@@ -217,7 +331,7 @@ object NswGraph {
           val qs = bc.value
           qs.iterator.flatMap { case (qid, qv) =>
             beamSearch(vecs, adj, 0, qv, ef, met)
-              .dequeueAll.sorted.take(k)
+              .take(k)
               .map { case (d, idx) => (qid, ids(idx), d) }
           }
         }
