@@ -776,6 +776,42 @@ object AnnQueries {
           col("best_row.cost_knob").as("best_cost_knob"))),
     "grid_brackets" -> ((s, d) =>
       Analytics.bracketSummary(gridResults(s, d), "npartitions")),
+    // the J7 grid machinery under a FULL oracle: GridSearch.run's
+    // shared-scan evaluation (one index scan at max nprobe, per-level
+    // top-k + recall + candidate counts from the probe-rank fanout)
+    // driven with FIXED data-row centroids injected through the
+    // sharedQuantizers hook — every deterministic output column
+    // (recall, n_candidates, totals) becomes exactly SQL-reproducible;
+    // the wall-clock columns stay out of the projection. recall is
+    // emitted as ppm (the engine's own rint(rec*1e6) integer), so the
+    // compare hashes an integer, not a rounded double.
+    "grid_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = Tables.load(s, d, "embeddings")
+      val totalBase = base.filter(col("vec_id") % 50 =!= 0).count()
+      val filtered = dataDf(s, d).filter(filterLow)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = filtered.filter(col("vec_id") % 311 === 7)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+        .cache()
+      val nc = centroids.count().toInt
+      val indexed = AnnIvf.index(filtered, centroids).cache()
+      indexed.count()
+      // run() materializes its result rows eagerly (local toDF), so
+      // the shared caches can drop as soon as it returns
+      val res = GridSearch.run(s, dataDf(s, d), queriesDf(s, d),
+        "low", filterLow, totalBase,
+        grid = Seq(GridSearch.Combo(nc, 1), GridSearch.Combo(nc, 2)),
+        sharedQuantizers = Map(nc -> ((centroids, indexed, 0.0))))
+      centroids.unpersist(); indexed.unpersist()
+      res.select(col("algo"),
+        col("npartitions").cast("long").as("npartitions"),
+        col("nprobe").cast("long").as("nprobe"),
+        col("total_vectors"), col("total_queries"),
+        round(col("recall") * 1e6).cast("long").as("recall_ppm"),
+        col("n_candidates"))
+    }),
     "ann_ivf_topk" -> ((s, d) => {
       val sh = annShared(s, d)
       val data = dataDf(s, d).filter(filterLow)
@@ -1085,6 +1121,90 @@ object AnnQueries {
     "ann_ivf_persist" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
+    // the grid sweep's deterministic columns in SQL: fixed centroids
+    // -> argmin assignment -> probe ranks -> per-level candidates ->
+    // per-level top-10 -> recall vs the exact oracle, plus candidate
+    // counts and table totals
+    "grid_fixed" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 311 = 7
+         |), ad AS (
+         |  SELECT d.vec_id, d.embedding, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qd AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |), probes AS (
+         |  SELECT qid, qe, cid, rn AS r FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
+         |  WHERE rn <= 2
+         |), levels AS (
+         |  SELECT CAST(1 AS BIGINT) AS np UNION ALL SELECT CAST(2 AS BIGINT)
+         |), cand AS (
+         |  SELECT l.np, p.qid, p.qe, a.vec_id, a.embedding
+         |  FROM probes p JOIN assign a USING (cid)
+         |  JOIN levels l ON p.r <= l.np
+         |), dist AS (
+         |  SELECT np, qid, vec_id,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
+         |  FROM cand
+         |), found AS (
+         |  SELECT np, qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY np, qid ORDER BY dst, vec_id) AS rk FROM dist)
+         |  WHERE rk <= 10
+         |), tdist AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z) AS dst
+         |  FROM q CROSS JOIN d
+         |), truth AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, vec_id) AS rk FROM tdist)
+         |  WHERE rk <= 10
+         |), hits AS (
+         |  SELECT f.np, f.qid, count(t.vec_id) AS h
+         |  FROM found f LEFT JOIN truth t
+         |    ON f.qid = t.qid AND f.vec_id = t.vec_id
+         |  GROUP BY 1, 2
+         |), gt AS (
+         |  SELECT qid, count(*) AS g FROM truth GROUP BY qid
+         |), rec AS (
+         |  SELECT np,
+         |    CAST(round(CAST(sum(h.h) AS DOUBLE) / sum(g.g) * 1000000)
+         |      AS BIGINT) AS recall_ppm
+         |  FROM hits h JOIN gt g USING (qid) GROUP BY np
+         |), nc AS (
+         |  SELECT np, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM dist GROUP BY np
+         |)
+         |SELECT 'ivf' AS algo,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS npartitions,
+         |  r.np AS nprobe,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM d) AS total_vectors,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM q) AS total_queries,
+         |  r.recall_ppm, nc.n_candidates
+         |FROM rec r JOIN nc USING (np)""".stripMargin,
     // the full PQ pipeline in SQL: fixed codebook rows -> per-subspace
     // argmin codes -> per-query LUT -> ADC sum in the engine's
     // left-to-right subspace order -> exact top-10 over all candidates
@@ -1241,6 +1361,90 @@ object AnnQueries {
         |ORDER BY qid, rank""".stripMargin
     // ann_ivf_*: approximate index behavior — verified against the
     // exact oracle via the recall metric in ScalaTest; rows-only here.
+  )
+}
+
+/** Structured Streaming query pack — the §2.9 operators driven END TO
+  * END under the driver's DuckDB oracle (previously spec-only): each
+  * query runs a real streaming query (file source → stateful operator
+  * → memory sink), drains it, and returns the sink table. The driver
+  * testdata is ONE parquet file per table, so the file source delivers
+  * exactly one micro-batch and the streaming semantics (within-batch
+  * min-doc_id keeper, within-batch event sort) coincide with the batch
+  * twins' — which is what makes a deterministic SQL oracle possible. */
+object StreamQueries {
+  import graft.streaming.StreamingOps
+
+  private val nameSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def sinkName(prefix: String): String =
+    s"${prefix}_${nameSeq.incrementAndGet()}"
+
+  /** Run a streaming Dataset to a memory sink, drain, return rows. */
+  private def drained(out: org.apache.spark.sql.Dataset[_],
+      prefix: String): DataFrame = {
+    val name = sinkName(prefix)
+    val q = out.writeStream.format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    out.sparkSession.table(name)
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // streaming curation funnel (quality gate + language gate +
+    // keep-one-per-content in keyed state): single-batch output equals
+    // the batch Corpus.curate exactly, so corpus_curate's oracle
+    // applies verbatim
+    "stream_curate" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      drained(StreamingOps.streamingCurate(docs, 0.45, Seq("en")),
+        "stream_curate")
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
+          col("quality"))
+    }),
+    // streaming gap-based sessionization in keyed state: emits each
+    // COMPLETED session once (the per-user final session stays open in
+    // state), so the oracle is the batch sessionization minus every
+    // user's last session
+    "stream_sessions" -> ((s, d) => {
+      val ev = StreamingOps.readEventStream(s, d)
+      drained(StreamingOps.streamingSessionize(ev, gapSec = 21600L),
+        "stream_sessions")
+        .select(col("user_id"), col("session_idx"), col("n_events"),
+          col("start_us"), col("end_us"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_curate" -> CorpusQueries.oracles("corpus_curate"),
+    "stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |), l AS (
+        |  SELECT *, lag(ts_us) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM e
+        |), f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |      OR ts_us - prev > 21600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM l
+        |), s AS (
+        |  SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |    count(*) AS n_events, min(ts_us) AS start_us,
+        |    max(ts_us) AS end_us
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT user_id, session_idx, n_events, start_us, end_us
+        |FROM g
+        |QUALIFY session_idx < max(session_idx)
+        |  OVER (PARTITION BY user_id)""".stripMargin
   )
 }
 

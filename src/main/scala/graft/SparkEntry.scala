@@ -48,7 +48,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     VectorQueries.all ++ RelationalQueries.all ++ DedupQueries.all ++
       TextQueries.all ++ CorpusQueries.all ++ AnnQueries.all ++
-      IngestQueries.all
+      IngestQueries.all ++ StreamQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -56,7 +56,7 @@ object SparkEntry {
     VectorQueries.oracles ++ RelationalQueries.oracles ++
       DedupQueries.oracles ++ TextQueries.oracles ++
       CorpusQueries.oracles ++ AnnQueries.oracles ++
-      IngestQueries.oracles
+      IngestQueries.oracles ++ StreamQueries.oracles
 }
 
 /** Vector-search query pack: exact filtered k-NN in each metric —
