@@ -59,9 +59,14 @@ object Bench {
     // parquet IO (their value is the CORRECTNESS row Verify produces),
     // and their names would push the pack's line to integer-second
     // resolution
+    // ... likewise the component-coverage rows (config parse, CSV
+    // round trip, category gate, error-row pass-through): pure
+    // correctness surfaces whose compute is already measured by the
+    // queries they borrow from
     val benchExcluded = Set("dedup_simhash_native",
       "dedup_simhash_pairs_native", "text_winnow_native",
-      "ann_ivf_persist", "ann_nsw_persist")
+      "ann_ivf_persist", "ann_nsw_persist",
+      "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {
         case Some(set) => set.contains(n) // explicit ONLY wins

@@ -812,6 +812,28 @@ object AnnQueries {
         round(col("recall") * 1e6).cast("long").as("recall_ppm"),
         col("n_candidates"))
     }),
+    // P9 under the driver: a grid with one healthy combo and one
+    // poisoned combo (npartitions = 0 — the coarse quantizer cannot
+    // probe zero cells). The sweep must CONTINUE past the failing
+    // build and emit a deterministic error row for it while the
+    // healthy combo still produces results — the reference's
+    // failing-combo pass-through (cuvs_bench_grid_search_v3.py:
+    // 706-722). Only order-deterministic columns are projected (the
+    // healthy row's recall depends on seeded k-means, so it is
+    // reduced to a produced/failed flag).
+    "grid_errors" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = Tables.load(s, d, "embeddings")
+      val totalBase = base.filter(col("vec_id") % 50 =!= 0).count()
+      GridSearch.run(s, dataDf(s, d), queriesDf(s, d), "low", filterLow,
+          totalBase,
+          grid = Seq(GridSearch.Combo(8, 1), GridSearch.Combo(0, 1)))
+        .select(col("algo"),
+          col("npartitions").cast("long").as("npartitions"),
+          col("nprobe").cast("long").as("nprobe"),
+          (col("build_time_seconds") < 0).as("failed"),
+          col("error"))
+    }),
     "ann_ivf_topk" -> ((s, d) => {
       val sh = annShared(s, d)
       val data = dataDf(s, d).filter(filterLow)
@@ -1121,6 +1143,17 @@ object AnnQueries {
     "ann_ivf_persist" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
+    // P9's contract as literal rows: the healthy combo produced a
+    // result row (failed = false, no error), the poisoned combo
+    // degraded to an error row carrying the deterministic driver-side
+    // failure (empty centroid table -> index -1), and the sweep
+    // emitted BOTH — it never aborted
+    "grid_errors" ->
+      """SELECT * FROM (VALUES
+        |  ('ivf', CAST(0 AS BIGINT), CAST(1 AS BIGINT), true,
+        |   'java.lang.ArrayIndexOutOfBoundsException: Index -1 out of bounds for length 0'),
+        |  ('ivf', CAST(8 AS BIGINT), CAST(1 AS BIGINT), false, NULL)
+        |) t(algo, npartitions, nprobe, failed, error)""".stripMargin,
     // the grid sweep's deterministic columns in SQL: fixed centroids
     // -> argmin assignment -> probe ranks -> per-level candidates ->
     // per-level top-10 -> recall vs the exact oracle, plus candidate
@@ -1460,6 +1493,53 @@ object IngestQueries {
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           size(col("embedding")).cast("long").as("dim"))
     }),
+    // S7 under the driver: the YAML config source end to end — parse a
+    // filter_config/params_config-shaped document, expand the param
+    // grid (J7's cartesian), apply the parsed range filter to a real
+    // table; the combo list and the kept-count are both SQL-checkable
+    "config_grid" -> ((s, d) => {
+      import s.implicits._
+      val yaml =
+        """filters:
+          |  narrow:
+          |    ranges:
+          |      - [0, 2]
+          |      - [5, 7]
+          |grid:
+          |  npartitions: [8, 16]
+          |  nprobe: [1, 4]
+          |""".stripMargin
+      val root = graft.sources.ConfigSource.parse(yaml)
+      val combos = graft.sources.ConfigSource.paramGrid(root)
+      val filt = graft.sources.ConfigSource.rangeFilters(root).head
+      val kept = Tables.load(s, d, "embeddings")
+        .filter(filt.predicate(col("label").cast("double")))
+        .count()
+      combos.map(m => (m("npartitions").toLong, m("nprobe").toLong, kept))
+        .toDF("npartitions", "nprobe", "n_kept")
+    }),
+    // S6 under the driver: the CSV results sink (the reference's
+    // output format, utils_grid_search.py results CSVs) round-tripped
+    // — write with header, read back with an explicit schema, pin
+    // against the parquet source
+    "csv_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv_q").toString
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      s.read
+        .schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+        .option("header", "true").csv(tmp)
+    }),
+    // P2 under the driver: the category-membership gate of the ingest
+    // flow (exec_embed.py's category list) + per-kept-category totals
+    "ingest_categories" -> ((s, d) =>
+      Tables.load(s, d, "documents")
+        .filter(col("lang").isin("en", "de", "fr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))),
     // S1+S2 under the driver: the documents table round-trips through
     // the reference's primary input format (one JSON object per line,
     // category encoded in the path — download_dataset/exec_embed.py:
@@ -1610,6 +1690,24 @@ object IngestQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "config_grid" ->
+      """WITH k AS (
+        |  SELECT count(*) AS n_kept FROM embeddings
+        |  WHERE (label >= 0 AND label < 2) OR (label >= 5 AND label < 7)
+        |), c AS (
+        |  SELECT * FROM (VALUES (8, 1), (8, 4), (16, 1), (16, 4))
+        |    t(npartitions, nprobe)
+        |)
+        |SELECT CAST(npartitions AS BIGINT) AS npartitions,
+        |  CAST(nprobe AS BIGINT) AS nprobe, k.n_kept
+        |FROM c CROSS JOIN k""".stripMargin,
+    "csv_roundtrip" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents",
+    "ingest_categories" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de', 'fr')
+        |GROUP BY lang""".stripMargin,
     "jsonl_roundtrip" ->
       """SELECT doc_id, lang AS category, source, n_chars,
         |  md5(text) AS text_md5 FROM documents""".stripMargin,
