@@ -34,7 +34,7 @@ object NswGraph {
     * graph-build wall time at 5M-row scale. `max = true` keeps the
     * LARGEST pair on top (the bounded result set), `max = false` the
     * smallest (the candidate frontier). */
-  private final class PairHeap(cap0: Int, max: Boolean) {
+  private[graft] final class PairHeap(cap0: Int, max: Boolean) {
     private var ds = new Array[Double](math.max(cap0, 8))
     private var is = new Array[Int](ds.length)
     var size = 0
