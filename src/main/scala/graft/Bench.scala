@@ -65,7 +65,7 @@ object Bench {
     // queries they borrow from
     val benchExcluded = Set("dedup_simhash_native",
       "dedup_simhash_pairs_native", "text_winnow_native",
-      "ann_ivf_persist", "ann_nsw_persist",
+      "ann_ivf_persist", "ann_nsw_persist", "ann_ivf_serve",
       "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {

@@ -1007,6 +1007,32 @@ object AnnQueries {
           nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // query-time FILTERED serving from a SHARED index — the 100-TB
+    // form of the reference's core scenario (many rating filters, one
+    // corpus): the clustered index holds ALL rows (no label filter
+    // baked in), and the label predicate is applied at query time,
+    // pushed into the index scan next to the cid partition pruning.
+    // Per-row cell assignment is a pure function of the vector, so
+    // serve-time filtering returns exactly what an index built over
+    // the pre-filtered corpus returns — the same full oracle as
+    // ann_ivf_fixed checks it.
+    "ann_ivf_serve" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val all = dataDf(s, d)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      // centroids are still the filtered mod-311 rows (the oracle's
+      // centroid set); the INDEX is over the unfiltered corpus
+      val centroids = all.filter(filterLow)
+        .filter(col("vec_id") % 311 === 7)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_serve").toString
+      AnnIvf.writeIndex(AnnIvf.index(all, centroids), tmp)
+      AnnIvf.searchPersisted(s, tmp, centroids, queriesDf(s, d), K,
+          nprobe = 2, dataFilter = Some(filterLow))
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // PQ encode + ADC under a FULL oracle: codebooks are FIXED data
     // rows (vec_id % 31 == 3, sliced per subspace) instead of k-means
     // output, so the per-subspace argmin codes and the ADC lookup sums
@@ -1147,6 +1173,7 @@ object AnnQueries {
   val oracles: Map[String, String] = Map(
     "ann_ivf_fixed" -> ivfFixedSql(311),
     "ann_ivf_persist" -> ivfFixedSql(311),
+    "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
     // P9's contract as literal rows: the healthy combo produced a

@@ -133,19 +133,30 @@ object AnnIvf {
   /** Search the persisted clustered index: the probed-cell filter is a
     * partition-column predicate, so Catalyst prunes unprobed cell
     * directories at planning time (PartitionFilters in the scan —
-    * asserted in KnnSpec). Semantics identical to search/searchFast. */
+    * asserted in KnnSpec). Semantics identical to search/searchFast.
+    *
+    * `dataFilter` is the QUERY-TIME metadata predicate — the 100-TB
+    * form of the reference's filtered search: ONE shared clustered
+    * index over the whole corpus serves every filter configuration,
+    * with the predicate pushed into the index scan (PushedFilters next
+    * to the cid PartitionFilters) instead of one index per filter.
+    * Pre-filter semantics hold by construction: the predicate sits
+    * below the top-k aggregate, so at any selectivity the search
+    * ranks only surviving rows. */
   def searchPersisted(spark: SparkSession, path: String,
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      metric: String = "sqeuclidean"): DataFrame = {
+      metric: String = "sqeuclidean",
+      dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val matrix = collectCentroids(centroids)
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
         .as("_pcid"))
     val probedCells = probes.select(col("_pcid")).distinct()
       .collect().map(_.getInt(0))
-    val indexed = spark.read.parquet(path)
+    val indexed = dataFilter
+      .foldLeft(spark.read.parquet(path))(_.filter(_))
       .filter(col("cid").isin(probedCells.toSeq: _*))
     val candidates = indexed.join(
       broadcast(probes), indexed("cid") === probes("_pcid"))

@@ -247,6 +247,29 @@ class KnnSpec extends AnyFunSuite {
       asTuples(AnnIvf.search(idx, centroids, queries, 10, nprobe = 4)))
   }
 
+  test("query-time filtered serving from a shared unfiltered index") {
+    // ONE clustered index over the whole corpus; the label predicate
+    // is applied at serve time and must (a) push into the index scan
+    // next to the cid partition pruning, (b) return exactly what an
+    // index built over the pre-filtered corpus returns (assignment is
+    // a pure per-row function of the vector)
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_serve").toString
+    AnnIvf.writeIndex(AnnIvf.index(data, centroids), s"$tmp/all")
+    val served = AnnIvf.searchPersisted(spark, s"$tmp/all", centroids,
+      queries, 10, nprobe = 4, dataFilter = Some(SparkEntry.filterLow))
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.contains("PartitionFilters: [in(cid"), s"no pruning:\n$plan")
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("Not(EqualTo(label"), s"label filter not pushed:\n$plan")
+    assert(asTuples(served) ==
+      asTuples(AnnIvf.search(AnnIvf.index(filtered, centroids), centroids,
+        queries, 10, nprobe = 4)))
+  }
+
   test("incremental append to the persisted index equals a full rebuild") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
