@@ -840,6 +840,38 @@ object AnnQueries {
           // stable across JDK message phrasing and internal refactors
           col("error").isNotNull.as("has_error"))
     }),
+    // the FULL IVF-PQ persisted pipeline under an exact oracle — the
+    // flagship 100-TB layout end to end: fixed coarse centroids
+    // (mod 311), fixed PQ codebooks (mod 31 = 3), the code table
+    // written clustered partitionBy(cid) WITH the label column, then
+    // served with a query-time filter + partition-pruned probes + ADC
+    // LUT scoring. Coarse assignment and PQ codes are pure per-row
+    // functions, so the SQL oracle composes the probe pruning of
+    // ann_ivf_fixed with the ADC ranking of ann_pq_fixed.
+    "ann_ivfpq_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val all = dataDf(s, d)
+      val filtered = all.filter(filterLow)
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = filtered.filter(col("vec_id") % 311 === 7)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      val seeds = filtered.filter(col("vec_id") % 31 === 3)
+        .orderBy(col("vec_id"))
+        .select(col("embedding")).as[Array[Float]].collect()
+      val m = 8
+      val dsub = seeds(0).length / m
+      val cb = Pq.Codebook(m, dsub,
+        Array.tabulate(m)(sb =>
+          seeds.map(_.slice(sb * dsub, (sb + 1) * dsub))))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_q").toString
+      Pq.writeIvfPqIndex(all, centroids, cb, tmp, extraCols = Seq("label"))
+      Pq.searchPersistedAdc(s, tmp, centroids, cb, queriesDf(s, d), K,
+          nprobe = 2, dataFilter = Some(filterLow))
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "ann_ivf_topk" -> ((s, d) => {
       val sh = annShared(s, d)
       val data = dataDf(s, d).filter(filterLow)
@@ -1186,6 +1218,93 @@ object AnnQueries {
         |  ('ivf', CAST(0 AS BIGINT), CAST(1 AS BIGINT), true, true),
         |  ('ivf', CAST(8 AS BIGINT), CAST(1 AS BIGINT), false, false)
         |) t(algo, npartitions, nprobe, failed, has_error)""".stripMargin,
+    // the full IVF-PQ pipeline in SQL: fixed coarse centroids ->
+    // argmin cells -> 2-nearest-cell probes; fixed codebook rows ->
+    // per-subspace argmin codes -> per-query LUT -> ADC sum in the
+    // engine's left-to-right subspace order -> exact top-10 over the
+    // FILTERED rows of the probed cells only
+    "ann_ivfpq_fixed" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 311 = 7
+         |), cb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 31 = 3
+         |), ad AS (
+         |  SELECT d.vec_id, d.embedding, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qd AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |), probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
+         |  WHERE rn <= 2
+         |), subs AS (
+         |  SELECT CAST(i AS INTEGER) AS sub FROM UNNEST(range(0, 8)) t(i)
+         |), cand AS (
+         |  SELECT p.qid, p.qe, a.vec_id, a.embedding
+         |  FROM probes p JOIN assign a USING (cid)
+         |), enc AS (
+         |  SELECT a.vec_id, s.sub, cb.code,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(a.embedding[s.sub*8+1 : s.sub*8+8]) AS a,
+         |           unnest(cb.ce[s.sub*8+1 : s.sub*8+8]) AS b) z) AS dst
+         |  FROM (SELECT DISTINCT vec_id, embedding FROM cand) a
+         |  CROSS JOIN subs s CROSS JOIN cb
+         |), codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dst, code) AS rn FROM enc)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.qid, s.sub, cb.code,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe[s.sub*8+1 : s.sub*8+8]) AS a,
+         |           unnest(cb.ce[s.sub*8+1 : s.sub*8+8]) AS b) z) AS ldst
+         |  FROM q CROSS JOIN subs s CROSS JOIN cb
+         |), contrib AS (
+         |  SELECT ca.qid, ca.vec_id, co.sub, l.ldst
+         |  FROM cand ca
+         |  JOIN codes co ON co.vec_id = ca.vec_id
+         |  JOIN lut l ON l.qid = ca.qid AND l.sub = co.sub
+         |    AND l.code = co.code
+         |), adc AS (
+         |  SELECT qid, vec_id,
+         |    sum(CASE WHEN sub = 0 THEN ldst END)
+         |    + sum(CASE WHEN sub = 1 THEN ldst END)
+         |    + sum(CASE WHEN sub = 2 THEN ldst END)
+         |    + sum(CASE WHEN sub = 3 THEN ldst END)
+         |    + sum(CASE WHEN sub = 4 THEN ldst END)
+         |    + sum(CASE WHEN sub = 5 THEN ldst END)
+         |    + sum(CASE WHEN sub = 6 THEN ldst END)
+         |    + sum(CASE WHEN sub = 7 THEN ldst END) AS dst
+         |  FROM contrib GROUP BY qid, vec_id
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM adc
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     // the grid sweep's deterministic columns in SQL: fixed centroids
     // -> argmin assignment -> probe ranks -> per-level candidates ->
     // per-level top-10 -> recall vs the exact oracle, plus candidate

@@ -220,15 +220,20 @@ object Pq {
     * ~1−nprobe/C of the files are never opened). Assignment and
     * encoding are both narrow expressions — building the index never
     * shuffles the corpus; the only cost is the clustered write. */
+  /** `extraCols` carries metadata columns (labels, ratings, …) into
+    * the code table so serve-time predicates can push into the scan —
+    * query-time filtered search over the compressed layout. */
   def writeIvfPqIndex(data: DataFrame, centroids: DataFrame, cb: Codebook,
       path: String, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil): Unit = {
     val codeCols = (0 until cb.m).map { s =>
       GraftFunctions.nearestCentroid(
         slice(col(vecCol), s * cb.dsub + 1, cb.dsub), cb.codebooks(s))
     }
     AnnIvf.index(data, centroids, idCol, vecCol)
-      .select(col(idCol), array(codeCols: _*).as("codes"), col("cid"))
+      .select(col(idCol) +: array(codeCols: _*).as("codes") +:
+        extraCols.map(col) :+ col("cid"): _*)
       .write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 
@@ -246,7 +251,8 @@ object Pq {
   def searchPersistedAdc(spark: SparkSession, path: String,
       centroids: DataFrame, cb: Codebook, queries: DataFrame, k: Int,
       nprobe: Int, idCol: String = "vec_id",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val qRows = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
@@ -264,7 +270,8 @@ object Pq {
     val bcQ = spark.sparkContext.broadcast(qRows)
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcCellToQ = spark.sparkContext.broadcast(cellToQ)
-    val partials = spark.read.parquet(path)
+    val partials = dataFilter
+      .foldLeft(spark.read.parquet(path))(_.filter(_))
       .filter(col("cid").isin(probedCells: _*))
       .select(col(idCol).cast("long"), col("codes"), col("cid"))
       .as[(Long, Array[Int], Int)]
