@@ -54,11 +54,11 @@ object Bench {
     // ~82 chars of names are what pushes the pack's JSON line past
     // the consumer's tail window — excluded from the measured pack so
     // every remaining query keeps sub-second resolution
-    // ... and the two *_persist correctness twins: they re-measure the
-    // same search path as ann_ivf_fixed / ann_nsw_fixed plus temp-dir
-    // parquet IO (their value is the CORRECTNESS row Verify produces),
-    // and their names would push the pack's line to integer-second
-    // resolution
+    // ... and the temp-dir index-IO correctness twins (*_persist,
+    // ann_ivf_serve, ann_ivfpq_fixed): they re-measure the same search
+    // path as ann_ivf_fixed / ann_nsw_fixed plus temp-dir parquet IO
+    // (their value is the CORRECTNESS row Verify produces), and their
+    // names would push the pack's line to integer-second resolution
     // ... likewise the component-coverage rows (config parse, CSV
     // round trip, category gate, error-row pass-through): pure
     // correctness surfaces whose compute is already measured by the

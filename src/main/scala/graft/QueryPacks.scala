@@ -752,6 +752,34 @@ object AnnQueries {
     annCache.clear()
   }
 
+  /** Fixed data-row coarse centroids (vec_id % mod == 7, numbered in
+    * vec_id order) — the ONE construction behind every *_fixed /
+    * *_persist / *_serve query, so the modulus and tie-break can never
+    * desynchronize from their shared SQL oracles. The single-task
+    * window is fine: this is the centroid table (O(cells) rows), not
+    * the corpus. */
+  private def fixedCentroids(df: DataFrame, mod: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    df.filter(col("vec_id") % mod === 7)
+      .select((row_number().over(w) - 1).as("cid"),
+        col("embedding").as("centroid"))
+  }
+
+  /** Fixed data-row PQ codebook (vec_id % 31 == 3, each seed sliced
+    * per subspace) — shared by ann_pq_fixed and ann_ivfpq_fixed for
+    * the same reason. */
+  private def fixedCodebook(s: SparkSession, df: DataFrame,
+      m: Int = 8): Pq.Codebook = {
+    import s.implicits._
+    val seeds = df.filter(col("vec_id") % 31 === 3)
+      .orderBy(col("vec_id"))
+      .select(col("embedding")).as[Array[Float]].collect()
+    val dsub = seeds(0).length / m
+    Pq.Codebook(m, dsub,
+      Array.tabulate(m)(sb =>
+        seeds.map(_.slice(sb * dsub, (sb + 1) * dsub))))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "grid_search_results" -> ((s, d) => gridResults(s, d)),
     "grid_pareto" -> ((s, d) =>
@@ -790,11 +818,7 @@ object AnnQueries {
       val base = Tables.load(s, d, "embeddings")
       val totalBase = base.filter(col("vec_id") % 50 =!= 0).count()
       val filtered = dataDf(s, d).filter(filterLow)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-      val centroids = filtered.filter(col("vec_id") % 311 === 7)
-        .select((row_number().over(w) - 1).as("cid"),
-          col("embedding").as("centroid"))
-        .cache()
+      val centroids = fixedCentroids(filtered, 311).cache()
       val nc = centroids.count().toInt
       val indexed = AnnIvf.index(filtered, centroids).cache()
       indexed.count()
@@ -850,21 +874,10 @@ object AnnQueries {
     // ann_ivf_fixed with the ADC ranking of ann_pq_fixed.
     "ann_ivfpq_fixed" -> ((s, d) => {
       GraftFunctions.register(s)
-      import s.implicits._
       val all = dataDf(s, d)
       val filtered = all.filter(filterLow)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-      val centroids = filtered.filter(col("vec_id") % 311 === 7)
-        .select((row_number().over(w) - 1).as("cid"),
-          col("embedding").as("centroid"))
-      val seeds = filtered.filter(col("vec_id") % 31 === 3)
-        .orderBy(col("vec_id"))
-        .select(col("embedding")).as[Array[Float]].collect()
-      val m = 8
-      val dsub = seeds(0).length / m
-      val cb = Pq.Codebook(m, dsub,
-        Array.tabulate(m)(sb =>
-          seeds.map(_.slice(sb * dsub, (sb + 1) * dsub))))
+      val centroids = fixedCentroids(filtered, 311)
+      val cb = fixedCodebook(s, filtered)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_q").toString
       Pq.writeIvfPqIndex(all, centroids, cb, tmp, extraCols = Seq("label"))
@@ -890,12 +903,7 @@ object AnnQueries {
     "ann_ivf_fixed" -> ((s, d) => {
       GraftFunctions.register(s)
       val data = dataDf(s, d).filter(filterLow)
-      // single-task window is fine: this is the centroid table
-      // (O(cells) rows), not the corpus
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-      val centroids = data.filter(col("vec_id") % 311 === 7)
-        .select((row_number().over(w) - 1).as("cid"),
-          col("embedding").as("centroid"))
+      val centroids = fixedCentroids(data, 311)
       AnnIvf.search(AnnIvf.index(data, centroids), centroids,
           queriesDf(s, d), K, nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
@@ -988,10 +996,7 @@ object AnnQueries {
     "ann_nsw_fixed" -> ((s, d) => {
       GraftFunctions.register(s)
       val data = dataDf(s, d).filter(filterLow)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-      val centroids = data.filter(col("vec_id") % 31 === 7)
-        .select((row_number().over(w) - 1).as("cid"),
-          col("embedding").as("centroid"))
+      val centroids = fixedCentroids(data, 31)
       val graphs = NswGraph.buildIndex(AnnIvf.index(data, centroids),
         m = 32, efConstruction = 64)
       NswGraph.searchIndex(graphs, centroids, queriesDf(s, d), K,
@@ -1006,10 +1011,7 @@ object AnnQueries {
     "ann_nsw_persist" -> ((s, d) => {
       GraftFunctions.register(s)
       val data = dataDf(s, d).filter(filterLow)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-      val centroids = data.filter(col("vec_id") % 31 === 7)
-        .select((row_number().over(w) - 1).as("cid"),
-          col("embedding").as("centroid"))
+      val centroids = fixedCentroids(data, 31)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_gidx_q").toString
       NswGraph.writeGraphIndex(
@@ -1028,10 +1030,7 @@ object AnnQueries {
     "ann_ivf_persist" -> ((s, d) => {
       GraftFunctions.register(s)
       val data = dataDf(s, d).filter(filterLow)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-      val centroids = data.filter(col("vec_id") % 311 === 7)
-        .select((row_number().over(w) - 1).as("cid"),
-          col("embedding").as("centroid"))
+      val centroids = fixedCentroids(data, 311)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivf_idx").toString
       AnnIvf.writeIndex(AnnIvf.index(data, centroids), tmp)
@@ -1051,13 +1050,9 @@ object AnnQueries {
     "ann_ivf_serve" -> ((s, d) => {
       GraftFunctions.register(s)
       val all = dataDf(s, d)
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
       // centroids are still the filtered mod-311 rows (the oracle's
       // centroid set); the INDEX is over the unfiltered corpus
-      val centroids = all.filter(filterLow)
-        .filter(col("vec_id") % 311 === 7)
-        .select((row_number().over(w) - 1).as("cid"),
-          col("embedding").as("centroid"))
+      val centroids = fixedCentroids(all.filter(filterLow), 311)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivf_serve").toString
       AnnIvf.writeIndex(AnnIvf.index(all, centroids), tmp)
@@ -1075,16 +1070,8 @@ object AnnQueries {
     // Pq.searchAdc; ann_pq_recall keeps covering the k-means variant.
     "ann_pq_fixed" -> ((s, d) => {
       GraftFunctions.register(s)
-      import s.implicits._
       val data = dataDf(s, d).filter(filterLow)
-      val seeds = data.filter(col("vec_id") % 31 === 3)
-        .orderBy(col("vec_id"))
-        .select(col("embedding")).as[Array[Float]].collect()
-      val m = 8
-      val dsub = seeds(0).length / m
-      val cb = Pq.Codebook(m, dsub,
-        Array.tabulate(m)(sb =>
-          seeds.map(_.slice(sb * dsub, (sb + 1) * dsub))))
+      val cb = fixedCodebook(s, data)
       Pq.searchAdc(Pq.encode(data, cb), cb, queriesDf(s, d), K)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),

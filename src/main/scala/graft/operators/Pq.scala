@@ -219,8 +219,9 @@ object Pq {
     * cell selection becomes parquet PARTITION PRUNING (the unprobed
     * ~1−nprobe/C of the files are never opened). Assignment and
     * encoding are both narrow expressions — building the index never
-    * shuffles the corpus; the only cost is the clustered write. */
-  /** `extraCols` carries metadata columns (labels, ratings, …) into
+    * shuffles the corpus; the only cost is the clustered write.
+    *
+    * `extraCols` carries metadata columns (labels, ratings, …) into
     * the code table so serve-time predicates can push into the scan —
     * query-time filtered search over the compressed layout. */
   def writeIvfPqIndex(data: DataFrame, centroids: DataFrame, cb: Codebook,
