@@ -63,10 +63,14 @@ object Bench {
     // round trip, category gate, error-row pass-through): pure
     // correctness surfaces whose compute is already measured by the
     // queries they borrow from
+    // ... and ann_hamming_fixed (ann_nsw_fixed's graph path with the
+    // hamming fine distance — the hamming cost is already measured by
+    // ann_hamming_recall) and stream_dedup (its keyed-state shape is
+    // measured by stream_curate)
     val benchExcluded = Set("dedup_simhash_native",
       "dedup_simhash_pairs_native", "text_winnow_native",
       "ann_ivf_persist", "ann_nsw_persist", "ann_ivf_serve",
-      "ann_ivfpq_fixed",
+      "ann_ivfpq_fixed", "ann_hamming_fixed", "stream_dedup",
       "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {

@@ -974,6 +974,27 @@ object AnnQueries {
         .crossJoin(Recall.ofRanked(foundIvf, truth)
           .select(col("recall").as("recall_ivf")))
     }),
+    // the binary/Hamming graph path under a FULL oracle — the one
+    // metric variant that was rows-only: the ann_nsw_fixed recipe
+    // (mod-31 cells <= 49 rows, m = 32, efSearch = 128 >= cell size →
+    // the beam provably visits every reachable in-cell node) with the
+    // sign-binarized hamming FINE distance threaded through the real
+    // graph build + beam search (the reference's IndexBinaryHNSW,
+    // utils_grid_search.py:649-654). Coarse assignment and probes stay
+    // sqeuclidean (float coarse quantizer over binary fine codes — the
+    // standard binary-IVF shape). Hamming's massive distance ties are
+    // deterministic here because BOTH engines break (dist, id) ties on
+    // the id.
+    "ann_hamming_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 31)
+      val graphs = NswGraph.buildIndex(AnnIvf.index(data, centroids),
+        m = 32, efConstruction = 64, metric = "hamming")
+      NswGraph.searchIndex(graphs, centroids, queriesDf(s, d), K,
+          nprobe = 2, efSearch = 128, metric = "hamming")
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "ann_nsw_recall" -> ((s, d) => {
       // per-partition NSW graph (HNSW-path analog, J3): recall vs the
       // exact oracle; rows-only (approximate + partitioning-dependent)
@@ -1141,8 +1162,12 @@ object AnnQueries {
     * parameterized by the centroid-picking modulus: shared by
     * ann_ivf_fixed and ann_ivf_persist (mod 311 — identical semantics,
     * different storage) and ann_nsw_fixed (mod 31 — cells small enough
-    * that the graph search is provably exact, see the query comment). */
-  private def ivfFixedSql(mod: Int): String =
+    * that the graph search is provably exact, see the query comment).
+    * `fine` overrides the FINE distance only (ann_hamming_fixed's
+    * sign-mismatch count); coarse assignment and probe selection stay
+    * sqeuclidean — the standard binary-IVF shape, mirroring the
+    * engine's float coarse quantizer over sign-packed fine vectors. */
+  private def ivfFixedSql(mod: Int, fine: String = sqdistZ): String =
     s"""WITH q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  WHERE vec_id % 50 = 0
@@ -1178,7 +1203,7 @@ object AnnQueries {
          |  FROM probes p JOIN assign a USING (cid)
          |), dist AS (
          |  SELECT qid, vec_id,
-         |    (SELECT $sqdistZ
+         |    (SELECT $fine
          |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
          |  FROM cand
          |)
@@ -1195,6 +1220,10 @@ object AnnQueries {
     "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
+    // same probed cells as ann_nsw_fixed; only the fine distance is
+    // the sign-mismatch count (knn_hamming's green distance SQL)
+    "ann_hamming_fixed" -> ivfFixedSql(31,
+      fine = "sum(CASE WHEN (z.a > 0) <> (z.b > 0) THEN 1 ELSE 0 END)"),
     // P9's contract as literal rows: the healthy combo produced a
     // result row (failed = false, no error), the poisoned combo
     // degraded to an error row carrying the deterministic driver-side
@@ -1584,6 +1613,18 @@ object StreamQueries {
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
           col("quality"))
     }),
+    // streaming exact dedup in keyed state (one boolean per distinct
+    // content hash): single-batch output is each hash's min-doc_id
+    // keeper — the batch Dedup.exact keeper rule — so the oracle is
+    // dedup_exact's group-by reduced to (keeper, hash)
+    "stream_dedup" -> ((s, d) => {
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      drained(StreamingOps.streamingExactDedup(docs), "stream_dedup")
+        .select(col("doc_id"), col("text_hash"))
+    }),
     // streaming gap-based sessionization in keyed state: emits each
     // COMPLETED session once (the per-user final session stays open in
     // state), so the oracle is the batch sessionization minus every
@@ -1599,6 +1640,9 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_curate" -> CorpusQueries.oracles("corpus_curate"),
+    "stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
+        |FROM documents GROUP BY md5(text)""".stripMargin,
     "stream_sessions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events

@@ -51,4 +51,22 @@ class NswFixedSpec extends AnyFunSuite {
     assert(viaGraph == viaExactIvf)
     assert(viaGraph.nonEmpty)
   }
+
+  // the connectivity/full-traversal argument is metric-independent
+  // (the beam visits every reachable node once efSearch >= cell size),
+  // but hamming's massive distance ties exercise the (dist, id)
+  // tie-break much harder — pin the binary path separately
+  test("hamming graph search equals exact in-cell hamming search") {
+    val centroids = fixedCentroids
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGraph = tuples(AnnQueries.all("ann_hamming_fixed")(spark, sf))
+    val viaExactIvf = tuples(
+      AnnIvf.search(AnnIvf.index(data, centroids), centroids,
+        SparkEntry.queriesDf(spark, sf), SparkEntry.K, nprobe = 2,
+        metric = "hamming"))
+    assert(viaGraph == viaExactIvf)
+    assert(viaGraph.nonEmpty)
+  }
 }
