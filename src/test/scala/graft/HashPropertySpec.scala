@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Fp16Decode, Fp16Encode, MinHashSignature,
+  PackSignBits, SimHash64}
+import graft.operators.Knn
+
+/** Seeded-random algebraic properties of the portable hash/codec
+  * expressions — the identities the LSH banding, fingerprinting, and
+  * fp16/binary storage paths RELY on but example-based tests can't pin
+  * exhaustively. Pure expression-level checks (no Spark jobs): each
+  * property runs hundreds of randomized trials under a fixed seed. */
+class HashPropertySpec extends AnyFunSuite {
+  private val rng = new scala.util.Random(7)
+
+  private def arr(tokens: Seq[String]): ArrayData =
+    new GenericArrayData(tokens.map(UTF8String.fromString).toArray[Any])
+
+  private def randTokens(n: Int): List[String] =
+    List.fill(n)(rng.alphanumeric.take(1 + rng.nextInt(8)).mkString)
+
+  private val nullArr = Literal.create(null, ArrayType(StringType))
+  private val mh = MinHashSignature(nullArr, 128)
+  private val sh = SimHash64(nullArr)
+  private def longs(a: ArrayData): Seq[Long] = a.toLongArray().toSeq
+
+  test("minhash is a set function: duplicate + order invariant") {
+    // the LSH band join is only sound if the signature depends on the
+    // shingle SET — not on multiplicity or array order
+    for (_ <- 1 to 300) {
+      val toks = randTokens(1 + rng.nextInt(30))
+      val noisy = rng.shuffle(toks ++ toks.take(rng.nextInt(toks.size + 1)))
+      assert(longs(mh.sig(arr(noisy))) == longs(mh.sig(arr(toks.distinct))))
+    }
+  }
+
+  test("minhash of a union is the elementwise min of the signatures") {
+    // the mergeability that lets 100-TB signatures build map-side and
+    // combine without revisiting the shingles
+    for (_ <- 1 to 300) {
+      val a = randTokens(1 + rng.nextInt(20))
+      val b = randTokens(1 + rng.nextInt(20))
+      val u = longs(mh.sig(arr(a ++ b)))
+      val merged = longs(mh.sig(arr(a))).zip(longs(mh.sig(arr(b))))
+        .map { case (x, y) => math.min(x, y) }
+      assert(u == merged)
+    }
+  }
+
+  test("simhash is order invariant (votes sum over the bag)") {
+    for (_ <- 1 to 300) {
+      val toks = randTokens(1 + rng.nextInt(30))
+      assert(sh.hash(arr(rng.shuffle(toks))) == sh.hash(arr(toks)))
+    }
+  }
+
+  test("fp16 encode is idempotent and within the half-precision bound") {
+    val enc = Fp16Encode(nullArr); val dec = Fp16Decode(nullArr)
+    for (_ <- 1 to 300) {
+      val xs = Array.fill(1 + rng.nextInt(64))(
+        (rng.nextFloat() - 0.5f) * 200f)
+      val once = enc.encode(new GenericArrayData(xs))
+      val back = dec.decode(once).toFloatArray()
+      // binary16 round-to-nearest: relative error <= 2^-11 for normal
+      // values; generated range stays far from the subnormal/overflow
+      // edges so the plain relative bound applies
+      xs.zip(back).foreach { case (x, y) =>
+        assert(math.abs(y - x) <= math.max(math.abs(x), 1e-3f) / 2048.0 + 1e-7)
+      }
+      val twice = enc.encode(dec.decode(once))
+      assert(java.util.Arrays.equals(once, twice))
+    }
+  }
+
+  test("packed hamming equals the sign-mismatch count (all dims)") {
+    // ties ann_hamming_fixed's two lowerings together: the packed
+    // popcount path (exactHamming / the codegen HammingDistance) and
+    // the scalar per-dim path the graph build uses
+    val pack = PackSignBits(Literal.create(null,
+      ArrayType(org.apache.spark.sql.types.FloatType)))
+    for (_ <- 1 to 300) {
+      val n = 1 + rng.nextInt(130) // crosses byte boundaries + tail bits
+      def vec = Array.fill(n)(
+        if (rng.nextInt(5) == 0) 0f else (rng.nextFloat() - 0.5f).toFloat)
+      val a = vec; val b = vec
+      val pa = pack.nullSafeEval(new GenericArrayData(a)).asInstanceOf[Array[Byte]]
+      val pb = pack.nullSafeEval(new GenericArrayData(b)).asInstanceOf[Array[Byte]]
+      assert(Knn.hammingBytes(pa, pb).toDouble ==
+        Knn.scalarDistance("hamming", a, b))
+    }
+  }
+}
