@@ -130,6 +130,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: earliest batch wins across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, String)]
+    val q = StreamingOps.streamingExactDedup(ms.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("mdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: two copies of "a" (within-batch min id 5 wins) + "b"
+      ms.addData((7L, "a"), (5L, "a"), (9L, "b"))
+      q.processAllAvailable()
+      // batch 2: a LOWER id for "a" arrives later — the keyed state
+      // must ignore it (first emission is final in append mode) while
+      // the new content "c" still passes
+      ms.addData((1L, "a"), (3L, "c"))
+      q.processAllAvailable()
+      val keepers = spark.table("mdedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(keepers == Set(5L, 9L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming sessionize: state carries across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
