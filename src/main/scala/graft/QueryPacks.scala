@@ -885,6 +885,29 @@ object AnnQueries {
           nprobe = 2, dataFilter = Some(filterLow))
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // RESIDUAL IVF-PQ under the same composed oracle — the classic
+    // IVF-PQ (Jégou et al. 2011; FAISS IndexIVFPQ default): codes are
+    // PQ(vec − centroid(cid)) and the serve-time LUT is built from
+    // q − centroid(probed cell), per (query, cell). Both residual
+    // subtractions are float32 on BOTH engines (Spark zip_with /
+    // engine float sub; DuckDB FLOAT − FLOAT), so the encode argmin
+    // and ADC sums stay exactly SQL-reproducible. Same serve-time
+    // label filter + unfiltered shared index as ann_ivfpq_fixed (cell
+    // assignment, residual, and codes are pure per-row functions).
+    "ann_ivfpq_residual" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val all = dataDf(s, d)
+      val filtered = all.filter(filterLow)
+      val centroids = fixedCentroids(filtered, 311)
+      val cb = fixedCodebook(s, filtered)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivfpqr_q").toString
+      Pq.writeIvfPqIndex(all, centroids, cb, tmp,
+        extraCols = Seq("label"), residual = true)
+      Pq.searchPersistedAdc(s, tmp, centroids, cb, queriesDf(s, d), K,
+          nprobe = 2, dataFilter = Some(filterLow), residual = true)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "ann_ivf_topk" -> ((s, d) => {
       val sh = annShared(s, d)
       val data = dataDf(s, d).filter(filterLow)
@@ -1157,6 +1180,14 @@ object AnnQueries {
   private val sqdistZ =
     "sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)) * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))"
 
+  /** Squared distance between a float32 residual (a − b, computed in
+    * FLOAT — DuckDB FLOAT − FLOAT stays single-precision, matching
+    * Spark's zip_with on float arrays bit for bit) and a codeword w,
+    * accumulated in double like every other distance. */
+  private val residDistZ =
+    "sum((CAST(CAST(z.a - z.b AS FLOAT) AS DOUBLE) - CAST(z.w AS DOUBLE)) * " +
+      "(CAST(CAST(z.a - z.b AS FLOAT) AS DOUBLE) - CAST(z.w AS DOUBLE)))"
+
   /** The fixed-centroid IVF pipeline in SQL (fixed centroids -> argmin
     * cell assignment -> 2-nearest-cell probes -> exact in-cell top-10),
     * parameterized by the centroid-picking modulus: shared by
@@ -1303,6 +1334,95 @@ object AnnQueries {
          |  JOIN codes co ON co.vec_id = ca.vec_id
          |  JOIN lut l ON l.qid = ca.qid AND l.sub = co.sub
          |    AND l.code = co.code
+         |), adc AS (
+         |  SELECT qid, vec_id,
+         |    sum(CASE WHEN sub = 0 THEN ldst END)
+         |    + sum(CASE WHEN sub = 1 THEN ldst END)
+         |    + sum(CASE WHEN sub = 2 THEN ldst END)
+         |    + sum(CASE WHEN sub = 3 THEN ldst END)
+         |    + sum(CASE WHEN sub = 4 THEN ldst END)
+         |    + sum(CASE WHEN sub = 5 THEN ldst END)
+         |    + sum(CASE WHEN sub = 6 THEN ldst END)
+         |    + sum(CASE WHEN sub = 7 THEN ldst END) AS dst
+         |  FROM contrib GROUP BY qid, vec_id
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM adc
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    // the RESIDUAL IVF-PQ pipeline in SQL: identical probe pruning,
+    // but codes argmin over (vec − assigned centroid) vs codewords and
+    // the LUT per (query, probed cell) over (q − probed centroid) vs
+    // codewords — both residuals in float32 on both engines
+    "ann_ivfpq_residual" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 311 = 7
+         |), cb AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 31 = 3
+         |), ad AS (
+         |  SELECT d.vec_id, d.embedding, c.cid, c.ce,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid, ce FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qd AS (
+         |  SELECT q.qid, q.qe, c.cid, c.ce,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |), probes AS (
+         |  SELECT qid, qe, cid, ce FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
+         |  WHERE rn <= 2
+         |), subs AS (
+         |  SELECT CAST(i AS INTEGER) AS sub FROM UNNEST(range(0, 8)) t(i)
+         |), cand AS (
+         |  SELECT p.qid, p.cid, a.vec_id
+         |  FROM probes p JOIN assign a USING (cid)
+         |), enc AS (
+         |  SELECT a.vec_id, s.sub, cb.code,
+         |    (SELECT $residDistZ
+         |     FROM (SELECT unnest(a.embedding[s.sub*8+1 : s.sub*8+8]) AS a,
+         |           unnest(a.ce[s.sub*8+1 : s.sub*8+8]) AS b,
+         |           unnest(cb.ce[s.sub*8+1 : s.sub*8+8]) AS w) z) AS dst
+         |  FROM (SELECT vec_id, embedding, ce FROM assign
+         |        WHERE vec_id IN (SELECT vec_id FROM cand)) a
+         |  CROSS JOIN subs s CROSS JOIN cb
+         |), codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dst, code) AS rn FROM enc)
+         |  WHERE rn = 1
+         |), lut AS (
+         |  SELECT p.qid, p.cid, s.sub, cb.code,
+         |    (SELECT $residDistZ
+         |     FROM (SELECT unnest(p.qe[s.sub*8+1 : s.sub*8+8]) AS a,
+         |           unnest(p.ce[s.sub*8+1 : s.sub*8+8]) AS b,
+         |           unnest(cb.ce[s.sub*8+1 : s.sub*8+8]) AS w) z) AS ldst
+         |  FROM probes p CROSS JOIN subs s CROSS JOIN cb
+         |), contrib AS (
+         |  SELECT ca.qid, ca.vec_id, co.sub, l.ldst
+         |  FROM cand ca
+         |  JOIN codes co ON co.vec_id = ca.vec_id
+         |  JOIN lut l ON l.qid = ca.qid AND l.cid = ca.cid
+         |    AND l.sub = co.sub AND l.code = co.code
          |), adc AS (
          |  SELECT qid, vec_id,
          |    sum(CASE WHEN sub = 0 THEN ldst END)

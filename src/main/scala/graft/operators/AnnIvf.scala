@@ -115,8 +115,16 @@ object AnnIvf {
     * directory per cid. Probes against the persisted layout become
     * parquet PARTITION PRUNING — a search at nprobe touches only
     * nprobe/C of the files on disk, before any row is read. */
+  /** One shuffle by cid before the clustered write: without it every
+    * write task emits a file into every cell directory it sees —
+    * tasks × cells files (65K at 2048 cells on 32 tasks; millions at
+    * cluster scale), which breaks the filesystem long before the data
+    * does. Hashing cid to the shuffle partitions yields exactly one
+    * file per cell instead, at the cost of the one shuffle a clustered
+    * layout fundamentally requires. */
   def writeIndex(indexed: DataFrame, path: String): Unit =
-    indexed.write.mode("overwrite").partitionBy("cid").parquet(path)
+    indexed.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
 
   /** Incremental maintenance: assign NEW vectors against the frozen
     * centroid table (narrow, deterministic — identical cells to a full
@@ -128,6 +136,7 @@ object AnnIvf {
   def appendToIndex(newData: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     index(newData, centroids, idCol, vecCol)
+      .repartition(col("cid")) // one file per touched cell per batch
       .write.mode("append").partitionBy("cid").parquet(path)
 
   /** Search the persisted clustered index: the probed-cell filter is a

@@ -212,6 +212,25 @@ object Pq {
       col("neighbor_id"), col("qid"))
   }
 
+  /** Residuals of indexed vectors against their assigned cell
+    * centroid — the classic IVF-PQ refinement (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search" §IV; FAISS
+    * IndexIVFPQ encodes residuals by default): on clustered data the
+    * raw vector is dominated by the cell centroid every in-cell
+    * neighbor shares, so raw-vector codes collapse within a cell and
+    * ADC cannot rank inside it (measured on the 1000-cluster scale
+    * workload: recall@10 0.18 raw). Quantizing vec − centroid(cid)
+    * spends the whole codebook on the within-cell signal. The
+    * subtraction is float32 (zip_with on float arrays) so it is
+    * bit-reproducible across engines. Narrow: centroids broadcast,
+    * no shuffle. */
+  def residuals(indexed: DataFrame, centroids: DataFrame,
+      vecCol: String = "embedding"): DataFrame =
+    indexed.join(broadcast(centroids), "cid")
+      .withColumn("_resid",
+        zip_with(col(vecCol), col("centroid"), (a, b) => a - b))
+      .drop("centroid")
+
   /** Persist the FULL IVF-PQ index: coarse cell assignment + PQ codes,
     * clustered `partitionBy(cid)` — one parquet partition directory
     * per cell, rows are (id, codes) only. This is the production
@@ -223,18 +242,29 @@ object Pq {
     *
     * `extraCols` carries metadata columns (labels, ratings, …) into
     * the code table so serve-time predicates can push into the scan —
-    * query-time filtered search over the compressed layout. */
+    * query-time filtered search over the compressed layout.
+    * `residual = true` encodes vec − centroid(cid) instead of the raw
+    * vector (see `residuals`); search the result with
+    * `searchPersistedAdc(..., residual = true)`. */
   def writeIvfPqIndex(data: DataFrame, centroids: DataFrame, cb: Codebook,
       path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      extraCols: Seq[String] = Nil): Unit = {
+      extraCols: Seq[String] = Nil,
+      residual: Boolean = false): Unit = {
+    val indexed = AnnIvf.index(data, centroids, idCol, vecCol)
+    val (base, encCol) =
+      if (residual) (residuals(indexed, centroids, vecCol), "_resid")
+      else (indexed, vecCol)
     val codeCols = (0 until cb.m).map { s =>
       GraftFunctions.nearestCentroid(
-        slice(col(vecCol), s * cb.dsub + 1, cb.dsub), cb.codebooks(s))
+        slice(col(encCol), s * cb.dsub + 1, cb.dsub), cb.codebooks(s))
     }
-    AnnIvf.index(data, centroids, idCol, vecCol)
+    base
       .select(col(idCol) +: array(codeCols: _*).as("codes") +:
         extraCols.map(col) :+ col("cid"): _*)
+      // one shuffle by cid → one file per cell, not tasks × cells
+      // files (see AnnIvf.writeIndex)
+      .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
   }
 
@@ -253,12 +283,21 @@ object Pq {
       centroids: DataFrame, cb: Codebook, queries: DataFrame, k: Int,
       nprobe: Int, idCol: String = "vec_id",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      dataFilter: Option[org.apache.spark.sql.Column] = None,
+      residual: Boolean = false): DataFrame = {
     import spark.implicits._
     val qRows = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect()
     val qIndex = qRows.iterator.map(_._1).zipWithIndex.toMap
+    // residual mode scores codes against q − centroid(cell), so the
+    // LUT is per (query, probed cell) instead of per query; the cell
+    // centroids ride along in a broadcast map. float32 subtraction,
+    // matching the encode side exactly.
+    val cenMap: Map[Int, Array[Float]] =
+      if (!residual) Map.empty
+      else centroids.select(col("cid").cast("int"), col("centroid"))
+        .as[(Int, Array[Float])].collect().toMap
     // (cell -> probing query positions), computed with the same
     // NearestCells expression the float IVF probes use
     val probePairs = AnnIvf
@@ -271,6 +310,7 @@ object Pq {
     val bcQ = spark.sparkContext.broadcast(qRows)
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcCellToQ = spark.sparkContext.broadcast(cellToQ)
+    val bcCen = spark.sparkContext.broadcast(cenMap)
     val partials = dataFilter
       .foldLeft(spark.read.parquet(path))(_.filter(_))
       .filter(col("cid").isin(probedCells: _*))
@@ -280,23 +320,34 @@ object Pq {
         val qs = bcQ.value
         val book = bcCb.value
         val toQ = bcCellToQ.value
+        val cens = bcCen.value
         val m = book.m; val dsub = book.dsub
         val ksub = book.codebooks(0).length
-        // per-query LUTs built lazily: a partition only pays for the
-        // queries that probe cells it actually holds
-        val luts = new Array[Array[Double]](qs.length)
-        def lut(qi: Int): Array[Double] = {
-          if (luts(qi) == null) {
+        // LUTs built lazily: a partition only pays for the (query
+        // [, cell]) pairs whose cells it actually holds. Non-residual
+        // LUTs are cell-independent (keyed cid 0); residual LUTs are
+        // per probe pair — globally q × nprobe of them, each held only
+        // for its partition's lifetime.
+        val luts = new java.util.HashMap[Long, Array[Double]]()
+        def lut(qi: Int, cid: Int): Array[Double] = {
+          val key = (qi.toLong << 32) | (cid & 0xffffffffL)
+          var t = luts.get(key)
+          if (t == null) {
             val q = qs(qi)._2
-            val t = new Array[Double](m * ksub)
+            val cen = cens.getOrElse(cid, null)
+            t = new Array[Double](m * ksub)
             var s = 0
             while (s < m) {
               var c = 0
               while (c < ksub) {
-                val cen = book.codebooks(s)(c)
+                val cw = book.codebooks(s)(c)
                 var acc = 0.0; var j = 0
                 while (j < dsub) {
-                  val d = q(s * dsub + j).toDouble - cen(j).toDouble
+                  val idx = s * dsub + j
+                  // float32 query residual, mirroring encode's zip_with
+                  val qv = if (cen == null) q(idx).toDouble
+                           else (q(idx) - cen(idx)).toDouble
+                  val d = qv - cw(j).toDouble
                   acc += d * d; j += 1
                 }
                 t(s * ksub + c) = acc
@@ -304,17 +355,18 @@ object Pq {
               }
               s += 1
             }
-            luts(qi) = t
+            luts.put(key, t)
           }
-          luts(qi)
+          t
         }
+        val lutCid = cens.nonEmpty // residual mode
         val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
         it.foreach { case (id, cs, cid) =>
           toQ.get(cid).foreach { qis =>
             var i = 0
             while (i < qis.length) {
               val qi = qis(i)
-              val t = lut(qi)
+              val t = lut(qi, if (lutCid) cid else 0)
               var acc = 0.0; var s = 0
               while (s < m) { acc += t(s * ksub + cs(s)); s += 1 }
               heaps(qi).insert(acc, id)
@@ -328,5 +380,31 @@ object Pq {
       }
       .toDF("qid", "_nnid", "_dist")
     Knn.topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
+  }
+
+  /** `searchAdcRefined` over the persisted clustered layout: ADC
+    * shortlist of k·kfactor from the probed cells, then an exact
+    * full-precision re-rank of just those candidates — the standard
+    * two-stage IVF-PQ serve (compressed scan pays the fan-out, the
+    * fp32 corpus is touched for q·k·kfactor rows only). */
+  def searchPersistedAdcRefined(spark: SparkSession, path: String,
+      centroids: DataFrame, cb: Codebook, data: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int, kfactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      dataFilter: Option[org.apache.spark.sql.Column] = None,
+      residual: Boolean = false): DataFrame = {
+    val shortlist = searchPersistedAdc(spark, path, centroids, cb,
+        queries, k * kfactor, nprobe, idCol, qidCol, qvecCol,
+        dataFilter, residual)
+      .select(col("qid"), col("neighbor_id"))
+    val candidates = shortlist
+      .join(data.select(col(idCol).as("neighbor_id"), col(vecCol)),
+        "neighbor_id")
+      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol))),
+        "qid")
+    Knn.topKFrom(candidates, k,
+      GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
+      col("neighbor_id"), col("qid"))
   }
 }

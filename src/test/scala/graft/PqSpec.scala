@@ -84,6 +84,49 @@ class PqSpec extends AnyFunSuite {
     assert(rec >= 0.1, s"pruned IVF-PQ recall $rec")
   }
 
+  test("residual encoding beats raw codes on clustered data") {
+    // deterministic hash-synth Gaussian-mixture analog (ScaleBench's
+    // generator, shrunk): 20 tight clusters in 64 dims. Raw-vector PQ
+    // mostly spends its codewords re-encoding the cluster identity
+    // every in-cell neighbor shares; residual codes spend them on the
+    // within-cell offsets that actually rank neighbors.
+    import org.apache.spark.sql.Column
+    def u(h: Column) = pmod(h, lit(1000001L)).cast("double") / 500000.0 - 1.0
+    val dim = 64
+    val df = spark.range(3000).toDF("vec_id")
+      .withColumn("_c", pmod(xxhash64($"vec_id", lit(11)), lit(20)))
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => (u(xxhash64($"_c", j, lit(1))) +
+            u(xxhash64($"vec_id", j)) * 0.25).cast("float")))
+      .drop("_c").cache()
+    val qs = df.filter($"vec_id" % 100 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q_embedding"))
+    val base = df.filter($"vec_id" % 100 =!= 0)
+    val centroids = graft.operators.AnnIvf.train(base, numCentroids = 24,
+      iterations = 3)
+    val indexed = graft.operators.AnnIvf.index(base, centroids)
+    val rawCb = Pq.train(base, m = 8, ksub = 32, iterations = 3)
+    val resCb = Pq.train(Pq.residuals(indexed, centroids), m = 8,
+      ksub = 32, iterations = 3, vecCol = "_resid")
+    val tmp = java.nio.file.Files.createTempDirectory("pq_resid").toString
+    Pq.writeIvfPqIndex(base, centroids, rawCb, s"$tmp/raw")
+    Pq.writeIvfPqIndex(base, centroids, resCb, s"$tmp/res", residual = true)
+    val truth = Knn.exact(base, qs, k = 10)
+    def recallOf(path: String, cbk: Pq.Codebook, residual: Boolean) =
+      Recall.ofRanked(
+          Pq.searchPersistedAdc(spark, path, centroids, cbk, qs, k = 10,
+            nprobe = 24, residual = residual), truth)
+        .select($"recall").head().getDouble(0)
+    val raw = recallOf(s"$tmp/raw", rawCb, residual = false)
+    val res = recallOf(s"$tmp/res", resCb, residual = true)
+    // measured on this fixture: raw 0.11, residual 0.34 — the 2x
+    // margin is the signal (ksub=32 is deliberately coarse; ksub=256
+    // at scale reaches far higher, see BENCH_scale)
+    assert(res > 2 * raw && res >= 0.3,
+      s"residual recall $res should beat raw $raw on clustered data")
+  }
+
   test("compression accounting: 8 codes vs 64 floats per vector") {
     // the stored representation is m ints (1 byte each at ksub<=256)
     // against d floats: 32x at fp32, documented in the scaladoc
