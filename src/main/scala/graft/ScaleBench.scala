@@ -171,7 +171,8 @@ object ScaleBench {
     val pqDir = java.nio.file.Files
       .createTempDirectory("graft_scale_ivfpq").toString
     val (_, pqWriteSec) = time {
-      graft.operators.Pq.writeIvfPqIndex(filtered, centroids, cb, pqDir,
+      // reuses the persisted coarse assignment — no second n x C argmin
+      graft.operators.Pq.writeIvfPqIndexed(indexed, centroids, cb, pqDir,
         residual = true)
     }
     println(f"[scale] ivf-pq: train=$pqTrainSec%.1fs (m=$pqM ksub=$pqKsub " +

@@ -114,14 +114,15 @@ object AnnIvf {
   /** Persist the index clustered by cell: one parquet partition
     * directory per cid. Probes against the persisted layout become
     * parquet PARTITION PRUNING — a search at nprobe touches only
-    * nprobe/C of the files on disk, before any row is read. */
-  /** One shuffle by cid before the clustered write: without it every
-    * write task emits a file into every cell directory it sees —
-    * tasks × cells files (65K at 2048 cells on 32 tasks; millions at
-    * cluster scale), which breaks the filesystem long before the data
-    * does. Hashing cid to the shuffle partitions yields exactly one
-    * file per cell instead, at the cost of the one shuffle a clustered
-    * layout fundamentally requires. */
+    * nprobe/C of the files on disk, before any row is read.
+    *
+    * One shuffle by cid precedes the write: without it every write
+    * task emits a file into every cell directory it sees — tasks ×
+    * cells files (65K at 2048 cells on 32 tasks; millions at cluster
+    * scale), which breaks the filesystem long before the data does.
+    * Hashing cid to the shuffle partitions yields exactly one file per
+    * cell instead, at the cost of the one shuffle a clustered layout
+    * fundamentally requires. */
   def writeIndex(indexed: DataFrame, path: String): Unit =
     indexed.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)

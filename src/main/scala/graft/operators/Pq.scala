@@ -198,11 +198,19 @@ object Pq {
   def searchAdcRefined(codes: DataFrame, cb: Codebook, data: DataFrame,
       queries: DataFrame, k: Int, kfactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
-    val shortlist = searchAdc(codes, cb, queries, k * kfactor, idCol,
-        qidCol, qvecCol)
-      .select(col("qid"), col("neighbor_id"))
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+    rerank(searchAdc(codes, cb, queries, k * kfactor, idCol,
+      qidCol, qvecCol), data, queries, k, idCol, vecCol, qidCol, qvecCol)
+
+  /** Exact full-precision re-rank of an ADC shortlist: gather the
+    * candidates' fp32 vectors (q·k·kfactor rows), broadcast the
+    * queries, take the true top-k. Shared by the in-memory and
+    * persisted two-stage serves. */
+  private def rerank(shortlist: DataFrame, data: DataFrame,
+      queries: DataFrame, k: Int, idCol: String, vecCol: String,
+      qidCol: String, qvecCol: String): DataFrame = {
     val candidates = shortlist
+      .select(col("qid"), col("neighbor_id"))
       .join(data.select(col(idCol).as("neighbor_id"), col(vecCol)),
         "neighbor_id")
       .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol))),
@@ -250,8 +258,19 @@ object Pq {
       path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       extraCols: Seq[String] = Nil,
+      residual: Boolean = false): Unit =
+    writeIvfPqIndexed(AnnIvf.index(data, centroids, idCol, vecCol),
+      centroids, cb, path, idCol, vecCol, extraCols, residual)
+
+  /** `writeIvfPqIndex` for a corpus that already carries its `cid`
+    * assignment (the output of `AnnIvf.index`) — a caller holding the
+    * assigned index (as the coarse build always does) must not pay the
+    * n × C argmin a second time just to write codes. */
+  def writeIvfPqIndexed(indexed: DataFrame, centroids: DataFrame,
+      cb: Codebook, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil,
       residual: Boolean = false): Unit = {
-    val indexed = AnnIvf.index(data, centroids, idCol, vecCol)
     val (base, encCol) =
       if (residual) (residuals(indexed, centroids, vecCol), "_resid")
       else (indexed, vecCol)
@@ -323,50 +342,60 @@ object Pq {
         val cens = bcCen.value
         val m = book.m; val dsub = book.dsub
         val ksub = book.codebooks(0).length
-        // LUTs built lazily: a partition only pays for the (query
-        // [, cell]) pairs whose cells it actually holds. Non-residual
-        // LUTs are cell-independent (keyed cid 0); residual LUTs are
-        // per probe pair — globally q × nprobe of them, each held only
-        // for its partition's lifetime.
-        val luts = new java.util.HashMap[Long, Array[Double]]()
-        def lut(qi: Int, cid: Int): Array[Double] = {
-          val key = (qi.toLong << 32) | (cid & 0xffffffffL)
-          var t = luts.get(key)
-          if (t == null) {
-            val q = qs(qi)._2
-            val cen = cens.getOrElse(cid, null)
-            t = new Array[Double](m * ksub)
-            var s = 0
-            while (s < m) {
-              var c = 0
-              while (c < ksub) {
-                val cw = book.codebooks(s)(c)
-                var acc = 0.0; var j = 0
-                while (j < dsub) {
-                  val idx = s * dsub + j
-                  // float32 query residual, mirroring encode's zip_with
-                  val qv = if (cen == null) q(idx).toDouble
-                           else (q(idx) - cen(idx)).toDouble
-                  val d = qv - cw(j).toDouble
-                  acc += d * d; j += 1
-                }
-                t(s * ksub + c) = acc
-                c += 1
+        def buildLut(qi: Int, cen: Array[Float]): Array[Double] = {
+          val q = qs(qi)._2
+          val t = new Array[Double](m * ksub)
+          var s = 0
+          while (s < m) {
+            var c = 0
+            while (c < ksub) {
+              val cw = book.codebooks(s)(c)
+              var acc = 0.0; var j = 0
+              while (j < dsub) {
+                val idx = s * dsub + j
+                // float32 query residual, mirroring encode's zip_with
+                val qv = if (cen == null) q(idx).toDouble
+                         else (q(idx) - cen(idx)).toDouble
+                val d = qv - cw(j).toDouble
+                acc += d * d; j += 1
               }
-              s += 1
+              t(s * ksub + c) = acc
+              c += 1
             }
-            luts.put(key, t)
+            s += 1
           }
           t
         }
-        val lutCid = cens.nonEmpty // residual mode
+        // LUTs built lazily: a partition only pays for the (query
+        // [, cell]) pairs whose cells it actually holds. Non-residual
+        // LUTs are cell-independent — a flat array by query position
+        // keeps the hot loop at one array load. Residual LUTs are per
+        // probe pair; rows arrive clustered by cid (one file per
+        // cell), so a per-query (cid, lut) memo hits on every row
+        // after the first of each cell — no map, no boxing.
+        val residualMode = cens.nonEmpty
+        val flatLuts = new Array[Array[Double]](qs.length)
+        val memoCid = Array.fill(qs.length)(-1)
+        def lut(qi: Int, cid: Int): Array[Double] =
+          if (!residualMode) {
+            var t = flatLuts(qi)
+            if (t == null) { t = buildLut(qi, null); flatLuts(qi) = t }
+            t
+          } else {
+            var t = flatLuts(qi)
+            if (t == null || memoCid(qi) != cid) {
+              t = buildLut(qi, cens(cid)); flatLuts(qi) = t
+              memoCid(qi) = cid
+            }
+            t
+          }
         val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
         it.foreach { case (id, cs, cid) =>
           toQ.get(cid).foreach { qis =>
             var i = 0
             while (i < qis.length) {
               val qi = qis(i)
-              val t = lut(qi, if (lutCid) cid else 0)
+              val t = lut(qi, cid)
               var acc = 0.0; var s = 0
               while (s < m) { acc += t(s * ksub + cs(s)); s += 1 }
               heaps(qi).insert(acc, id)
@@ -393,18 +422,8 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      residual: Boolean = false): DataFrame = {
-    val shortlist = searchPersistedAdc(spark, path, centroids, cb,
-        queries, k * kfactor, nprobe, idCol, qidCol, qvecCol,
-        dataFilter, residual)
-      .select(col("qid"), col("neighbor_id"))
-    val candidates = shortlist
-      .join(data.select(col(idCol).as("neighbor_id"), col(vecCol)),
-        "neighbor_id")
-      .join(broadcast(queries.select(col(qidCol).as("qid"), col(qvecCol))),
-        "qid")
-    Knn.topKFrom(candidates, k,
-      GraftFunctions.sqDist(col(vecCol), col(qvecCol)),
-      col("neighbor_id"), col("qid"))
-  }
+      residual: Boolean = false): DataFrame =
+    rerank(searchPersistedAdc(spark, path, centroids, cb, queries,
+        k * kfactor, nprobe, idCol, qidCol, qvecCol, dataFilter, residual),
+      data, queries, k, idCol, vecCol, qidCol, qvecCol)
 }
