@@ -19,6 +19,15 @@ import org.apache.spark.sql.types._
   *
   * Tie-break: strict `<` keeps the lowest centroid id — identical to
   * `min(struct(dist, cid))` semantics, deterministic.
+  *
+  * Hot-loop shape (this is n × C × dim flops at index-build time — the
+  * dominant build cost at scale): the input is copied to a local
+  * `float[]` ONCE per row (instead of C × dim virtual `getFloat`
+  * calls through ArrayData), and the per-centroid scan early-abandons
+  * in 16-dim blocks — once the partial sum reaches the best distance
+  * so far the centroid cannot win (the sum only grows, and the final
+  * test is strict `<`), so skipping it is EXACT, same argmin and same
+  * tie-break. On clustered data most centroids die after one block.
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     extends UnaryExpression {
@@ -32,16 +41,21 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
+    val x = v.asInstanceOf[ArrayData].toFloatArray()
     var best = -1; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
-      val n = math.min(x.numElements(), cen.length)
+      val n = math.min(x.length, cen.length)
       var acc = 0.0; var i = 0
-      while (i < n) {
-        val d = x.getFloat(i).toDouble - cen(i).toDouble
-        acc += d * d; i += 1
+      var dead = false
+      while (i < n && !dead) {
+        val lim = math.min(i + 16, n)
+        while (i < lim) {
+          val d = x(i).toDouble - cen(i).toDouble
+          acc += d * d; i += 1
+        }
+        dead = acc >= bestD
       }
       if (acc < bestD) { bestD = acc; best = c }
       c += 1
@@ -52,8 +66,10 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cenRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
     nullSafeCodeGen(ctx, ev, a => {
+      val x = ctx.freshName("x")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
+      val lim = ctx.freshName("lim")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
@@ -61,14 +77,19 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
       val bestD = ctx.freshName("bestD")
       val cen = ctx.freshName("cen")
       s"""
+         |float[] $x = $a.toFloatArray();
          |int $best = -1; double $bestD = Double.MAX_VALUE;
          |for (int $c = 0; $c < $cenRef.length; $c++) {
          |  float[] $cen = $cenRef[$c];
-         |  int $n = java.lang.Math.min($a.numElements(), $cen.length);
+         |  int $n = java.lang.Math.min($x.length, $cen.length);
          |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = (double)$a.getFloat($i) - (double)$cen[$i];
-         |    $acc += $d * $d;
+         |  for (int $i = 0; $i < $n; ) {
+         |    int $lim = java.lang.Math.min($i + 16, $n);
+         |    for (; $i < $lim; $i++) {
+         |      double $d = (double)$x[$i] - (double)$cen[$i];
+         |      $acc += $d * $d;
+         |    }
+         |    if ($acc >= $bestD) break;
          |  }
          |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
          |}
@@ -100,21 +121,30 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
   private def np: Int = math.min(nprobe, centroids.length)
 
   override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData]
+    val x = v.asInstanceOf[ArrayData].toFloatArray()
     val ids = new Array[Int](np)
     val ds = new Array[Double](np)
     var filled = 0
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
-      val n = math.min(x.numElements(), cen.length)
+      val n = math.min(x.length, cen.length)
+      // early abandon against the current worst of the kept top-np
+      // (exact: a partial sum >= thr can only grow, and the insertion
+      // test below is strict <) — same blocked scan as NearestCentroid
+      val thr = if (filled < np) Double.MaxValue else ds(np - 1)
       var acc = 0.0; var i = 0
-      while (i < n) {
-        val d = x.getFloat(i).toDouble - cen(i).toDouble
-        acc += d * d; i += 1
+      var dead = false
+      while (i < n && !dead) {
+        val lim = math.min(i + 16, n)
+        while (i < lim) {
+          val d = x(i).toDouble - cen(i).toDouble
+          acc += d * d; i += 1
+        }
+        dead = acc >= thr
       }
       // bounded insertion sort: strict < keeps lowest cid on ties
-      if (filled < np || acc < ds(filled - 1)) {
+      if (!dead && (filled < np || acc < ds(filled - 1))) {
         var p = math.min(filled, np - 1)
         while (p > 0 && ds(p - 1) > acc) {
           if (p < np) { ds(p) = ds(p - 1); ids(p) = ids(p - 1) }

@@ -47,6 +47,58 @@ class ExpressionSpec extends AnyFunSuite {
     assert(codegen.map(_.getDouble(0)).toSeq == interp.map(_.getDouble(0)).toSeq)
   }
 
+  test("nearest centroid/cells: blocked early-abandon equals naive argmin") {
+    // the assignment kernel prunes centroids whose partial distance
+    // already exceeds the best — this pins that the pruned scan is
+    // EXACT (same argmin, same (dist, cid) tie-breaks) against a
+    // naive full scan, on clustered vectors (heavy pruning) with
+    // duplicated centroids (forced exact ties)
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(1234)
+    val dim = 48
+    val base = Array.fill(60)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val cents = base ++ base.take(10) // dup rows -> exact ties
+    val nc = graft.functions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), cents)
+    val np = 5
+    val cells = graft.functions.NearestCells(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), cents, np)
+    for (t <- 1 to 400) {
+      val v =
+        if (t % 4 == 0) cents(rnd.nextInt(cents.length)).clone() // zero dist
+        else {
+          val c = base(rnd.nextInt(base.length))
+          c.map(x => x + rnd.nextFloat() * 0.05f)
+        }
+      val dists = cents.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < dim) {
+          val d = v(i).toDouble - c(i).toDouble; acc += d * d; i += 1
+        }
+        acc
+      }
+      val naiveBest = dists.zipWithIndex.min._2 // (dist, cid) min
+      val naiveCells = dists.zipWithIndex.sortBy(identity).take(np).map(_._2)
+      val ad = new GenericArrayData(v.map(_.asInstanceOf[Any]))
+      assert(nc.nullSafeEval(ad) == naiveBest)
+      assert(cells.nullSafeEval(ad)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toIntArray().toSeq == naiveCells.toSeq)
+    }
+    // codegen path agrees with eval on a Spark job
+    val df = (1 to 50).map { i =>
+      (i.toLong, base((i * 7) % base.length).map(x => x + i * 1e-3f))
+    }.toDF("id", "v")
+    val viaJob = df.select($"id",
+        GraftFunctions.nearestCentroid($"v", cents).as("cid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    df.collect().foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val ad = new GenericArrayData(v.map(_.asInstanceOf[Any]))
+      assert(viaJob(r.getLong(0)) == nc.nullSafeEval(ad))
+    }
+  }
+
   test("packbits matches np.packbits bit order") {
     // 1 at positions 0 and 7 -> first byte 0b10000001 = 0x81
     val v = Array.fill(8)(0.0f); v(0) = 1.0f; v(7) = 0.5f
