@@ -28,6 +28,17 @@ import org.apache.spark.sql.types._
   * so far the centroid cannot win (the sum only grows, and the final
   * test is strict `<`), so skipping it is EXACT, same argmin and same
   * tie-break. On clustered data most centroids die after one block.
+  *
+  * At large C (>= 512) a second EXACT pruning layer kicks in: the
+  * centroids are themselves clustered into ~sqrt(C) groups once per
+  * executor (deterministic local Lloyd over the C x dim matrix —
+  * microseconds), each group keeping its center and covering radius.
+  * Per row the scan visits groups in ascending group-center distance
+  * and skips a whole group when the triangle-inequality lower bound
+  * (d(x, g_center) - radius_g)^2 already exceeds the best distance —
+  * no member of that group can beat it. Because groups reorder the
+  * centroid visit sequence, ties compare (dist, cid) explicitly, so
+  * the result is still bit-identical to the naive ascending-cid scan.
   */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     extends UnaryExpression {
@@ -40,8 +51,23 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
 
-  override def nullSafeEval(v: Any): Any = {
-    val x = v.asInstanceOf[ArrayData].toFloatArray()
+  private val dimLen = if (centroids.nonEmpty) centroids(0).length else 0
+  @transient private lazy val uniformDim: Boolean =
+    centroids.forall(_.length == dimLen)
+  @transient private lazy val groupIndex: CentroidGroups =
+    CentroidGroups.build(centroids)
+
+  private def sqdistFull(x: Array[Float], y: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < x.length) {
+      val d = x(i).toDouble - y(i).toDouble; acc += d * d; i += 1
+    }
+    acc
+  }
+
+  /** Flat blocked early-abandon scan in ascending cid order (strict <
+    * keeps the lowest cid on ties without an explicit id compare). */
+  private def flatAssign(x: Array[Float]): Int = {
     var best = -1; var bestD = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
@@ -63,41 +89,152 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     best
   }
 
+  /** The kernel behind both eval and codegen. */
+  def assignOne(x: Array[Float]): Int = {
+    if (centroids.length < CentroidGroups.MinCentroids ||
+        !uniformDim || x.length != dimLen) return flatAssign(x)
+    val gi = groupIndex
+    val nG = gi.centers.length
+    // distances to group centers + visit order ascending (dist, g)
+    val gd = new Array[Double](nG)
+    var g = 0
+    while (g < nG) { gd(g) = sqdistFull(x, gi.centers(g)); g += 1 }
+    val order = Array.range(0, nG)
+    // insertion sort of the small order array by (gd, g)
+    var a = 1
+    while (a < nG) {
+      val og = order(a); val od = gd(og)
+      var b = a - 1
+      while (b >= 0 && (gd(order(b)) > od ||
+          (gd(order(b)) == od && order(b) > og))) {
+        order(b + 1) = order(b); b -= 1
+      }
+      order(b + 1) = og
+      a += 1
+    }
+    var best = -1; var bestD = Double.MaxValue
+    var oi = 0
+    while (oi < nG) {
+      val gidx = order(oi)
+      // triangle inequality: no member can be closer than
+      // (sqrt(d(x, center)) - radius)^2; strict > keeps groups that
+      // could tie (the lower-cid winner may live there)
+      val slack = math.sqrt(gd(gidx)) - gi.radii(gidx)
+      if (!(slack > 0.0 && slack * slack > bestD)) {
+        val members = gi.members(gidx)
+        var mi = 0
+        while (mi < members.length) {
+          val c = members(mi)
+          val cen = centroids(c)
+          var acc = 0.0; var i = 0
+          var dead = false
+          while (i < dimLen && !dead) {
+            val lim = math.min(i + 16, dimLen)
+            while (i < lim) {
+              val d = x(i).toDouble - cen(i).toDouble
+              acc += d * d; i += 1
+            }
+            dead = acc > bestD // strict: an exact tie must still compare cids
+          }
+          if (!dead && (acc < bestD || (acc == bestD && c < best))) {
+            bestD = acc; best = c
+          }
+          mi += 1
+        }
+      }
+      oi += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    assignOne(v.asInstanceOf[ArrayData].toFloatArray())
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cenRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
-    nullSafeCodeGen(ctx, ev, a => {
-      val x = ctx.freshName("x")
-      val c = ctx.freshName("c")
-      val i = ctx.freshName("i")
-      val lim = ctx.freshName("lim")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      val best = ctx.freshName("best")
-      val bestD = ctx.freshName("bestD")
-      val cen = ctx.freshName("cen")
-      s"""
-         |float[] $x = $a.toFloatArray();
-         |int $best = -1; double $bestD = Double.MAX_VALUE;
-         |for (int $c = 0; $c < $cenRef.length; $c++) {
-         |  float[] $cen = $cenRef[$c];
-         |  int $n = java.lang.Math.min($x.length, $cen.length);
-         |  double $acc = 0.0;
-         |  for (int $i = 0; $i < $n; ) {
-         |    int $lim = java.lang.Math.min($i + 16, $n);
-         |    for (; $i < $lim; $i++) {
-         |      double $d = (double)$x[$i] - (double)$cen[$i];
-         |      $acc += $d * $d;
-         |    }
-         |    if ($acc >= $bestD) break;
-         |  }
-         |  if ($acc < $bestD) { $bestD = $acc; $best = $c; }
-         |}
-         |${ev.value} = $best;
-       """.stripMargin
-    })
+    val self = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.assignOne($a.toFloatArray());")
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Group index over a centroid matrix: ~sqrt(C) groups from a
+  * deterministic local Lloyd run, with covering radii for exact
+  * triangle-inequality pruning. Built lazily once per executor. */
+private[graft] final class CentroidGroups(
+    val centers: Array[Array[Float]],
+    val radii: Array[Double],
+    val members: Array[Array[Int]])
+
+private[graft] object CentroidGroups {
+  /** Below this the flat blocked scan wins (and the SQL-oracle fixed
+    * -centroid fixtures stay on the simplest path). */
+  val MinCentroids = 512
+
+  def build(centroids: Array[Array[Float]]): CentroidGroups = {
+    val c = centroids.length
+    val dim = centroids(0).length
+    val nG = math.max(1, math.ceil(math.sqrt(c.toDouble)).toInt)
+    // spread deterministic init over the cid range
+    var centers = Array.tabulate(nG)(g => centroids((g.toLong * c / nG).toInt).clone())
+    val assign = new Array[Int](c)
+    var iter = 0
+    while (iter < 8) {
+      var i = 0
+      while (i < c) {
+        var best = 0; var bestD = Double.MaxValue
+        var g = 0
+        while (g < nG) {
+          var acc = 0.0; var j = 0
+          val ctr = centers(g)
+          while (j < dim && acc < bestD) {
+            val d = centroids(i)(j).toDouble - ctr(j).toDouble
+            acc += d * d; j += 1
+          }
+          if (acc < bestD) { bestD = acc; best = g }
+          g += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      // last iteration keeps centers matching the final assignment
+      // (tighter covering radii); correctness never depends on it
+      if (iter < 7) {
+        val sums = Array.fill(nG)(new Array[Double](dim))
+        val counts = new Array[Int](nG)
+        i = 0
+        while (i < c) {
+          val g = assign(i); counts(g) += 1
+          var j = 0
+          while (j < dim) { sums(g)(j) += centroids(i)(j); j += 1 }
+          i += 1
+        }
+        centers = Array.tabulate(nG) { g =>
+          if (counts(g) == 0) centers(g)
+          else Array.tabulate(dim)(j => (sums(g)(j) / counts(g)).toFloat)
+        }
+      }
+      iter += 1
+    }
+    val memberLists = Array.fill(nG)(new scala.collection.mutable.ArrayBuffer[Int])
+    var i = 0
+    while (i < c) { memberLists(assign(i)) += i; i += 1 }
+    val members = memberLists.map(_.toArray) // ascending cid by construction
+    val radii = Array.tabulate(nG) { g =>
+      var r = 0.0
+      members(g).foreach { ci =>
+        var acc = 0.0; var j = 0
+        while (j < dim) {
+          val d = centroids(ci)(j).toDouble - centers(g)(j).toDouble
+          acc += d * d; j += 1
+        }
+        r = math.max(r, math.sqrt(acc))
+      }
+      r
+    }
+    new CentroidGroups(centers, radii, members)
+  }
 }
 
 /** Top-`nprobe` nearest centroids of a vector, ordered by (dist, cid)

@@ -85,6 +85,30 @@ class ExpressionSpec extends AnyFunSuite {
         .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toIntArray().toSeq == naiveCells.toSeq)
     }
+    // grouped path (C >= 512): triangle-inequality group pruning must
+    // still match the naive scan, including (dist, cid) tie-breaks
+    // across group boundaries (duplicated centroids land in groups by
+    // construction order, so a tie's lower cid may sit in a LATER
+    // -visited group)
+    val bigBase = Array.fill(640)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val bigCents = bigBase ++ bigBase.take(64) // dup rows -> exact ties
+    val bigNc = graft.functions.NearestCentroid(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), bigCents)
+    for (t <- 1 to 300) {
+      val v =
+        if (t % 3 == 0) bigCents(rnd.nextInt(bigCents.length)).clone()
+        else bigBase(rnd.nextInt(bigBase.length))
+          .map(x => x + rnd.nextFloat() * 0.1f)
+      val dists = bigCents.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < dim) {
+          val d = v(i).toDouble - c(i).toDouble; acc += d * d; i += 1
+        }
+        acc
+      }
+      val ad = new GenericArrayData(v.map(_.asInstanceOf[Any]))
+      assert(bigNc.nullSafeEval(ad) == dists.zipWithIndex.min._2)
+    }
     // codegen path agrees with eval on a Spark job
     val df = (1 to 50).map { i =>
       (i.toLong, base((i * 7) % base.length).map(x => x + i * 1e-3f))
