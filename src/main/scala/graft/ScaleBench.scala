@@ -124,7 +124,10 @@ object ScaleBench {
     // (BASELINE.md) — where the pre-heuristic m=8/efc=32 graph sat at
     // 0.852.
     val nswM = sys.env.getOrElse("SPARK_GRAFT_NSW_M", "16").toInt
-    val nswEfc = sys.env.getOrElse("SPARK_GRAFT_NSW_EFC", "96").toInt
+    // efC=64 beats 96 under the watermark-amortized build: at 1M/512
+    // cells it measured 8.4s/0.9935 recall vs 10.1s/0.9745 (and 96 was
+    // the pre-watermark sweet spot at 22.2s/0.9745)
+    val nswEfc = sys.env.getOrElse("SPARK_GRAFT_NSW_EFC", "64").toInt
     val nswEfs = sys.env.getOrElse("SPARK_GRAFT_NSW_EFS", "64").toInt
     val (graphs, graphBuildSec) = time {
       val g = graft.operators.NswGraph.buildIndex(indexed, m = nswM,

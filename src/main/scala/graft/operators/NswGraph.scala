@@ -81,18 +81,87 @@ object NswGraph {
     }
   }
 
-  /** Greedy beam search over an adjacency list. Returns up to ef
-    * nearest (dist, idx) pairs ascending, deterministic (dist, idx)
-    * tie-break. */
-  private def beamSearch(
-      vecs: Array[Array[Float]], adj: Array[mutable.ArrayBuffer[Int]],
-      entry: Int, target: Array[Float], ef: Int,
-      metric: String): Array[(Double, Int)] = {
-    val visited = new java.util.BitSet(vecs.length)
+  /** Per-cell distance kernel: metric resolved ONCE to an int switch
+    * (the previous per-call string match in `Knn.scalarDistance` was a
+    * measurable slice of graph-build time), plus bounded variants that
+    * early-abandon a squared-euclidean / hamming accumulation once the
+    * partial sum strictly exceeds `bound` — the same blocked-abandon
+    * trick as the IVF assignment kernels. Contract: the returned value
+    * is the EXACT distance whenever it is <= bound; any return > bound
+    * only promises the true distance is also > bound (partial sums of
+    * non-negative terms only grow). Accumulation order is identical to
+    * `Knn.scalarDistance`, so non-abandoned values are bit-identical.
+    * Dot/cosine accumulate signed terms, so their bounded variants
+    * compute in full. */
+  private[graft] final class CellKernel(metric: String,
+      vecs: Array[Array[Float]]) {
+    private[this] val mcode = metric match {
+      case "sqeuclidean" => 0
+      case "dot"         => 1
+      case "cosine"      => 2
+      case "hamming"     => 3
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    def dist(i: Int, q: Array[Float]): Double =
+      distUpTo(i, q, Double.PositiveInfinity)
+    def distUpTo(i: Int, q: Array[Float], bound: Double): Double =
+      distArrays(vecs(i), q, bound)
+    def distNodes(i: Int, j: Int, bound: Double): Double =
+      distArrays(vecs(i), vecs(j), bound)
+    private def distArrays(a: Array[Float], b: Array[Float],
+        bound: Double): Double = {
+      val n = math.min(a.length, b.length)
+      (mcode: @scala.annotation.switch) match {
+        case 0 =>
+          var acc = 0.0; var i = 0
+          while (i < n) {
+            val lim = math.min(i + 16, n)
+            while (i < lim) {
+              val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+            }
+            if (acc > bound) return acc
+          }
+          acc
+        case 1 =>
+          var acc = 0.0; var i = 0
+          while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          -acc
+        case 2 =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < n) {
+            val x = a(i).toDouble; val y = b(i).toDouble
+            dot += x * y; na += x * x; nb += y * y; i += 1
+          }
+          if (na == 0.0 || nb == 0.0) 0.0
+          else -(dot / (math.sqrt(na) * math.sqrt(nb)))
+        case _ =>
+          var acc = 0; var i = 0
+          while (i < n) {
+            val lim = math.min(i + 64, n)
+            while (i < lim) {
+              if ((a(i) > 0f) != (b(i) > 0f)) acc += 1; i += 1
+            }
+            if (acc.toDouble > bound) return acc.toDouble
+          }
+          acc.toDouble
+      }
+    }
+  }
+
+  /** Greedy beam search over a primitive adjacency table (`adj(c)` row,
+    * first `deg(c)` entries live). Returns up to ef nearest (dist, idx)
+    * pairs ascending, deterministic (dist, idx) tie-break. Distances to
+    * non-accepted nodes early-abandon against the current ef-th best —
+    * exact, because a partial sum already > headDist can only reject,
+    * regardless of the idx tie-break (which needs d == headDist). */
+  private def beamSearch(kern: CellKernel, adj: Array[Array[Int]],
+      deg: Array[Int], entry: Int, target: Array[Float],
+      ef: Int): Array[(Double, Int)] = {
+    val visited = new java.util.BitSet(adj.length)
     // candidates: nearest-first; results: farthest-first (bounded ef)
     val candidates = new PairHeap(ef + 1, max = false)
     val results = new PairHeap(ef + 1, max = true)
-    val d0 = Knn.scalarDistance(metric, vecs(entry), target)
+    val d0 = kern.dist(entry, target)
     candidates.push(d0, entry); results.push(d0, entry)
     visited.set(entry)
     var exhausted = false
@@ -102,14 +171,16 @@ object NswGraph {
       if (cd > results.headDist && results.size >= ef) {
         exhausted = true
       } else {
-        val nbs = adj(c)
+        val nbs = adj(c); val dg = deg(c)
         var j = 0
-        while (j < nbs.length) {
+        while (j < dg) {
           val nb = nbs(j)
           if (!visited.get(nb)) {
             visited.set(nb)
-            val d = Knn.scalarDistance(metric, vecs(nb), target)
-            if (results.size < ef || d < results.headDist ||
+            val full = results.size >= ef
+            val d = kern.distUpTo(nb, target,
+              if (full) results.headDist else Double.PositiveInfinity)
+            if (!full || d < results.headDist ||
               (d == results.headDist && nb < results.headIdx)) {
               candidates.push(d, nb)
               results.push(d, nb)
@@ -132,9 +203,8 @@ object NswGraph {
     * nearest candidate is always kept, so every insert still links
     * into the existing component. Deterministic given the ascending
     * (dist, idx) candidate order. */
-  private def selectNeighbors(vecs: Array[Array[Float]],
-      cands: Array[(Double, Int)], m: Int,
-      metric: String): Array[(Double, Int)] = {
+  private def selectNeighbors(kern: CellKernel,
+      cands: Array[(Double, Int)], m: Int): Array[(Double, Int)] = {
     val selected = new mutable.ArrayBuffer[(Double, Int)](m)
     val rejected = new mutable.ArrayBuffer[(Double, Int)]()
     var i = 0
@@ -143,7 +213,9 @@ object NswGraph {
       var ok = true
       var s = 0
       while (ok && s < selected.length) {
-        if (Knn.scalarDistance(metric, vecs(c), vecs(selected(s)._2)) < d)
+        // bounded at d: an abandon means dist > d, which is exactly
+        // "not closer than the new node", so the decision is exact
+        if (kern.distNodes(c, selected(s)._2, d) < d)
           ok = false
         s += 1
       }
@@ -159,31 +231,51 @@ object NswGraph {
 
   /** Build a single-layer NSW graph: sequential greedy insert, each
     * node bidirectionally linked to up to M heuristic-selected
-    * neighbors from its efConstruction beam; neighbor lists over 2M
-    * re-selected with the same heuristic (diversity-pruned). */
+    * neighbors from its efConstruction beam. Overflowing neighbor
+    * lists are diversity-re-selected (same heuristic) down to 2M —
+    * but only once the list reaches a 3M high-watermark, which
+    * amortizes the O(deg^2)-distance re-selection over M appends
+    * instead of paying it per back-edge (stack-sampling showed the
+    * per-back-edge reprune at 62% of build wall time, dwarfing the
+    * beam searches). Edge distances are carried alongside the
+    * adjacency (every metric here is symmetric, so the insert beam's
+    * (dist, id) pairs are exactly the back-edge distances too), so a
+    * reprune never recomputes node-to-neighbor distances. */
   private def build(vecs: Array[Array[Float]], m: Int, efConstruction: Int,
-      metric: String): Array[mutable.ArrayBuffer[Int]] = {
+      metric: String): Array[Array[Int]] = {
     val n = vecs.length
-    val adj = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    val kern = new CellKernel(metric, vecs)
+    // fixed-capacity primitive rows: a node holds at most 3m
+    // neighbors, +1 transient slot between the append and the prune
+    val cap = 3 * m + 1
+    val adj = Array.ofDim[Int](n, cap)
+    val adjD = Array.ofDim[Double](n, cap)
+    val deg = new Array[Int](n)
     var i = 1
     while (i < n) {
-      val cands = beamSearch(vecs, adj, 0, vecs(i),
-        math.max(m, efConstruction), metric)
-      val near = selectNeighbors(vecs, cands, m, metric)
-      near.foreach { case (_, nb) =>
-        adj(i) += nb
-        adj(nb) += i
-        if (adj(nb).length > 2 * m) {
-          val withD = adj(nb)
-            .map(x => (Knn.scalarDistance(metric, vecs(nb), vecs(x)), x))
-            .sorted.toArray
-          adj(nb) = mutable.ArrayBuffer.from(
-            selectNeighbors(vecs, withD, 2 * m, metric).map(_._2))
+      val cands = beamSearch(kern, adj, deg, 0, vecs(i),
+        math.max(m, efConstruction))
+      val near = selectNeighbors(kern, cands, m)
+      near.foreach { case (d, nb) =>
+        adj(i)(deg(i)) = nb; adjD(i)(deg(i)) = d; deg(i) += 1
+        adj(nb)(deg(nb)) = i; adjD(nb)(deg(nb)) = d; deg(nb) += 1
+        if (deg(nb) > 3 * m) {
+          val withD = new Array[(Double, Int)](deg(nb))
+          var t = 0
+          while (t < deg(nb)) {
+            withD(t) = (adjD(nb)(t), adj(nb)(t)); t += 1
+          }
+          val kept = selectNeighbors(kern, withD.sorted, 2 * m)
+          deg(nb) = kept.length
+          t = 0
+          while (t < kept.length) {
+            adj(nb)(t) = kept(t)._2; adjD(nb)(t) = kept(t)._1; t += 1
+          }
         }
       }
       i += 1
     }
-    adj
+    Array.tabulate(n)(x => java.util.Arrays.copyOf(adj(x), deg(x)))
   }
 
   /** A materialized per-cell graph: the engine's persistable index
@@ -211,7 +303,7 @@ object NswGraph {
         it.toArray.groupBy(_._3).iterator.map { case (cid, cellRows) =>
           val vecs = cellRows.map(_._2)
           CellGraph(cid, cellRows.map(_._1), vecs,
-            build(vecs, mm, efc, met).map(_.toArray))
+            build(vecs, mm, efc, met))
         }
       }
   }
@@ -273,11 +365,12 @@ object NswGraph {
       .mapPartitions { it =>
         val qs = bc.value
         it.flatMap { g =>
-          val adj = g.adj.map(a => mutable.ArrayBuffer.from(a))
+          val kern = new CellKernel(met, g.vecs)
+          val deg = g.adj.map(_.length)
           qs.iterator
             .filter(_._3.contains(g.cid))
             .flatMap { case (qid, qv, _) =>
-              beamSearch(g.vecs, adj, 0, qv, efs, met)
+              beamSearch(kern, g.adj, deg, 0, qv, efs)
                 .take(kk)
                 .map { case (d, idx) => (qid, g.ids(idx), d) }
             }
@@ -328,9 +421,11 @@ object NswGraph {
           val ids = rows.map(_._1)
           val vecs = rows.map(_._2)
           val adj = build(vecs, mm, efc, met)
+          val deg = adj.map(_.length)
+          val kern = new CellKernel(met, vecs)
           val qs = bc.value
           qs.iterator.flatMap { case (qid, qv) =>
-            beamSearch(vecs, adj, 0, qv, ef, met)
+            beamSearch(kern, adj, deg, 0, qv, ef)
               .take(k)
               .map { case (d, idx) => (qid, ids(idx), d) }
           }
