@@ -119,14 +119,14 @@ object ScaleBench {
     // cell scan)
     // NSW knobs, env-overridable for tuning runs. The defaults are the
     // recorded BENCH_scale configuration: with the diverse-neighbor
-    // build heuristic, m=16/efc=96/efs=64 reaches 0.983 recall@10 at
-    // 5M x 64 / 2048 cells — past the reference CPU-HNSW's 0.914
-    // (BASELINE.md) — where the pre-heuristic m=8/efc=32 graph sat at
-    // 0.852.
+    // build heuristic + the 3m-watermark amortized reprune,
+    // m=16/efc=64/efs=64 reaches 0.9845 recall@10 at 5M x 64 / 2048
+    // cells — past the reference CPU-HNSW's 0.914 (BASELINE.md) —
+    // where the pre-heuristic m=8/efc=32 graph sat at 0.852. efC=64
+    // beats 96 under the watermark build: at 1M/512 cells it measured
+    // 8.4s/0.9935 recall vs 10.1s/0.9745 (and 96 was the
+    // pre-watermark sweet spot at 22.2s/0.9745).
     val nswM = sys.env.getOrElse("SPARK_GRAFT_NSW_M", "16").toInt
-    // efC=64 beats 96 under the watermark-amortized build: at 1M/512
-    // cells it measured 8.4s/0.9935 recall vs 10.1s/0.9745 (and 96 was
-    // the pre-watermark sweet spot at 22.2s/0.9745)
     val nswEfc = sys.env.getOrElse("SPARK_GRAFT_NSW_EFC", "64").toInt
     val nswEfs = sys.env.getOrElse("SPARK_GRAFT_NSW_EFS", "64").toInt
     val (graphs, graphBuildSec) = time {

@@ -95,20 +95,47 @@ object Knn {
   /** Same arithmetic (sequential double accumulation) as the
     * VectorSqDist/VectorDot/VectorCosine expressions — bit-identical
     * results between the two physical paths. */
-  def scalarDistance(metric: String, a: Array[Float], b: Array[Float]): Double = {
+  def scalarDistance(metric: String, a: Array[Float], b: Array[Float]): Double =
+    distBounded(metricCode(metric), a, b, Double.PositiveInfinity)
+
+  /** Resolve a metric name to the int code `distBounded` switches on. */
+  def metricCode(metric: String): Int = metric match {
+    case "sqeuclidean" => 0
+    case "dot"         => 1
+    case "cosine"      => 2
+    case "hamming"     => 3
+    case other => throw new IllegalArgumentException(s"unknown metric: $other")
+  }
+
+  /** THE scalar distance kernel — the single source of truth for the
+    * accumulation order every other path (codegen expressions, the
+    * NSW CellKernel, the oracles' SQL reproductions) must match bit
+    * for bit. Bounded variant: sqeuclidean and hamming accumulate
+    * non-negative terms, so the blocked scan early-abandons once the
+    * partial sum strictly exceeds `bound`. Contract: a return <=
+    * bound is the exact distance; a return > bound only promises the
+    * exact distance is also > bound (callers may only compare such a
+    * value against `bound`). Dot/cosine accumulate signed terms and
+    * always compute in full. */
+  def distBounded(mcode: Int, a: Array[Float], b: Array[Float],
+      bound: Double): Double = {
     val n = math.min(a.length, b.length)
-    metric match {
-      case "sqeuclidean" =>
+    (mcode: @scala.annotation.switch) match {
+      case 0 =>
         var acc = 0.0; var i = 0
         while (i < n) {
-          val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+          val lim = math.min(i + 16, n)
+          while (i < lim) {
+            val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+          }
+          if (acc > bound) return acc
         }
         acc
-      case "dot" =>
+      case 1 =>
         var acc = 0.0; var i = 0
         while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
         -acc
-      case "cosine" =>
+      case 2 =>
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < n) {
           val x = a(i).toDouble; val y = b(i).toDouble
@@ -116,13 +143,18 @@ object Knn {
         }
         if (na == 0.0 || nb == 0.0) 0.0
         else -(dot / (math.sqrt(na) * math.sqrt(nb)))
-      case "hamming" =>
+      case _ =>
         // sign-binarized: dims whose signs differ — identical count to
         // popcount(xor) over PackSignBits-packed bytes (exactHamming)
         var acc = 0; var i = 0
-        while (i < n) { if ((a(i) > 0f) != (b(i) > 0f)) acc += 1; i += 1 }
+        while (i < n) {
+          val lim = math.min(i + 64, n)
+          while (i < lim) {
+            if ((a(i) > 0f) != (b(i) > 0f)) acc += 1; i += 1
+          }
+          if (acc.toDouble > bound) return acc.toDouble
+        }
         acc.toDouble
-      case other => throw new IllegalArgumentException(s"unknown metric: $other")
     }
   }
 

@@ -81,71 +81,21 @@ object NswGraph {
     }
   }
 
-  /** Per-cell distance kernel: metric resolved ONCE to an int switch
-    * (the previous per-call string match in `Knn.scalarDistance` was a
-    * measurable slice of graph-build time), plus bounded variants that
-    * early-abandon a squared-euclidean / hamming accumulation once the
-    * partial sum strictly exceeds `bound` — the same blocked-abandon
-    * trick as the IVF assignment kernels. Contract: the returned value
-    * is the EXACT distance whenever it is <= bound; any return > bound
-    * only promises the true distance is also > bound (partial sums of
-    * non-negative terms only grow). Accumulation order is identical to
-    * `Knn.scalarDistance`, so non-abandoned values are bit-identical.
-    * Dot/cosine accumulate signed terms, so their bounded variants
-    * compute in full. */
+  /** Per-cell view over `Knn.distBounded` (the single source of truth
+    * for accumulation order): the metric string resolves ONCE to the
+    * int code (the previous per-call string match was a measurable
+    * slice of graph-build time). The bound contract is distBounded's:
+    * a return <= bound is exact; a return > bound only promises the
+    * exact distance is also > bound. */
   private[graft] final class CellKernel(metric: String,
       vecs: Array[Array[Float]]) {
-    private[this] val mcode = metric match {
-      case "sqeuclidean" => 0
-      case "dot"         => 1
-      case "cosine"      => 2
-      case "hamming"     => 3
-      case other => throw new IllegalArgumentException(s"unknown metric: $other")
-    }
+    private[this] val mcode = Knn.metricCode(metric)
     def dist(i: Int, q: Array[Float]): Double =
-      distUpTo(i, q, Double.PositiveInfinity)
+      Knn.distBounded(mcode, vecs(i), q, Double.PositiveInfinity)
     def distUpTo(i: Int, q: Array[Float], bound: Double): Double =
-      distArrays(vecs(i), q, bound)
+      Knn.distBounded(mcode, vecs(i), q, bound)
     def distNodes(i: Int, j: Int, bound: Double): Double =
-      distArrays(vecs(i), vecs(j), bound)
-    private def distArrays(a: Array[Float], b: Array[Float],
-        bound: Double): Double = {
-      val n = math.min(a.length, b.length)
-      (mcode: @scala.annotation.switch) match {
-        case 0 =>
-          var acc = 0.0; var i = 0
-          while (i < n) {
-            val lim = math.min(i + 16, n)
-            while (i < lim) {
-              val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
-            }
-            if (acc > bound) return acc
-          }
-          acc
-        case 1 =>
-          var acc = 0.0; var i = 0
-          while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-          -acc
-        case 2 =>
-          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-          while (i < n) {
-            val x = a(i).toDouble; val y = b(i).toDouble
-            dot += x * y; na += x * x; nb += y * y; i += 1
-          }
-          if (na == 0.0 || nb == 0.0) 0.0
-          else -(dot / (math.sqrt(na) * math.sqrt(nb)))
-        case _ =>
-          var acc = 0; var i = 0
-          while (i < n) {
-            val lim = math.min(i + 64, n)
-            while (i < lim) {
-              if ((a(i) > 0f) != (b(i) > 0f)) acc += 1; i += 1
-            }
-            if (acc.toDouble > bound) return acc.toDouble
-          }
-          acc.toDouble
-      }
-    }
+      Knn.distBounded(mcode, vecs(i), vecs(j), bound)
   }
 
   /** Greedy beam search over a primitive adjacency table (`adj(c)` row,

@@ -7,12 +7,14 @@ import graft.operators.AnnIvf
 
 /** The exactness argument behind the `ann_nsw_fixed` full oracle: with
   * fixed data-row centroids (vec_id % 31 == 7) every cell is small
-  * enough that the NSW build never prunes an adjacency list (size <=
-  * 2m), so the graph stays symmetric and connected, and efSearch >=
-  * cell size forces the beam to traverse the whole component — graph
-  * search degrades to EXACT in-cell search. These tests pin both the
-  * size bound and the resulting equality against the declarative IVF
-  * search (the relation the DuckDB oracle expresses). */
+  * enough that the NSW build never prunes an adjacency list — a cell
+  * of s rows caps degrees at s-1 <= 2m, strictly below the build's
+  * prune watermark (lists prune only past 3m) — so the graph stays
+  * symmetric and connected, and efSearch >= cell size forces the beam
+  * to traverse the whole component — graph search degrades to EXACT
+  * in-cell search. These tests pin both the size bound and the
+  * resulting equality against the declarative IVF search (the
+  * relation the DuckDB oracle expresses). */
 class NswFixedSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = TestSpark.sf
