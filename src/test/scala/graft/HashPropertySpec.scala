@@ -94,4 +94,30 @@ class HashPropertySpec extends AnyFunSuite {
         Knn.scalarDistance("hamming", a, b))
     }
   }
+
+  test("distBounded contract: exact at/below the bound, one-sided above") {
+    // the NSW beam search and diversity selection rely on exactly
+    // this: a return <= bound is the bit-exact distance (so tie-breaks
+    // see true values), and a return > bound implies the true distance
+    // is also > bound (so an abandon can only ever skip a node the
+    // full computation would have rejected)
+    for (_ <- 1 to 500) {
+      val n = 1 + rng.nextInt(200) // crosses the 16/64-dim block edges
+      val a = Array.fill(n)((rng.nextFloat() - 0.5f) * 4f)
+      val b = Array.fill(n)((rng.nextFloat() - 0.5f) * 4f)
+      for (metric <- Seq("sqeuclidean", "dot", "cosine", "hamming")) {
+        val code = Knn.metricCode(metric)
+        val exact = Knn.scalarDistance(metric, a, b)
+        // bounds straddling the exact value, incl. the tie bound itself
+        for (bound <- Seq(Double.PositiveInfinity, exact, exact * 0.5,
+            exact * 2, exact - 1e-3, exact + 1e-3, 0.0)) {
+          val got = Knn.distBounded(code, a, b, bound)
+          if (got <= bound) assert(got == exact,
+            s"$metric: return $got <= bound $bound must be exact ($exact)")
+          else assert(exact > bound,
+            s"$metric: return $got > bound $bound but exact $exact <= bound")
+        }
+      }
+    }
+  }
 }
