@@ -158,6 +158,51 @@ object Knn {
     }
   }
 
+  /** Flat-layout twin of `distBounded`: the a-side row occupies
+    * `flat[off, off+dim)` of one contiguous cell-wide array (cache-
+    * friendly for the graph build's random node access). KEEP THE
+    * LOOPS IN LOCKSTEP with `distBounded` — HashPropertySpec pins the
+    * two bit-for-bit, and every exactness argument flows through that
+    * equality. */
+  def distBoundedFlat(mcode: Int, flat: Array[Float], off: Int, dim: Int,
+      b: Array[Float], bound: Double): Double = {
+    val n = math.min(dim, b.length)
+    (mcode: @scala.annotation.switch) match {
+      case 0 =>
+        var acc = 0.0; var i = 0
+        while (i < n) {
+          val lim = math.min(i + 16, n)
+          while (i < lim) {
+            val d = flat(off + i).toDouble - b(i).toDouble; acc += d * d; i += 1
+          }
+          if (acc > bound) return acc
+        }
+        acc
+      case 1 =>
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += flat(off + i).toDouble * b(i).toDouble; i += 1 }
+        -acc
+      case 2 =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = flat(off + i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else -(dot / (math.sqrt(na) * math.sqrt(nb)))
+      case _ =>
+        var acc = 0; var i = 0
+        while (i < n) {
+          val lim = math.min(i + 64, n)
+          while (i < lim) {
+            if ((flat(off + i) > 0f) != (b(i) > 0f)) acc += 1; i += 1
+          }
+          if (acc.toDouble > bound) return acc.toDouble
+        }
+        acc.toDouble
+    }
+  }
+
   /** Declarative lowering of the same operator (the KnnJoin plan-node
     * expansion uses the equivalent Catalyst construction). */
   def exactDeclarative(

@@ -84,18 +84,34 @@ object NswGraph {
   /** Per-cell view over `Knn.distBounded` (the single source of truth
     * for accumulation order): the metric string resolves ONCE to the
     * int code (the previous per-call string match was a measurable
-    * slice of graph-build time). The bound contract is distBounded's:
-    * a return <= bound is exact; a return > bound only promises the
-    * exact distance is also > bound. */
+    * slice of graph-build time), and uniform-dim cells are copied once
+    * into one contiguous float array so the beam's random node access
+    * stays cache-local (`Knn.distBoundedFlat`, the lockstep twin).
+    * The bound contract is distBounded's: a return <= bound is exact;
+    * a return > bound only promises the exact distance is also >
+    * bound. */
   private[graft] final class CellKernel(metric: String,
       vecs: Array[Array[Float]]) {
     private[this] val mcode = Knn.metricCode(metric)
+    private[this] val dim = if (vecs.isEmpty) 0 else vecs(0).length
+    private[this] val flat: Array[Float] =
+      if (dim > 0 && vecs.forall(_.length == dim)) {
+        val f = new Array[Float](vecs.length * dim)
+        var i = 0
+        while (i < vecs.length) {
+          System.arraycopy(vecs(i), 0, f, i * dim, dim); i += 1
+        }
+        f
+      } else null // ragged cell: fall back to the per-row twin
     def dist(i: Int, q: Array[Float]): Double =
-      Knn.distBounded(mcode, vecs(i), q, Double.PositiveInfinity)
+      distUpTo(i, q, Double.PositiveInfinity)
     def distUpTo(i: Int, q: Array[Float], bound: Double): Double =
-      Knn.distBounded(mcode, vecs(i), q, bound)
+      if (flat != null) Knn.distBoundedFlat(mcode, flat, i * dim, dim, q, bound)
+      else Knn.distBounded(mcode, vecs(i), q, bound)
     def distNodes(i: Int, j: Int, bound: Double): Double =
-      Knn.distBounded(mcode, vecs(i), vecs(j), bound)
+      if (flat != null)
+        Knn.distBoundedFlat(mcode, flat, i * dim, dim, vecs(j), bound)
+      else Knn.distBounded(mcode, vecs(i), vecs(j), bound)
   }
 
   /** Greedy beam search over a primitive adjacency table (`adj(c)` row,
