@@ -34,6 +34,14 @@ private[graft] final class TopKBuffer(val k: Int) {
     }
   }
 
+  /** Early-abandon threshold for scan loops feeding this heap: any
+    * candidate whose distance is strictly above this is rejected by
+    * `insert` no matter its id (ties at the bound still compare ids,
+    * so callers must only abandon on STRICTLY greater — the
+    * `Knn.distBounded` contract). */
+  def bound: Double =
+    if (heap.size < k) Double.PositiveInfinity else heap.peek()._1
+
   def mergeFrom(other: TopKBuffer): TopKBuffer = {
     val it = other.heap.iterator()
     while (it.hasNext) { val e = it.next(); insert(e._1, e._2) }

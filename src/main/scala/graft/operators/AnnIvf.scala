@@ -241,14 +241,18 @@ object AnnIvf {
         }
         val cells = byCell.map { case (c, l) => c -> l.toArray }.toMap
         val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
+        val code = Knn.metricCode(met)
         it.foreach { case (id, v, cid) =>
           cells.get(cid) match {
             case Some(qids) =>
               var j = 0
               while (j < qids.length) {
                 val q = qids(j)
-                heaps(q).insert(
-                  Knn.scalarDistance(met, v, qs(q)._2), id)
+                // abandon against the heap's k-th best (distBounded
+                // contract: a partial strictly above it is rejected
+                // by insert either way)
+                val h = heaps(q)
+                h.insert(Knn.distBounded(code, v, qs(q)._2, h.bound), id)
                 j += 1
               }
             case None => ()

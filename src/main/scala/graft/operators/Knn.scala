@@ -76,11 +76,16 @@ object Knn {
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value
+        val code = metricCode(m)
         val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(k))
         it.foreach { case (id, v) =>
           var qi = 0
           while (qi < qs.length) {
-            heaps(qi).insert(scalarDistance(m, v, qs(qi)._2), id)
+            // abandon against the heap's k-th best: a partial sum
+            // already strictly above it is rejected by insert either
+            // way (distBounded contract — ties compute in full)
+            val h = heaps(qi)
+            h.insert(distBounded(code, v, qs(qi)._2, h.bound), id)
             qi += 1
           }
         }
