@@ -115,35 +115,42 @@ object Knn {
   /** THE scalar distance kernel — the single source of truth for the
     * accumulation order every other path (codegen expressions, the
     * NSW CellKernel, the oracles' SQL reproductions) must match bit
-    * for bit. Bounded variant: sqeuclidean and hamming accumulate
+    * for bit. Both sides are (array, offset, length) slices so the
+    * contiguous-layout twins are this same code by construction, not
+    * hand-kept copies. Bounded: sqeuclidean and hamming accumulate
     * non-negative terms, so the blocked scan early-abandons once the
     * partial sum strictly exceeds `bound`. Contract: a return <=
     * bound is the exact distance; a return > bound only promises the
     * exact distance is also > bound (callers may only compare such a
     * value against `bound`). Dot/cosine accumulate signed terms and
     * always compute in full. */
-  def distBounded(mcode: Int, a: Array[Float], b: Array[Float],
+  def distBoundedSlices(mcode: Int,
+      a: Array[Float], aOff: Int, aLen: Int,
+      b: Array[Float], bOff: Int, bLen: Int,
       bound: Double): Double = {
-    val n = math.min(a.length, b.length)
+    val n = math.min(aLen, bLen)
     (mcode: @scala.annotation.switch) match {
       case 0 =>
         var acc = 0.0; var i = 0
         while (i < n) {
           val lim = math.min(i + 16, n)
           while (i < lim) {
-            val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+            val d = a(aOff + i).toDouble - b(bOff + i).toDouble
+            acc += d * d; i += 1
           }
           if (acc > bound) return acc
         }
         acc
       case 1 =>
         var acc = 0.0; var i = 0
-        while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        while (i < n) {
+          acc += a(aOff + i).toDouble * b(bOff + i).toDouble; i += 1
+        }
         -acc
       case 2 =>
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < n) {
-          val x = a(i).toDouble; val y = b(i).toDouble
+          val x = a(aOff + i).toDouble; val y = b(bOff + i).toDouble
           dot += x * y; na += x * x; nb += y * y; i += 1
         }
         if (na == 0.0 || nb == 0.0) 0.0
@@ -155,7 +162,7 @@ object Knn {
         while (i < n) {
           val lim = math.min(i + 64, n)
           while (i < lim) {
-            if ((a(i) > 0f) != (b(i) > 0f)) acc += 1; i += 1
+            if ((a(aOff + i) > 0f) != (b(bOff + i) > 0f)) acc += 1; i += 1
           }
           if (acc.toDouble > bound) return acc.toDouble
         }
@@ -163,50 +170,16 @@ object Knn {
     }
   }
 
-  /** Flat-layout twin of `distBounded`: the a-side row occupies
-    * `flat[off, off+dim)` of one contiguous cell-wide array (cache-
-    * friendly for the graph build's random node access). KEEP THE
-    * LOOPS IN LOCKSTEP with `distBounded` — HashPropertySpec pins the
-    * two bit-for-bit, and every exactness argument flows through that
-    * equality. */
+  /** Whole-array view of `distBoundedSlices`. */
+  def distBounded(mcode: Int, a: Array[Float], b: Array[Float],
+      bound: Double): Double =
+    distBoundedSlices(mcode, a, 0, a.length, b, 0, b.length, bound)
+
+  /** Flat-layout view: the a-side row occupies `flat[off, off+dim)` of
+    * one contiguous cell-wide array. */
   def distBoundedFlat(mcode: Int, flat: Array[Float], off: Int, dim: Int,
-      b: Array[Float], bound: Double): Double = {
-    val n = math.min(dim, b.length)
-    (mcode: @scala.annotation.switch) match {
-      case 0 =>
-        var acc = 0.0; var i = 0
-        while (i < n) {
-          val lim = math.min(i + 16, n)
-          while (i < lim) {
-            val d = flat(off + i).toDouble - b(i).toDouble; acc += d * d; i += 1
-          }
-          if (acc > bound) return acc
-        }
-        acc
-      case 1 =>
-        var acc = 0.0; var i = 0
-        while (i < n) { acc += flat(off + i).toDouble * b(i).toDouble; i += 1 }
-        -acc
-      case 2 =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-        while (i < n) {
-          val x = flat(off + i).toDouble; val y = b(i).toDouble
-          dot += x * y; na += x * x; nb += y * y; i += 1
-        }
-        if (na == 0.0 || nb == 0.0) 0.0
-        else -(dot / (math.sqrt(na) * math.sqrt(nb)))
-      case _ =>
-        var acc = 0; var i = 0
-        while (i < n) {
-          val lim = math.min(i + 64, n)
-          while (i < lim) {
-            if ((flat(off + i) > 0f) != (b(i) > 0f)) acc += 1; i += 1
-          }
-          if (acc.toDouble > bound) return acc.toDouble
-        }
-        acc.toDouble
-    }
-  }
+      b: Array[Float], bound: Double): Double =
+    distBoundedSlices(mcode, flat, off, dim, b, 0, b.length, bound)
 
   /** Declarative lowering of the same operator (the KnnJoin plan-node
     * expansion uses the equivalent Catalyst construction). */

@@ -81,28 +81,34 @@ object NswGraph {
     }
   }
 
-  /** Per-cell view over `Knn.distBounded` (the single source of truth
-    * for accumulation order): the metric string resolves ONCE to the
-    * int code (the previous per-call string match was a measurable
-    * slice of graph-build time), and uniform-dim cells are copied once
-    * into one contiguous float array so the beam's random node access
-    * stays cache-local (`Knn.distBoundedFlat`, the lockstep twin).
-    * The bound contract is distBounded's: a return <= bound is exact;
-    * a return > bound only promises the exact distance is also >
+  /** Per-cell view over `Knn.distBoundedSlices` (the single source of
+    * truth for accumulation order): the metric string resolves ONCE to
+    * the int code (the previous per-call string match was a measurable
+    * slice of graph-build time), and — when `flatten` is set and the
+    * cell is uniform-dim and small enough to index with Ints — the
+    * rows are copied once into one contiguous float array so random
+    * node access stays cache-local, on BOTH sides of node-to-node
+    * distances. Callers gate `flatten`: it pays when many distance
+    * evaluations amortize the O(n·dim) copy (graph builds, large query
+    * batches), and is pure overhead for a one-off serve. The bound
+    * contract is distBoundedSlices': a return <= bound is exact; a
+    * return > bound only promises the exact distance is also >
     * bound. */
   private[graft] final class CellKernel(metric: String,
-      vecs: Array[Array[Float]]) {
+      vecs: Array[Array[Float]], flatten: Boolean = true) {
     private[this] val mcode = Knn.metricCode(metric)
     private[this] val dim = if (vecs.isEmpty) 0 else vecs(0).length
     private[this] val flat: Array[Float] =
-      if (dim > 0 && vecs.forall(_.length == dim)) {
+      if (flatten && dim > 0 &&
+          vecs.length.toLong * dim <= Int.MaxValue &&
+          vecs.forall(_.length == dim)) {
         val f = new Array[Float](vecs.length * dim)
         var i = 0
         while (i < vecs.length) {
           System.arraycopy(vecs(i), 0, f, i * dim, dim); i += 1
         }
         f
-      } else null // ragged cell: fall back to the per-row twin
+      } else null // ragged/oversize cell or one-off serve: per-row rows
     def dist(i: Int, q: Array[Float]): Double =
       distUpTo(i, q, Double.PositiveInfinity)
     def distUpTo(i: Int, q: Array[Float], bound: Double): Double =
@@ -110,7 +116,8 @@ object NswGraph {
       else Knn.distBounded(mcode, vecs(i), q, bound)
     def distNodes(i: Int, j: Int, bound: Double): Double =
       if (flat != null)
-        Knn.distBoundedFlat(mcode, flat, i * dim, dim, vecs(j), bound)
+        Knn.distBoundedSlices(mcode, flat, i * dim, dim,
+          flat, j * dim, dim, bound)
       else Knn.distBounded(mcode, vecs(i), vecs(j), bound)
   }
 
@@ -331,7 +338,10 @@ object NswGraph {
       .mapPartitions { it =>
         val qs = bc.value
         it.flatMap { g =>
-          val kern = new CellKernel(met, g.vecs)
+          // flatten only when the batch's beam visits amortize the
+          // O(n·dim) copy (a handful of queries per cell already does)
+          val probing = qs.count(_._3.contains(g.cid))
+          val kern = new CellKernel(met, g.vecs, flatten = probing >= 4)
           val deg = g.adj.map(_.length)
           qs.iterator
             .filter(_._3.contains(g.cid))

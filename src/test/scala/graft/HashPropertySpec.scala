@@ -116,12 +116,16 @@ class HashPropertySpec extends AnyFunSuite {
             s"$metric: return $got <= bound $bound must be exact ($exact)")
           else assert(exact > bound,
             s"$metric: return $got > bound $bound but exact $exact <= bound")
-          // the flat twin must return bit-identical values — embed the
-          // a-row mid-array to exercise a nonzero offset
+          // the flat views must return bit-identical values — embed
+          // both rows mid-array to exercise nonzero offsets
           val flat = Array.fill(3)(rng.nextFloat()) ++ a ++
             Array.fill(2)(rng.nextFloat())
           assert(Knn.distBoundedFlat(code, flat, 3, n, b, bound) == got,
             s"$metric: flat twin diverged at bound $bound")
+          val fb = Array.fill(5)(rng.nextFloat()) ++ b
+          assert(Knn.distBoundedSlices(code, flat, 3, n, fb, 5, n,
+            bound) == got,
+            s"$metric: two-offset slices diverged at bound $bound")
         }
       }
     }
