@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** LLM-pipeline deduplication at scale: a synthetic corpus with
+  * PLANTED duplicates, so detection is verifiable while wall-clock
+  * measures the real shapes (shingle → minhash → band join → exact
+  * verify; simhash pigeonhole chunks; RDD connected components).
+  *
+  * Corpus layout (deterministic, hash-derived, no RNG): docs come in
+  * groups of 10. Doc id ≡ 8 (mod 10) is an EXACT copy of its group
+  * leader (id ≡ 0); id ≡ 9 is a NEAR-DUP mutation of the leader (~5%
+  * of tokens swapped → 3-shingle Jaccard ≈ 0.75); the other seven are
+  * unique. So expected: exact-dup groups = n/10, and every group
+  * contributes LSH pairs among {leader, copy, mutant}.
+  *
+  * Usage: runMain graft.DedupScaleBench [nDocs]
+  * (SPARK_DRIVER_MEM=48g; must run alone like ScaleBench.)
+  */
+object DedupScaleBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000000)
+    val vocab = 50000
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // group leader's token stream; mutants swap the ~5% of positions
+    // where a position hash hits 0 (mod 20)
+    val leader = (col("doc_id") / 10).cast("long") * 10
+    val role = pmod(col("doc_id"), lit(10)) // 8 = copy, 9 = mutant
+    val len = (pmod(xxhash64(leader, lit(1)), lit(21)) + 50).cast("int")
+    def tok(seed: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
+      concat(lit("w"), pmod(xxhash64(seed, j, lit(3)), lit(vocab)))
+    val docs = spark.range(n).toDF("doc_id")
+      .withColumn("text", array_join(
+        transform(sequence(lit(0), len - 1), j =>
+          when(role === 9 && pmod(xxhash64(col("doc_id"), j, lit(5)), lit(20)) === 0,
+            tok(col("doc_id"), j + 1000000))
+            .otherwise(tok(when(role >= 8, leader).otherwise(col("doc_id")), j))),
+        " "))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val (_, genSec) = time { docs.count() }
+    println(f"[dscale] generated $n docs (~60 tokens, 10%% exact copies, " +
+      f"10%% near-dup mutants) in $genSec%.1fs")
+
+    val (nDupGroups, exactSec) = time {
+      Dedup.exact(docs).filter(col("n_copies") > 1).count()
+    }
+    println(f"[dscale] exact dedup: $exactSec%.1fs -> $nDupGroups dup groups " +
+      f"(expected ~${n / 10}) ${n / exactSec / 1e6}%.2fM docs/s")
+
+    val (lshPairs, lshSec) = time {
+      Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7).count()
+    }
+    println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7): " +
+      f"$lshSec%.1fs -> $lshPairs pairs ${n / lshSec / 1e3}%.1fK docs/s")
+
+    val (shPairs, shSec) = time {
+      Dedup.simhashPairs(docs, maxHamming = 3).count()
+    }
+    println(f"[dscale] simhash pigeonhole (hamming<=3): $shSec%.1fs -> " +
+      f"$shPairs pairs ${n / shSec / 1e3}%.1fK docs/s")
+
+    val (nClusters, ccSec) = time {
+      val pairs = Dedup.minhashLsh(docs, 3, 0.7)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), pairs)
+        .select("label").distinct().count()
+    }
+    println(f"[dscale] near-dup clustering (CC over LSH pairs): $ccSec%.1fs " +
+      f"-> $nClusters clusters")
+    spark.stop()
+  }
+}
