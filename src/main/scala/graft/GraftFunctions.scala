@@ -53,6 +53,10 @@ object GraftFunctions {
       es => MinHashSignature(es(0), foldableInt(es(1), "graft_minhash")),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_lsh_bands",
+      es => LshBandHashes(es(0), foldableInt(es(1), "graft_lsh_bands")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_vecsum", es => VectorSum(es(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_fp16_encode", es => Fp16Encode(es(0)), "built-in")
@@ -103,6 +107,10 @@ object GraftFunctions {
   def minHash(shingles: Column, numHashes: Int): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("graft_minhash", shingles, lit(numHashes))
+  }
+  def lshBands(sig: Column, bands: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_lsh_bands", sig, lit(bands))
   }
   def vecSum(a: Column): Column = call_function("graft_vecsum", a)
   def repetition(text: Column): Column = call_function("graft_repetition", text)

@@ -64,3 +64,53 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Single-pass LSH band hashes over a minhash signature: band b's
+  * hash is byte-identical to Spark's
+  * `xxhash64(slice(sig, b*r + 1, r), b)` — seed 42, fold
+  * XXH64.hashLong over the slice elements in order, then hash the
+  * band index as an int — but computed in ONE primitive loop instead
+  * of an interpreted ArrayTransform + Slice + HashExpression tree per
+  * band (stack-sampling showed that tree dominating the LSH banding
+  * stage at 1M+ docs). The swap is pinned byte-exact by
+  * HashPropertySpec, so candidate sets (and the streaming bucket
+  * twin, which shares `Dedup.bandHashes`) are unchanged. */
+case class LshBandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+  require(bands > 0)
+
+  override def prettyName: String = "graft_lsh_bands"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = hashes(v.asInstanceOf[ArrayData])
+
+  def hashes(sig: ArrayData): ArrayData = {
+    val n = sig.numElements()
+    val r = n / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var i = b * r
+      val end = i + r
+      while (i < end) { h = XXH64.hashLong(sig.getLong(i), h); i += 1 }
+      out(b) = XXH64.hashInt(b, h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshbands", this,
+      classOf[LshBandHashes].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.hashes($c)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

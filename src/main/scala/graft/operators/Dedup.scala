@@ -205,10 +205,11 @@ object Dedup {
     * the batch candidate join and the streaming bucket state. */
   def bandHashes(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
+    // native single-pass banding; byte-identical to the interpreted
+    // xxhash64(slice(sig, b*r+1, r), b) formulation it replaced
+    // (pinned in HashPropertySpec), ~10x cheaper per doc
     sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * r + 1, lit(r)), b)))
+      posexplode(graft.GraftFunctions.lshBands(col("sig"), bands))
         .as(Seq("band", "band_hash")))
   }
 

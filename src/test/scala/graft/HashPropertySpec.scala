@@ -6,7 +6,7 @@ import org.apache.spark.sql.types.{ArrayType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{Fp16Decode, Fp16Encode, MinHashSignature,
+import graft.functions.{Fp16Decode, Fp16Encode, LshBandHashes, MinHashSignature,
   PackSignBits, SimHash64}
 import graft.operators.Knn
 
@@ -92,6 +92,28 @@ class HashPropertySpec extends AnyFunSuite {
       val pb = pack.nullSafeEval(new GenericArrayData(b)).asInstanceOf[Array[Byte]]
       assert(Knn.hammingBytes(pa, pb).toDouble ==
         Knn.scalarDistance("hamming", a, b))
+    }
+  }
+
+  test("lsh band hashes equal Spark's xxhash64(slice(sig, b*r+1, r), b)") {
+    // the banding swap is only sound byte-exact: candidate sets and
+    // the streaming bucket twin both key on these values
+    import org.apache.spark.sql.catalyst.expressions.{Literal => L, XxHash64}
+    import org.apache.spark.sql.types.{ArrayType => AT, LongType}
+    for (_ <- 1 to 200) {
+      val bands = Seq(1, 2, 4, 8, 16, 32, 64)(rng.nextInt(7))
+      val r = 1 + rng.nextInt(4)
+      val sig = Array.fill(bands * r)(rng.nextLong())
+      val got = LshBandHashes(L.create(null, AT(LongType)), bands)
+        .hashes(new GenericArrayData(sig)).toLongArray()
+      for (b <- 0 until bands) {
+        val slice = java.util.Arrays.copyOfRange(sig, b * r, b * r + r)
+        val expected = XxHash64(Seq(
+          L.create(new GenericArrayData(slice), AT(LongType, false)),
+          L(b)), 42L).eval(null).asInstanceOf[Long]
+        assert(got(b) == expected,
+          s"band $b of $bands (r=$r): ${got(b)} != $expected")
+      }
     }
   }
 
