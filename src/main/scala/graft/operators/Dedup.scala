@@ -215,15 +215,24 @@ object Dedup {
 
   /** Distinct (doc_a < doc_b) pairs sharing at least one band — the
     * single definition of the LSH candidate condition, used by the
-    * verified batch path and the streaming twin's equality spec. */
-  private def candidatesOf(banded: DataFrame): DataFrame =
-    banded.as("a")
-      .join(banded.as("b"),
+    * verified batch path and the streaming twin's equality spec.
+    * Singleton buckets (the overwhelming majority: docs×bands rows,
+    * almost all unique hashes) can never produce a pair, so they are
+    * pruned with one map-side-combined count BEFORE the self-join —
+    * at 2M docs this cuts the join's shuffle from 128M band rows per
+    * side to only the colliding ones. Pair semantics are identical. */
+  private def candidatesOf(banded: DataFrame): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n")
+    val pruned = banded.join(hot, Seq("band", "band_hash"))
+    pruned.as("a")
+      .join(pruned.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** The PRE-VERIFICATION LSH candidate pair set — exposed for the
     * streaming twin's equality spec. */
