@@ -81,7 +81,11 @@ case class LshBandHashes(child: Expression, bands: Int)
 
   override def prettyName: String = "graft_lsh_bands"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires non-null elements (Spark's xxhash64 SKIPS " +
+        "nulls, so a null slot would silently diverge from the pinned " +
+        "semantics)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint>, got ${other.simpleString}")
   }
@@ -93,6 +97,11 @@ case class LshBandHashes(child: Expression, bands: Int)
 
   def hashes(sig: ArrayData): ArrayData = {
     val n = sig.numElements()
+    // r = 0 would hash every doc to the constant per-band seed (an
+    // all-pairs cross join downstream); a non-dividing length would
+    // silently drop trailing elements — fail loudly instead
+    require(n >= bands && n % bands == 0,
+      s"$prettyName: signature length $n must be a positive multiple of bands=$bands")
     val r = n / bands
     val out = new Array[Long](bands)
     var b = 0
