@@ -117,6 +117,25 @@ class HashPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lsh band hashes fail loudly on non-dividing signature lengths") {
+    // r = 0 would hash every doc to the constant per-band seed (an
+    // all-pairs cross join downstream); a non-dividing length would
+    // silently weaken LSH by dropping trailing elements
+    import org.apache.spark.sql.catalyst.expressions.{Literal => L}
+    import org.apache.spark.sql.types.{ArrayType => AT, LongType}
+    val e = LshBandHashes(L.create(null, AT(LongType)), 64)
+    intercept[IllegalArgumentException] {
+      e.hashes(new GenericArrayData(Array.fill(32)(1L))) // 32 < 64 bands
+    }
+    intercept[IllegalArgumentException] {
+      e.hashes(new GenericArrayData(Array.fill(100)(1L))) // 100 % 64 != 0
+    }
+    // nullable element type is rejected at analysis, not at eval
+    assert(!LshBandHashes(L.create(null,
+      AT(LongType, containsNull = true)), 4)
+      .checkInputDataTypes().isSuccess)
+  }
+
   test("distBounded contract: exact at/below the bound, one-sided above") {
     // the NSW beam search and diversity selection rely on exactly
     // this: a return <= bound is the bit-exact distance (so tie-breaks
