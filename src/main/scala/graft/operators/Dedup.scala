@@ -355,8 +355,8 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         GraftFunctions.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // shrink before the distinct shuffle
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** Embedding-cosine near-duplicate: top-N most similar vector pairs.

@@ -96,6 +96,8 @@ object NswGraph {
     * bound. */
   private[graft] final class CellKernel(metric: String,
       vecs: Array[Array[Float]], flatten: Boolean = true) {
+    def row(i: Int): Array[Float] = vecs(i)
+    def size: Int = vecs.length
     private[this] val mcode = Knn.metricCode(metric)
     private[this] val dim = if (vecs.isEmpty) 0 else vecs(0).length
     private[this] val flat: Array[Float] =
@@ -214,10 +216,9 @@ object NswGraph {
     * adjacency (every metric here is symmetric, so the insert beam's
     * (dist, id) pairs are exactly the back-edge distances too), so a
     * reprune never recomputes node-to-neighbor distances. */
-  private def build(vecs: Array[Array[Float]], m: Int, efConstruction: Int,
-      metric: String): Array[Array[Int]] = {
-    val n = vecs.length
-    val kern = new CellKernel(metric, vecs)
+  private def build(kern: CellKernel, m: Int,
+      efConstruction: Int): Array[Array[Int]] = {
+    val n = kern.size
     // fixed-capacity primitive rows: a node holds at most 3m
     // neighbors, +1 transient slot between the append and the prune
     val cap = 3 * m + 1
@@ -226,7 +227,7 @@ object NswGraph {
     val deg = new Array[Int](n)
     var i = 1
     while (i < n) {
-      val cands = beamSearch(kern, adj, deg, 0, vecs(i),
+      val cands = beamSearch(kern, adj, deg, 0, kern.row(i),
         math.max(m, efConstruction))
       val near = selectNeighbors(kern, cands, m)
       near.foreach { case (d, nb) =>
@@ -276,7 +277,7 @@ object NswGraph {
         it.toArray.groupBy(_._3).iterator.map { case (cid, cellRows) =>
           val vecs = cellRows.map(_._2)
           CellGraph(cid, cellRows.map(_._1), vecs,
-            build(vecs, mm, efc, met))
+            build(new CellKernel(met, vecs), mm, efc))
         }
       }
   }
@@ -396,9 +397,9 @@ object NswGraph {
         else {
           val ids = rows.map(_._1)
           val vecs = rows.map(_._2)
-          val adj = build(vecs, mm, efc, met)
-          val deg = adj.map(_.length)
           val kern = new CellKernel(met, vecs)
+          val adj = build(kern, mm, efc)
+          val deg = adj.map(_.length)
           val qs = bc.value
           qs.iterator.flatMap { case (qid, qv) =>
             beamSearch(kern, adj, deg, 0, qv, ef)
