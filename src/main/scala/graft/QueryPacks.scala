@@ -936,7 +936,12 @@ object AnnQueries {
       val data = dataDf(s, d).filter(filterLow)
       val found = AnnIvf.search(AnnIvf.index(data, sh.centroids),
         sh.centroids, queriesDf(s, d), K, nprobe = 4)
+      // self-reporting floor: recall here is bit-deterministic per SF
+      // (seeded k-means + deterministic search), so a regression in the
+      // IVF path flips `ok` in the recorded CORRECTNESS row even though
+      // the value itself has no SQL oracle (sf0.01 observed: 0.62)
       Recall.ofRanked(found, sh.truth)
+        .withColumn("ok", col("recall") >= lit(0.55))
     }),
     // PQ compressed-storage search (rows-only: codebooks come from
     // seeded k-means; the ADC==decoded-brute-force identity and recall
@@ -955,6 +960,11 @@ object AnnQueries {
           sh.truth)
         .select(col("recall").as("recall_refined"))
       pure.crossJoin(refined)
+        // floors self-report regressions (sf0.01 observed: 0.31 / 0.58;
+        // refined must also beat pure ADC — the re-rank can only help)
+        .withColumn("ok", col("recall_adc") >= lit(0.25) &&
+          col("recall_refined") >= lit(0.5) &&
+          col("recall_refined") >= col("recall_adc"))
     }),
     // fp16-stored corpus (the reference's embedding dtype,
     // README_reviews.md:84): the data side is snapped to the 2^-7
@@ -996,6 +1006,9 @@ object AnnQueries {
         .select(col("n_queries"), col("recall").as("recall_nsw"))
         .crossJoin(Recall.ofRanked(foundIvf, truth)
           .select(col("recall").as("recall_ivf")))
+        // floors self-report regressions (sf0.01 observed: 1.0 / 0.5)
+        .withColumn("ok", col("recall_nsw") >= lit(0.9) &&
+          col("recall_ivf") >= lit(0.45))
     }),
     // the binary/Hamming graph path under a FULL oracle — the one
     // metric variant that was rows-only: the ann_nsw_fixed recipe
@@ -1025,7 +1038,9 @@ object AnnQueries {
       val data = dataDf(s, d).filter(filterLow)
       val found = NswGraph.search(data.repartition(4), queriesDf(s, d), K,
         m = 8, efSearch = 64)
+      // floor self-reports regressions (sf0.01 observed: 1.0)
       Recall.ofRanked(found, sh.truth)
+        .withColumn("ok", col("recall") >= lit(0.9))
     }),
     // the NSW/graph path (J3) under a FULL oracle — the ann_ivf_fixed
     // recipe applied to the graph half: fixed data-row centroids

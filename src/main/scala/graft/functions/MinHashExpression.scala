@@ -81,11 +81,12 @@ case class LshBandHashes(child: Expression, bands: Int)
 
   override def prettyName: String = "graft_lsh_bands"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires non-null elements (Spark's xxhash64 SKIPS " +
-        "nulls, so a null slot would silently diverge from the pinned " +
-        "semantics)")
+    // nullable elements are ACCEPTED at analysis (a signature table
+    // persisted to parquet reads back containsNull=true — the stated
+    // 100-TB persist-then-band workflow) but an actual null slot fails
+    // loudly at eval: Spark's xxhash64 SKIPS nulls, so hashing around
+    // one would silently diverge from the pinned semantics
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires array<bigint>, got ${other.simpleString}")
   }
@@ -109,7 +110,13 @@ case class LshBandHashes(child: Expression, bands: Int)
       var h = 42L
       var i = b * r
       val end = i + r
-      while (i < end) { h = XXH64.hashLong(sig.getLong(i), h); i += 1 }
+      while (i < end) {
+        if (sig.isNullAt(i)) throw new IllegalArgumentException(
+          s"$prettyName: null signature slot at index $i — minhash " +
+            "signatures are never null-valued; a null here means the " +
+            "persisted table is corrupt")
+        h = XXH64.hashLong(sig.getLong(i), h); i += 1
+      }
       out(b) = XXH64.hashInt(b, h)
       b += 1
     }

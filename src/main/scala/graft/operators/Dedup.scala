@@ -174,7 +174,6 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
     // .cache() is load-bearing: without it, CollapseProject inlines the
     // 128-hash signature expression into every band slice (64×) and the
     // self-join recomputes it again — observed 87s→2s at sf0.01. At

@@ -113,6 +113,7 @@ object GridSearch {
           val shared = sharedQuantizers.get(npart)
           val (centroids, indexed, buildSec) = shared.getOrElse(
             trainQuantizers(filtered, Seq(npart))(npart))
+          try {
 
           val nprobes = combos.map(_.nprobe).distinct.sorted
           val maxP = nprobes.max
@@ -140,11 +141,19 @@ object GridSearch {
               count(lit(1)).as("qcand"))
             .select(col("np"), col("qid"), col("topk.id").as("found_ids"),
               col("qcand"))
-            .join(broadcast(truthSets), "qid")
+            // LEFT join: a query whose filtered truth set is empty (no
+            // truth row) must still count its candidates into n_cand
+            // and the cost-proportional wall-clock attribution; it
+            // contributes 0 to both recall terms via the empty-array
+            // coalesce, so recall is unchanged where truth exists
+            .join(broadcast(truthSets), Seq("qid"), "left")
+            .withColumn("gt_ids",
+              coalesce(col("gt_ids"), array().cast("array<bigint>")))
             .groupBy(col("np"))
             .agg(
-              (sum(size(array_intersect(col("found_ids"), col("gt_ids"))))
-                / sum(size(col("gt_ids")))).as("recall"),
+              coalesce(
+                sum(size(array_intersect(col("found_ids"), col("gt_ids"))))
+                  / sum(size(col("gt_ids"))), lit(0.0)).as("recall"),
               sum(col("qcand")).as("n_cand"))
             .select("np", "recall", "n_cand").collect()
             .map(r => r.getInt(0) ->
@@ -152,7 +161,6 @@ object GridSearch {
           val searchWall = (System.nanoTime() - t1) / 1e9
           val totalCand = math.max(recallByNp.values.map(_._2).sum, 1L)
 
-          if (shared.isEmpty) { centroids.unpersist(); indexed.unpersist() }
           combos.sortBy(_.nprobe).map { c =>
             val (rec, nCand) = recallByNp(c.nprobe)
             // cost-proportional share of the shared-scan wall clock
@@ -161,6 +169,12 @@ object GridSearch {
               keptPct, buildSec, searchSec,
               nQ / math.max(searchSec, 1e-9),
               math.rint(rec * 1e6) / 1e6, nCand)
+          }
+          } finally {
+            // unpersist locally-trained caches on success AND failure —
+            // a throw mid-evaluation (e.g. the recall collect) must not
+            // leak cached DataFrames for the rest of the session
+            if (shared.isEmpty) { centroids.unpersist(); indexed.unpersist() }
           }
         }.recover { case e =>
           combos.sortBy(_.nprobe).map(c =>
@@ -235,6 +249,7 @@ object GridSearch {
                 nVec, nQ, keptPct, -1.0, -1.0, -1.0, -1.0, -1L,
                 Some(e.toString.take(200))))
           case scala.util.Success((centroids, indexed, quantSec)) =>
+            try {
         // probe lists depend only on (centroids, queries, nprobe) —
         // collected ONCE per npartitions group and reused by every
         // (m, efSearch) search below
@@ -277,10 +292,14 @@ object GridSearch {
               Some(e.toString.take(200))))
         }.get
         }
-            if (!sharedQuantizers.contains(npart)) {
-              indexed.unpersist(); centroids.unpersist()
-            }
             npRows
+            } finally {
+              // success or throw (e.g. in probeQueries): never leak the
+              // locally-trained quantizer caches
+              if (!sharedQuantizers.contains(npart)) {
+                indexed.unpersist(); centroids.unpersist()
+              }
+            }
         }
       }
     if (precomputedTruth.isEmpty) truthSets.unpersist()

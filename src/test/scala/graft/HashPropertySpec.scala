@@ -130,10 +130,23 @@ class HashPropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       e.hashes(new GenericArrayData(Array.fill(100)(1L))) // 100 % 64 != 0
     }
-    // nullable element type is rejected at analysis, not at eval
-    assert(!LshBandHashes(L.create(null,
+    // nullable ELEMENT TYPE is accepted at analysis (a signature table
+    // persisted to parquet reads back containsNull=true — the stated
+    // persist-then-band workflow)...
+    val nullable = LshBandHashes(L.create(null,
       AT(LongType, containsNull = true)), 4)
-      .checkInputDataTypes().isSuccess)
+    assert(nullable.checkInputDataTypes().isSuccess)
+    // ...but an actual null SLOT fails loudly at eval (Spark's xxhash64
+    // skips nulls — hashing around one would silently diverge from the
+    // pinned semantics), while non-null data keeps the pinned hashes
+    intercept[IllegalArgumentException] {
+      nullable.hashes(new GenericArrayData(
+        Array[Any](1L, null, 3L, 4L)))
+    }
+    val clean = Array.fill(8)(7L)
+    assert(nullable.hashes(new GenericArrayData(clean.map(x => x: Any))) ==
+      LshBandHashes(L.create(null, AT(LongType)), 4)
+        .hashes(new GenericArrayData(clean)))
   }
 
   test("distBounded contract: exact at/below the bound, one-sided above") {
