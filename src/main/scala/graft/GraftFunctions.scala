@@ -71,6 +71,14 @@ object GraftFunctions {
       es => NearestCentroid(es(0), foldableMatrix(es(1), "graft_nearest_centroid")),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_nearest_centroid2",
+      es => NearestCentroidTwoLevel(es(0),
+        foldableMatrix(es(1), "graft_nearest_centroid2"),
+        foldableMatrix(es(2), "graft_nearest_centroid2"),
+        foldableIntMatrix(es(3), "graft_nearest_centroid2"),
+        foldableInt(es(4), "graft_nearest_centroid2")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_repetition", es => RepetitionStats(es(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_nearest_cells",
@@ -88,6 +96,18 @@ object GraftFunctions {
     Array.tabulate(outer.numElements()) { c =>
       val inner = outer.getArray(c)
       Array.tabulate(inner.numElements())(i => inner.getFloat(i))
+    }
+  }
+
+  /** Evaluate a foldable array<array<int>> literal to a JVM int matrix
+    * (the super→member-cid lists of the two-level quantizer). */
+  private def foldableIntMatrix(e: Expression, fn: String): Array[Array[Int]] = {
+    require(e.foldable, s"$fn: member matrix must be a literal")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val outer = e.eval().asInstanceOf[ArrayData]
+    Array.tabulate(outer.numElements()) { g =>
+      val inner = outer.getArray(g)
+      Array.tabulate(inner.numElements())(i => inner.getInt(i))
     }
   }
 
@@ -146,6 +166,15 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.typedlit
     call_function("graft_nearest_centroid", vec,
       typedlit(centroids.map(_.toSeq).toSeq))
+  }
+  def nearestCentroid2(vec: Column, supers: Array[Array[Float]],
+      centroids: Array[Array[Float]], members: Array[Array[Int]],
+      wSuper: Int = 1): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("graft_nearest_centroid2", vec,
+      typedlit(supers.map(_.toSeq).toSeq),
+      typedlit(centroids.map(_.toSeq).toSeq),
+      typedlit(members.map(_.toSeq).toSeq), lit(wSuper))
   }
   def nearestCells(vec: Column, centroids: Array[Array[Float]],
       nprobe: Int): Column = {

@@ -931,6 +931,24 @@ object AnnQueries {
           queriesDf(s, d), K, nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the TWO-LEVEL coarse quantizer under a FULL oracle — the
+    // ann_ivf_fixed recipe composed through BOTH levels: supers are
+    // fixed data rows (vec_id % 149 == 7), subs fixed rows
+    // (vec_id % 31 == 7). Assignment is hierarchical (argmin super by
+    // (dist, sid), then argmin over only that super's member subs by
+    // (dist, cid)) — the row-linear scale path that replaces the flat
+    // n×C argmin past ~100M rows. Probe ranking stays flat-exact over
+    // the full centroid table (queries are few; data rows are the
+    // asymptote), so the probe/top-k half of the oracle is unchanged.
+    "ann_ivf2_fixed" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val supers = fixedCentroids(data, 149).withColumnRenamed("cid", "sid")
+      val centroids = fixedCentroids(data, 31)
+      val indexed = AnnIvf.indexTwoLevel(data, supers, centroids)
+      AnnIvf.search(indexed, centroids, queriesDf(s, d), K, nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "ann_ivf_recall" -> ((s, d) => {
       val sh = annShared(s, d)
       val data = dataDf(s, d).filter(filterLow)
@@ -1262,6 +1280,83 @@ object AnnQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_fixed" -> ivfFixedSql(311),
+    // the two-level quantizer end to end: fixed supers (mod 149) and
+    // fixed subs (mod 31); sub→super and row→super argmins by
+    // (dist, sid), then the row's cell is the (dist, cid) argmin over
+    // ONLY the member subs of its super; flat 2-nearest-cell probes
+    // and the exact in-cell top-10 are ivfFixedSql's unchanged tail
+    "ann_ivf2_fixed" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 31 = 7
+         |), c1 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS sid,
+         |    embedding AS se
+         |  FROM d WHERE vec_id % 149 = 7
+         |), cs AS (
+         |  SELECT c.cid, c1.sid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(c.ce) AS a, unnest(c1.se) AS b) z) AS dst
+         |  FROM c CROSS JOIN c1
+         |), c2s AS (
+         |  SELECT cid, sid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY cid ORDER BY dst, sid) AS rn FROM cs)
+         |  WHERE rn = 1
+         |), rsd AS (
+         |  SELECT d.vec_id, c1.sid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c1.se) AS b) z) AS dst
+         |  FROM d CROSS JOIN c1
+         |), rs AS (
+         |  SELECT vec_id, sid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, sid) AS rn FROM rsd)
+         |  WHERE rn = 1
+         |), ad AS (
+         |  SELECT d.vec_id, d.embedding, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d JOIN rs USING (vec_id)
+         |  JOIN c2s ON c2s.sid = rs.sid
+         |  JOIN c ON c.cid = c2s.cid
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qd AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |), probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.qid, p.qe, a.vec_id, a.embedding
+         |  FROM probes p JOIN assign a USING (cid)
+         |), dist AS (
+         |  SELECT qid, vec_id,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
+         |  FROM cand
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "ann_ivf_persist" -> ivfFixedSql(311),
     "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),

@@ -72,20 +72,32 @@ object ScaleBench {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val nKept = filtered.count()
 
+    // two-level assignment is the default at large C (the flat n×C
+    // argmin is the named scale asymptote: ~250 s at 20M×8192 even
+    // with exact group pruning; hierarchical is O((√C + C/√C)·dim)
+    // per row — row-linear at any corpus size). SPARK_GRAFT_FLAT_ASSIGN=1
+    // forces the flat path for A/B runs.
+    val twoLevel = nCells >= 512 &&
+      !sys.env.get("SPARK_GRAFT_FLAT_ASSIGN").contains("1")
+    def buildIndexOf(df: org.apache.spark.sql.DataFrame,
+        centroids: org.apache.spark.sql.DataFrame) =
+      if (twoLevel)
+        AnnIvf.indexTwoLevel(df, AnnIvf.trainSupers(centroids), centroids)
+      else AnnIvf.index(df, centroids)
     val (centroids, trainSec) = time {
       val c = AnnIvf.train(filtered.sample(math.min(1.0, 200000.0 / n), 42),
         nCells, iterations = 2)
       c.count(); c
     }
     val (indexed, assignSec) = time {
-      val idx = AnnIvf.index(filtered, centroids)
+      val idx = buildIndexOf(filtered, centroids)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       idx.count(); idx
     }
     val buildSec = trainSec + assignSec
     println(f"[scale] filter keeps $nKept (${100.0 * nKept / n}%.1f%%); " +
       f"build: train=$trainSec%.1fs assign=$assignSec%.1fs " +
-      f"(cells=$nCells)")
+      f"(cells=$nCells twoLevel=$twoLevel)")
 
     // exact oracle on a seeded query sample for recall
     val qSample = queries
@@ -229,12 +241,12 @@ object ScaleBench {
       c.count(); c
     }
     val (indexedU, assignU) = time {
-      val idx = AnnIvf.index(dataM, centroidsU)
+      val idx = buildIndexOf(dataM, centroidsU)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       idx.count(); idx
     }
     println(f"[scale] shared unfiltered index: train=$trainU%.1fs " +
-      f"assign=$assignU%.1fs (n=$n)")
+      f"assign=$assignU%.1fs (n=$n twoLevel=$twoLevel)")
     // thresholds over the {0, 0.001, ..., 9.999} grid reproduce the
     // reference's selectivities exactly: 8363/10000 = 83.63%,
     // 1561/10000 = 15.61%, 77/10000 = 0.77%

@@ -159,6 +159,119 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Two-level (hierarchical) coarse assignment: argmin over C1 ≈ √C
+  * SUPER-centroids, then argmin over only that super-cell's member
+  * sub-centroids. Per-row cost drops from O(C·dim) to
+  * O((C1 + C/C1)·dim) — the difference between the flat n×C assignment
+  * (~O(n²/cellsize) at fixed cell size, the one named scale asymptote
+  * at 20M+ rows) and a row-linear build at any corpus size. This is
+  * the standard two-level IVF quantizer (FAISS IMI lineage): unlike
+  * the EXACT triangle-inequality pruning above (which still pays the
+  * full scan in the worst case and measured ~250 s at 20M×8192), the
+  * hierarchy is a DIFFERENT, coarser-grained quantizer — boundary rows
+  * may land in a cell that is not the global argmin. Search is
+  * unaffected structurally: probe ranking stays flat-exact over the
+  * full centroid table (queries are few; data rows are the asymptote),
+  * and nprobe remains the recall dial.
+  *
+  * Determinism: super ties break to the lowest sid (bounded insertion,
+  * strict `>` shift — row_number() OVER (ORDER BY dist, sid)
+  * semantics); the member scan visits supers in ascending (dist, sid)
+  * order and compares (dist, cid) explicitly, so the result is
+  * bit-reproducible in SQL — the basis of the ann_ivf2_fixed oracle.
+  * `wSuper` > 1 scans the members of the w nearest super-cells
+  * (tightens the boundary approximation at w× member-scan cost).
+  */
+case class NearestCentroidTwoLevel(child: Expression,
+    supers: Array[Array[Float]], centroids: Array[Array[Float]],
+    members: Array[Array[Int]], wSuper: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_nearest_centroid2"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  def assignOne(x: Array[Float]): Int = {
+    val w = math.min(math.max(wSuper, 1), supers.length)
+    // top-w supers by (dist, sid): bounded insertion, early abandon
+    // against the current w-th best (exact — the partial only grows
+    // and the insertion test is strict <)
+    val ids = new Array[Int](w)
+    val ds = new Array[Double](w)
+    var filled = 0
+    var s = 0
+    while (s < supers.length) {
+      val cen = supers(s)
+      val n = math.min(x.length, cen.length)
+      val thr = if (filled < w) Double.MaxValue else ds(w - 1)
+      var acc = 0.0; var i = 0
+      var dead = false
+      while (i < n && !dead) {
+        val lim = math.min(i + 16, n)
+        while (i < lim) {
+          val d = x(i).toDouble - cen(i).toDouble
+          acc += d * d; i += 1
+        }
+        dead = acc >= thr
+      }
+      if (!dead && (filled < w || acc < ds(filled - 1))) {
+        var p = math.min(filled, w - 1)
+        while (p > 0 && ds(p - 1) > acc) {
+          if (p < w) { ds(p) = ds(p - 1); ids(p) = ids(p - 1) }
+          p -= 1
+        }
+        ds(p) = acc; ids(p) = s
+        if (filled < w) filled += 1
+      }
+      s += 1
+    }
+    // member scan over the selected super-cells: explicit (dist, cid)
+    // tie compare (supers reorder the cid visit sequence)
+    var best = -1; var bestD = Double.MaxValue
+    var si = 0
+    while (si < filled) {
+      val mem = members(ids(si))
+      var mi = 0
+      while (mi < mem.length) {
+        val c = mem(mi)
+        val cen = centroids(c)
+        val n = math.min(x.length, cen.length)
+        var acc = 0.0; var i = 0
+        var dead = false
+        while (i < n && !dead) {
+          val lim = math.min(i + 16, n)
+          while (i < lim) {
+            val d = x(i).toDouble - cen(i).toDouble
+            acc += d * d; i += 1
+          }
+          dead = acc > bestD // strict: an exact tie must still compare cids
+        }
+        if (!dead && (acc < bestD || (acc == bestD && c < best))) {
+          bestD = acc; best = c
+        }
+        mi += 1
+      }
+      si += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    assignOne(v.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroid2", this,
+      classOf[NearestCentroidTwoLevel].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = $self.assignOne($a.toFloatArray());")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Group index over a centroid matrix: ~sqrt(C) groups from a
   * deterministic local Lloyd run, with covering radii for exact
   * triangle-inequality pruning. Built lazily once per executor. */

@@ -111,6 +111,83 @@ object AnnIvf {
       GraftFunctions.nearestCentroid(col(vecCol), matrix))
   }
 
+  /** Super-centroid table (sid INT, centroid ARRAY<FLOAT>) for the
+    * two-level coarse quantizer: k-means over the SUB-CENTROID matrix
+    * itself (C rows — trivially cheap at any corpus size; the data is
+    * never rescanned). √C supers by default. */
+  def trainSupers(centroids: DataFrame, numSupers: Int = 0,
+      iterations: Int = 4): DataFrame = {
+    val c = centroids.count().toInt
+    val nS = if (numSupers > 0) numSupers
+      else math.max(1, math.ceil(math.sqrt(c.toDouble)).toInt)
+    train(centroids, nS, iterations, idCol = "cid", vecCol = "centroid")
+      .withColumnRenamed("cid", "sid")
+  }
+
+  /** members(sid) = ascending cids whose sub-centroid's nearest super
+    * is sid — the same (dist, id) tie rule as every assignment here.
+    * O(C·C1·dim) on the driver: microseconds next to any data scan. */
+  def memberLists(supers: Array[Array[Float]],
+      centroids: Array[Array[Float]]): Array[Array[Int]] = {
+    val lists = Array.fill(supers.length)(
+      new scala.collection.mutable.ArrayBuffer[Int])
+    var c = 0
+    while (c < centroids.length) {
+      var best = -1; var bestD = Double.MaxValue
+      var s = 0
+      while (s < supers.length) {
+        var acc = 0.0; var i = 0
+        val n = math.min(centroids(c).length, supers(s).length)
+        while (i < n) {
+          val d = centroids(c)(i).toDouble - supers(s)(i).toDouble
+          acc += d * d; i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = s } // strict <: lowest sid
+        s += 1
+      }
+      lists(best) += c
+      c += 1
+    }
+    lists.map(_.toArray) // ascending cid by construction
+  }
+
+  /** Matrix from a (idCol, vecCol) table, ordered by idCol. */
+  def collectMatrix(df: DataFrame, idCol: String,
+      vecCol: String): Array[Array[Float]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("int"), col(vecCol))
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+  }
+
+  /** Two-level assignment: (idCol, cid) — narrow, no shuffle, and
+    * O((√C + C/√C)·dim) per row instead of O(C·dim). The returned cid
+    * indexes the SAME flat centroid table, so every downstream
+    * consumer (writeIndex, search/searchFast/searchPersisted, NSW
+    * per-cell graphs, IVF-PQ, filtered serving) is unchanged. */
+  def assignTwoLevel(data: DataFrame, supers: DataFrame,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", wSuper: Int = 1): DataFrame = {
+    val supM = collectMatrix(supers, "sid", "centroid")
+    val subM = collectCentroids(centroids)
+    data.select(col(idCol),
+      GraftFunctions.nearestCentroid2(col(vecCol), supM, subM,
+        memberLists(supM, subM), wSuper).as("cid"))
+  }
+
+  /** Two-level analog of `index` — the scale path past ~100M rows,
+    * where the flat n×C argmin (even with the exact group pruning in
+    * NearestCentroid) dominates build time. */
+  def indexTwoLevel(data: DataFrame, supers: DataFrame,
+      centroids: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", wSuper: Int = 1): DataFrame = {
+    val supM = collectMatrix(supers, "sid", "centroid")
+    val subM = collectCentroids(centroids)
+    data.withColumn("cid",
+      GraftFunctions.nearestCentroid2(col(vecCol), supM, subM,
+        memberLists(supM, subM), wSuper))
+  }
+
   /** Persist the index clustered by cell: one parquet partition
     * directory per cid. Probes against the persisted layout become
     * parquet PARTITION PRUNING — a search at nprobe touches only
