@@ -76,6 +76,16 @@ object VectorQueries {
     "knn_exact_low" -> (knnWith(filterLow, "sqeuclidean") _),
     "knn_exact_high" -> (knnWith(filterHigh, "sqeuclidean") _),
     "knn_exact_mid" -> (knnWith(filterMid, "sqeuclidean") _),
+    // the large-query-table lowering FORCED into multiple chunks
+    // (chunk size 4 splits the sf0.01 query set ~4 ways): per-chunk
+    // broadcast search + union must be bit-identical to the one-shot
+    // path — same oracle as knn_exact_low checks it
+    "knn_exact_bigq" -> ((spark: SparkSession, dir: String) => {
+      GraftFunctions.register(spark)
+      Knn.exactChunked(dataDf(spark, dir).filter(filterLow),
+          queriesDf(spark, dir), K, maxQueriesPerChunk = 4)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     "knn_cosine" -> (knnWith(filterLow, "cosine") _),
     "knn_dot" -> (knnWith(filterLow, "dot") _),
     "knn_hamming" -> ((spark: SparkSession, dir: String) => {
@@ -273,6 +283,9 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "knn_exact_low" -> knnOracle("label <> 3", sqdist),
+    // the chunked lowering is bit-identical to one-shot exact search
+    // (query-batch independence), so the same full oracle applies
+    "knn_exact_bigq" -> knnOracle("label <> 3", sqdist),
     "knn_plan_node" ->
       knnOracle("label <> 3", sqdist)
         .replace("WHERE vec_id % 50 = 0", "WHERE vec_id % 50 = 0 AND vec_id >= 100"),

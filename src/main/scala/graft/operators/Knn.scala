@@ -353,6 +353,56 @@ object Knn {
     }.reduce(_ unionByName _)
   }
 
+  /** CHUNKED query lowering — the large-query-table twin of `exact`.
+    *
+    * `exact` collects the query side for broadcast (the SURVEY-J1
+    * contract: 10K × 64 floats ≈ 2.5 MB, same shape as the reference's
+    * per-batch query copy, cuvs_bench_grid_search_v3.py:251). A
+    * pipeline that re-embeds and searches MILLIONS of queries breaks
+    * that contract: the collect itself is driver-sized and the
+    * per-partition heap array is q-sized. This lowering iterates the
+    * query table in deterministic hash chunks of at most
+    * `maxQueriesPerChunk`, runs the same broadcast+bounded-heap kernel
+    * per chunk, and unions — the reference's own query batching
+    * (utils_grid_search.py:591,995) expressed over DataFrames.
+    *
+    * Results are BIT-IDENTICAL to the one-shot path: per-query results
+    * are independent of which other queries share the batch (the
+    * query-batch-independence property pinned in KnnSpec), and the
+    * union preserves every (qid, rank) row.
+    *
+    * Cost shape: ceil(q / chunk) passes over the data side. At scale
+    * the caller persists (or re-reads a columnar cache of) the data
+    * side; driver memory and executor heap-array size stay bounded by
+    * `maxQueriesPerChunk` regardless of the query-table size.
+    */
+  def exactChunked(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      metric: String = "sqeuclidean",
+      maxQueriesPerChunk: Int = 65536,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qidCol: String = "qid",
+      qvecCol: String = "q_embedding"): DataFrame = {
+    require(maxQueriesPerChunk > 0,
+      s"maxQueriesPerChunk must be positive: $maxQueriesPerChunk")
+    val q = queries.count()
+    val nChunks = math.max(1L, (q + maxQueriesPerChunk - 1) /
+      maxQueriesPerChunk).toInt
+    if (nChunks == 1)
+      exact(data, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+    else (0 until nChunks).map { c =>
+      // deterministic, qid-content-based chunking (partition-layout
+      // independent); chunk sizes are hash-balanced around q/nChunks
+      exact(data,
+        queries.filter(
+          pmod(xxhash64(col(qidCol), lit(9173)), lit(nChunks)) === c),
+        k, metric, idCol, vecCol, qidCol, qvecCol)
+    }.reduce(_ unionByName _)
+  }
+
   /** Cost-based physical selection — the engine-side analog of the
     * reference's brute-force-vs-CAGRA duality (SURVEY §4 strategy 3):
     * below `exactThresholdBytes` of (post-filter) scan, brute force is
@@ -363,9 +413,16 @@ object Knn {
     * Returns (chosen path name, ranked results). */
   def adaptive(data: DataFrame, queries: DataFrame, k: Int,
       nprobe: Int = 8,
-      exactThresholdBytes: Long = 256L << 20): (String, DataFrame) = {
+      exactThresholdBytes: Long = 256L << 20,
+      queryBroadcastBudgetBytes: Long = 64L << 20): (String, DataFrame) = {
     val est = data.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est <= exactThresholdBytes) ("exact", exact(data, queries, k))
+    val qEst = queries.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (qEst > queryBroadcastBudgetBytes) {
+      // query table exceeds the broadcast/collect budget: the chunked
+      // lowering bounds driver memory and per-partition heap size no
+      // matter how large the query side grows
+      ("exact_chunked", exactChunked(data, queries, k))
+    } else if (est <= exactThresholdBytes) ("exact", exact(data, queries, k))
     else {
       val n = data.count()
       val cells = math.max(2, math.sqrt(n.toDouble).toInt)

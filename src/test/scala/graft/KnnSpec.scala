@@ -321,6 +321,30 @@ class KnnSpec extends AnyFunSuite {
     assert(r.getDouble(r.fieldIndex("recall")) >= 0.45)
   }
 
+  test("chunked query lowering is bit-identical to the broadcast path") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val oneShot = Knn.exact(filtered, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // several chunk sizes, including one that leaves some chunks empty
+    // and the degenerate single-chunk case
+    Seq(1, 3, 4, 1000).foreach { sz =>
+      val chunked = Knn.exactChunked(filtered, queries, 10,
+          maxQueriesPerChunk = sz)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(chunked == oneShot, s"chunk size $sz diverged")
+    }
+  }
+
+  test("adaptive routes an over-budget query table to the chunked path") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val (path, res) = Knn.adaptive(filtered, queries, 10,
+      queryBroadcastBudgetBytes = 1L)
+    assert(path == "exact_chunked")
+    assert(asTuples(res) == asTuples(Knn.exact(filtered, queries, 10)))
+  }
+
   test("IVF recall increases with nprobe (knob monotonicity)") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
