@@ -79,10 +79,15 @@ object ScaleBench {
     // forces the flat path for A/B runs.
     val twoLevel = nCells >= 512 &&
       !sys.env.get("SPARK_GRAFT_FLAT_ASSIGN").contains("1")
+    // wSuper=2 recovers most boundary misassignments (a row whose true
+    // cell lives under its SECOND-nearest super) at ~1.5× the w=1
+    // member-scan cost — still ~C/(√C·w) times cheaper than flat
+    val wSuper = sys.env.getOrElse("SPARK_GRAFT_W_SUPER", "2").toInt
     def buildIndexOf(df: org.apache.spark.sql.DataFrame,
         centroids: org.apache.spark.sql.DataFrame) =
       if (twoLevel)
-        AnnIvf.indexTwoLevel(df, AnnIvf.trainSupers(centroids), centroids)
+        AnnIvf.indexTwoLevel(df, AnnIvf.trainSupers(centroids), centroids,
+          wSuper = wSuper)
       else AnnIvf.index(df, centroids)
     val (centroids, trainSec) = time {
       val c = AnnIvf.train(filtered.sample(math.min(1.0, 200000.0 / n), 42),

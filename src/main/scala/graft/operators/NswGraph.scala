@@ -274,12 +274,50 @@ object NswGraph {
       .as[(Long, Array[Float], Int)]
       .repartition(col("cid"))
       .mapPartitions { it =>
-        it.toArray.groupBy(_._3).iterator.map { case (cid, cellRows) =>
+        it.toArray.groupBy(_._3).iterator.map { case (cid, cellRows0) =>
+          // id-sorted insert order: the graph for a cell is a pure
+          // function of its row SET, independent of partition layout
+          // or shuffle arrival order — what makes the incremental
+          // append path below bit-equal to a full rebuild
+          val cellRows = cellRows0.sortBy(_._1)
           val vecs = cellRows.map(_._2)
           CellGraph(cid, cellRows.map(_._1), vecs,
             build(new CellKernel(met, vecs), mm, efc))
         }
       }
+  }
+
+  /** Incremental maintenance for the persisted graph index — parity
+    * with `AnnIvf.appendToIndex`: assign the new rows to cells against
+    * the frozen centroid table, read back ONLY the touched cells'
+    * graphs (partition-pruned), rebuild those cells over old ∪ new
+    * rows, and dynamically overwrite just their partition directories.
+    * Untouched cells are neither read nor rewritten. Because per-cell
+    * builds are id-sort deterministic, the result is BIT-IDENTICAL to
+    * a full rebuild over the combined corpus (pinned in NswSpec) —
+    * unlike generic HNSW insertion, which degrades with update order.
+    * At 100 TB the cost is proportional to the touched cells' sizes,
+    * not the corpus. */
+  def appendToGraphIndex(newData: DataFrame, centroids: DataFrame,
+      path: String, m: Int = 8, efConstruction: Int = 64,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newData.sparkSession
+    import spark.implicits._
+    val newIndexed = AnnIvf.index(newData, centroids, idCol, vecCol)
+      .select(col(idCol).cast("long").as(idCol), col(vecCol), col("cid"))
+    val touched = newIndexed.select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val oldRows = readGraphIndex(spark, path)
+      .filter(col("cid").isin(touched.toSeq: _*))
+      .flatMap(g => g.ids.zip(g.vecs).map { case (id, v) => (id, v, g.cid) })
+      .toDF(idCol, vecCol, "cid")
+    val combined = oldRows.unionByName(newIndexed)
+    buildIndex(combined, m, efConstruction, metric, idCol, vecCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
   }
 
   /** Persist / reload the graph index. One parquet partition directory

@@ -92,6 +92,45 @@ class NswSpec extends AnyFunSuite {
     println(s"[NswSpec] hamming recall: nsw=$nsw ivf=$ivf")
   }
 
+  test("graph append path: touched cells bit-equal a full rebuild, " +
+      "untouched cells never rewritten") {
+    import spark.implicits._
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val first = data.filter($"vec_id" % 3 =!= 0)
+    val second = data.filter($"vec_id" % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gappend").toString
+    NswGraph.writeGraphIndex(
+      NswGraph.buildIndex(graft.operators.AnnIvf.index(first, centroids),
+        m = 8, efConstruction = 32), s"$tmp/idx")
+    // fingerprint the on-disk cell directories before the append
+    def cellFiles(): Map[String, Set[String]] =
+      new java.io.File(s"$tmp/idx").listFiles()
+        .filter(_.getName.startsWith("cid="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    val before = cellFiles()
+    val touched = graft.operators.AnnIvf.assign(second, centroids)
+      .select("cid").distinct().collect().map(r => s"cid=${r.getInt(0)}").toSet
+    NswGraph.appendToGraphIndex(second, centroids, s"$tmp/idx",
+      m = 8, efConstruction = 32)
+    val after = cellFiles()
+    // untouched cell dirs carry exactly their old files
+    (before.keySet -- touched).foreach { c =>
+      assert(after(c) == before(c), s"untouched $c was rewritten")
+    }
+    // id-sorted deterministic builds make the appended index
+    // BIT-IDENTICAL to one built over the full corpus in one shot
+    def canon(g: org.apache.spark.sql.Dataset[NswGraph.CellGraph]) =
+      g.collect().sortBy(_.cid).map(cg => (cg.cid, cg.ids.toSeq,
+        cg.vecs.map(_.toSeq).toSeq, cg.adj.map(_.sorted.toSeq).toSeq)).toSeq
+    val appended = canon(NswGraph.readGraphIndex(spark, s"$tmp/idx"))
+    val rebuilt = canon(NswGraph.buildIndex(
+      graft.operators.AnnIvf.index(data, centroids),
+      m = 8, efConstruction = 32))
+    assert(appended == rebuilt && appended.nonEmpty)
+  }
+
   test("recall rises with efSearch (knob direction)") {
     val lo = recallOf(NswGraph.search(
       data.repartition(2), queries, 10, m = 8, efSearch = 10))
