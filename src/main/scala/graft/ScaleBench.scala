@@ -82,7 +82,7 @@ object ScaleBench {
     // wSuper=2 recovers most boundary misassignments (a row whose true
     // cell lives under its SECOND-nearest super) at ~1.5× the w=1
     // member-scan cost — still ~C/(√C·w) times cheaper than flat
-    val wSuper = sys.env.getOrElse("SPARK_GRAFT_W_SUPER", "2").toInt
+    val wSuper = sys.env.getOrElse("SPARK_GRAFT_W_SUPER", "4").toInt
     def buildIndexOf(df: org.apache.spark.sql.DataFrame,
         centroids: org.apache.spark.sql.DataFrame) =
       if (twoLevel)

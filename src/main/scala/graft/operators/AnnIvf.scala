@@ -167,7 +167,7 @@ object AnnIvf {
     * per-cell graphs, IVF-PQ, filtered serving) is unchanged. */
   def assignTwoLevel(data: DataFrame, supers: DataFrame,
       centroids: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", wSuper: Int = 1): DataFrame = {
+      vecCol: String = "embedding", wSuper: Int = 4): DataFrame = {
     val supM = collectMatrix(supers, "sid", "centroid")
     val subM = collectCentroids(centroids)
     data.select(col(idCol),
@@ -180,7 +180,7 @@ object AnnIvf {
     * NearestCentroid) dominates build time. */
   def indexTwoLevel(data: DataFrame, supers: DataFrame,
       centroids: DataFrame, idCol: String = "vec_id",
-      vecCol: String = "embedding", wSuper: Int = 1): DataFrame = {
+      vecCol: String = "embedding", wSuper: Int = 4): DataFrame = {
     val supM = collectMatrix(supers, "sid", "centroid")
     val subM = collectCentroids(centroids)
     data.withColumn("cid",

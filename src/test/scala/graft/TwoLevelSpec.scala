@@ -78,7 +78,7 @@ class TwoLevelSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val hier = AnnIvf.assignTwoLevel(data, supers, centroids)
+    val hier = AnnIvf.assignTwoLevel(data, supers, centroids, wSuper = 1)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(hier == relational)
   }
