@@ -945,7 +945,8 @@ object AnnQueries {
       val data = dataDf(s, d).filter(filterLow)
       val supers = fixedCentroids(data, 149).withColumnRenamed("cid", "sid")
       val centroids = fixedCentroids(data, 31)
-      val indexed = AnnIvf.indexTwoLevel(data, supers, centroids)
+      val indexed = AnnIvf.indexTwoLevel(data, supers, centroids,
+        wSuper = 1) // the oracle models the single-nearest-super scan
       AnnIvf.search(indexed, centroids, queriesDf(s, d), K, nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
