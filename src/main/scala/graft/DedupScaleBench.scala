@@ -57,42 +57,57 @@ object DedupScaleBench {
     println(f"[dscale] generated $n docs (~60 tokens, 10%% exact copies, " +
       f"10%% near-dup mutants) in $genSec%.1fs")
 
-    val (nDupGroups, exactSec) = time {
-      Dedup.exact(docs).filter(col("n_copies") > 1).count()
+    // SPARK_GRAFT_DSCALE_STAGES=exact,simhash restricts the run — the
+    // 20M point measures the linear stages without sitting through the
+    // (much slower, separately measured at 2M) LSH verify stage
+    val stages = sys.env.get("SPARK_GRAFT_DSCALE_STAGES")
+      .map(_.split(',').map(_.trim).toSet)
+    def enabled(st: String): Boolean = stages.forall(_.contains(st))
+
+    if (enabled("exact")) {
+      val (nDupGroups, exactSec) = time {
+        Dedup.exact(docs).filter(col("n_copies") > 1).count()
+      }
+      println(f"[dscale] exact dedup: $exactSec%.1fs -> $nDupGroups dup groups " +
+        f"(expected ~${n / 10}) ${n / exactSec / 1e6}%.2fM docs/s")
     }
-    println(f"[dscale] exact dedup: $exactSec%.1fs -> $nDupGroups dup groups " +
-      f"(expected ~${n / 10}) ${n / exactSec / 1e6}%.2fM docs/s")
 
     // simhash runs BEFORE the LSH stage: minhashLsh caches its
     // shingle/signature tables internally (load-bearing there), and
     // that memory pressure must not sit under another timed stage
-    val (shPairs, shSec) = time {
-      Dedup.simhashPairs(docs, maxHamming = 3).count()
+    if (enabled("simhash")) {
+      val (shPairs, shSec) = time {
+        Dedup.simhashPairs(docs, maxHamming = 3).count()
+      }
+      println(f"[dscale] simhash pigeonhole (hamming<=3): $shSec%.1fs -> " +
+        f"$shPairs pairs ${n / shSec / 1e3}%.1fK docs/s")
     }
-    println(f"[dscale] simhash pigeonhole (hamming<=3): $shSec%.1fs -> " +
-      f"$shPairs pairs ${n / shSec / 1e3}%.1fK docs/s")
 
-    val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7)
-    val (lshPairs, lshSec) = time { pairsDf.count() }
-    println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7): " +
-      f"$lshSec%.1fs -> $lshPairs pairs ${n / lshSec / 1e3}%.1fK docs/s")
+    if (enabled("lsh")) {
+      val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7)
+      val (lshPairs, lshSec) = time { pairsDf.count() }
+      println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7): " +
+        f"$lshSec%.1fs -> $lshPairs pairs ${n / lshSec / 1e3}%.1fK docs/s")
 
-    // Isolate CC from the LSH stage's internal caches (untimed): park
-    // the pair relation on disk, drop every cache, re-warm docs, and
-    // time the clustering loop ALONE over its true inputs.
-    val pairDir = java.nio.file.Files
-      .createTempDirectory("graft_dscale_pairs").toString
-    pairsDf.write.mode("overwrite").parquet(pairDir)
-    spark.catalog.clearCache()
-    docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    docs.count()
-    val pairs = spark.read.parquet(pairDir)
-    val (nClusters, ccSec) = time {
-      Dedup.dupClustersFromPairs(docs.select(col("doc_id")), pairs)
-        .select("cluster_id").distinct().count()
+      // Isolate CC from the LSH stage's internal caches (untimed): park
+      // the pair relation on disk, drop every cache, re-warm docs, and
+      // time the clustering loop ALONE over its true inputs.
+      if (enabled("cc")) {
+        val pairDir = java.nio.file.Files
+          .createTempDirectory("graft_dscale_pairs").toString
+        pairsDf.write.mode("overwrite").parquet(pairDir)
+        spark.catalog.clearCache()
+        docs.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        docs.count()
+        val pairs = spark.read.parquet(pairDir)
+        val (nClusters, ccSec) = time {
+          Dedup.dupClustersFromPairs(docs.select(col("doc_id")), pairs)
+            .select("cluster_id").distinct().count()
+        }
+        println(f"[dscale] near-dup clustering (CC over the parked pairs): " +
+          f"$ccSec%.1fs -> $nClusters clusters")
+      }
     }
-    println(f"[dscale] near-dup clustering (CC over the parked pairs): " +
-      f"$ccSec%.1fs -> $nClusters clusters")
     spark.stop()
   }
 }

@@ -77,13 +77,17 @@ object VectorQueries {
     "knn_exact_high" -> (knnWith(filterHigh, "sqeuclidean") _),
     "knn_exact_mid" -> (knnWith(filterMid, "sqeuclidean") _),
     // the large-query-table lowering FORCED into multiple chunks
-    // (chunk size 4 splits the sf0.01 query set ~4 ways): per-chunk
-    // broadcast search + union must be bit-identical to the one-shot
-    // path — same oracle as knn_exact_low checks it
+    // (~4 chunks at ANY sf — sizing off the actual query count keeps
+    // the bench from degenerating into hundreds of tiny scans at
+    // larger sf): per-chunk broadcast search + union must be
+    // bit-identical to the one-shot path — same oracle as
+    // knn_exact_low checks it
     "knn_exact_bigq" -> ((spark: SparkSession, dir: String) => {
       GraftFunctions.register(spark)
+      val qs = queriesDf(spark, dir)
+      val perChunk = math.max(1L, (qs.count() + 3) / 4).toInt
       Knn.exactChunked(dataDf(spark, dir).filter(filterLow),
-          queriesDf(spark, dir), K, maxQueriesPerChunk = 4)
+          qs, K, maxQueriesPerChunk = perChunk)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
     "knn_cosine" -> (knnWith(filterLow, "cosine") _),

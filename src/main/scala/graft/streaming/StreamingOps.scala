@@ -19,26 +19,18 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema as stored (ts is TIMESTAMP(NANOS) in the parquet —
-    * declared LongType under the nanosAsLong reader flag). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over the events parquet. */
+  /** File-source stream over the events parquet. The declared schema
+    * and the raw-ts -> µs conversion come from Tables.eventsTsPlan, so
+    * the stream reads the same physical INT64 and applies the same
+    * unit normalization as the batch loader — robust to the generator
+    * writing TIMESTAMP(NANOS) or TIMESTAMP(MICROS) across rounds. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val (forced, toMicros) = graft.Tables.eventsTsPlan(spark, dir)
     spark.readStream
-      .schema(eventsRawSchema)
+      .schema(forced)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // integer div: `/` on longs is double division and 1.7e18 ns
-      // exceeds 2^53 (same off-by-one-µs hazard fixed in Tables.load)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", timestamp_micros(toMicros))
   }
 
   /** Watermarked tumbling-window counts per event type. */
