@@ -212,8 +212,18 @@ object AnnIvf {
     * drift degrades cell balance (an offline decision, as in any IVF
     * system). */
   def appendToIndex(newData: DataFrame, centroids: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    index(newData, centroids, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Option[DataFrame] = None): Unit =
+    // `supers` = the base index was built with indexTwoLevel: batches
+    // must assign through the SAME hierarchical expression (parity
+    // with the persisted cells is the contract; a flat re-assign of a
+    // boundary row could land it in a different cell than the build
+    // did). It also keeps the per-batch cost at O(2·sqrt(C)·dim) per
+    // row — at serving-scale C the flat n×C argmin would put the
+    // build asymptote this path exists to avoid back into every
+    // micro-batch.
+    supers.fold(index(newData, centroids, idCol, vecCol))(sup =>
+        indexTwoLevel(newData, sup, centroids, idCol, vecCol))
       .repartition(col("cid")) // one file per touched cell per batch
       .write.mode("append").partitionBy("cid").parquet(path)
 

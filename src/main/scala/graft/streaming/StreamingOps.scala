@@ -255,11 +255,14 @@ object StreamingOps {
     * vectors one micro-batch later. Pairs with `AnnIvf.searchPersisted`
     * for the full ingest→serve loop. */
   def streamingIndexAppend(vectorStream: DataFrame, centroids: DataFrame,
-      indexPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+      indexPath: String,
+      supers: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     vectorStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
-          graft.operators.AnnIvf.appendToIndex(batch, centroids, indexPath)
+          graft.operators.AnnIvf.appendToIndex(batch, centroids, indexPath,
+            supers = supers)
         ()
       }
       .start()

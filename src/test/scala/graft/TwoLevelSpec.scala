@@ -124,4 +124,27 @@ class TwoLevelSpec extends AnyFunSuite {
         .agg(avg(($"cid" === $"c0").cast("double"))).head().getDouble(0)
     assert(agree(2) >= agree(1))
   }
+
+  test("two-level appendToIndex lands batches in the base build's cells") {
+    // a persisted index built with indexTwoLevel and maintained by
+    // appendToIndex(supers = ...) must equal the full two-level
+    // rebuild over the union, cell for cell — same parity contract as
+    // KnnSpec's flat incremental test, through the hierarchical
+    // expression
+    val centroids = AnnIvf.train(data, 12, iterations = 2)
+    val supers = AnnIvf.trainSupers(centroids, 4)
+    val base = data.filter($"vec_id" % 5 =!= 0)
+    val batch = data.filter($"vec_id" % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_twolevel_append").toString
+    AnnIvf.writeIndex(AnnIvf.indexTwoLevel(base, supers, centroids), dir)
+    AnnIvf.appendToIndex(batch, centroids, dir, supers = Some(supers))
+    val persisted = spark.read.parquet(dir)
+      .select($"vec_id", $"cid".cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rebuilt = AnnIvf.indexTwoLevel(data, supers, centroids)
+      .select($"vec_id", $"cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(persisted === rebuilt)
+  }
 }
