@@ -54,7 +54,7 @@ object ProfileLsh {
     time("shingles (cache build)")(withSh.count())
 
     val sig = withSh
-      .withColumn("sig", Dedup.minhashSignature(col("sh"), 128))
+      .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 128).as("sig"))
       .cache()
     time("minhash signatures (cache build)")(sig.count())
 

@@ -183,8 +183,13 @@ object Dedup {
       shinglesOf(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
+    // (doc_id, sig) ONLY — caching the signature next to the shingle
+    // array (withColumn) would hold the wide `sh` twice and at 10M+
+    // docs the duplicate spills past this host's disk; the verify
+    // join reads `sh` from the withSh cache
     val sig = withSh
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"),
+        minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
     // IDENTICAL-SIGNATURE COLLAPSE: docs with equal signatures band
     // identically (every band hash is a function of the signature
