@@ -125,6 +125,33 @@ class TwoLevelSpec extends AnyFunSuite {
     assert(agree(2) >= agree(1))
   }
 
+  test("two-level graph append bit-equals a full two-level rebuild") {
+    // NSW parity of the same contract: a graph index whose cells came
+    // from indexTwoLevel, appended through appendToGraphIndex(supers),
+    // must be bit-identical to the one-shot build over the union
+    // (id-sort-deterministic per-cell builds make that exact)
+    import graft.operators.NswGraph
+    val centroids = AnnIvf.train(data, 12, iterations = 2)
+    val supers = AnnIvf.trainSupers(centroids, 4)
+    val first = data.filter($"vec_id" % 3 =!= 0)
+    val second = data.filter($"vec_id" % 3 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_g2append").toString
+    NswGraph.writeGraphIndex(
+      NswGraph.buildIndex(AnnIvf.indexTwoLevel(first, supers, centroids),
+        m = 8, efConstruction = 32), s"$tmp/idx")
+    NswGraph.appendToGraphIndex(second, centroids, s"$tmp/idx",
+      m = 8, efConstruction = 32, supers = Some(supers))
+    def canon(g: org.apache.spark.sql.Dataset[NswGraph.CellGraph]) =
+      g.collect().sortBy(_.cid).map(cg => (cg.cid, cg.ids.toSeq,
+        cg.vecs.map(_.toSeq).toSeq, cg.adj.map(_.sorted.toSeq).toSeq)).toSeq
+    val appended = canon(NswGraph.readGraphIndex(spark, s"$tmp/idx"))
+    val rebuilt = canon(NswGraph.buildIndex(
+      AnnIvf.indexTwoLevel(data, supers, centroids),
+      m = 8, efConstruction = 32))
+    assert(appended == rebuilt && appended.nonEmpty)
+  }
+
   test("two-level appendToIndex lands batches in the base build's cells") {
     // a persisted index built with indexTwoLevel and maintained by
     // appendToIndex(supers = ...) must equal the full two-level
