@@ -49,6 +49,21 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, d) => jaccardPairs(s, d)),
     "dedup_minhash_lsh" -> ((s, d) =>
       Dedup.minhashLsh(docs(s, d), shingleN = 3, threshold = 0.5)),
+    // the 100-TB LSH workflow: the signature table parquet-persisted
+    // ONCE, then banded + verified from disk (read-back signatures are
+    // array<bigint> with nullable elements — the exact shape the
+    // LshBandHashes analysis rule must accept). Output contract:
+    // identical pairs to dedup_minhash_lsh, so the same exact-jaccard
+    // oracle checks the whole persist -> band -> verify loop
+    "dedup_lsh_persist" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_lsh_sigs").toString
+      Dedup.signatureTable(docs(s, d), shingleN = 3)
+        .write.mode("overwrite").parquet(dir)
+      Dedup.minhashLshFromSignatures(docs(s, d), s.read.parquet(dir),
+        shingleN = 3, threshold = 0.5)
+    }),
     // portable md5-based fingerprints so the DuckDB oracle reproduces
     // the exact bits; the native xxhash SimHash64 expression (hot path)
     // is benched by the *_native queries below and spec'd in PipelineSpec
@@ -128,6 +143,7 @@ object DedupQueries {
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle(3, 0.4),
     "dedup_minhash_lsh" -> jaccardOracle(3, 0.5),
+    "dedup_lsh_persist" -> jaccardOracle(3, 0.5),
     // min-reachable-id closure over the same pair relation: the
     // recursive step follows symmetric edges until the fixpoint the
     // min-label-propagation loop reaches in Spark

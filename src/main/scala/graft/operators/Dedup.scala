@@ -191,6 +191,46 @@ object Dedup {
       .select(col("doc_id"),
         minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
+    bandCollapseVerify(withSh, sig, threshold, numHashes, bands)
+  }
+
+  /** The persistable (doc_id, sig) signature relation — at 100 TB this
+    * is written to parquet ONCE (compute-heavy: shingling + numHashes
+    * permutation mins per doc) and banded/re-banded from disk as
+    * thresholds change. Reading it back yields array<bigint> with
+    * nullable elements; LshBandHashes accepts that at analysis and
+    * fails loudly on an actual null slot. */
+  def signatureTable(docs: DataFrame, shingleN: Int,
+      numHashes: Int = 128, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      shinglesOf(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+
+  /** MinHash-LSH near-dup pairs from a PRECOMPUTED signature relation
+    * (typically `signatureTable` persisted to parquet) — band off the
+    * stored signatures, verify with exact jaccard over shingles
+    * recomputed from `docs`. Output is identical to `minhashLsh` on
+    * the same corpus and parameters (asserted in PipelineSpec). */
+  def minhashLshFromSignatures(docs: DataFrame, sigs: DataFrame,
+      shingleN: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val withSh = docs.select(col(idCol).as("doc_id"),
+      shinglesOf(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    bandCollapseVerify(withSh,
+      sigs.select(col("doc_id"), col("sig")), threshold, numHashes, bands)
+  }
+
+  /** Shared tail of both LSH entry points: identical-signature
+    * collapse -> banding over representatives -> candidate expansion
+    * -> diet-joined exact-jaccard verification. */
+  private def bandCollapseVerify(withSh: DataFrame, sig: DataFrame,
+      threshold: Double, numHashes: Int, bands: Int): DataFrame = {
     // IDENTICAL-SIGNATURE COLLAPSE: docs with equal signatures band
     // identically (every band hash is a function of the signature
     // alone), so band ONE representative per signature group and

@@ -25,6 +25,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("persisted-signature LSH equals the one-shot path row for row") {
+    // the 100-TB workflow: signatureTable -> parquet -> read back
+    // (array elements come back NULLABLE — the shape the band
+    // expression must accept at analysis) -> band + verify. Must
+    // reproduce minhashLsh exactly, jaccard values included.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sig_persist").toString
+    Dedup.signatureTable(docs, shingleN = 3)
+      .write.mode("overwrite").parquet(dir)
+    val persisted = spark.read.parquet(dir)
+    assert(persisted.schema("sig").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull,
+      "fixture must exercise the nullable-element analysis path")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromDisk = canon(Dedup.minhashLshFromSignatures(
+      docs, persisted, shingleN = 3, threshold = 0.5))
+    val oneShot = canon(Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.5))
+    assert(fromDisk == oneShot && oneShot.nonEmpty)
+  }
+
   test("simhash pairs include the highest-jaccard planted dup") {
     val top = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
       .orderBy($"jaccard".desc).limit(1).collect()
