@@ -454,19 +454,39 @@ object Dedup {
     // 1.7 s plan). At 100 TB persist the signature table to parquet.
     val sigs = simhashPortable(docs, idCol, textCol)
       .localCheckpoint(eager = true)
+    pigeonholePairs(sigs,
+      (0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))),
+      (a, b) => bit_count(a.bitwiseXOR(b)).cast("long"), maxHamming)
+  }
+
+  /** Pigeonhole-banded hamming pairs over a (doc_id, simhash)
+    * relation: equi-join on (chunk_idx, chunk), exact hamming
+    * computed and filtered inside the join's codegen stage BEFORE the
+    * distinct shuffle.
+    *
+    * Deliberately a JOIN, not the bucket-list (groupBy+collect_list)
+    * shape the LSH candidatesOf uses: 15/16-bit chunk values are a
+    * DENSE key space (~n/2^16 docs per bucket — hundreds at 20M), so
+    * pair volume is inherently large and the per-pair cost dominates;
+    * the codegen'd sort-merge join + whole-stage hamming filter
+    * processes those pairs ~3x faster than the allocation-heavy
+    * array-expression emission (measured at 20M: 102s join vs 329s
+    * bucket-list, identical pairs). LSH is the opposite regime —
+    * band-seeded 64-bit hashes make buckets mostly singletons, so the
+    * shuffle COUNT dominates and the one-pass bucket list wins. */
+  private def pigeonholePairs(sigs: DataFrame, chunks: Seq[Column],
+      hamming: (Column, Column) => Column, maxHamming: Int): DataFrame = {
     val chunked = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))): _*))
-        .as(Seq("chunk_idx", "chunk")))
+      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk") === col("b.chunk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("long").as("hamming"))
-      .filter(col("hamming") <= maxHamming) // shrink before the distinct shuffle
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .filter(col("hamming") <= maxHamming) // shrink before the distinct
       .distinct()
   }
 
@@ -474,22 +494,11 @@ object Dedup {
     * pair within Hamming distance 3 shares an identical chunk), then
     * verified with the exact 64-bit Hamming distance. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol)
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))): _*))
-        .as(Seq("chunk_idx", "chunk")))
-    chunked.as("a")
-      .join(chunked.as("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        GraftFunctions.hamming64(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .filter(col("hamming") <= maxHamming) // shrink before the distinct shuffle
-      .distinct()
-  }
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    pigeonholePairs(simhashSignatures(docs, idCol, textCol),
+      (0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))),
+      (a, b) => GraftFunctions.hamming64(a, b), maxHamming)
 
   /** Embedding-cosine near-duplicate: top-N most similar vector pairs.
     * Exact all-pairs here (fine to ~10^4 rows / partition-streamed);
