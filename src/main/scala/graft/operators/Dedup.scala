@@ -594,7 +594,8 @@ object Dedup {
     * member id) row per `nodes` row, always.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      localEdgeBudget: Long = 2L * 1000 * 1000): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = nodes.sparkSession
     import spark.implicits._
@@ -612,6 +613,48 @@ object Dedup {
       .flatMap { case (s, d) => Iterator((s, d), (d, s)) }
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // COST-BASED LOWERING (the Knn.adaptive pattern): near-dup pair
+    // relations are usually a sliver of the corpus — when the edge
+    // list fits a driver budget (~32 MB at the 2M default), a
+    // path-compressed union-find over the already-materialized edges
+    // computes the exact same min-label fixpoint in one pass, and
+    // only the bounded (touched-id -> label) map is broadcast back;
+    // `nodes` itself is never collected. The iterative loop remains
+    // the path for edge sets past the budget. Label semantics are
+    // identical by construction: unions always attach the larger
+    // root under the smaller, so every root is its component's min.
+    if (sym.count() / 2 <= localEdgeBudget) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (parent.getOrElse(cur, cur) != cur) {
+          val nxt = parent(cur); parent(cur) = root; cur = nxt
+        }
+        root
+      }
+      val es = sym.collect()
+      sym.unpersist(blocking = false)
+      es.foreach { case (s, d) =>
+        val rs = find(s); val rd = find(d)
+        if (rs != rd) {
+          if (rs < rd) parent(rd) = rs else parent(rs) = rd
+        }
+      }
+      val touched = new scala.collection.mutable.LongMap[Long](es.length)
+      es.foreach { case (s, d) =>
+        if (!touched.contains(s)) touched(s) = find(s)
+        if (!touched.contains(d)) touched(d) = find(d)
+      }
+      val labelDf = spark.createDataset(
+        touched.iterator.map { case (id, l) => (id, l) }.toSeq)
+        .toDF("id", "lbl")
+      return nodes.select(col("id").cast("long").as("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("lbl"), col("id")).as("label"))
+    }
     val nodeIds = nodes.select(col("id").cast("long")).as[Long].rdd
       .map(id => (id, id)).partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -110,6 +110,22 @@ class CorpusSpec extends AnyFunSuite {
       6L -> 6L))
   }
 
+  test("local union-find lowering equals the distributed label loop") {
+    // same fixpoint from both physical paths (the cost-based choice
+    // must be invisible): the corpus-derived jaccard pair relation,
+    // once through the driver union-find (default budget) and once
+    // with budget 0 forcing the iterative propagation loop
+    val nodes = docs.select($"doc_id".as("id"))
+    val edges = Dedup.ngramJaccard(docs, n = 3, threshold = 0.4)
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = canon(Dedup.connectedComponents(nodes, edges))
+    val looped = canon(Dedup.connectedComponents(nodes, edges,
+      localEdgeBudget = 0L))
+    assert(local == looped && local.nonEmpty)
+  }
+
   test("dupClusters partitions the corpus and closes over pairs") {
     val clusters = Dedup.dupClusters(docs, n = 3, threshold = 0.4)
     val rows = clusters.collect()
