@@ -947,6 +947,35 @@ object AnnQueries {
           queriesDf(s, d), K, nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the SHUFFLE-JOIN search lowering under the same FULL oracle as
+    // ann_ivf_fixed: identical semantics (fixed mod-311 centroids,
+    // 2-nearest probes, exact in-cell top-10), but the query side is
+    // never broadcast or collected — probes come from the narrow
+    // NearestCells expression and candidates from a sort-merge join on
+    // the cell id. This is the lowering `Knn.adaptive` picks when BOTH
+    // sides exceed their budgets (millions of re-embedded queries at
+    // 100 TB); hash-equality with ann_ivf_fixed's oracle proves the
+    // distributed plan changes nothing but the physical join.
+    "ann_ivf_bigq" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      AnnIvf.searchShuffled(AnnIvf.index(data, centroids), centroids,
+          queriesDf(s, d), K, nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    // the cogroup HEAP-KERNEL distributed lowering under the same
+    // oracle — searchFast's per-pair cost with both sides shuffled
+    // once by cell id, the plan Knn.adaptive picks for big-query x
+    // big-data (see searchShuffledFast's scaladoc)
+    "ann_ivf_bigq_fast" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      AnnIvf.searchShuffledFast(AnnIvf.index(data, centroids), centroids,
+          queriesDf(s, d), K, nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // the TWO-LEVEL coarse quantizer under a FULL oracle — the
     // ann_ivf_fixed recipe composed through BOTH levels: supers are
     // fixed data rows (vec_id % 149 == 7), subs fixed rows
@@ -1297,6 +1326,9 @@ object AnnQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_fixed" -> ivfFixedSql(311),
+    // same semantics, distributed physical lowerings — one oracle
+    "ann_ivf_bigq" -> ivfFixedSql(311),
+    "ann_ivf_bigq_fast" -> ivfFixedSql(311),
     // the two-level quantizer end to end: fixed supers (mod 149) and
     // fixed subs (mod 31); sub→super and row→super argmins by
     // (dist, sid), then the row's cell is the (dist, cid) argmin over

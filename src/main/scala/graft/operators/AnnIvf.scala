@@ -371,4 +371,99 @@ object AnnIvf {
       Knn.distance(metric, col(vecCol), col(qvecCol)),
       col(idCol), col(qidCol))
   }
+
+  /** Probe-and-scan search, SHUFFLE-JOIN lowering for query tables
+    * past any broadcast budget — the fully distributed twin of
+    * `search` (bit-identical output): a pipeline that re-embeds and
+    * searches millions of queries cannot collect or broadcast the
+    * query side, so neither does this plan.
+    *
+    * Shape: probe ranking stays a narrow per-row expression on the
+    * query side (only the C-row centroid matrix is driver-sized);
+    * probes explode to (qid, qvec) x nprobe rows; candidates come from
+    * a sort-merge equi-join on the cell id — both sides shuffle ONCE
+    * by cid, never by pair — and the join output feeds the partial
+    * (map-side) TopKSmallest aggregate in the same stage, so the
+    * candidate pair stream is pipelined, not materialized. Final
+    * movement is q x k partial heap rows into the merge, exactly as
+    * `search`.
+    *
+    * The merge join is pinned (hint) rather than left to the size
+    * estimator: the caller chose this lowering BECAUSE the query side
+    * is too big to broadcast, and a popular cell probed by many
+    * queries is plain join-key skew, which AQE's skew-join split
+    * handles for sort-merge joins. */
+  def searchShuffled(indexed: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      metric: String = "sqeuclidean"): DataFrame = {
+    val matrix = collectCentroids(centroids)
+    val probes = queries.select(col(qidCol), col(qvecCol),
+      explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+        .as("_pcid"))
+      .hint("merge")
+    val candidates = indexed.join(
+      probes, indexed("cid") === probes("_pcid"))
+    Knn.topKFrom(candidates, k,
+      Knn.distance(metric, col(vecCol), col(qvecCol)),
+      col(idCol), col(qidCol))
+  }
+
+  /** Shuffle lowering with the HEAP KERNEL — `searchShuffled`'s
+    * semantics (bit-identical to `search`; nothing query-sized on the
+    * driver) at `searchFast`'s per-pair cost: both sides shuffle ONCE
+    * by cell id into a sort-based cogroup; per cell, that cell's
+    * probing queries (the per-cell sliver of the query table,
+    * ~q·nprobe/C rows) are buffered as heaps and the cell's data rows
+    * STREAM through the early-abandoning distance loop — candidate
+    * pairs never exist as join rows, the difference between ~30 ns per
+    * pair in one codegen-adjacent loop and full join-row machinery.
+    * Only q x k partial heap rows shuffle into the shared TopKSmallest
+    * merge.
+    *
+    * Skew note: a viral cell probed by a disproportionate share of
+    * queries concentrates its work in one task (cogroup keys cannot be
+    * split the way AQE splits a sort-merge join). For severe probe
+    * skew prefer `searchShuffled`, whose SMJ the AQE skew-join rule
+    * splits automatically; for the common case this kernel wins. */
+  def searchShuffledFast(indexed: DataFrame, centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      metric: String = "sqeuclidean"): DataFrame = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val matrix = collectCentroids(centroids)
+    val probeRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol),
+        explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+          .as("_pcid"))
+      .as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
+    val dataRows = indexed
+      .select(col("cid"), col(idCol).cast("long"), col(vecCol))
+      .as[(Int, Long, Array[Float])]
+      .groupByKey(_._1)
+    val (met, kk) = (Knn.metricCode(metric), k)
+    val partials = dataRows.cogroup(probeRows) { (_, dataIt, probeIt) =>
+      val qs = probeIt.toArray
+      if (qs.isEmpty) Iterator.empty
+      else {
+        val heaps = Array.fill(qs.length)(new graft.functions.TopKBuffer(kk))
+        dataIt.foreach { case (_, id, v) =>
+          var i = 0
+          while (i < qs.length) {
+            val h = heaps(i)
+            h.insert(Knn.distBounded(met, v, qs(i)._2, h.bound), id)
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.sorted.iterator.map { case (d, id) => (qs(i)._1, id, d) }
+        }
+      }
+    }.toDF("qid", "_nnid", "_dist")
+    Knn.topKFrom(partials, kk, col("_dist"), col("_nnid"), col("qid"))
+  }
 }

@@ -385,21 +385,34 @@ object Knn {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       qidCol: String = "qid",
-      qvecCol: String = "q_embedding"): DataFrame = {
+      qvecCol: String = "q_embedding"): DataFrame =
+    chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
+      exact(data, _, k, metric, idCol, vecCol, qidCol, qvecCol))
+
+  /** Query-chunked lowering of ANY per-query search: split the query
+    * table into deterministic hash chunks (qid-content-based, so the
+    * split is partition-layout independent and chunk sizes are
+    * balanced around q/nChunks), run `search` per chunk, union the
+    * ranked rows. Sound for every search path here because a query's
+    * results never depend on which other queries share its batch (the
+    * batch-independence property pinned in KnnSpec for the exact, IVF,
+    * and NSW paths — the reference's own core invariant,
+    * tests.py:415-431). This is what bounds driver/executor memory
+    * when a pipeline re-embeds and searches millions of queries
+    * through the broadcast-shaped lowerings (mirrors the reference's
+    * query batching, utils_grid_search.py:591,995). */
+  def chunkedByQuery(queries: DataFrame, maxQueriesPerChunk: Int,
+      qidCol: String = "qid")(
+      search: DataFrame => DataFrame): DataFrame = {
     require(maxQueriesPerChunk > 0,
       s"maxQueriesPerChunk must be positive: $maxQueriesPerChunk")
     val q = queries.count()
     val nChunks = math.max(1L, (q + maxQueriesPerChunk - 1) /
       maxQueriesPerChunk).toInt
-    if (nChunks == 1)
-      exact(data, queries, k, metric, idCol, vecCol, qidCol, qvecCol)
+    if (nChunks == 1) search(queries)
     else (0 until nChunks).map { c =>
-      // deterministic, qid-content-based chunking (partition-layout
-      // independent); chunk sizes are hash-balanced around q/nChunks
-      exact(data,
-        queries.filter(
-          pmod(xxhash64(col(qidCol), lit(9173)), lit(nChunks)) === c),
-        k, metric, idCol, vecCol, qidCol, qvecCol)
+      search(queries.filter(
+        pmod(xxhash64(col(qidCol), lit(9173)), lit(nChunks)) === c))
     }.reduce(_ unionByName _)
   }
 
@@ -417,10 +430,10 @@ object Knn {
       queryBroadcastBudgetBytes: Long = 64L << 20): (String, DataFrame) = {
     val est = data.queryExecution.optimizedPlan.stats.sizeInBytes
     val qEst = queries.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (qEst > queryBroadcastBudgetBytes) {
-      // query table exceeds the broadcast/collect budget: the chunked
-      // lowering bounds driver memory and per-partition heap size no
-      // matter how large the query side grows
+    if (qEst > queryBroadcastBudgetBytes && est <= exactThresholdBytes) {
+      // query table exceeds the broadcast/collect budget over a small
+      // data side: the chunked exact lowering bounds driver memory and
+      // per-partition heap size no matter how large the query side grows
       ("exact_chunked", exactChunked(data, queries, k))
     } else if (est <= exactThresholdBytes) ("exact", exact(data, queries, k))
     else {
@@ -428,7 +441,13 @@ object Knn {
       val cells = math.max(2, math.sqrt(n.toDouble).toInt)
       val centroids = AnnIvf.train(data, cells, iterations = 2)
       val indexed = AnnIvf.index(data, centroids)
-      ("ivf", AnnIvf.searchFast(indexed, centroids, queries, k,
+      if (qEst > queryBroadcastBudgetBytes)
+        // both sides big: the fully distributed lowering — probes from
+        // a narrow expression, one shuffle of each side by cell id,
+        // heap kernel per cell, nothing query-sized ever on the driver
+        ("ivf_shuffled", AnnIvf.searchShuffledFast(indexed, centroids,
+          queries, k, math.min(nprobe, cells)))
+      else ("ivf", AnnIvf.searchFast(indexed, centroids, queries, k,
         math.min(nprobe, cells)))
     }
   }

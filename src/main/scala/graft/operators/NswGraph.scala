@@ -370,6 +370,21 @@ object NswGraph {
       probeQueries(centroids, queries, nprobe, qidCol, qvecCol),
       k, efSearch, metric)
 
+  /** `searchIndex` for query tables past the broadcast/collect budget:
+    * the query-chunked lowering (see `Knn.chunkedByQuery`) bounds the
+    * collected probe-list array by `maxQueriesPerChunk` per pass; the
+    * graph index is reused across chunks (the caller holds the cached
+    * Dataset). Bit-identical to the one-shot path — beam search is
+    * per-query, so results are query-batch independent. */
+  def searchIndexChunked(graphs: org.apache.spark.sql.Dataset[CellGraph],
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      efSearch: Int = 64, maxQueriesPerChunk: Int = 65536,
+      metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+    Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
+      searchIndex(graphs, centroids, _, k, nprobe, efSearch, metric,
+        qidCol, qvecCol))
+
   /** `searchIndex` over precollected probe lists. */
   def searchIndexProbed(graphs: org.apache.spark.sql.Dataset[CellGraph],
       probed: Array[(Long, Array[Float], Array[Int])], k: Int,

@@ -188,6 +188,18 @@ object Pq {
     Knn.topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
   }
 
+  /** `searchAdc` for query tables past the broadcast/collect budget:
+    * the query-chunked lowering (see `Knn.chunkedByQuery`) bounds the
+    * per-partition LUT array and driver memory by `maxQueriesPerChunk`
+    * no matter how many queries a pipeline re-embeds. Bit-identical to
+    * the one-shot path (ADC results are query-batch independent). */
+  def searchAdcChunked(codes: DataFrame, cb: Codebook, queries: DataFrame,
+      k: Int, maxQueriesPerChunk: Int = 65536,
+      idCol: String = "vec_id",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+    Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
+      searchAdc(codes, cb, _, k, idCol, qidCol, qvecCol))
+
   /** ADC shortlist + exact re-rank (the standard IVF-PQ "refine"
     * stage): ADC retrieves k×kfactor candidates from the code table,
     * then only those rows' original vectors are fetched (equi-join on
@@ -270,7 +282,19 @@ object Pq {
       cb: Codebook, path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       extraCols: Seq[String] = Nil,
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false): Unit =
+    codeTable(indexed, centroids, cb, idCol, vecCol, extraCols, residual)
+      // one shuffle by cid → one file per cell, not tasks × cells
+      // files (see AnnIvf.writeIndex)
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** The (id, codes, extra…, cid) relation the clustered layout stores
+    * — shared by the full write and the incremental append so the two
+    * paths cannot drift. */
+  private def codeTable(indexed: DataFrame, centroids: DataFrame,
+      cb: Codebook, idCol: String, vecCol: String,
+      extraCols: Seq[String], residual: Boolean): DataFrame = {
     val (base, encCol) =
       if (residual) (residuals(indexed, centroids, vecCol), "_resid")
       else (indexed, vecCol)
@@ -278,13 +302,33 @@ object Pq {
       GraftFunctions.nearestCentroid(
         slice(col(encCol), s * cb.dsub + 1, cb.dsub), cb.codebooks(s))
     }
-    base
-      .select(col(idCol) +: array(codeCols: _*).as("codes") +:
-        extraCols.map(col) :+ col("cid"): _*)
-      // one shuffle by cid → one file per cell, not tasks × cells
-      // files (see AnnIvf.writeIndex)
-      .repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    base.select(col(idCol) +: array(codeCols: _*).as("codes") +:
+      extraCols.map(col) :+ col("cid"): _*)
+  }
+
+  /** Incremental maintenance of the persisted IVF-PQ layout — parity
+    * with `AnnIvf.appendToIndex`: NEW vectors are assigned against the
+    * frozen coarse centroids (through the two-level expression when
+    * the base index was built with it — pass `supers`), encoded with
+    * the frozen codebooks, and appended into the cell directories they
+    * touch. Nothing existing is rewritten; probes keep pruning; a
+    * batch's cells and codes are identical to what a full rebuild
+    * would assign (both are pure per-row functions of the vector), so
+    * append == rebuild on the code relation (pinned in PqSpec).
+    * Re-train codebooks/centroids only on drift, as in any IVF-PQ
+    * system. */
+  def appendToIndex(newData: DataFrame, centroids: DataFrame,
+      cb: Codebook, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      extraCols: Seq[String] = Nil,
+      residual: Boolean = false,
+      supers: Option[DataFrame] = None): Unit = {
+    val indexed = supers.fold(
+      AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>
+      AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol))
+    codeTable(indexed, centroids, cb, idCol, vecCol, extraCols, residual)
+      .repartition(col("cid")) // one file per touched cell per batch
+      .write.mode("append").partitionBy("cid").parquet(path)
   }
 
   /** ADC search over the persisted clustered code table: per query,

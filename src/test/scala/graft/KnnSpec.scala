@@ -225,6 +225,29 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF searchShuffled: shuffle-join lowering bit-equals broadcast " +
+      "search and never broadcasts the query side") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val idx = AnnIvf.index(filtered, centroids)
+    Seq(1, 4).foreach { np =>
+      val base = asTuples(AnnIvf.search(idx, centroids, queries, 10, np))
+      assert(asTuples(
+        AnnIvf.searchShuffled(idx, centroids, queries, 10, np)) == base,
+        s"SMJ lowering mismatch at nprobe=$np")
+      assert(asTuples(
+        AnnIvf.searchShuffledFast(idx, centroids, queries, 10, np)) == base,
+        s"cogroup-kernel lowering mismatch at nprobe=$np")
+    }
+    // physical pin: the candidate join is shuffle-based (sort-merge),
+    // not a broadcast of the exploded probe table — the whole point of
+    // the lowering for a query side past any broadcast budget
+    val plan = AnnIvf.searchShuffled(idx, centroids, queries, 10, 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected shuffle join:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"query side broadcast:\n$plan")
+  }
+
   test("persisted clustered index: partition pruning + identical results") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
@@ -343,6 +366,16 @@ class KnnSpec extends AnyFunSuite {
       queryBroadcastBudgetBytes = 1L)
     assert(path == "exact_chunked")
     assert(asTuples(res) == asTuples(Knn.exact(filtered, queries, 10)))
+  }
+
+  test("adaptive routes big-query x big-data to the shuffled IVF path") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val (path, res) = Knn.adaptive(filtered, queries, 10, nprobe = 16,
+      exactThresholdBytes = 1L, queryBroadcastBudgetBytes = 1L)
+    assert(path == "ivf_shuffled")
+    val truth = Knn.exact(filtered, queries, 10)
+    val r = Recall.ofRanked(res, truth).head()
+    assert(r.getDouble(r.fieldIndex("recall")) >= 0.45)
   }
 
   test("IVF recall increases with nprobe (knob monotonicity)") {

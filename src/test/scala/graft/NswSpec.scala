@@ -64,6 +64,24 @@ class NswSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("chunked graph search is bit-identical to the one-shot path") {
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val graphs = NswGraph.buildIndex(
+      graft.operators.AnnIvf.index(data, centroids),
+      m = 8, efConstruction = 32).cache()
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = tuples(NswGraph.searchIndex(graphs, centroids, queries,
+      10, nprobe = 4, efSearch = 64))
+    Seq(1, 7, 1000).foreach { sz =>
+      val chunked = tuples(NswGraph.searchIndexChunked(graphs, centroids,
+        queries, 10, nprobe = 4, efSearch = 64, maxQueriesPerChunk = sz))
+      assert(chunked == oneShot && chunked.nonEmpty, s"chunk size $sz")
+    }
+    graphs.unpersist()
+  }
+
   test("hamming-metric ANN: scalar/expression agreement + recall floors") {
     // scalar branch == packed popcount(xor) (the exactHamming path)
     val a = Array(0.5f, -1f, 0f, 2f, -0.1f, 3f, -4f, 1f)

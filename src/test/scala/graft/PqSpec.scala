@@ -84,6 +84,50 @@ class PqSpec extends AnyFunSuite {
     assert(rec >= 0.1, s"pruned IVF-PQ recall $rec")
   }
 
+  test("chunked ADC search is bit-identical to the one-shot path") {
+    val codes = Pq.encode(data, cb).cache()
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = tuples(Pq.searchAdc(codes, cb, queries, k = 10))
+    Seq(1, 7, 1000).foreach { sz =>
+      val chunked = tuples(Pq.searchAdcChunked(codes, cb, queries, k = 10,
+        maxQueriesPerChunk = sz))
+      assert(chunked == oneShot && chunked.nonEmpty, s"chunk size $sz")
+    }
+    codes.unpersist()
+  }
+
+  test("incremental append: appended layout equals a full rebuild, " +
+      "untouched cell files are not rewritten") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_app").toString
+    val centroids = graft.operators.AnnIvf.train(data, numCentroids = 8,
+      iterations = 2)
+    val baseRows = data.filter($"vec_id" % 3 =!= 0)
+    val newRows = data.filter($"vec_id" % 3 === 0)
+    Pq.writeIvfPqIndex(baseRows, centroids, cb, s"$tmp/idx",
+      extraCols = Seq("label"), residual = true)
+    val filesBefore = new java.io.File(s"$tmp/idx").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    Pq.appendToIndex(newRows, centroids, cb, s"$tmp/idx",
+      extraCols = Seq("label"), residual = true)
+    // append only ADDS files — every pre-append file survives untouched
+    val filesAfter = new java.io.File(s"$tmp/idx").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    filesBefore.foreach { case (cell, fs) =>
+      assert(fs.subsetOf(filesAfter(cell)), s"cell $cell rewritten") }
+    // and the resulting code relation is what one full write produces
+    Pq.writeIvfPqIndex(data, centroids, cb, s"$tmp/full",
+      extraCols = Seq("label"), residual = true)
+    def rel(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"codes", $"label", $"cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(rel(s"$tmp/idx") == rel(s"$tmp/full") && rel(s"$tmp/idx").nonEmpty)
+  }
+
   test("residual encoding beats raw codes on clustered data") {
     // deterministic hash-synth Gaussian-mixture analog (ScaleBench's
     // generator, shrunk): 20 tight clusters in 64 dims. Raw-vector PQ
