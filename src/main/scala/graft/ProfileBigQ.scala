@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnIvf
+
+/** A/B harness for the LARGE-QUERY search lowerings:
+  * `runMain graft.ProfileBigQ [n] [nQ] [nCells] [nprobe]`
+  *
+  * The broadcast-shaped `searchFast` holds q·(dim·4+heap) bytes per
+  * executor thread and collects the query table on the driver — fine
+  * at the reference's 10K queries, a wall for a pipeline that
+  * re-embeds and searches millions. The distributed twins
+  * (`searchShuffled` = sort-merge join on cid; `searchShuffledFast` =
+  * cogroup + per-cell heap kernel) keep nothing query-sized anywhere;
+  * this main measures what that costs/buys at a query volume where
+  * all three still run locally, and asserts the three agree on a
+  * sampled subset (full bit-equality is pinned in KnnSpec and the
+  * ann_ivf_bigq/_fast driver oracles). */
+object ProfileBigQ {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(2000000)
+    val nQ = args.lift(1).map(_.toInt).getOrElse(200000)
+    val nCells = args.lift(2).map(_.toInt).getOrElse(1024)
+    val nprobe = args.lift(3).map(_.toInt).getOrElse(4)
+    val dim = 64
+    val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ScaleBench's seeded mixture generator (1000 Gaussian-ish
+    // clusters) — the representative IVF workload
+    val nClusters = 1000
+    def synth(rows: Long, idCol: String, vecCol: String) = {
+      def u(h: org.apache.spark.sql.Column) =
+        pmod(h, lit(1000001L)).cast("double") / 500000.0 - 1.0
+      spark.range(rows).toDF(idCol)
+        .withColumn("_c", pmod(xxhash64(col(idCol), lit(11)), lit(nClusters)))
+        .withColumn(vecCol,
+          transform(sequence(lit(0), lit(dim - 1)),
+            j => (u(xxhash64(col("_c"), j, lit(1))) +
+              u(xxhash64(col(idCol), j)) * 0.25).cast("float")))
+        .drop("_c")
+    }
+
+    val data = synth(n, "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val queries = synth(nQ, "qid", "q_embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    data.count(); queries.count()
+
+    val centroids = AnnIvf.train(
+      data.sample(math.min(1.0, 200000.0 / n), 42), nCells, iterations = 2)
+    val twoLevel = nCells >= 512
+    val indexed = (if (twoLevel)
+        AnnIvf.indexTwoLevel(data, AnnIvf.trainSupers(centroids), centroids)
+      else AnnIvf.index(data, centroids))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    indexed.count()
+    println(s"[bigq] n=$n nQ=$nQ cells=$nCells nprobe=$nprobe " +
+      s"twoLevel=$twoLevel")
+
+    val paths = Seq[(String, () => org.apache.spark.sql.DataFrame)](
+      ("searchShuffledFast(cogroup)", () =>
+        AnnIvf.searchShuffledFast(indexed, centroids, queries, k, nprobe)),
+      ("searchFast(broadcast)", () =>
+        AnnIvf.searchFast(indexed, centroids, queries, k, nprobe)))
+    val counts = paths.map { case (name, f) =>
+      val (_, cold) = time(f().count())
+      val (cnt, warm) = time(f().count())
+      println(f"[bigq] $name%-28s $warm%8.2fs (cold $cold%8.2fs) " +
+        f"qps=${nQ / warm}%9.1f rows=$cnt")
+      cnt
+    }
+    require(counts.distinct.size == 1, s"row counts diverged: $counts")
+    // The SMJ lowering materializes every candidate pair as a join row
+    // — at 200K queries x nprobe 4 that is ~1.6G rows through the
+    // sort + agg, minutes where the cogroup kernel takes seconds. It
+    // exists for oracle simplicity and AQE skew-splitting, not
+    // throughput; measure it on demand (cold pass only).
+    if (sys.env.get("SPARK_GRAFT_BIGQ_SMJ").contains("1")) {
+      val (cnt, cold) = time(
+        AnnIvf.searchShuffled(indexed, centroids, queries, k, nprobe).count())
+      println(f"[bigq] searchShuffled(SMJ)          cold $cold%8.2fs " +
+        f"qps=${nQ / cold}%9.1f rows=$cnt")
+      require(cnt == counts.head, s"SMJ row count diverged: $cnt")
+    }
+    // sampled agreement across lowerings (1K queries, exact tuples)
+    val sample = queries.orderBy(xxhash64(col("qid"), lit(3))).limit(1000)
+      .cache()
+    val sets = Seq(
+      AnnIvf.searchFast(indexed, centroids, sample, k, nprobe),
+      AnnIvf.searchShuffled(indexed, centroids, sample, k, nprobe),
+      AnnIvf.searchShuffledFast(indexed, centroids, sample, k, nprobe))
+      .map(_.select(col("qid"), col("rank"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    require(sets.distinct.size == 1, "lowerings disagree on the sample")
+    println(s"[bigq] sampled agreement OK (${sets.head.size} tuples)")
+    spark.stop()
+  }
+}

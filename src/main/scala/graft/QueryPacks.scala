@@ -1183,6 +1183,23 @@ object AnnQueries {
           nprobe = 2, dataFilter = Some(filterLow))
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the full production serving composition at LARGE query volume:
+    // persisted clustered layout + probed-cell partition pruning +
+    // query-time label filter + the distributed cogroup heap kernel
+    // (nothing query-sized on the driver or in a broadcast). Same
+    // fixed-centroid oracle as ann_ivf_serve — hash-equality proves
+    // the large-query serving plan changes no semantics.
+    "ann_ivf_serve_bigq" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val all = dataDf(s, d)
+      val centroids = fixedCentroids(all.filter(filterLow), 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_serve_bq").toString
+      AnnIvf.writeIndex(AnnIvf.index(all, centroids), tmp)
+      AnnIvf.searchPersistedShuffled(s, tmp, centroids, queriesDf(s, d), K,
+          nprobe = 2, dataFilter = Some(filterLow))
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // PQ encode + ADC under a FULL oracle: codebooks are FIXED data
     // rows (vec_id % 31 == 3, sliced per subspace) instead of k-means
     // output, so the per-subspace argmin codes and the ADC lookup sums
@@ -1408,6 +1425,7 @@ object AnnQueries {
          |ORDER BY qid, rank""".stripMargin,
     "ann_ivf_persist" -> ivfFixedSql(311),
     "ann_ivf_serve" -> ivfFixedSql(311),
+    "ann_ivf_serve_bigq" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
     // same probed cells as ann_nsw_fixed; only the fine distance is

@@ -267,6 +267,26 @@ object StreamingOps {
       }
       .start()
 
+  /** Streaming IVF-PQ index refresh — `streamingIndexAppend` for the
+    * COMPRESSED tier: each micro-batch is coarse-assigned (two-level
+    * capable) and PQ-encoded against the frozen centroids/codebooks,
+    * then appended into the clustered code layout. Pairs with
+    * `Pq.searchPersistedAdc` for the compressed ingest→serve loop;
+    * append == rebuild on the code relation (PqSpec). */
+  def streamingPqAppend(vectorStream: DataFrame, centroids: DataFrame,
+      cb: graft.operators.Pq.Codebook, indexPath: String,
+      extraCols: Seq[String] = Nil, residual: Boolean = false,
+      supers: Option[DataFrame] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectorStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Pq.appendToIndex(batch, centroids, cb, indexPath,
+            extraCols = extraCols, residual = residual, supers = supers)
+        ()
+      }
+      .start()
+
   /** Streaming k-NN serving shape (SURVEY §2.9's optional extension):
     * each micro-batch of query vectors is searched against the static
     * data table with the exact k-NN operator and the ranked results

@@ -293,6 +293,30 @@ class KnnSpec extends AnyFunSuite {
         queries, 10, nprobe = 4)))
   }
 
+  test("large-query persisted serving: pruning + filter pushdown + " +
+      "cogroup kernel, identical results") {
+    // searchPersistedShuffled = searchPersisted's storage behavior
+    // (cid partition pruning, query-time predicate in the scan) with
+    // the distributed cogroup kernel instead of a probe broadcast
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sbq").toString
+    AnnIvf.writeIndex(AnnIvf.index(data, centroids), s"$tmp/all")
+    val served = AnnIvf.searchPersistedShuffled(spark, s"$tmp/all",
+      centroids, queries, 10, nprobe = 4,
+      dataFilter = Some(SparkEntry.filterLow))
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.contains("PartitionFilters: [in(cid"), s"no pruning:\n$plan")
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("Not(EqualTo(label"), s"label filter not pushed:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"query side broadcast:\n$plan")
+    assert(asTuples(served) ==
+      asTuples(AnnIvf.search(AnnIvf.index(filtered, centroids), centroids,
+        queries, 10, nprobe = 4)))
+  }
+
   test("incremental append to the persisted index equals a full rebuild") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)

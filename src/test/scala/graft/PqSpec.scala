@@ -128,6 +128,29 @@ class PqSpec extends AnyFunSuite {
     assert(rel(s"$tmp/idx") == rel(s"$tmp/full") && rel(s"$tmp/idx").nonEmpty)
   }
 
+  test("streaming PQ refresh: streamed micro-batches equal a full " +
+      "rebuild of the code layout") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_str").toString
+    val centroids = graft.operators.AnnIvf.train(data, numCentroids = 8,
+      iterations = 2)
+    val vecStream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sf)
+      .filter($"vec_id" % 50 =!= 0)
+      .select($"vec_id", $"embedding", $"label")
+    val q = graft.streaming.StreamingOps.streamingPqAppend(
+      vecStream, centroids, cb, s"$tmp/idx", extraCols = Seq("label"))
+    try q.processAllAvailable() finally q.stop()
+    Pq.writeIvfPqIndex(data, centroids, cb, s"$tmp/full",
+      extraCols = Seq("label"))
+    def rel(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"codes", $"label", $"cid").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(rel(s"$tmp/idx") == rel(s"$tmp/full") && rel(s"$tmp/idx").nonEmpty)
+  }
+
   test("residual encoding beats raw codes on clustered data") {
     // deterministic hash-synth Gaussian-mixture analog (ScaleBench's
     // generator, shrunk): 20 tight clusters in 64 dims. Raw-vector PQ
