@@ -460,6 +460,23 @@ object Pq {
     * full-precision re-rank of just those candidates — the standard
     * two-stage IVF-PQ serve (compressed scan pays the fan-out, the
     * fp32 corpus is touched for q·k·kfactor rows only). */
+  /** `searchPersistedAdc` for query tables past the broadcast/collect
+    * budget (see `Knn.chunkedByQuery`): per chunk the probe map,
+    * query broadcast, and per-partition LUT arrays are bounded by
+    * `maxQueriesPerChunk`; partition pruning stays per-chunk (each
+    * pass opens only its own probed cells' files). Bit-identical to
+    * the one-shot path. */
+  def searchPersistedAdcChunked(spark: SparkSession, path: String,
+      centroids: DataFrame, cb: Codebook, queries: DataFrame, k: Int,
+      nprobe: Int, maxQueriesPerChunk: Int = 65536,
+      idCol: String = "vec_id",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      dataFilter: Option[org.apache.spark.sql.Column] = None,
+      residual: Boolean = false): DataFrame =
+    Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
+      searchPersistedAdc(spark, path, centroids, cb, _, k, nprobe,
+        idCol, qidCol, qvecCol, dataFilter, residual))
+
   def searchPersistedAdcRefined(spark: SparkSession, path: String,
       centroids: DataFrame, cb: Codebook, data: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int, kfactor: Int = 4,

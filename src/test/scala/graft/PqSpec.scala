@@ -79,6 +79,17 @@ class PqSpec extends AnyFunSuite {
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [cid#") ||
       plan.contains("PartitionFilters: [in(cid"), s"no pruning:\n$plan")
+    // chunked persisted lowering: bit-identical at several chunk sizes
+    val oneShot = pruned.select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Seq(7, 1000).foreach { sz =>
+      val chunked = Pq.searchPersistedAdcChunked(spark, s"$tmp/idx",
+          centroids, cb, queries, k = 10, nprobe = 4,
+          maxQueriesPerChunk = sz)
+        .select($"qid", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(chunked == oneShot && chunked.nonEmpty, s"chunk size $sz")
+    }
     val rec = Recall.ofRanked(pruned, Knn.exact(data, queries, k = 10))
       .select($"recall").head().getDouble(0)
     assert(rec >= 0.1, s"pruned IVF-PQ recall $rec")
