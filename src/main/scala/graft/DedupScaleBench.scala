@@ -38,20 +38,7 @@ object DedupScaleBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // group leader's token stream; mutants swap the ~5% of positions
-    // where a position hash hits 0 (mod 20)
-    val leader = (col("doc_id") / 10).cast("long") * 10
-    val role = pmod(col("doc_id"), lit(10)) // 8 = copy, 9 = mutant
-    val len = (pmod(xxhash64(leader, lit(1)), lit(21)) + 50).cast("int")
-    def tok(seed: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
-      concat(lit("w"), pmod(xxhash64(seed, j, lit(3)), lit(vocab)))
-    val docs = spark.range(n).toDF("doc_id")
-      .withColumn("text", array_join(
-        transform(sequence(lit(0), len - 1), j =>
-          when(role === 9 && pmod(xxhash64(col("doc_id"), j, lit(5)), lit(20)) === 0,
-            tok(col("doc_id"), j + 1000000))
-            .otherwise(tok(when(role >= 8, leader).otherwise(col("doc_id")), j))),
-        " "))
+    val docs = SynthData.plantedDocs(spark, n, vocab)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val (_, genSec) = time { docs.count() }
     println(f"[dscale] generated $n docs (~60 tokens, 10%% exact copies, " +
@@ -83,11 +70,17 @@ object DedupScaleBench {
         f"$shPairs pairs ${n / shSec / 1e3}%.1fK docs/s")
     }
 
-    if (enabled("lsh")) {
+    // cc consumes the LSH pair relation, so requesting "cc" without
+    // "lsh" still builds the pairs (untimed) — previously the cc block
+    // was nested under the lsh gate and a stages=...,cc request
+    // without lsh silently ran nothing.
+    if (enabled("lsh") || enabled("cc")) {
       val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7)
-      val (lshPairs, lshSec) = time { pairsDf.count() }
-      println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7): " +
-        f"$lshSec%.1fs -> $lshPairs pairs ${n / lshSec / 1e3}%.1fK docs/s")
+      if (enabled("lsh")) {
+        val (lshPairs, lshSec) = time { pairsDf.count() }
+        println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7): " +
+          f"$lshSec%.1fs -> $lshPairs pairs ${n / lshSec / 1e3}%.1fK docs/s")
+      }
 
       // Isolate CC from the LSH stage's internal caches (untimed): park
       // the pair relation on disk, drop every cache, re-warm docs, and

@@ -40,20 +40,10 @@ object ProfileBigQ {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // ScaleBench's seeded mixture generator (1000 Gaussian-ish
-    // clusters) — the representative IVF workload
-    val nClusters = 1000
-    def synth(rows: Long, idCol: String, vecCol: String) = {
-      def u(h: org.apache.spark.sql.Column) =
-        pmod(h, lit(1000001L)).cast("double") / 500000.0 - 1.0
-      spark.range(rows).toDF(idCol)
-        .withColumn("_c", pmod(xxhash64(col(idCol), lit(11)), lit(nClusters)))
-        .withColumn(vecCol,
-          transform(sequence(lit(0), lit(dim - 1)),
-            j => (u(xxhash64(col("_c"), j, lit(1))) +
-              u(xxhash64(col(idCol), j)) * 0.25).cast("float")))
-        .drop("_c")
-    }
+    // ScaleBench's seeded mixture corpus — shared generator, byte-
+    // identical data, so these numbers compose with the scale series
+    def synth(rows: Long, idCol: String, vecCol: String) =
+      SynthData.mixtureVectors(spark, rows, idCol, vecCol, dim)
 
     val data = synth(n, "vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)

@@ -31,19 +31,8 @@ object ProfileLsh {
       r
     }
 
-    // the DedupScaleBench corpus, verbatim
-    val leader = (col("doc_id") / 10).cast("long") * 10
-    val role = pmod(col("doc_id"), lit(10))
-    val len = (pmod(xxhash64(leader, lit(1)), lit(21)) + 50).cast("int")
-    def tok(seed: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column) =
-      concat(lit("w"), pmod(xxhash64(seed, j, lit(3)), lit(vocab)))
-    val docs = spark.range(n).toDF("doc_id")
-      .withColumn("text", array_join(
-        transform(sequence(lit(0), len - 1), j =>
-          when(role === 9 && pmod(xxhash64(col("doc_id"), j, lit(5)), lit(20)) === 0,
-            tok(col("doc_id"), j + 1000000))
-            .otherwise(tok(when(role >= 8, leader).otherwise(col("doc_id")), j))),
-        " "))
+    // the DedupScaleBench corpus (shared generator — cannot drift)
+    val docs = SynthData.plantedDocs(spark, n, vocab)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     time("generate")(docs.count())
 
@@ -58,8 +47,11 @@ object ProfileLsh {
       .cache()
     time("minhash signatures (cache build)")(sig.count())
 
-    val keyed = sig.select(col("doc_id"), xxhash64(col("sig")).as("sig_key"))
-    val groups = keyed.groupBy(col("sig_key"))
+    // full-signature group key, matching Dedup.bandCollapseVerify (an
+    // xxhash64(sig) key could merge two distinct signatures and lose
+    // the unrepresented one's band collisions — see the pipeline's
+    // comment)
+    val groups = sig.groupBy(col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("members"))
       .select(element_at(col("members"), 1).as("rep"), col("members"))
       .cache()

@@ -40,24 +40,11 @@ object ScaleBench {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    // seeded synthetic vectors: a 1000-component Gaussian-mixture
-    // analog (cluster center + small noise). Real text embeddings
-    // cluster (the reference's review embeddings group by category /
-    // sentiment); uniform-random vectors are the degenerate case where
-    // NO coarse quantizer can work (distance concentration), so a
-    // mixture is the representative workload for IVF recall.
-    val nClusters = 1000
-    def synth(rows: Long, idCol: String, vecCol: String) = {
-      def u(h: org.apache.spark.sql.Column) =
-        pmod(h, lit(1000001L)).cast("double") / 500000.0 - 1.0
-      spark.range(rows).toDF(idCol)
-        .withColumn("_c", pmod(xxhash64(col(idCol), lit(11)), lit(nClusters)))
-        .withColumn(vecCol,
-          transform(sequence(lit(0), lit(dim - 1)),
-            j => (u(xxhash64(col("_c"), j, lit(1))) +
-              u(xxhash64(col(idCol), j)) * 0.25).cast("float")))
-        .drop("_c")
-    }
+    // seeded mixture vectors — shared generator (SynthData scaladoc
+    // explains why a Gaussian-mixture analog, not uniform-random, is
+    // the representative IVF workload)
+    def synth(rows: Long, idCol: String, vecCol: String) =
+      SynthData.mixtureVectors(spark, rows, idCol, vecCol, dim)
 
     val data = synth(n, "vec_id", "embedding")
       .withColumn("rating",

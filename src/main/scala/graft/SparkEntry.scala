@@ -85,9 +85,11 @@ object VectorQueries {
     "knn_exact_bigq" -> ((spark: SparkSession, dir: String) => {
       GraftFunctions.register(spark)
       val qs = queriesDf(spark, dir)
-      val perChunk = math.max(1L, (qs.count() + 3) / 4).toInt
-      Knn.exactChunked(dataDf(spark, dir).filter(filterLow),
-          qs, K, maxQueriesPerChunk = perChunk)
+      // count once; chunkedByQuery reuses it instead of re-scanning
+      val nQ = qs.count()
+      val perChunk = math.max(1L, (nQ + 3) / 4).toInt
+      Knn.chunkedByQuery(qs, perChunk, knownCount = nQ)(
+          Knn.exact(dataDf(spark, dir).filter(filterLow), _, K))
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
     "knn_cosine" -> (knnWith(filterLow, "cosine") _),

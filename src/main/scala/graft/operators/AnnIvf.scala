@@ -213,17 +213,17 @@ object AnnIvf {
     * system). */
   def appendToIndex(newData: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Option[DataFrame] = None): Unit =
+      supers: Option[DataFrame] = None, wSuper: Int = 4): Unit =
     // `supers` = the base index was built with indexTwoLevel: batches
-    // must assign through the SAME hierarchical expression (parity
-    // with the persisted cells is the contract; a flat re-assign of a
-    // boundary row could land it in a different cell than the build
-    // did). It also keeps the per-batch cost at O(2·sqrt(C)·dim) per
-    // row — at serving-scale C the flat n×C argmin would put the
-    // build asymptote this path exists to avoid back into every
-    // micro-batch.
+    // must assign through the SAME hierarchical expression AT THE SAME
+    // wSuper (parity with the persisted cells is the contract; a flat
+    // re-assign — or a different super beam width — could land a
+    // boundary row in a different cell than the build did). It also
+    // keeps the per-batch cost at O(2·sqrt(C)·dim) per row — at
+    // serving-scale C the flat n×C argmin would put the build
+    // asymptote this path exists to avoid back into every micro-batch.
     supers.fold(index(newData, centroids, idCol, vecCol))(sup =>
-        indexTwoLevel(newData, sup, centroids, idCol, vecCol))
+        indexTwoLevel(newData, sup, centroids, idCol, vecCol, wSuper))
       .repartition(col("cid")) // one file per touched cell per batch
       .write.mode("append").partitionBy("cid").parquet(path)
 
@@ -425,15 +425,19 @@ object AnnIvf {
       metric: String = "sqeuclidean",
       dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val matrix = collectCentroids(centroids)
-    val probedCells = queries
-      .select(explode(GraftFunctions.nearestCells(col(qvecCol), matrix,
-        nprobe)).as("_pcid"))
+    // the query lineage (often an expensive re-embedding) is evaluated
+    // exactly ONCE: the probe relation is materialized to executor
+    // blocks (localCheckpoint truncates the lineage; blocks are freed
+    // when the result is dropped), then both the probed-cell aggregate
+    // and the cogroup kernel read from those blocks
+    val probes = probeRelation(queries, matrix, nprobe, qidCol, qvecCol)
+      .localCheckpoint(true)
+    val probedCells = probes.select(col("_pcid"))
       .distinct().collect().map(_.getInt(0))
     val indexed = dataFilter
       .foldLeft(spark.read.parquet(path))(_.filter(_))
       .filter(col("cid").isin(probedCells.toSeq: _*))
-    searchShuffledFast(indexed, centroids, queries, k, nprobe,
-      idCol, vecCol, qidCol, qvecCol, metric)
+    shuffledFastKernel(indexed, probes, k, idCol, vecCol, metric)
   }
 
   /** Shuffle lowering with the HEAP KERNEL — `searchShuffled`'s
@@ -457,14 +461,25 @@ object AnnIvf {
       queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      metric: String = "sqeuclidean"): DataFrame = {
+      metric: String = "sqeuclidean"): DataFrame =
+    shuffledFastKernel(indexed,
+      probeRelation(queries, collectCentroids(centroids), nprobe,
+        qidCol, qvecCol),
+      k, idCol, vecCol, metric)
+
+  /** (qid LONG, qvec, _pcid INT) — one exploded probe row per
+    * (query, probed cell), from the narrow NearestCells expression. */
+  private def probeRelation(queries: DataFrame, matrix: Array[Array[Float]],
+      nprobe: Int, qidCol: String, qvecCol: String): DataFrame =
+    queries.select(col(qidCol).cast("long"), col(qvecCol),
+      explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+        .as("_pcid"))
+
+  private def shuffledFastKernel(indexed: DataFrame, probes: DataFrame,
+      k: Int, idCol: String, vecCol: String, metric: String): DataFrame = {
     val spark = indexed.sparkSession
     import spark.implicits._
-    val matrix = collectCentroids(centroids)
-    val probeRows = queries
-      .select(col(qidCol).cast("long"), col(qvecCol),
-        explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
-          .as("_pcid"))
+    val probeRows = probes
       .as[(Long, Array[Float], Int)]
       .groupByKey(_._3)
     val dataRows = indexed

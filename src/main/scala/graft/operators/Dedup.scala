@@ -243,13 +243,15 @@ object Dedup {
     // The expanded candidate set is provably the banded-collision set:
     // sig(a)=sig(rep) means a collides exactly where rep does, and
     // within-group pairs collide in every band by construction.
-    // Grouping keys on xxhash64(sig) (8 bytes shuffled per doc, not
-    // the 8*numHashes-byte signature); a key collision merges two
-    // groups, which only ADDS candidate pairs — killed by the exact
-    // verify below, misses impossible.
-    val keyed = sig.select(col("doc_id"),
-      xxhash64(col("sig")).as("sig_key"))
-    val groups = keyed.groupBy(col("sig_key"))
+    // Groups key on the FULL signature, not a hash of it: under an
+    // xxhash64(sig) key, a key collision would merge two DIFFERENT
+    // signatures into one group whose single rep bands only one of
+    // them — the other signature's band collisions with third parties
+    // would be silently lost (a miss the exact verify cannot repair;
+    // it only filters). ~2^-64 per signature pair, but the exactness
+    // claim is the point of this pipeline; the cost is carrying the
+    // 8·numHashes-byte signature through this one aggregate's shuffle.
+    val groups = sig.groupBy(col("sig"))
       .agg(array_sort(collect_list(col("doc_id"))).as("members"))
       .select(element_at(col("members"), 1).as("rep"), col("members"))
       .cache() // consumed by rep selection + both expansion joins

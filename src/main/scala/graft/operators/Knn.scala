@@ -400,13 +400,18 @@ object Knn {
     * tests.py:415-431). This is what bounds driver/executor memory
     * when a pipeline re-embeds and searches millions of queries
     * through the broadcast-shaped lowerings (mirrors the reference's
-    * query batching, utils_grid_search.py:591,995). */
+    * query batching, utils_grid_search.py:591,995).
+    *
+    * The query lineage is evaluated once for the count (skipped when
+    * the caller passes `knownCount`) and once per chunk — a caller
+    * whose query side is expensive to recompute (re-embedding)
+    * should persist it first. */
   def chunkedByQuery(queries: DataFrame, maxQueriesPerChunk: Int,
-      qidCol: String = "qid")(
+      qidCol: String = "qid", knownCount: Long = -1L)(
       search: DataFrame => DataFrame): DataFrame = {
     require(maxQueriesPerChunk > 0,
       s"maxQueriesPerChunk must be positive: $maxQueriesPerChunk")
-    val q = queries.count()
+    val q = if (knownCount >= 0) knownCount else queries.count()
     val nChunks = math.max(1L, (q + maxQueriesPerChunk - 1) /
       maxQueriesPerChunk).toInt
     if (nChunks == 1) search(queries)

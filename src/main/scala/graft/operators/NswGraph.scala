@@ -302,16 +302,17 @@ object NswGraph {
       path: String, m: Int = 8, efConstruction: Int = 64,
       metric: String = "sqeuclidean",
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Option[DataFrame] = None): Unit = {
+      supers: Option[DataFrame] = None, wSuper: Int = 4): Unit = {
     val spark = newData.sparkSession
     import spark.implicits._
     // same assignment-parity contract as AnnIvf.appendToIndex: a base
     // index whose cells came from the two-level quantizer must route
-    // batches through the same hierarchical expression (and keeps the
-    // per-batch cost off the flat n×C argmin at serving-scale C)
+    // batches through the same hierarchical expression at the same
+    // wSuper (and keeps the per-batch cost off the flat n×C argmin at
+    // serving-scale C)
     val newIndexed = supers
       .fold(AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>
-        AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol))
+        AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol, wSuper))
       .select(col(idCol).cast("long").as(idCol), col(vecCol), col("cid"))
     val touched = newIndexed.select(col("cid")).distinct()
       .collect().map(_.getInt(0))

@@ -322,10 +322,10 @@ object Pq {
       vecCol: String = "embedding",
       extraCols: Seq[String] = Nil,
       residual: Boolean = false,
-      supers: Option[DataFrame] = None): Unit = {
+      supers: Option[DataFrame] = None, wSuper: Int = 4): Unit = {
     val indexed = supers.fold(
       AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>
-      AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol))
+      AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol, wSuper))
     codeTable(indexed, centroids, cb, idCol, vecCol, extraCols, residual)
       .repartition(col("cid")) // one file per touched cell per batch
       .write.mode("append").partitionBy("cid").parquet(path)
@@ -455,11 +455,6 @@ object Pq {
     Knn.topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
   }
 
-  /** `searchAdcRefined` over the persisted clustered layout: ADC
-    * shortlist of k·kfactor from the probed cells, then an exact
-    * full-precision re-rank of just those candidates — the standard
-    * two-stage IVF-PQ serve (compressed scan pays the fan-out, the
-    * fp32 corpus is touched for q·k·kfactor rows only). */
   /** `searchPersistedAdc` for query tables past the broadcast/collect
     * budget (see `Knn.chunkedByQuery`): per chunk the probe map,
     * query broadcast, and per-partition LUT arrays are bounded by
@@ -477,6 +472,11 @@ object Pq {
       searchPersistedAdc(spark, path, centroids, cb, _, k, nprobe,
         idCol, qidCol, qvecCol, dataFilter, residual))
 
+  /** `searchAdcRefined` over the persisted clustered layout: ADC
+    * shortlist of k·kfactor from the probed cells, then an exact
+    * full-precision re-rank of just those candidates — the standard
+    * two-stage IVF-PQ serve (compressed scan pays the fan-out, the
+    * fp32 corpus is touched for q·k·kfactor rows only). */
   def searchPersistedAdcRefined(spark: SparkSession, path: String,
       centroids: DataFrame, cb: Codebook, data: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int, kfactor: Int = 4,

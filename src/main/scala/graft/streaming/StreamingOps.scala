@@ -256,13 +256,13 @@ object StreamingOps {
     * for the full ingest→serve loop. */
   def streamingIndexAppend(vectorStream: DataFrame, centroids: DataFrame,
       indexPath: String,
-      supers: Option[DataFrame] = None)
+      supers: Option[DataFrame] = None, wSuper: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectorStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           graft.operators.AnnIvf.appendToIndex(batch, centroids, indexPath,
-            supers = supers)
+            supers = supers, wSuper = wSuper)
         ()
       }
       .start()
@@ -276,13 +276,14 @@ object StreamingOps {
   def streamingPqAppend(vectorStream: DataFrame, centroids: DataFrame,
       cb: graft.operators.Pq.Codebook, indexPath: String,
       extraCols: Seq[String] = Nil, residual: Boolean = false,
-      supers: Option[DataFrame] = None)
+      supers: Option[DataFrame] = None, wSuper: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectorStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty)
           graft.operators.Pq.appendToIndex(batch, centroids, cb, indexPath,
-            extraCols = extraCols, residual = residual, supers = supers)
+            extraCols = extraCols, residual = residual, supers = supers,
+            wSuper = wSuper)
         ()
       }
       .start()

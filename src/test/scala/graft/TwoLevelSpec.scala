@@ -174,4 +174,34 @@ class TwoLevelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(persisted === rebuilt)
   }
+
+  test("append parity holds at a NON-default wSuper") {
+    // the parity contract is per-wSuper: a base index built at
+    // wSuper=1 must be appended at wSuper=1 (a boundary row whose true
+    // cell lives under its second-nearest super would otherwise land
+    // in a different cell than the build placed it)
+    val centroids = AnnIvf.train(data, 12, iterations = 2)
+    val supers = AnnIvf.trainSupers(centroids, 4)
+    val base = data.filter($"vec_id" % 5 =!= 0)
+    val batch = data.filter($"vec_id" % 5 === 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_w1_append").toString
+    AnnIvf.writeIndex(
+      AnnIvf.indexTwoLevel(base, supers, centroids, wSuper = 1), dir)
+    AnnIvf.appendToIndex(batch, centroids, dir, supers = Some(supers),
+      wSuper = 1)
+    val persisted = spark.read.parquet(dir)
+      .select($"vec_id", $"cid".cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rebuilt = AnnIvf.indexTwoLevel(data, supers, centroids, wSuper = 1)
+      .select($"vec_id", $"cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(persisted === rebuilt)
+    // and the w=1/w=4 assignments genuinely differ somewhere on this
+    // data — otherwise the parity assertion above is vacuous
+    val w4 = AnnIvf.indexTwoLevel(data, supers, centroids, wSuper = 4)
+      .select($"vec_id", $"cid")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rebuilt != w4, "w=1 and w=4 agree everywhere — test is vacuous")
+  }
 }
