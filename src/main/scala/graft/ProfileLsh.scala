@@ -47,14 +47,8 @@ object ProfileLsh {
       .cache()
     time("minhash signatures (cache build)")(sig.count())
 
-    // full-signature group key, matching Dedup.bandCollapseVerify (an
-    // xxhash64(sig) key could merge two distinct signatures and lose
-    // the unrepresented one's band collisions — see the pipeline's
-    // comment)
-    val groups = sig.groupBy(col("sig"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("members"))
-      .select(element_at(col("members"), 1).as("rep"), col("members"))
-      .cache()
+    // the pipeline's own collapse stage (shared helper — cannot drift)
+    val groups = Dedup.sigCollapseGroups(sig).cache()
     time("sig-collapse groups (cache build)")(groups.count())
 
     val reps = sig.join(

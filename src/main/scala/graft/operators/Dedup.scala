@@ -226,6 +226,33 @@ object Dedup {
       sigs.select(col("doc_id"), col("sig")), threshold, numHashes, bands)
   }
 
+  /** (rep, members) identical-signature groups — EXACT, with the hot
+    * path on 8-byte keys: docs first group on xxhash64(sig) (only the
+    * hash shuffles per doc, not the 8·numHashes-byte signature); a
+    * singleton hash group is trivially an exact signature group, and
+    * only the multi-member hash groups — the only place a hash
+    * collision could merge two DIFFERENT signatures and silently lose
+    * the unrepresented one's band collisions (a miss the exact verify
+    * cannot repair; it only filters) — are regrouped by the FULL
+    * signature. The wide keys travel a second time only for that
+    * colliding sliver (the duplicate share of the corpus; near zero
+    * on a mostly-unique one). */
+  private[graft] def sigCollapseGroups(sig: DataFrame): DataFrame = {
+    val hashGroups = sig
+      .select(col("doc_id"), xxhash64(col("sig")).as("_hk"))
+      .groupBy(col("_hk"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("members"))
+    val single = hashGroups.filter(size(col("members")) === 1)
+      .select(element_at(col("members"), 1).as("rep"), col("members"))
+    val multiIds = hashGroups.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("doc_id"))
+    val multiExact = sig.join(multiIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("sig"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("members"))
+      .select(element_at(col("members"), 1).as("rep"), col("members"))
+    single.unionByName(multiExact)
+  }
+
   /** Shared tail of both LSH entry points: identical-signature
     * collapse -> banding over representatives -> candidate expansion
     * -> diet-joined exact-jaccard verification. */
@@ -243,17 +270,7 @@ object Dedup {
     // The expanded candidate set is provably the banded-collision set:
     // sig(a)=sig(rep) means a collides exactly where rep does, and
     // within-group pairs collide in every band by construction.
-    // Groups key on the FULL signature, not a hash of it: under an
-    // xxhash64(sig) key, a key collision would merge two DIFFERENT
-    // signatures into one group whose single rep bands only one of
-    // them — the other signature's band collisions with third parties
-    // would be silently lost (a miss the exact verify cannot repair;
-    // it only filters). ~2^-64 per signature pair, but the exactness
-    // claim is the point of this pipeline; the cost is carrying the
-    // 8·numHashes-byte signature through this one aggregate's shuffle.
-    val groups = sig.groupBy(col("sig"))
-      .agg(array_sort(collect_list(col("doc_id"))).as("members"))
-      .select(element_at(col("members"), 1).as("rep"), col("members"))
+    val groups = sigCollapseGroups(sig)
       .cache() // consumed by rep selection + both expansion joins
     val reps = sig.join(
       groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")

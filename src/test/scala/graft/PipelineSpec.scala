@@ -47,6 +47,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(fromDisk == oneShot && oneShot.nonEmpty)
   }
 
+  test("two-phase sig collapse equals the plain full-signature groupBy") {
+    // sigCollapseGroups keeps the hot path on 8-byte hash keys and
+    // regroups only multi-member hash groups by the full signature —
+    // the result must be EXACTLY the partition a direct groupBy(sig)
+    // produces (same groups, same reps), including actual duplicate
+    // signatures (the corpus has planted exact copies)
+    val sig = Dedup.signatureTable(docs, shingleN = 3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"rep", $"members").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    val twoPhase = canon(Dedup.sigCollapseGroups(sig))
+    val plain = canon(sig.groupBy($"sig")
+      .agg(array_sort(collect_list($"doc_id")).as("members"))
+      .select(element_at($"members", 1).as("rep"), $"members"))
+    assert(twoPhase == plain && twoPhase.nonEmpty)
+    // the fixture genuinely exercises the multi-member arm
+    assert(plain.exists(_._2.size > 1), "no duplicate signatures planted")
+  }
+
   test("simhash pairs include the highest-jaccard planted dup") {
     val top = Dedup.ngramJaccard(docs, n = 3, threshold = 0.5)
       .orderBy($"jaccard".desc).limit(1).collect()
