@@ -1126,6 +1126,20 @@ object AnnQueries {
           nprobe = 2, efSearch = 128)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the fully distributed graph lowering under the same full oracle
+    // as ann_nsw_fixed: probes shuffle by cell id into a cogroup with
+    // the per-cell graphs (no query broadcast, nothing query-sized on
+    // the driver) — the NSW analog of ann_ivf_bigq_fast
+    "ann_nsw_bigq" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 31)
+      val graphs = NswGraph.buildIndex(AnnIvf.index(data, centroids),
+        m = 32, efConstruction = 64)
+      NswGraph.searchIndexShuffled(graphs, centroids, queriesDf(s, d), K,
+          nprobe = 2, efSearch = 128)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // the graph-index PERSISTENCE path under the same full oracle as
     // ann_nsw_fixed: per-cell graphs written partitionBy(cid) to a
     // temp dir, reloaded, and beam-searched — the offline-build /
@@ -1427,6 +1441,7 @@ object AnnQueries {
     "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_ivf_serve_bigq" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
+    "ann_nsw_bigq" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
     // same probed cells as ann_nsw_fixed; only the fine distance is
     // the sign-mismatch count (knn_hamming's green distance SQL)

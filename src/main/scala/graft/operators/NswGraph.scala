@@ -386,6 +386,50 @@ object NswGraph {
       searchIndex(graphs, centroids, _, k, nprobe, efSearch, metric,
         qidCol, qvecCol))
 
+  /** Fully distributed graph search for LARGE query tables — the NSW
+    * analog of `AnnIvf.searchShuffledFast`: the probe relation
+    * (qid, qvec, probed cell) comes from the narrow NearestCells
+    * expression and shuffles by cell id into a cogroup with the
+    * per-cell graphs; each cell's graph beam-searches its probing
+    * queries in place. Nothing query-sized ever sits on the driver or
+    * in a broadcast; only q x k partial rows merge.
+    *
+    * The graph side shuffles once per call (cogroup keys it by cid) —
+    * right for one huge batch, where the index pass amortizes over
+    * millions of queries. For a STREAM of modest batches against a
+    * cached index prefer `searchIndex`/`searchIndexChunked`, which
+    * only filter the graph Dataset. Bit-identical results (beam
+    * search is per-query; pinned in NswSpec). */
+  def searchIndexShuffled(graphs: org.apache.spark.sql.Dataset[CellGraph],
+      centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val matrix = AnnIvf.collectCentroids(centroids)
+    val probes = queries
+      .select(col(qidCol).cast("long"), col(qvecCol),
+        explode(graft.GraftFunctions.nearestCells(col(qvecCol), matrix,
+          nprobe)).as("_pcid"))
+      .as[(Long, Array[Float], Int)]
+      .groupByKey(_._3)
+    val (efs, met, kk) = (math.max(k, efSearch), metric, k)
+    val partials = graphs.groupByKey(_.cid).cogroup(probes) { (_, gIt, qIt) =>
+      val qs = qIt.toArray
+      if (qs.isEmpty) Iterator.empty
+      else gIt.flatMap { g =>
+        val kern = new CellKernel(met, g.vecs, flatten = qs.length >= 4)
+        val deg = g.adj.map(_.length)
+        qs.iterator.flatMap { case (qid, qv, _) =>
+          beamSearch(kern, g.adj, deg, 0, qv, efs)
+            .take(kk)
+            .map { case (d, idx) => (qid, g.ids(idx), d) }
+        }
+      }
+    }.toDF("qid", "_nnid", "_dist")
+    Knn.topKFrom(partials, kk, col("_dist"), col("_nnid"), col("qid"))
+  }
+
   /** `searchIndex` over precollected probe lists. */
   def searchIndexProbed(graphs: org.apache.spark.sql.Dataset[CellGraph],
       probed: Array[(Long, Array[Float], Array[Int])], k: Int,

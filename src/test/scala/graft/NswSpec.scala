@@ -79,6 +79,10 @@ class NswSpec extends AnyFunSuite {
         queries, 10, nprobe = 4, efSearch = 64, maxQueriesPerChunk = sz))
       assert(chunked == oneShot && chunked.nonEmpty, s"chunk size $sz")
     }
+    // the fully distributed cogroup lowering (no probe broadcast)
+    val shuffled = tuples(NswGraph.searchIndexShuffled(graphs, centroids,
+      queries, 10, nprobe = 4, efSearch = 64))
+    assert(shuffled == oneShot)
     graphs.unpersist()
   }
 
