@@ -275,6 +275,14 @@ object TextQueries {
     // Gopher-rules repetition family: top-unigram / top-bigram /
     // duplicated-trigram occupancy per doc
     "text_repetition" -> ((s, d) => TextAnalysis.repetitionStats(docs(s, d))),
+    // CCNet-style line-level boilerplate removal, run at token
+    // granularity (the synthetic docs have no newlines): every token
+    // appearing in >= 400 of the 500 docs is corpus boilerplate,
+    // dropped everywhere; surviving tokens reassemble in order. The
+    // oracle reproduces the distinct-doc counts, the anti-join, and
+    // the order-preserving reassembly.
+    "text_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateRemove(docs(s, d), minDocs = 400, sep = " ")),
     // TF-IDF salient terms (integer-ratio idf = N/df, so the score
     // doubles are engine-exact); tf side pre-pruned to the probe docs,
     // df from one corpus-wide hash aggregate
@@ -359,6 +367,27 @@ object TextQueries {
         |  CAST(coalesce(sk.sketch_size, 0) AS BIGINT) AS sketch_size,
         |  coalesce(sk.sketch_digest, md5('')) AS sketch_digest
         |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin,
+    "text_boilerplate" ->
+      """WITH lines AS (
+        |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
+        |    unnest(parts) AS line
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+        |        FROM documents)
+        |), heavy AS (
+        |  SELECT line FROM (
+        |    SELECT line, count(DISTINCT doc_id) AS n_docs
+        |    FROM lines GROUP BY line)
+        |  WHERE n_docs >= 400
+        |), kept AS (
+        |  SELECT l.doc_id, l.pos, l.line
+        |  FROM lines l ANTI JOIN heavy h USING (line)
+        |), totals AS (
+        |  SELECT doc_id, count(*) AS n_total FROM lines GROUP BY doc_id
+        |)
+        |SELECT k.doc_id, string_agg(k.line, ' ' ORDER BY k.pos) AS text,
+        |  t.n_total - count(*) AS n_removed
+        |FROM kept k JOIN totals t USING (doc_id)
+        |GROUP BY k.doc_id, t.n_total""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g1 AS (SELECT doc_id, 1 AS k, unnest(l) AS g FROM tok),

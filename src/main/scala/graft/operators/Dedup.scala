@@ -744,6 +744,49 @@ object Dedup {
         (col("id") === col("label")).cast("long").as("is_canonical"))
   }
 
+  /** LINE-LEVEL BOILERPLATE REMOVAL (CCNet / RefinedWeb-style): a
+    * line that appears in at least `minDocs` DISTINCT documents is
+    * corpus boilerplate (nav bars, cookie banners, license headers)
+    * and is dropped from every document; surviving lines are
+    * reassembled in their original order. `sep` is the line separator
+    * ("\n" for real documents; a driver query runs at token
+    * granularity with " " — same machinery, corpus-frequency token
+    * filtering). A document whose every line is boilerplate drops out
+    * entirely, as in CCNet. Output: (idCol, textCol cleaned,
+    * n_removed) for documents with at least one surviving line.
+    *
+    * Scale design: repetition within one doc counts ONCE (distinct
+    * (line, doc) before the count — CCNet's definition); the count is
+    * a map-side-combined hash agg over the exploded line relation;
+    * the heavy-hitter table (count >= minDocs) is by construction the
+    * corpus's boilerplate — small — so it BROADCASTS into the
+    * anti-join and the corpus-sized line relation never shuffles for
+    * the filter. The only corpus-sized shuffle is the per-doc
+    * reassembly groupBy. */
+  def boilerplateRemove(docs: DataFrame, minDocs: Int,
+      sep: String = "\n", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2: $minDocs")
+    val lines = docs.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val heavy = lines.select(col("line"), col(idCol)).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("line"))
+    val kept = lines.join(broadcast(heavy), Seq("line"), "left_anti")
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), sep).as(textCol),
+        count(lit(1)).as("n_kept"))
+      .join(lines.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_total")), idCol)
+      .select(col(idCol), col(textCol),
+        (col("n_total") - col("n_kept")).as("n_removed"))
+  }
+
   /** Test-set DECONTAMINATION: drop (flag) every training document
     * that shares at least one n-gram shingle with any held-out test
     * document — the standard guard against benchmark leakage when a

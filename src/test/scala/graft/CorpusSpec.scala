@@ -151,6 +151,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(label.values.toSet.size < nDocs)
   }
 
+  test("boilerplate removal: cross-doc lines drop, order preserved, " +
+      "within-doc repeats count once, all-boilerplate docs vanish") {
+    val corpus = Seq(
+      (1L, "cookie banner\nunique alpha\ncookie banner\nunique beta"),
+      (2L, "cookie banner\nunique gamma"),
+      (3L, "cookie banner"),            // all boilerplate -> vanishes
+      (4L, "only here\nrare line"),     // untouched
+      (5L, "twice\ntwice\nunique delta") // within-doc repeat, 1 doc only
+    ).toDF("doc_id", "text")
+    val out = Dedup.boilerplateRemove(corpus, minDocs = 2).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // "cookie banner" appears in 3 distinct docs -> removed everywhere;
+    // "twice" repeats only WITHIN doc 5 (1 distinct doc) -> kept
+    assert(out(1L) == (("unique alpha\nunique beta", 2L)))
+    assert(out(2L) == (("unique gamma", 1L)))
+    assert(!out.contains(3L))
+    assert(out(4L) == (("only here\nrare line", 0L)))
+    assert(out(5L) == (("twice\ntwice\nunique delta", 0L)))
+    // threshold boundary: at minDocs = 4 nothing reaches the bar
+    val loose = Dedup.boilerplateRemove(corpus, minDocs = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(loose.values.forall(_ == 0L) && loose.size == 5)
+  }
+
   test("decontaminate flags exactly the train docs sharing a shingle") {
     val isTest = col("doc_id") % 20 === 0
     val out = Dedup.decontaminate(docs, isTest, n = 5)
