@@ -283,6 +283,21 @@ object TextQueries {
     // the order-preserving reassembly.
     "text_boilerplate" -> ((s, d) =>
       Dedup.boilerplateRemove(docs(s, d), minDocs = 400, sep = " ")),
+    // PII redaction over docs with deterministically PLANTED pii (the
+    // synthetic corpus has none) — every doc gains an email, an IPv4,
+    // and a long account number built from its id, so the oracle
+    // exercises real matches of all three rules plus the redacted
+    // reassembly, not just the no-op path
+    "text_redact" -> ((s, d) =>
+      TextAnalysis.redactPii(docs(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id").cast("string"),
+          lit("@ex-"), (col("doc_id") % 7).cast("string"), lit(".org"),
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), ((col("doc_id") * 7) % 256).cast("string"),
+          lit(" acct "),
+          (col("doc_id") * 1234567 + 10000000).cast("string"))
+          .as("text")))),
     // TF-IDF salient terms (integer-ratio idf = N/df, so the score
     // doubles are engine-exact); tf side pre-pruned to the probe docs,
     // df from one corpus-wide hash aggregate
@@ -367,6 +382,35 @@ object TextQueries {
         |  CAST(coalesce(sk.sketch_size, 0) AS BIGINT) AS sketch_size,
         |  coalesce(sk.sketch_digest, md5('')) AS sketch_digest
         |FROM documents d LEFT JOIN sk ON d.doc_id = sk.doc_id""".stripMargin,
+    "text_redact" ->
+      """WITH planted AS (
+        |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |    || '@ex-' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+        |    || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |    || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |    || ' acct ' || CAST(doc_id * 1234567 + 10000000 AS VARCHAR)
+        |    AS t0
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, t0,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM planted
+        |), s2 AS (
+        |  SELECT *, regexp_replace(t1, '([0-9]{1,3}\.){3}[0-9]{1,3}',
+        |    '<IP>', 'g') AS t2
+        |  FROM s1
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '[0-9]{7,}', '<NUMBER>', 'g') AS text,
+        |  CAST(len(regexp_extract_all(t0,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t1,
+        |    '([0-9]{1,3}\.){3}[0-9]{1,3}', 0)) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(t2, '[0-9]{7,}', 0)) AS BIGINT)
+        |    AS n_numbers
+        |FROM s2""".stripMargin,
     "text_boilerplate" ->
       """WITH lines AS (
         |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,

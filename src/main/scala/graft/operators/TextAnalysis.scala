@@ -219,6 +219,36 @@ object TextAnalysis {
       .select(col("rank"), col("term"), col("n_occ"), col("n_docs"))
   }
 
+  /** PII REDACTION — the scrubbing pass every published pretraining
+    * pipeline runs before training: emails, IPv4 addresses, and long
+    * digit runs (phone/account numbers) are replaced with typed
+    * placeholder tokens. Purely expression-level (three chained
+    * regexp_replace + three regexp_extract_all counts): zero shuffle,
+    * whole-stage codegen, linear scan at any corpus size. Patterns
+    * stay in the RE2-compatible subset so the DuckDB oracle replays
+    * them exactly. Counts are per stage on the progressively redacted
+    * text (an email's digits are not double-counted as a number; an
+    * IP's octets never reach the digit-run rule — octets are <= 3
+    * digits anyway). Output: (idCol, textCol redacted, n_emails,
+    * n_ips, n_numbers). */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minDigits: Int = 7): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val num = s"[0-9]{$minDigits,}"
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ip, "<IP>")
+    val t3 = regexp_replace(t2, num, "<NUMBER>")
+    docs.select(col(idCol), t3.as(textCol),
+      size(regexp_extract_all(t0, lit(email), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t1, lit(ip), lit(0)))
+        .cast("long").as("n_ips"),
+      size(regexp_extract_all(t2, lit(num), lit(0)))
+        .cast("long").as("n_numbers"))
+  }
+
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,
       hashFn: Column => Column): DataFrame = {

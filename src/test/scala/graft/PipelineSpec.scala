@@ -259,6 +259,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats.count() == expected)
   }
 
+  test("PII redaction: emails/IPs/digit runs replaced, counts staged") {
+    val corpus = Seq(
+      (1L, "mail a.b+c@ex-1.co.uk and x@y.io here"),
+      (2L, "host 192.168.101.100 acct 123456789 short 123"),
+      (3L, "clean text only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(1L) == (("mail <EMAIL> and <EMAIL> here", 2L, 0L, 0L)))
+    // the IP's 3-digit octets never reach the 7-digit rule; the
+    // account number does; "123" is below the floor
+    assert(out(2L) == (("host <IP> acct <NUMBER> short 123", 0L, 1L, 1L)))
+    assert(out(3L) == (("clean text only", 0L, 0L, 0L)))
+  }
+
   test("language id + quality + fingerprint run and are total") {
     assert(TextAnalysis.languageId(docs).count() == docs.count())
     assert(TextAnalysis.qualityScore(docs)
