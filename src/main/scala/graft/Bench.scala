@@ -72,7 +72,11 @@ object Bench {
       "ann_ivf_persist", "ann_nsw_persist", "ann_ivf_serve",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",
       "stream_dedup",
-      "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors")
+      "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors",
+      // orc_roundtrip: jsonl_roundtrip's IO twin over the second
+      // columnar format — same digest projection, value is the
+      // CORRECTNESS row
+      "orc_roundtrip")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {
         case Some(set) => set.contains(n) // explicit ONLY wins

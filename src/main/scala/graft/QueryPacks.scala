@@ -298,6 +298,11 @@ object TextQueries {
           lit(" acct "),
           (col("doc_id") * 1234567 + 10000000).cast("string"))
           .as("text")))),
+    // within-document first-occurrence dedup at token granularity
+    // (C4-style repeated-line removal; the synthetic docs have no
+    // newlines): expression-only — split -> array_distinct (keeps
+    // first occurrences) -> rejoin, zero shuffle
+    "text_line_dedup" -> ((s, d) => TextAnalysis.dedupUnits(docs(s, d))),
     // TF-IDF salient terms (integer-ratio idf = N/df, so the score
     // doubles are engine-exact); tf side pre-pruned to the probe docs,
     // df from one corpus-wide hash aggregate
@@ -432,6 +437,27 @@ object TextQueries {
         |  t.n_total - count(*) AS n_removed
         |FROM kept k JOIN totals t USING (doc_id)
         |GROUP BY k.doc_id, t.n_total""".stripMargin,
+    // first-occurrence order: min position per (doc, token), rejoin
+    // ordered by that position — mirrors array_distinct's semantics
+    "text_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
+        |    unnest(parts) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+        |        FROM documents)
+        |), fo AS (
+        |  SELECT doc_id, tok, min(pos) AS pos
+        |  FROM toks GROUP BY doc_id, tok
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |    count(*) AS n_uniq
+        |  FROM fo GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_total FROM toks GROUP BY doc_id
+        |)
+        |SELECT a.doc_id, a.text,
+        |  CAST(t.n_total - a.n_uniq AS BIGINT) AS n_removed
+        |FROM agg a JOIN tot t USING (doc_id)""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g1 AS (SELECT doc_id, 1 AS k, unnest(l) AS g FROM tok),
@@ -538,6 +564,16 @@ object CorpusQueries {
     // tokens, via the distributed prefix sum over the quality order
     "corpus_select" -> ((s, d) =>
       Corpus.selectByBudget(docs(s, d), tokenBudget = 20000L)),
+    // deterministic global training shuffle: seeded md5 permutation of
+    // the corpus cut into 8 balanced round-robin shards; one
+    // distributed range sort, no window (oracle replays the
+    // permutation from the same 52-bit hex rank)
+    "corpus_shuffle" -> ((s, d) =>
+      Corpus.shuffleShards(docs(s, d), seed = 42L, numShards = 8)),
+    // per-domain cap: best 10 docs per source by quality
+    // (bounded-heap per domain — no per-domain window sort)
+    "corpus_domain_cap" -> ((s, d) =>
+      Corpus.domainCap(docs(s, d), maxPerGroup = 10)),
     // fixed token-window chunking (40-token chunks every 32 tokens —
     // 8-token overlap); chunk text pinned by md5 (hashable cell)
     "corpus_chunks" -> ((s, d) =>
@@ -672,6 +708,42 @@ object CorpusQueries {
          |)
          |SELECT doc_id, quality, n_tokens, tokens_before
          |FROM c WHERE tokens_before < 20000""".stripMargin
+    },
+    "corpus_shuffle" ->
+      """WITH r AS (
+        |  SELECT doc_id, CAST(row_number() OVER (
+        |    ORDER BY substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 13),
+        |      doc_id) - 1 AS BIGINT) AS pos
+        |  FROM documents
+        |)
+        |SELECT doc_id, pos, pos % 8 AS shard,
+        |  CAST(pos // 8 AS BIGINT) AS pos_in_shard
+        |FROM r""".stripMargin,
+    "corpus_domain_cap" -> {
+      val en = curateMarkersSql.toMap.apply("en")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, x -> list_contains($en, x)))
+         |      AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+         |  FROM t
+         |), g AS (
+         |  SELECT doc_id, source,
+         |    round(least(n / 100.0, 1.0) * 0.5 +
+         |      least(n_stop / n * 5.0, 1.0) * 0.2 + (n_uniq / n) * 0.3, 6)
+         |      AS quality
+         |  FROM s
+         |), r AS (
+         |  SELECT source, doc_id, row_number() OVER (PARTITION BY source
+         |    ORDER BY CAST(quality AS DECIMAL(9,6)) DESC, doc_id) AS rk
+         |  FROM g
+         |)
+         |SELECT source, CAST(rk AS BIGINT) AS pick_rank, doc_id
+         |FROM r WHERE rk <= 10""".stripMargin
     },
     "corpus_chunks" ->
       """WITH t AS (
@@ -2138,6 +2210,26 @@ object IngestQueries {
         .select(col("doc_id"), col("category"), col("source"),
           col("n_chars"), md5(col("text")).as("text_md5"))
     }),
+    // ORC sink + source round trip: the second columnar format Spark
+    // ships natively (predicate pushdown + column pruning work the
+    // same as parquet) — written partitioned by lang, read back with
+    // an explicit schema + path-derived category, content-digest
+    // pinned against the parquet source like jsonl_roundtrip
+    "orc_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_orc_q").toString
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"),
+          col("n_chars"), col("lang"))
+        .write.mode("overwrite").partitionBy("lang").orc(tmp)
+      s.read
+        .schema("doc_id LONG, text STRING, source STRING, n_chars LONG")
+        .orc(s"$tmp/lang=*")
+        .withColumn("category",
+          regexp_extract(input_file_name(), "lang=([^/]+)/", 1))
+        .select(col("doc_id"), col("category"), col("source"),
+          col("n_chars"), md5(col("text")).as("text_md5"))
+    }),
     "ingest_shards" -> ((s, d) => {
       GraftFunctions.register(s)
       Ingest.shardIds(
@@ -2285,6 +2377,9 @@ object IngestQueries {
         |FROM documents WHERE lang IN ('en', 'de', 'fr')
         |GROUP BY lang""".stripMargin,
     "jsonl_roundtrip" ->
+      """SELECT doc_id, lang AS category, source, n_chars,
+        |  md5(text) AS text_md5 FROM documents""".stripMargin,
+    "orc_roundtrip" ->
       """SELECT doc_id, lang AS category, source, n_chars,
         |  md5(text) AS text_md5 FROM documents""".stripMargin,
     "ingest_pipeline" ->

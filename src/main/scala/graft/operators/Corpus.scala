@@ -264,6 +264,77 @@ object Corpus {
     }
   }
 
+  /** DETERMINISTIC GLOBAL SHUFFLE for training-order preparation:
+    * give every document a seeded pseudo-random global position and
+    * cut the permuted order into `numShards` balanced round-robin
+    * shards — the "shuffle the corpus before writing training shards"
+    * step of a pre-training pipeline (the reference shuffles only its
+    * train/val split, cuvs_bench_grid_search_v3.py:771-779; a corpus
+    * writer needs the full permutation). Rank = first 13 hex chars of
+    * md5(seed:id) (52 bits — exactly representable in a double, so
+    * numeric order == hex-string order and a SQL oracle reproduces
+    * the permutation bit-for-bit), ties by id.
+    *
+    * Scale design (100 TB): the permutation IS one distributed range
+    * sort — range-partition by (rank, id) + zipWithIndex (the
+    * `Ingest.globalRowNumber` pattern: per-partition counts, local
+    * offsets). shard = pos % numShards derives from the position, so
+    * shard sizes balance to within one row with NO second shuffle and
+    * a `partitionBy("shard")` writer gets one interleaved slice per
+    * shard. No window, no single-task stage anywhere.
+    * Output: (doc_id, pos, shard, pos_in_shard), pos 0-based. */
+  def shuffleShards(docs: DataFrame, seed: Long, numShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(numShards > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank = conv(substring(md5(concat(lit(s"$seed:"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("double")
+    val sorted = docs
+      .select(col(idCol).cast("long").as("id"), rank.as("rk"))
+      .repartitionByRange(col("rk"), col("id"))
+      .sortWithinPartitions(col("rk"), col("id"))
+      .as[(Long, Double)]
+    sorted.rdd.zipWithIndex
+      .map { case ((id, _), pos) =>
+        (id, pos, pos % numShards, pos / numShards)
+      }
+      .toDF(idCol, "pos", "shard", "pos_in_shard")
+  }
+
+  /** PER-DOMAIN DOCUMENT CAP: keep at most `maxPerGroup` documents
+    * per source/domain, picking the highest-quality ones (quality
+    * desc, doc_id asc) — the "no single host may dominate the mix"
+    * curation gate of web-crawl pipelines.
+    *
+    * Scale design (100 TB): NO per-domain window sort — a skewed
+    * domain (half the crawl is one host) would land whole on one
+    * task. The bounded-heap top-k aggregate keeps `maxPerGroup`
+    * candidates per domain PER PARTITION map-side; shuffle volume is
+    * domains × cap rows regardless of corpus size. The heap orders by
+    * the NEGATED 6dp-rounded quality (it keeps smallest), ties by
+    * doc_id; the decimal rounding makes the double ordering — and so
+    * the kept set — engine-exact (the `selectByBudget` trick).
+    * Output: (groupCol, pick_rank, doc_id), pick_rank 1-based in
+    * quality-desc order. */
+  def domainCap(docs: DataFrame, maxPerGroup: Int,
+      groupCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxPerGroup > 0)
+    val (_, quality) = TextAnalysis.qualityCols(col("toks"))
+    docs
+      .select(col(groupCol), col(idCol).cast("long").as("id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col(groupCol), col("id"), (-quality).as("negq"))
+      .groupBy(col(groupCol))
+      .agg(GraftFunctions.topK(maxPerGroup, col("negq"), col("id"))
+        .as("picks"))
+      .select(col(groupCol), posexplode(col("picks.id"))
+        .as(Seq("pos", "id")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("pick_rank"),
+        col("id").as(idCol))
+  }
+
   /** End-to-end CURATION pipeline, fused: quality score + language ID
     * + exact-content dedup in one pass, the canonical pre-training
     * data funnel (score → gate → keep-one-per-content). Returns the

@@ -249,6 +249,26 @@ object TextAnalysis {
         .cast("long").as("n_numbers"))
   }
 
+  /** WITHIN-DOCUMENT first-occurrence dedup at `sep` granularity —
+    * the C4/CCNet "drop repeated lines inside a page" cleanup, run at
+    * token granularity over the synthetic corpus (its docs have no
+    * newlines). Keeps the FIRST occurrence of every unit, preserves
+    * order, reassembles with the same separator. Purely
+    * expression-level (split → array_distinct, which retains first
+    * occurrences, → array_join): zero shuffle, whole-stage codegen,
+    * per-row state bounded by the document — the linear-scan shape a
+    * 100-TB pass needs. Complements `Dedup.boilerplateRemove`, which
+    * drops units frequent ACROSS documents and needs a corpus
+    * aggregate; this one is intra-document only.
+    * Output: (idCol, textCol deduped, n_removed). */
+  def dedupUnits(docs: DataFrame, sep: String = " ",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val uniq = array_distinct(toks)
+    docs.select(col(idCol), array_join(uniq, sep).as(textCol),
+      (size(toks) - size(uniq)).cast("long").as("n_removed"))
+  }
+
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,
       hashFn: Column => Column): DataFrame = {

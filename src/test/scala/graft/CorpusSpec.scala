@@ -42,6 +42,59 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == kept.map(t => (t._1, t._4)).toSet)
   }
 
+  test("shuffleShards: exact permutation, balanced shards, seed-sensitive") {
+    val n = docs.count()
+    val got = Corpus.shuffleShards(docs, seed = 42L, numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // every doc exactly once; positions are exactly 0..n-1
+    assert(got.length == n && got.map(_._1).distinct.length == n)
+    assert(got.map(_._2).sorted.toSeq == (0L until n).toSeq)
+    // shard = pos % 8, pos_in_shard = pos / 8; sizes balance to +-1
+    got.foreach { case (_, pos, sh, pis) =>
+      assert(sh == pos % 8 && pis == pos / 8)
+    }
+    val sizes = got.groupBy(_._3).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+    // the local single-threaded twin reproduces the permutation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def rk(id: Long): String = {
+      val h = md.digest(s"42:$id".getBytes("UTF-8"))
+      h.map("%02x".format(_)).mkString.take(13)
+    }
+    val expect = got.map(_._1).sortBy(id => (rk(id), id)).zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.toMap
+    got.foreach { case (id, pos, _, _) => assert(pos == expect(id)) }
+    // a different seed must give a different permutation
+    val other = Corpus.shuffleShards(docs, seed = 7L, numShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.exists { case (id, pos, _, _) => other(id) != pos })
+    // partition-count independence (the range sort is deterministic)
+    val again = Corpus.shuffleShards(docs.repartition(7), 42L, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    got.foreach { case (id, pos, _, _) => assert(again(id) == pos) }
+  }
+
+  test("domainCap: per-domain quality top-k, heap == window semantics") {
+    val cap = 10
+    val got = Corpus.domainCap(docs, maxPerGroup = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // no domain exceeds the cap; ranks are 1..k contiguous
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length <= cap)
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // brute-force twin: per-source sort by (quality desc, id asc)
+    val q = TextAnalysis.qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getString(3)))
+    val expect = q.groupBy(_._3).toSeq.flatMap { case (src, rows) =>
+      rows.sortBy(t => (-t._2, t._1)).take(cap).zipWithIndex
+        .map { case ((id, _, _), i) => (src, i + 1L, id) }
+    }.toSet
+    assert(got.toSet == expect)
+  }
+
   test("chunkDocs: overlap, final short chunk, tiny doc") {
     val d = Seq(
       (1L, (1 to 75).map(i => s"t$i").mkString(" ")), // 75 tokens

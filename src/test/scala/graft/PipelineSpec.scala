@@ -275,6 +275,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) == (("clean text only", 0L, 0L, 0L)))
   }
 
+  test("dedupUnits keeps first occurrences in order, counts removals") {
+    val corpus = Seq(
+      (1L, "a b a c b a"),   // dups of a (x2) and b (x1)
+      (2L, "x y z"),          // nothing repeated
+      (3L, "w w w w")         // all one token
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.dedupUnits(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c", 3L)))
+    assert(out(2L) == (("x y z", 0L)))
+    assert(out(3L) == (("w", 3L)))
+    // idempotent: a second pass removes nothing
+    val second = TextAnalysis.dedupUnits(
+      TextAnalysis.dedupUnits(corpus).select($"doc_id", $"text")).collect()
+    assert(second.forall(_.getLong(2) == 0L))
+  }
+
   test("language id + quality + fingerprint run and are total") {
     assert(TextAnalysis.languageId(docs).count() == docs.count())
     assert(TextAnalysis.qualityScore(docs)
