@@ -76,7 +76,10 @@ object Bench {
       // orc_roundtrip: jsonl_roundtrip's IO twin over the second
       // columnar format — same digest projection, value is the
       // CORRECTNESS row
-      "orc_roundtrip")
+      "orc_roundtrip",
+      // dedup_keep_best: dedup_clusters' component closure plus one
+      // max_by aggregate — the closure cost is already measured there
+      "dedup_keep_best")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {
         case Some(set) => set.contains(n) // explicit ONLY wins

@@ -97,6 +97,11 @@ object DedupQueries {
     // cluster dedup (oracle: the same pairs + a recursive CTE)
     "dedup_clusters" -> ((s, d) =>
       Dedup.dupClustersFromPairs(docs(s, d), jaccardPairs(s, d))),
+    // keeper policy: each near-dup cluster keeps its best-QUALITY
+    // member (ties -> smallest id), not the min id — shares the pair
+    // relation with dedup_clusters; one max_by aggregate, no window
+    "dedup_keep_best" -> ((s, d) =>
+      Dedup.dupClustersKeepBest(docs(s, d), jaccardPairs(s, d))),
     // the bucketed near-dup path under a FULL oracle: FIXED data-row
     // centroids (vec_id % 63 == 11) make the cell assignment and the
     // same-cell cosine pairs exactly SQL-reproducible — same engine
@@ -161,6 +166,51 @@ object DedupQueries {
          |SELECT doc AS doc_id, min(root) AS cluster_id,
          |  CAST(doc = min(root) AS BIGINT) AS is_canonical
          |FROM reach GROUP BY doc""".stripMargin,
+    // same component closure, keeper = best quality (DECIMAL(9,6)
+    // image of the 6dp-rounded score — engine-exact ordering), ties
+    // by smallest doc_id
+    "dedup_keep_best" -> {
+      val en = TextAnalysis.langMarkers.toMap.apply("en")
+        .map(m => s"'$m'").mkString("[", ", ", "]")
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT doc_a, doc_b FROM (${jaccardOracle(3, 0.4)})
+         |), edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach(doc, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.doc
+         |), memb AS (
+         |  SELECT doc AS doc_id, min(root) AS cluster_id
+         |  FROM reach GROUP BY doc
+         |), t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, x -> list_contains($en, x)))
+         |      AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id,
+         |    round(least(n / 100.0, 1.0) * 0.5 +
+         |      least(n_stop / n * 5.0, 1.0) * 0.2 + (n_uniq / n) * 0.3, 6)
+         |      AS quality
+         |  FROM s
+         |), rk AS (
+         |  SELECT m.cluster_id, m.doc_id, row_number() OVER (
+         |    PARTITION BY m.cluster_id
+         |    ORDER BY CAST(q.quality AS DECIMAL(9,6)) DESC, m.doc_id) AS r
+         |  FROM memb m JOIN q ON m.doc_id = q.doc_id
+         |), k AS (
+         |  SELECT cluster_id, doc_id AS keeper_id FROM rk WHERE r = 1
+         |)
+         |SELECT m.doc_id, m.cluster_id, k.keeper_id,
+         |  CAST(m.doc_id = k.keeper_id AS BIGINT) AS is_canonical
+         |FROM memb m JOIN k ON m.cluster_id = k.cluster_id""".stripMargin
+    },
     "dedup_embed_cosine" ->
       """WITH pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

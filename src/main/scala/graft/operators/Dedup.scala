@@ -744,6 +744,40 @@ object Dedup {
         (col("id") === col("label")).cast("long").as("is_canonical"))
   }
 
+  /** KEEPER-POLICY near-dup collapse: like `dupClustersFromPairs`,
+    * but each cluster keeps its BEST-QUALITY member (6dp-rounded
+    * `TextAnalysis.qualityCols` score; ties → smallest id) instead of
+    * the minimum id — what a production dedup actually wants: when
+    * near-identical copies differ by boilerplate or truncation, keep
+    * the cleanest one.
+    *
+    * Scale design (100 TB): components exactly as in
+    * `connectedComponents` (unchanged); the keeper pick is ONE
+    * map-side-combined max_by aggregate over (cluster, struct(quality,
+    * -id)) — no per-cluster window, so a giant cluster costs its
+    * members' partial aggregates, never one task. Membership rejoins
+    * the (cluster, keeper) relation on the cluster key — both sides
+    * already hash-partitioned by it after the aggregate. Output:
+    * (doc_id, cluster_id, keeper_id, is_canonical). */
+  def dupClustersKeepBest(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (_, quality) = TextAnalysis.qualityCols(col("toks"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comp = connectedComponents(docs.select(col(idCol).as("id")), edges)
+    val q = docs
+      .select(col(idCol).cast("long").as("id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
+      .select(col("id"), quality.as("quality"))
+    val memb = comp.join(q, "id")
+    val keepers = memb.groupBy(col("label"))
+      .agg(max_by(col("id"), struct(col("quality"), -col("id")))
+        .as("keeper_id"))
+    memb.join(keepers, "label")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        col("keeper_id"),
+        (col("id") === col("keeper_id")).cast("long").as("is_canonical"))
+  }
+
   /** LINE-LEVEL BOILERPLATE REMOVAL (CCNet / RefinedWeb-style): a
     * line that appears in at least `minDocs` DISTINCT documents is
     * corpus boilerplate (nav bars, cookie banners, license headers)

@@ -204,6 +204,42 @@ class CorpusSpec extends AnyFunSuite {
     assert(label.values.toSet.size < nDocs)
   }
 
+  test("dupClustersKeepBest keeps the best-quality member per cluster") {
+    // planted cluster where the BEST-quality member is NOT the min id:
+    // doc 1 is a low-quality (repetitive) copy, doc 3 the clean one
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta alpha beta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+      (9L, "totally unrelated content nothing shared here at all now")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(corpus, n = 3, threshold = 0.3)
+    val out = Dedup.dupClustersKeepBest(corpus, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 4)
+    val byId = out.map(t => t._1 -> t).toMap
+    // 3 and 5 share 8 trigrams (j ~ 8/8? actually high) — at least
+    // they co-cluster; the isolate keeps itself
+    assert(byId(9L)._3 == 9L && byId(9L)._4 == 1L)
+    // within every cluster: exactly one canonical, and it has the max
+    // quality (ties -> min id) among members
+    val q = TextAnalysis.qualityScore(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.count(_._4 == 1L) == 1)
+      val keeper = members.find(_._4 == 1L).get
+      assert(members.forall(_._3 == keeper._1), "keeper_id consistent")
+      val best = members.map(m => (m._1, q(m._1)))
+        .sortBy { case (id, qq) => (-qq, id) }.head._1
+      assert(keeper._1 == best, s"keeper ${keeper._1} != best $best")
+    }
+    // membership identical to the min-id policy (only the keeper
+    // changes)
+    val minPolicy = Dedup.dupClustersFromPairs(corpus, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, cid, _, _) => assert(minPolicy(id) == cid) }
+  }
+
   test("boilerplate removal: cross-doc lines drop, order preserved, " +
       "within-doc repeats count once, all-boilerplate docs vanish") {
     val corpus = Seq(
