@@ -348,6 +348,13 @@ object TextQueries {
           lit(" acct "),
           (col("doc_id") * 1234567 + 10000000).cast("string"))
           .as("text")))),
+    // cross-document exact dedup with FIRST-OCCURRENCE retention at
+    // token granularity (Lee-et-al-style "keep one copy" — contrast
+    // text_boilerplate, which drops frequent lines everywhere): only
+    // the globally first (doc_id, pos) occurrence of each token
+    // survives; min(struct) agg + co-keyed join, no window
+    "text_cross_dedup" -> ((s, d) =>
+      Dedup.crossDocLineDedup(docs(s, d), sep = " ")),
     // within-document first-occurrence dedup at token granularity
     // (C4-style repeated-line removal; the synthetic docs have no
     // newlines): expression-only — split -> array_distinct (keeps
@@ -487,6 +494,30 @@ object TextQueries {
         |  t.n_total - count(*) AS n_removed
         |FROM kept k JOIN totals t USING (doc_id)
         |GROUP BY k.doc_id, t.n_total""".stripMargin,
+    // global first occurrence = row_number over (tok -> doc_id, pos);
+    // docs losing every token drop out (inner join on the agg)
+    "text_cross_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS pos,
+        |    unnest(parts) AS tok
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts
+        |        FROM documents)
+        |), k AS (
+        |  SELECT doc_id, pos, tok, row_number() OVER (
+        |    PARTITION BY tok ORDER BY doc_id, pos) AS r
+        |  FROM toks
+        |), kept AS (
+        |  SELECT doc_id, pos, tok FROM k WHERE r = 1
+        |), agg AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id, count(*) AS n_total FROM toks GROUP BY doc_id
+        |)
+        |SELECT a.doc_id, a.text,
+        |  CAST(t.n_total - a.n_kept AS BIGINT) AS n_removed
+        |FROM agg a JOIN tot t USING (doc_id)""".stripMargin,
     // first-occurrence order: min position per (doc, token), rejoin
     // ordered by that position — mirrors array_distinct's semantics
     "text_line_dedup" ->

@@ -744,6 +744,46 @@ object Dedup {
         (col("id") === col("label")).cast("long").as("is_canonical"))
   }
 
+  /** CROSS-DOCUMENT exact line dedup with FIRST-OCCURRENCE retention
+    * (the line-granularity exact-substring pass of "deduplicate the
+    * training set, keep one copy"): every occurrence of a line EXCEPT
+    * the globally first one — (doc_id, pos) order — is removed, so
+    * shared content survives in exactly one place. Contrast
+    * `boilerplateRemove`, which drops frequent lines from EVERY doc
+    * including the first, and `TextAnalysis.dedupUnits`, which is
+    * intra-document only. `sep` = "\n" for real documents; the driver
+    * query runs at token granularity (synthetic docs are single-line).
+    *
+    * Scale design (100 TB): the line relation explodes once; the
+    * global first occurrence is ONE map-side-combined min(struct) —
+    * heavy lines collapse to a single row per map partition before
+    * the shuffle — and the keep decision is a hash join back on the
+    * line key (co-partitioned with the aggregate's output). No
+    * window, no driver state. A doc whose every line occurred earlier
+    * elsewhere drops out entirely (as in boilerplateRemove).
+    * Output: (idCol, textCol deduped, n_removed). */
+  def crossDocLineDedup(docs: DataFrame, sep: String = "\n",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol).cast("long").as(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("pos", "line")))
+    val firsts = lines.groupBy(col("line"))
+      .agg(min(struct(col(idCol), col("pos"))).as("fo"))
+    val kept = lines.join(firsts, "line")
+      .filter(col(idCol) === col("fo")(idCol) &&
+        col("pos") === col("fo")("pos"))
+    kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s("line")), sep).as(textCol),
+        count(lit(1)).as("n_kept"))
+      .join(lines.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_total")), idCol)
+      .select(col(idCol), col(textCol),
+        (col("n_total") - col("n_kept")).as("n_removed"))
+  }
+
   /** KEEPER-POLICY near-dup collapse: like `dupClustersFromPairs`,
     * but each cluster keeps its BEST-QUALITY member (6dp-rounded
     * `TextAnalysis.qualityCols` score; ties → smallest id) instead of

@@ -264,6 +264,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(loose.values.forall(_ == 0L) && loose.size == 5)
   }
 
+  test("crossDocLineDedup keeps only global first occurrences") {
+    val corpus = Seq(
+      (1L, "a b c"),
+      (2L, "b d e"),    // b first seen in doc 1 -> removed here
+      (3L, "a b c"),    // everything seen before -> doc vanishes
+      (4L, "f a f")     // a seen in doc 1; second f is a later
+                        // occurrence of doc 4's own first f -> removed
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocLineDedup(corpus, sep = " ").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("a b c", 0L)))
+    assert(out(2L) == (("d e", 1L)))
+    assert(!out.contains(3L), "fully-duplicated doc must drop out")
+    assert(out(4L) == (("f", 2L)))
+    // global invariant: no token survives twice anywhere
+    val survivors = out.values.flatMap(_._1.split(" ")).toSeq
+    assert(survivors.distinct.length == survivors.length)
+  }
+
   test("decontaminate flags exactly the train docs sharing a shingle") {
     val isTest = col("doc_id") % 20 === 0
     val out = Dedup.decontaminate(docs, isTest, n = 5)
