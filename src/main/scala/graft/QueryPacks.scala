@@ -97,6 +97,18 @@ object DedupQueries {
     // cluster dedup (oracle: the same pairs + a recursive CTE)
     "dedup_clusters" -> ((s, d) =>
       Dedup.dupClustersFromPairs(docs(s, d), jaccardPairs(s, d))),
+    // snapshot-incremental workflow under the driver: even-id docs
+    // play the accepted corpus (store persisted to parquet), odd-id
+    // docs the new crawl batch — anti-join the store, keep-min-id
+    // within the batch; re-hashing the accepted corpus never happens
+    "dedup_incremental" -> ((s, d) => {
+      val store = java.nio.file.Files
+        .createTempDirectory("graft_fpstore_q").toString
+      Dedup.writeFingerprintStore(
+        docs(s, d).filter(col("doc_id") % 2 === 0), store)
+      Dedup.incrementalExact(
+        docs(s, d).filter(col("doc_id") % 2 === 1), store)
+    }),
     // keeper policy: each near-dup cluster keeps its best-QUALITY
     // member (ties -> smallest id), not the min id — shares the pair
     // relation with dedup_clusters; one max_by aggregate, no window
@@ -166,6 +178,17 @@ object DedupQueries {
          |SELECT doc AS doc_id, min(root) AS cluster_id,
          |  CAST(doc = min(root) AS BIGINT) AS is_canonical
          |FROM reach GROUP BY doc""".stripMargin,
+    "dedup_incremental" ->
+      """WITH old AS (
+        |  SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+        |), nw AS (
+        |  SELECT doc_id, md5(text) AS h FROM documents
+        |  WHERE doc_id % 2 = 1
+        |), surv AS (
+        |  SELECT n.doc_id, n.h FROM nw n ANTI JOIN old o ON n.h = o.h
+        |)
+        |SELECT min(doc_id) AS doc_id, h AS text_hash
+        |FROM surv GROUP BY h""".stripMargin,
     // same component closure, keeper = best quality (DECIMAL(9,6)
     // image of the 6dp-rounded score — engine-exact ordering), ties
     // by smallest doc_id

@@ -744,6 +744,54 @@ object Dedup {
         (col("id") === col("label")).cast("long").as("is_canonical"))
   }
 
+  /** Fingerprint STORE for snapshot-incremental dedup: one row per
+    * accepted document — (text_hash md5, doc_id) — parquet-appended
+    * batch after batch. The store is the only state the incremental
+    * pass reads; the accepted corpora themselves never re-hash.
+    *
+    * ORDERING CONTRACT: PERSIST (write out, or checkpoint) an
+    * `incrementalExact` result BEFORE appending it here. Spark plans
+    * are lazy, and appending invalidates the store's cached file
+    * index, so an accepted-batch plan evaluated after the append —
+    * even a cache()d one, whose cache key is the re-analyzed plan —
+    * would anti-join against its own fingerprints and come back
+    * empty. The natural pipeline order (write accepted docs to their
+    * output table, then advance the store) satisfies this for free;
+    * CorpusSpec pins the two-batch sequence. */
+  def writeFingerprintStore(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    docs.select(md5(col(textCol)).as("text_hash"),
+        col(idCol).cast("long").as(idCol))
+      .write.mode("append").parquet(path)
+
+  /** SNAPSHOT-INCREMENTAL exact dedup — the "daily crawl increment"
+    * workflow: deduplicate a NEW batch against the persisted
+    * fingerprint store of every previously-accepted document AND
+    * within itself (keep-min-id per content hash), without ever
+    * re-hashing the accepted corpus. Call `writeFingerprintStore` on
+    * the result to advance the store; a two-batch sequence then
+    * equals the one-shot dedup of the union (spec-pinned).
+    *
+    * Scale design (100 TB): ONE hash anti-join against the store
+    * (both sides keyed on the 128-bit content hash — co-partitioned
+    * shuffle, no broadcast assumption: the store is corpus-sized) and
+    * one map-side-combined min_by for the in-batch collapse. For a
+    * hot path the store side composes with the Bloom prefilter
+    * exactly as `decontaminateBloom` (drop clean hashes before the
+    * join; the anti-join kills false positives).
+    * Output: (idCol, text_hash) of accepted docs. */
+  def incrementalExact(newDocs: DataFrame, storePath: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val store = spark.read.parquet(storePath).select(col("text_hash"))
+    val hashed = newDocs.select(col(idCol).cast("long").as(idCol),
+      md5(col(textCol)).as("text_hash"))
+    hashed.join(store, Seq("text_hash"), "left_anti")
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("text_hash"))
+  }
+
   /** CROSS-DOCUMENT exact line dedup with FIRST-OCCURRENCE retention
     * (the line-granularity exact-substring pass of "deduplicate the
     * training set, keep one copy"): every occurrence of a line EXCEPT

@@ -264,6 +264,45 @@ class CorpusSpec extends AnyFunSuite {
     assert(loose.values.forall(_ == 0L) && loose.size == 5)
   }
 
+  test("incrementalExact: two-batch sequence equals one-shot dedup") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_fpstore_t").toString
+    val batch1 = docs.filter($"doc_id" % 3 === 0)
+    val batch2 = docs.filter($"doc_id" % 3 =!= 0)
+    // batch 1 lands in an empty store (store dir with an empty frame)
+    Dedup.writeFingerprintStore(batch1.limit(0), store)
+    // the natural pipeline order (writeFingerprintStore's contract):
+    // persist the accepted batch FIRST — appending to the store
+    // invalidates the shared parquet file index, so even a cached
+    // accepted-batch plan would re-evaluate against the advanced
+    // store and come back empty
+    val acc1Dir = java.nio.file.Files
+      .createTempDirectory("graft_fpacc_t").toString
+    Dedup.incrementalExact(batch1, store)
+      .write.mode("overwrite").parquet(acc1Dir)
+    val acc1 = spark.read.parquet(acc1Dir)
+    // advance the store with batch 1's ACCEPTED docs only
+    Dedup.writeFingerprintStore(
+      batch1.join(acc1.select($"doc_id"), "doc_id"), store)
+    val acc2 = Dedup.incrementalExact(batch2, store)
+    val sequenced = acc1.select($"text_hash", $"doc_id")
+      .union(acc2.select($"text_hash", $"doc_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // one-shot twin: exact dedup of the full corpus... keep-min-id per
+    // hash, except batch-1 members win over batch-2 members (they were
+    // accepted first) — which matches global min-id iff batching by
+    // doc order; here batches interleave, so compare per-hash against
+    // the policy directly
+    val all = docs.select(md5($"text").as("h"), $"doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = all.groupBy(_._1).map { case (h, rows) =>
+      val b1 = rows.filter(_._2 % 3 == 0)
+      h -> (if (b1.nonEmpty) b1.map(_._2).min else rows.map(_._2).min)
+    }
+    assert(sequenced.length == expect.size, "one accepted doc per hash")
+    sequenced.foreach { case (h, id) => assert(expect(h) == id) }
+  }
+
   test("crossDocLineDedup keeps only global first occurrences") {
     val corpus = Seq(
       (1L, "a b c"),
