@@ -74,6 +74,28 @@ object DedupScaleBench {
     // "lsh" still builds the pairs (untimed) — previously the cc block
     // was nested under the lsh gate and a stages=...,cc request
     // without lsh silently ran nothing.
+    // deterministic training shuffle: one distributed range sort over
+    // the seeded rank — the permutation+shard step of a corpus writer
+    if (enabled("shuffle")) {
+      val (nShards, shSec) = time {
+        graft.operators.Corpus.shuffleShards(docs, seed = 42L,
+          numShards = 1024).select("shard").distinct().count()
+      }
+      println(f"[dscale] training shuffle (range sort + 1024 shards): " +
+        f"$shSec%.1fs -> $nShards shards ${n / shSec / 1e6}%.2fM docs/s")
+    }
+
+    // cross-doc first-occurrence line dedup at token granularity:
+    // ~60n line rows through one min(struct) agg + one keyed join
+    if (enabled("xdoc")) {
+      val (survivors, xdSec) = time {
+        Dedup.crossDocLineDedup(docs, sep = " ").count()
+      }
+      println(f"[dscale] cross-doc line dedup (~${60L * n / 1000000}M " +
+        f"token rows): $xdSec%.1fs -> $survivors surviving docs " +
+        f"${n / xdSec / 1e3}%.1fK docs/s")
+    }
+
     if (enabled("lsh") || enabled("cc")) {
       val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7)
       if (enabled("lsh")) {

@@ -163,6 +163,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(count(plan, "Exchange") == 0, plan)
   }
 
+  test("dedupUnits: expression-only, zero shuffles") {
+    val plan = physical(graft.operators.TextAnalysis.dedupUnits(
+      Tables.load(spark, sf, "documents")))
+    assert(count(plan, "Exchange") == 0, plan)
+  }
+
+  test("domainCap: one exchange, and it carries heap buffers not rows") {
+    val plan = physical(graft.operators.Corpus.domainCap(
+      Tables.load(spark, sf, "documents"), maxPerGroup = 10))
+    // map-side partial_graft_topk before the single source-keyed
+    // exchange: shuffle volume is domains x cap, never corpus-sized
+    assert(count(plan, "Exchange") == 1, plan)
+    assert(plan.contains("partial_graft_topk"),
+      s"per-domain cap must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no per-domain window sort allowed:\n$plan")
+  }
+
   test("column pruning: id-only projection does not read the vectors") {
     val plan = physical(
       Tables.load(spark, sf, "embeddings").select($"vec_id"))
