@@ -664,6 +664,14 @@ object CorpusQueries {
         Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.15, "fr" -> 0.1,
           "es" -> 0.05),
         budget = 200L)),
+    // mBERT/XLM-R-style alpha=0.5 temperature mixture: quotas derive
+    // from sqrt of OBSERVED stratum sizes (upsampling tail languages)
+    // in pure integer arithmetic — quota = 200*isqrt(n_g)/sum isqrt;
+    // en's raw 44% share smooths to ~30%
+    "corpus_temp_mix" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Corpus.temperatureMix(docs(s, d), budget = 200L)
+    }),
     // token-budget data selection: best-quality docs until 20k
     // tokens, via the distributed prefix sum over the quality order
     "corpus_select" -> ((s, d) =>
@@ -785,6 +793,27 @@ object CorpusQueries {
         |FROM r
         |WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
         |  WHEN 'zh' THEN 30 WHEN 'fr' THEN 20 WHEN 'es' THEN 10 END""".stripMargin,
+    "corpus_temp_mix" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), r AS (
+        |  SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS root
+        |  FROM c
+        |), t AS (
+        |  SELECT sum(root) AS total FROM r
+        |), q AS (
+        |  SELECT lang, (200 * root) // total AS quota FROM r, t
+        |), ranked AS (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id)
+        |    AS rk
+        |  FROM documents
+        |)
+        |SELECT ranked.lang, CAST(rk AS BIGINT) AS pick_rank, doc_id
+        |FROM ranked JOIN q USING (lang)
+        |WHERE rk <= quota""".stripMargin,
     "corpus_select" -> {
       val en = curateMarkersSql.toMap.apply("en")
       s"""WITH t AS (

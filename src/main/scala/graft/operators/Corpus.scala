@@ -85,6 +85,57 @@ object Corpus {
         col("id").as(idCol))
   }
 
+  /** TEMPERATURE-WEIGHTED multilingual mixture (the mBERT/XLM-R
+    * α = 0.5 exponential-smoothing sampler): per-stratum quotas
+    * proportional to the SQUARE ROOT of observed stratum sizes —
+    * upsampling tail languages relative to their raw share — drawn
+    * from a fixed document budget. Unlike `weightedMix` (explicit
+    * target weights), the weights here derive from the data itself.
+    *
+    * Exactness: quota_g = budget × isqrt(n_g) / Σ isqrt(n_j) in PURE
+    * INTEGER arithmetic (isqrt = floor(sqrt), exact in IEEE double
+    * for n < 2^50 and identical in any engine), so the quota vector —
+    * and with the portable md5 rank, the pick set — is bit-for-bit
+    * SQL-reproducible. Picks are ranked by the same 52-bit md5 prefix
+    * as `stratifiedSample`.
+    *
+    * Scale design (100 TB): stratum counts are one map-side-combined
+    * aggregate (strata rows to the driver); picks use the bounded-heap
+    * top-k per stratum — shuffle = strata × maxQuota rows, never
+    * corpus-sized; quota filtering is a broadcast join on the tiny
+    * exploded pick list. Output: (groupCol, pick_rank, id). */
+  def temperatureMix(docs: DataFrame, budget: Long,
+      groupCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val roots = counts.map { case (g, n) =>
+      (g, math.sqrt(n.toDouble).toLong) // isqrt: exact for n < 2^50
+    }
+    val totalRoot = roots.map(_._2).sum
+    require(totalRoot > 0, "empty corpus")
+    val quotas = roots.map { case (g, r) => (g, budget * r / totalRoot) }
+      .filter(_._2 > 0)
+    require(quotas.nonEmpty, "budget too small for any stratum")
+    require(quotas.map(_._2).max <= Int.MaxValue,
+      s"max stratum quota exceeds Int.MaxValue")
+    val kMax = quotas.map(_._2).max.toInt
+    val quotaDf = broadcast(quotas.toSeq.toDF(groupCol, "_quota"))
+    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("double")
+    docs.filter(col(groupCol).isin(quotas.map(_._1).toSeq: _*))
+      .select(col(groupCol), col(idCol).as("id"), rank.as("rk"))
+      .groupBy(col(groupCol))
+      .agg(GraftFunctions.topK(kMax, col("rk"), col("id")).as("picks"))
+      .select(col(groupCol), posexplode(col("picks.id")).as(Seq("pos", "id")))
+      .join(quotaDf, groupCol)
+      .filter(col("pos") < col("_quota"))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("pick_rank"),
+        col("id").as(idCol))
+  }
+
   /** CONTRASTIVE NEGATIVE SAMPLING for embedding-training data prep:
     * for each query row, `m` deterministic negatives drawn from a
     * fixed candidate pool, excluding candidates that share the query's

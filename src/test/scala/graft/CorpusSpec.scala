@@ -264,6 +264,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(loose.values.forall(_ == 0L) && loose.size == 5)
   }
 
+  test("temperatureMix: sqrt quotas smooth the head, picks portable") {
+    val budget = 200L
+    val got = Corpus.temperatureMix(docs, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val counts = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer-exact quota twin
+    val roots = counts.toSeq.sortBy(_._1)
+      .map { case (g, n) => g -> math.sqrt(n.toDouble).toLong }
+    val total = roots.map(_._2).sum
+    val quota = roots.map { case (g, r) => g -> budget * r / total }.toMap
+    got.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.length == math.min(quota(g), counts(g)),
+        s"$g quota ${quota(g)}")
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // the head language's share shrinks vs its raw share (alpha < 1)
+    val enRaw = counts("en").toDouble / counts.values.sum
+    val enMix = got.count(_._1 == "en").toDouble / got.length
+    assert(enMix < enRaw, s"en share must smooth: $enMix vs $enRaw")
+    // picks are the md5-rank prefix per stratum (same rank as
+    // stratifiedSample — spot-check against it)
+    val strat = Corpus.stratifiedSample(docs, "lang", k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    strat.foreach { case (g, id) =>
+      assert(got.exists(t => t._1 == g && t._3 == id),
+        s"top-5 md5 pick ($g,$id) missing from the larger quota")
+    }
+  }
+
   test("incrementalExact: two-batch sequence equals one-shot dedup") {
     val store = java.nio.file.Files
       .createTempDirectory("graft_fpstore_t").toString
