@@ -1453,6 +1453,25 @@ object AnnQueries {
           nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // index MAINTENANCE under the full oracle: write the clustered
+    // layout, DELETE a planted id set in place (touched-cell rewrite,
+    // frozen centroids), then serve — the oracle searches the
+    // survivor rows against the ORIGINAL fixed centroid table, so a
+    // deletion that leaked a row, dropped a cell wrongly, or
+    // disturbed an untouched cell flips the hash
+    "ann_ivf_delete" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_del").toString
+      AnnIvf.writeIndex(AnnIvf.index(data, centroids), tmp)
+      AnnIvf.deleteFromIndex(s, tmp,
+        data.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
+      AnnIvf.searchPersisted(s, tmp, centroids, queriesDf(s, d), K,
+          nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // query-time FILTERED serving from a SHARED index — the 100-TB
     // form of the reference's core scenario (many rating filters, one
     // corpus): the clustered index holds ALL rows (no label filter
@@ -1586,17 +1605,22 @@ object AnnQueries {
     * sign-mismatch count); coarse assignment and probe selection stay
     * sqeuclidean — the standard binary-IVF shape, mirroring the
     * engine's float coarse quantizer over sign-packed fine vectors. */
-  private def ivfFixedSql(mod: Int, fine: String = sqdistZ): String =
+  // `survivors` restricts the ASSIGNED/SEARCHED rows without touching
+  // the centroid table (ann_ivf_delete: deletion never retrains)
+  private def ivfFixedSql(mod: Int, fine: String = sqdistZ,
+      survivors: String = "TRUE"): String =
     s"""WITH q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  WHERE vec_id % 50 = 0
-       |), d AS (
+       |), d0 AS (
        |  SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id % 50 <> 0 AND label <> 3
        |), c AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
        |    embedding AS ce
-       |  FROM d WHERE vec_id % $mod = 7
+       |  FROM d0 WHERE vec_id % $mod = 7
+       |), d AS (
+       |  SELECT * FROM d0 WHERE $survivors
        |), ad AS (
          |  SELECT d.vec_id, d.embedding, c.cid,
          |    (SELECT $sqdistZ
@@ -1716,6 +1740,9 @@ object AnnQueries {
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
     "ann_ivf_persist" -> ivfFixedSql(311),
+    // survivors only; centroids stay the pre-deletion table
+    "ann_ivf_delete" -> ivfFixedSql(311,
+      survivors = "vec_id % 7 <> 3"),
     "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_ivf_serve_bigq" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),

@@ -227,6 +227,58 @@ object AnnIvf {
       .repartition(col("cid")) // one file per touched cell per batch
       .write.mode("append").partitionBy("cid").parquet(path)
 
+  /** TARGETED DELETION from the persisted clustered index — the
+    * retraction / right-to-be-forgotten maintenance op, the inverse
+    * of `appendToIndex`: remove the given ids and rewrite ONLY the
+    * touched cells' partitions. Untouched cell directories keep their
+    * files byte-identical, so probes, pruning, and the layout
+    * contract are unchanged; centroids are NOT retrained (as in any
+    * IVF system — re-train offline when drift warrants).
+    *
+    * Scale design: the deletion batch is small by nature, so it
+    * BROADCASTS into (1) one column-pruned (cid, id) scan that finds
+    * the touched cells and (2) the anti-join over only those cells'
+    * rows. The survivors are localCheckpointed before the write —
+    * Spark refuses a plan that overwrites the path it reads — and
+    * written with DYNAMIC partition overwrite, so only touched cid
+    * directories are replaced. A cell whose every row is deleted
+    * writes no partition under dynamic overwrite; its now-stale
+    * directory is removed explicitly through the Hadoop FileSystem.
+    * Returns the number of rows deleted. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Long = {
+    val del = ids.select(col(idCol).cast("long").as(idCol))
+    val touched = spark.read.parquet(path)
+      .select(col("cid"), col(idCol))
+      .join(broadcast(del), idCol)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_del"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (touched.isEmpty) return 0L
+    val touchedCids = touched.map(_._1).toSeq
+    val survivors = spark.read.parquet(path)
+      .filter(col("cid").isin(touchedCids: _*))
+      .join(broadcast(del), Seq(idCol), "left_anti")
+      .localCheckpoint() // sever the read-path before the overwrite
+    val aliveCids = survivors.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try survivors.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    touchedCids.filterNot(aliveCids).foreach { cid =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
+      dir.getFileSystem(conf).delete(dir, true)
+    }
+    touched.map(_._2).sum
+  }
+
   /** Search the persisted clustered index: the probed-cell filter is a
     * partition-column predicate, so Catalyst prunes unprobed cell
     * directories at planning time (PartitionFilters in the scan —

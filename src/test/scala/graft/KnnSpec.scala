@@ -332,6 +332,57 @@ class KnnSpec extends AnyFunSuite {
     assert(incr == rebuilt && incr.nonEmpty)
   }
 
+  test("deleteFromIndex: touched-cell rewrite equals a filtered rebuild") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_del").toString
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmp/idx")
+    // untouched cells must keep their exact files: snapshot first
+    def cellFiles(): Map[String, Long] = {
+      val base = new java.io.File(s"$tmp/idx")
+      base.listFiles().filter(_.getName.startsWith("cid="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())).toMap
+    }
+    val before = cellFiles()
+    // delete one whole cell plus a scattered id set — snapshot every
+    // pre-deletion fact LOCALLY first (a lazy reader over the index
+    // path would see the post-delete file listing and fail)
+    val pre = spark.read.parquet(s"$tmp/idx")
+      .select($"vec_id", $"cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val someCell = pre.groupBy(_._2).toSeq
+      .sortBy { case (cid, rows) => (rows.length, cid) }.head._1
+    val delSet = (pre.filter(_._2 == someCell).map(_._1) ++
+      pre.map(_._1).filter(_ % 13 == 1)).toSet
+    import spark.implicits._
+    val delIds = delSet.toSeq.toDF("vec_id")
+    val nDel = AnnIvf.deleteFromIndex(spark, s"$tmp/idx", delIds)
+    assert(nDel == delSet.size)
+    // the emptied cell's directory is gone
+    assert(!new java.io.File(s"$tmp/idx/cid=$someCell").exists())
+    // untouched cells: byte-identical files (same paths, same mtimes)
+    val after = cellFiles()
+    val touched = pre.filter(t => delSet.contains(t._1)).map(_._2).toSet
+    before.foreach { case (p, ts) =>
+      val cid = p.split("cid=")(1).split("/")(0).toInt
+      if (!touched.contains(cid))
+        assert(after.get(p).contains(ts), s"untouched cell file churned: $p")
+    }
+    // serving equality with an index rebuilt from the survivor rows
+    // under the SAME (frozen) centroids
+    val survivors = filtered.filter(!$"vec_id".isin(delSet.toSeq: _*))
+    val served = asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 4))
+    val rebuilt = asTuples(AnnIvf.search(
+      AnnIvf.index(survivors, centroids), centroids, queries, 10,
+      nprobe = 4))
+    assert(served == rebuilt && served.nonEmpty)
+    // deleting ids absent from the index is a no-op
+    assert(AnnIvf.deleteFromIndex(spark, s"$tmp/idx",
+      spark.range(1).select(($"id" + 99999999L).as("vec_id"))) == 0L)
+  }
+
   test("streaming index refresh: appended micro-batches become searchable") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
