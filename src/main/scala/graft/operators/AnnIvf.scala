@@ -244,7 +244,12 @@ object AnnIvf {
     * directories are replaced. A cell whose every row is deleted
     * writes no partition under dynamic overwrite; its now-stale
     * directory is removed explicitly through the Hadoop FileSystem.
-    * Returns the number of rows deleted. */
+    * Returns the number of rows deleted.
+    *
+    * Layout-generic: only (cid, idCol) are touched and whole rows are
+    * rewritten, so the same call maintains ANY partitionBy(cid) table
+    * carrying the id — the IVF-PQ code table included (pinned in
+    * PqSpec). */
   def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "vec_id"): Long = {
     val del = ids.select(col(idCol).cast("long").as(idCol))

@@ -95,6 +95,30 @@ class PqSpec extends AnyFunSuite {
     assert(rec >= 0.1, s"pruned IVF-PQ recall $rec")
   }
 
+  test("deleteFromIndex works verbatim on the PQ code table") {
+    // AnnIvf.deleteFromIndex is layout-generic: any partitionBy(cid)
+    // table carrying the id column — the compressed tier included
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_del").toString
+    val centroids = graft.operators.AnnIvf.train(data, numCentroids = 8,
+      iterations = 2)
+    Pq.writeIvfPqIndex(data, centroids, cb, s"$tmp/idx")
+    val delSet = data.select($"vec_id").collect().map(_.getLong(0))
+      .filter(_ % 17 == 2).toSet
+    val nDel = graft.operators.AnnIvf.deleteFromIndex(spark, s"$tmp/idx",
+      delSet.toSeq.toDF("vec_id"))
+    assert(nDel == delSet.size)
+    val served = Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids,
+        cb, queries, k = 10, nprobe = 8)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val survivors = data.filter(!$"vec_id".isin(delSet.toSeq: _*))
+    val rebuilt = Pq.searchAdc(Pq.encode(survivors, cb), cb, queries,
+        k = 10)
+      .select($"qid", $"rank", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("chunked ADC search is bit-identical to the one-shot path") {
     val codes = Pq.encode(data, cb).cache()
     def tuples(df: org.apache.spark.sql.DataFrame) =
