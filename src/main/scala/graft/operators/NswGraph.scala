@@ -328,6 +328,55 @@ object NswGraph {
       .partitionBy("cid").parquet(path)
   }
 
+  /** Deletion parity for the GRAPH tier (`AnnIvf.deleteFromIndex`'s
+    * counterpart): a cell's adjacency references its members, so
+    * removing ids REBUILDS the touched cells' graphs over the
+    * survivors — the append path's machinery minus the new rows. The
+    * graph for a cell is a pure function of its row set (id-sorted
+    * insert order), so the rebuilt cells are bit-identical to a full
+    * rebuild from the filtered corpus; untouched cell graphs keep
+    * their files. Pass the base build's (m, efConstruction, metric) —
+    * the same parity contract as `appendToGraphIndex`. A cell whose
+    * every member is deleted writes no partition under the dynamic
+    * overwrite; its stale directory is removed through the Hadoop
+    * FileSystem. Returns the number of rows deleted. */
+  def deleteFromGraphIndex(spark: SparkSession, path: String,
+      ids: DataFrame, m: Int = 8, efConstruction: Int = 64,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id"): Long = {
+    import spark.implicits._
+    val del = ids.select(col(idCol).cast("long").as(idCol))
+    val touched = spark.read.parquet(path)
+      .select(col("cid"), explode(col("ids")).as(idCol))
+      .join(broadcast(del), idCol)
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    if (touched.isEmpty) return 0L
+    val touchedCids = touched.map(_._1).toSeq
+    val delSet = del.as[Long].collect().toSet
+    val bc = spark.sparkContext.broadcast(delSet)
+    val survivors = readGraphIndex(spark, path)
+      .filter(col("cid").isin(touchedCids: _*))
+      .flatMap(g => g.ids.zip(g.vecs).collect {
+        case (id, v) if !bc.value.contains(id) => (id, v, g.cid)
+      })
+      .toDF(idCol, "embedding", "cid")
+    val rebuilt = buildIndex(survivors, m, efConstruction, metric,
+        idCol, "embedding")
+      .localCheckpoint() // sever the read-path before the overwrite
+    val alive = rebuilt.select(col("cid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    rebuilt.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    touchedCids.filterNot(alive).foreach { cid =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
+      dir.getFileSystem(conf).delete(dir, true)
+    }
+    touched.map(_._2).sum
+  }
+
   /** Persist / reload the graph index. One parquet partition directory
     * per cell, so `searchIndex` over a reloaded index prunes unprobed
     * cells at the file level — build offline once, serve online. */

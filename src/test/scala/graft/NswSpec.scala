@@ -153,6 +153,43 @@ class NswSpec extends AnyFunSuite {
     assert(appended == rebuilt && appended.nonEmpty)
   }
 
+  test("graph deletion: touched cells rebuild bit-equal, empties vanish") {
+    import spark.implicits._
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val indexed = graft.operators.AnnIvf.index(data, centroids)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gdel").toString
+    NswGraph.writeGraphIndex(
+      NswGraph.buildIndex(indexed, m = 8, efConstruction = 32),
+      s"$tmp/gidx")
+    // snapshot pre-deletion membership locally (lazy readers over the
+    // path would see the post-delete listing)
+    val pre = indexed.select($"vec_id", $"cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    val emptyCell = pre.groupBy(_._2).toSeq
+      .sortBy { case (cid, rows) => (rows.length, cid) }.head._1
+    val delSet = (pre.filter(_._2 == emptyCell).map(_._1) ++
+      pre.map(_._1).filter(_ % 13 == 1)).toSet
+    val nDel = NswGraph.deleteFromGraphIndex(spark, s"$tmp/gidx",
+      delSet.toSeq.toDF("vec_id"), m = 8, efConstruction = 32)
+    assert(nDel == delSet.size)
+    assert(!new java.io.File(s"$tmp/gidx/cid=$emptyCell").exists())
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the graph per cell is a pure function of its row set, so the
+    // deleted layout must serve bit-identically to a full rebuild
+    // over the survivors
+    val served = tuples(NswGraph.searchIndex(
+      NswGraph.readGraphIndex(spark, s"$tmp/gidx"), centroids, queries,
+      10, nprobe = 4, efSearch = 64))
+    val survivors = data.filter(!$"vec_id".isin(delSet.toSeq: _*))
+    val rebuilt = tuples(NswGraph.searchIndex(
+      NswGraph.buildIndex(graft.operators.AnnIvf.index(survivors,
+        centroids), m = 8, efConstruction = 32),
+      centroids, queries, 10, nprobe = 4, efSearch = 64))
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("recall rises with efSearch (knob direction)") {
     val lo = recallOf(NswGraph.search(
       data.repartition(2), queries, 10, m = 8, efSearch = 10))
