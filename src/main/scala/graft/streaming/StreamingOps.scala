@@ -293,6 +293,25 @@ object StreamingOps {
     * data table with the exact k-NN operator and the ranked results
     * appended to `outPath`. Stateless per-batch — no watermark needed
     * (queries are independent lookups). */
+  /** Streaming RETRACTION — `streamingIndexAppend`'s inverse: each
+    * micro-batch of ids is deleted from the persisted clustered
+    * layout in place (touched-cell rewrite, frozen quantizer —
+    * `AnnIvf.deleteFromIndex`, which also maintains the IVF-PQ code
+    * table). The GDPR/takedown stream of a serving system: deletions
+    * become visible to `searchPersisted` at micro-batch granularity,
+    * exactly as appends do. */
+  def streamingIndexDelete(idStream: DataFrame, indexPath: String,
+      idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    idStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.AnnIvf.deleteFromIndex(batch.sparkSession,
+            indexPath, batch, idCol)
+        ()
+      }
+      .start()
+
   def streamingKnn(queryStream: DataFrame, staticData: DataFrame,
       k: Int, outPath: String): org.apache.spark.sql.streaming.StreamingQuery =
     queryStream.writeStream
