@@ -1453,6 +1453,25 @@ object AnnQueries {
           nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the full index LIFECYCLE under the oracle: build -> append (one
+    // extra file per touched cell) -> compact (back to one file per
+    // cell) -> stats. The per-cell rows/id-ranges replay the fixed
+    // assignment in SQL; n_files == 1 is the compaction postcondition
+    // (writeIndex starts at one file per cell, the append adds a
+    // second to touched cells, compact folds them back)
+    "ann_ivf_stats" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_st").toString
+      AnnIvf.writeIndex(
+        AnnIvf.index(data.filter(col("vec_id") % 3 =!= 0), centroids), tmp)
+      AnnIvf.appendToIndex(data.filter(col("vec_id") % 3 === 0),
+        centroids, tmp)
+      AnnIvf.compactIndex(s, tmp)
+      AnnIvf.indexStats(s, tmp)
+    }),
     // index MAINTENANCE under the full oracle: write the clustered
     // layout, DELETE a planted id set in place (touched-cell rewrite,
     // frozen centroids), then serve — the oracle searches the
@@ -1743,6 +1762,32 @@ object AnnQueries {
     // survivors only; centroids stay the pre-deletion table
     "ann_ivf_delete" -> ivfFixedSql(311,
       survivors = "vec_id % 7 <> 3"),
+    // per-cell rows/id-ranges from the fixed assignment; n_files = 1
+    // is the physical compaction postcondition
+    "ann_ivf_stats" ->
+      s"""WITH d0 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+         |    AS cid, embedding AS ce
+         |  FROM d0 WHERE vec_id % 311 = 7
+         |), ad AS (
+         |  SELECT d0.vec_id, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d0.embedding) AS a, unnest(c.ce) AS b) z)
+         |    AS dst
+         |  FROM d0 CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |)
+         |SELECT CAST(cid AS BIGINT) AS cid, count(*) AS n_rows,
+         |  min(vec_id) AS min_id, max(vec_id) AS max_id,
+         |  CAST(1 AS BIGINT) AS n_files
+         |FROM assign GROUP BY cid""".stripMargin,
     "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_ivf_serve_bigq" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),

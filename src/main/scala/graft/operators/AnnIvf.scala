@@ -284,6 +284,74 @@ object AnnIvf {
     touched.map(_._2).sum
   }
 
+  /** COMPACTION for the persisted clustered layout — the small-files
+    * lifecycle step: every `appendToIndex` batch adds one file per
+    * touched cell, so a long-lived streaming refresh accumulates many
+    * small files per cell directory and scan/listing cost creeps up.
+    * Rewrites cells holding at least `minFiles` files back to one
+    * file each (dynamic partition overwrite — cells below the
+    * threshold keep their files byte-identical). Row content is
+    * unchanged; search results are identical by construction. Like
+    * `deleteFromIndex`, this is layout-generic over any
+    * partitionBy(cid) table (PQ code table included). Returns the
+    * number of cells compacted. */
+  def compactIndex(spark: SparkSession, path: String,
+      minFiles: Int = 2): Long = {
+    require(minFiles >= 2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    val crowded = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .filter { d =>
+        fs.listStatus(d.getPath)
+          .count(f => f.getPath.getName.endsWith(".parquet")) >= minFiles
+      }
+      .map(_.getPath.getName.stripPrefix("cid=").toInt)
+    if (crowded.isEmpty) return 0L
+    val rows = spark.read.parquet(path)
+      .filter(col("cid").isin(crowded: _*))
+      .localCheckpoint() // sever the read-path before the overwrite
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try rows.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    crowded.length.toLong
+  }
+
+  /** Observability for the persisted layout: per-cell row counts and
+    * id ranges (one column-pruned scan — vectors never read) plus the
+    * per-cell FILE count from the FileSystem listing. The numbers
+    * that drive the maintenance decisions: file count → compact, row
+    * skew → re-train, id ranges → audit appends/deletions. */
+  def indexStats(spark: SparkSession, path: String,
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(conf)
+    val files = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+      .map { d =>
+        (d.getPath.getName.stripPrefix("cid=").toInt,
+          fs.listStatus(d.getPath)
+            .count(_.getPath.getName.endsWith(".parquet")).toLong)
+      }.toDF("cid", "n_files")
+    spark.read.parquet(path)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .join(files, "cid")
+      .select(col("cid").cast("long").as("cid"), col("n_rows"),
+        col("min_id"), col("max_id"), col("n_files"))
+  }
+
   /** Search the persisted clustered index: the probed-cell filter is a
     * partition-column predicate, so Catalyst prunes unprobed cell
     * directories at planning time (PartitionFilters in the scan —

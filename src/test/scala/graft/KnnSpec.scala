@@ -383,6 +383,48 @@ class KnnSpec extends AnyFunSuite {
       spark.range(1).select(($"id" + 99999999L).as("vec_id"))) == 0L)
   }
 
+  test("compactIndex folds append files; stats report the layout") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cmp").toString
+    AnnIvf.writeIndex(
+      AnnIvf.index(filtered.filter($"vec_id" % 3 =!= 0), centroids),
+      s"$tmp/idx")
+    AnnIvf.appendToIndex(filtered.filter($"vec_id" % 3 === 0), centroids,
+      s"$tmp/idx")
+    def fileCounts(): Map[Int, Int] = {
+      val base = new java.io.File(s"$tmp/idx")
+      base.listFiles().filter(_.getName.startsWith("cid="))
+        .map(d => d.getName.stripPrefix("cid=").toInt ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val preCompact = fileCounts()
+    assert(preCompact.values.exists(_ >= 2), "append must add files")
+    val preServe = asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 8))
+    val nCompacted = AnnIvf.compactIndex(spark, s"$tmp/idx")
+    assert(nCompacted == preCompact.count(_._2 >= 2))
+    val post = fileCounts()
+    assert(post.values.forall(_ == 1), s"cells not folded: $post")
+    // compaction changes bytes, never rows: serving identical
+    assert(asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 8)) == preServe)
+    // idempotent: nothing crowded remains
+    assert(AnnIvf.compactIndex(spark, s"$tmp/idx") == 0L)
+    // stats: per-cell rows match a direct recount; files all 1
+    val stats = AnnIvf.indexStats(spark, s"$tmp/idx").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    val direct = spark.read.parquet(s"$tmp/idx")
+      .groupBy($"cid").agg(count(lit(1)), min($"vec_id"), max($"vec_id"))
+      .collect().map(r => r.getInt(0).toLong ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stats.keySet == direct.keySet)
+    stats.foreach { case (cid, (n, lo, hi, nf)) =>
+      assert((n, lo, hi) == direct(cid) && nf == 1L)
+    }
+  }
+
   test("streaming index refresh: appended micro-batches become searchable") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
