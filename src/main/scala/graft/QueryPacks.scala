@@ -389,6 +389,11 @@ object TextQueries {
     "text_tfidf" -> ((s, d) =>
       TextAnalysis.tfIdfTopTerms(docs(s, d), topK = 5,
         docFilter = col("doc_id") % 25 === 0)),
+    // tokenizer-coverage profiling: UNK rate per doc against the
+    // top-100 corpus vocabulary (occurrence desc, token tie-break) —
+    // the closed-vocab coverage a tokenizer of that size would get
+    "text_oov_rate" -> ((s, d) =>
+      TextAnalysis.oovRate(docs(s, d), vocabSize = 100)),
     // corpus-wide vocabulary heavy hitters: top-50 tokens by
     // occurrence (vocab/tokenizer construction, stopword discovery);
     // two map-side-combined aggregates + TakeOrderedAndProject
@@ -562,6 +567,24 @@ object TextQueries {
         |SELECT a.doc_id, a.text,
         |  CAST(t.n_total - a.n_uniq AS BIGINT) AS n_removed
         |FROM agg a JOIN tot t USING (doc_id)""".stripMargin,
+    // the 100-cut is deterministic: occurrence desc + term tie-break
+    "text_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT term FROM (
+        |    SELECT term, count(*) AS n_occ FROM toks GROUP BY term
+        |    ORDER BY n_occ DESC, term LIMIT 100)
+        |), j AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v USING (term)
+        |)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(oov) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY doc_id""".stripMargin,
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         |g1 AS (SELECT doc_id, 1 AS k, unnest(l) AS g FROM tok),

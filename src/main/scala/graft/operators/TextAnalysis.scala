@@ -219,6 +219,40 @@ object TextAnalysis {
       .select(col("rank"), col("term"), col("n_occ"), col("n_docs"))
   }
 
+  /** OOV / UNK-RATE profiling — tokenizer-coverage analysis: build
+    * the top-`vocabSize` corpus vocabulary (occurrence-desc, token
+    * tie-break — `vocabTopK`'s ordering) and report each document's
+    * fraction of token OCCURRENCES falling outside it: the UNK rate a
+    * closed-vocab tokenizer of that size would hit. High-OOV docs are
+    * noise/other-language candidates; the corpus-level mean drives
+    * the vocab-size decision.
+    *
+    * Scale design (100 TB): counts are one map-side-combined
+    * aggregate; the top-N cut is TakeOrderedAndProject (per-partition
+    * heaps, N rows to the driver); the vocab then BROADCASTS into the
+    * per-doc membership count — the corpus-sized token relation never
+    * shuffles. One more per-doc aggregate closes it.
+    * Output: (idCol, n_tokens, n_oov, oov_rate rounded 6dp). */
+  def oovRate(docs: DataFrame, vocabSize: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0)
+    val toks = docs.select(col(idCol),
+      explode(whitespaceTokens(col(textCol))).as("term"))
+    val vocab = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("term"))
+      .limit(vocabSize)
+      .select(col("term"))
+    toks.join(broadcast(vocab).withColumn("_in", lit(1)),
+        Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(idCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+  }
+
   /** PII REDACTION — the scrubbing pass every published pretraining
     * pipeline runs before training: emails, IPv4 addresses, and long
     * digit runs (phone/account numbers) are replaced with typed

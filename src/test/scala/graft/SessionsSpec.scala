@@ -122,6 +122,22 @@ class SessionsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, "a", 3L, 2L), (2L, "b", 2L, 2L)))
   }
 
+  test("oovRate counts occurrences outside the top-N vocabulary") {
+    val docs = Seq(
+      (1L, "a a b x"),   // vocab {a, b}: 'x' oov -> 1/4
+      (2L, "a c c b"),   // 'c' ties 'b' at 2 but loses the 100-cut? k=2
+      (3L, "y z")        // fully oov
+    ).toDF("doc_id", "text")
+    // counts: a=3, c=2, b=2, x=1, y=1, z=1; top-2 = a (3), b (tie 2,
+    // term asc beats c)
+    val got = TextAnalysis.oovRate(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25)))
+    assert(got(2L) == ((4L, 2L, 0.5)))   // both c occurrences oov
+    assert(got(3L) == ((2L, 2L, 1.0)))
+  }
+
   test("asof null payload field does not blend with an older right row") {
     // right at t=10 has (a=1); right at t=20 has (a=null, b=9); the
     // carried payload must be the t=20 ROW — a=null, not a=1
