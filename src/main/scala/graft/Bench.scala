@@ -80,7 +80,11 @@ object Bench {
       "orc_roundtrip",
       // dedup_keep_best: dedup_clusters' component closure plus one
       // max_by aggregate — the closure cost is already measured there
-      "dedup_keep_best")
+      "dedup_keep_best",
+      // dedup_lsh_persist: dedup_minhash_lsh's persist twin (same
+      // signature/band/verify compute + temp-dir parquet IO) — the
+      // ann_ivf_persist exclusion policy applies verbatim
+      "dedup_lsh_persist")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {
         case Some(set) => set.contains(n) // explicit ONLY wins

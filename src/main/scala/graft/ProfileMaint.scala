@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.AnnIvf
+
+/** Wall-clock for the persisted-index MAINTENANCE ops at serving
+  * scale: build a clustered index over n synthetic vectors, then time
+  * append (one micro-batch), compact (fold the append files), delete
+  * (a retraction batch), and stats — the lifecycle a long-lived
+  * serving deployment runs continuously. The claim under test: every
+  * op touches ONLY the cells its batch lands in, so cost tracks the
+  * batch (cells touched × cell size), not the corpus.
+  *
+  * Usage: runMain graft.ProfileMaint [n] [cells] [batch]
+  * (SPARK_DRIVER_MEM=48g for the 5M point, like ScaleBench.)
+  */
+object ProfileMaint {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(5000000)
+    val cells = args.lift(1).map(_.toInt).getOrElse(2048)
+    val batch = args.lift(2).map(_.toInt).getOrElse(50000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pmaint] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2fs")
+      r
+    }
+
+    val dim = 64
+    val vecs = SynthData.mixtureVectors(spark, n, "vec_id", "embedding",
+        dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    vecs.count()
+    val base = vecs.filter($"vec_id" % 100 =!= 7) // hold out the append batch
+    val appendBatch = vecs.filter($"vec_id" % 100 === 7)
+      .limit(batch).cache()
+    val nAppend = appendBatch.count()
+
+    val centroids = time(s"train ($cells cells)") {
+      val c = AnnIvf.train(base.sample(math.min(1.0, 200000.0 / n), 42),
+        numCentroids = cells, iterations = 2).cache()
+      c.count(); c
+    }
+    // two-level assignment past 512 cells, like ScaleBench (and the
+    // same parity contract for the append batch)
+    val supers =
+      if (cells >= 512) Some(AnnIvf.trainSupers(centroids).cache())
+      else None
+    supers.foreach(_.count())
+    def assigned(df: org.apache.spark.sql.DataFrame) =
+      supers.fold(AnnIvf.index(df, centroids))(sup =>
+        AnnIvf.indexTwoLevel(df, sup, centroids))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_maint").toString
+    time(s"build + clustered write ($n rows)") {
+      AnnIvf.writeIndex(assigned(base), s"$tmp/idx")
+    }
+    time(f"append ($nAppend rows)") {
+      AnnIvf.appendToIndex(appendBatch, centroids, s"$tmp/idx",
+        supers = supers)
+    }
+    val folded = time("compact (touched cells only)") {
+      AnnIvf.compactIndex(spark, s"$tmp/idx")
+    }
+    println(s"[pmaint]   cells folded: $folded")
+    val delIds = appendBatch.select($"vec_id").cache()
+    delIds.count()
+    val nDel = time(f"delete ($nAppend ids, touched-cell rewrite)") {
+      AnnIvf.deleteFromIndex(spark, s"$tmp/idx", delIds)
+    }
+    println(s"[pmaint]   rows deleted: $nDel")
+    val stats = time("stats (column-pruned scan + FS listing)") {
+      AnnIvf.indexStats(spark, s"$tmp/idx")
+        .agg(sum($"n_rows"), max($"n_files"), count(lit(1))).head()
+    }
+    println(s"[pmaint]   rows=${stats.getLong(0)} maxFiles=${stats.getLong(1)} " +
+      s"cells=${stats.getLong(2)}")
+    spark.stop()
+  }
+}
