@@ -73,12 +73,27 @@ object ProfileMaint {
       AnnIvf.compactIndex(spark, s"$tmp/idx")
     }
     println(s"[pmaint]   cells folded: $folded")
+    // LOCALIZED retraction first (the realistic shape — one source's
+    // docs cluster into few cells): every id of the 20 smallest cells.
+    // Cost must track the touched fraction, not the corpus.
+    val localCells = spark.read.parquet(s"$tmp/idx")
+      .groupBy($"cid").count().orderBy($"count", $"cid")
+      .limit(20).collect().map(_.getInt(0))
+    val localIds = spark.read.parquet(s"$tmp/idx")
+      .filter($"cid".isin(localCells.toSeq: _*)).select($"vec_id").cache()
+    val nLocal = localIds.count()
+    val nDelL = time(f"delete localized ($nLocal ids, 20 cells)") {
+      AnnIvf.deleteFromIndex(spark, s"$tmp/idx", localIds)
+    }
+    println(s"[pmaint]   rows deleted (localized): $nDelL")
+    // then the SPREAD worst case: a uniform batch touches ~every cell,
+    // so the rewrite degenerates to corpus-sized — the honest bound
     val delIds = appendBatch.select($"vec_id").cache()
     delIds.count()
-    val nDel = time(f"delete ($nAppend ids, touched-cell rewrite)") {
+    val nDel = time(f"delete spread ($nAppend ids, ~all cells)") {
       AnnIvf.deleteFromIndex(spark, s"$tmp/idx", delIds)
     }
-    println(s"[pmaint]   rows deleted: $nDel")
+    println(s"[pmaint]   rows deleted (spread): $nDel")
     val stats = time("stats (column-pruned scan + FS listing)") {
       AnnIvf.indexStats(spark, s"$tmp/idx")
         .agg(sum($"n_rows"), max($"n_files"), count(lit(1))).head()

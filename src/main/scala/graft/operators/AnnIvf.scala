@@ -249,12 +249,26 @@ object AnnIvf {
     * Layout-generic: only (cid, idCol) are touched and whole rows are
     * rewritten, so the same call maintains ANY partitionBy(cid) table
     * carrying the id — the IVF-PQ code table included (pinned in
-    * PqSpec). */
+    * PqSpec).
+    *
+    * If `ids` carries a `cid` column (a retraction feed that kept the
+    * assignment, or ids re-assigned through the frozen quantizer —
+    * cells are a pure function of the vector), the touched-cell
+    * discovery skips the corpus-wide (cid, id) scan and reads ONLY
+    * the named cells' partitions: the whole delete then costs
+    * touched-fraction × corpus, with no full-scan floor. */
   def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "vec_id"): Long = {
     val del = ids.select(col(idCol).cast("long").as(idCol))
-    val touched = spark.read.parquet(path)
-      .select(col("cid"), col(idCol))
+    val touched = (if (ids.columns.contains("cid")) {
+      val cids = ids.select(col("cid").cast("int")).distinct()
+        .collect().map(_.getInt(0))
+      spark.read.parquet(path)
+        .filter(col("cid").isin(cids.toSeq: _*)) // partition-pruned
+        .select(col("cid"), col(idCol))
+    } else {
+      spark.read.parquet(path).select(col("cid"), col(idCol))
+    })
       .join(broadcast(del), idCol)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_del"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))

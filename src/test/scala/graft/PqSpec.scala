@@ -104,8 +104,16 @@ class PqSpec extends AnyFunSuite {
     Pq.writeIvfPqIndex(data, centroids, cb, s"$tmp/idx")
     val delSet = data.select($"vec_id").collect().map(_.getLong(0))
       .filter(_ % 17 == 2).toSet
+    // exercise the cid-HINT path: the retraction feed carries each
+    // id's cell, so discovery prunes to the named partitions instead
+    // of scanning the corpus-wide (cid, id) relation
+    val delWithCid = spark.read.parquet(s"$tmp/idx")
+      .filter($"vec_id".isin(delSet.toSeq: _*))
+      .select($"vec_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      .toDF("vec_id", "cid")
     val nDel = graft.operators.AnnIvf.deleteFromIndex(spark, s"$tmp/idx",
-      delSet.toSeq.toDF("vec_id"))
+      delWithCid)
     assert(nDel == delSet.size)
     val served = Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids,
         cb, queries, k = 10, nprobe = 8)
