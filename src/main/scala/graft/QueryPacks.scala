@@ -687,6 +687,24 @@ object CorpusQueries {
         Map("en" -> 0.5, "de" -> 0.2, "zh" -> 0.15, "fr" -> 0.1,
           "es" -> 0.05),
         budget = 200L)),
+    // chunk-embed-POOL: fixed token windows, 16-dim embeddings with
+    // INT-VALUED cells (hash % 256 - 128 as float), one VectorSum
+    // hash aggregate per doc, mean per dim — integer-valued sums make
+    // the double arithmetic engine-exact; emitted per-dim as ppm ints
+    "corpus_pool" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val chunks = Corpus.chunkDocs(docs(s, d), chunkTokens = 40,
+          stride = 32)
+        .select(col("doc_id"),
+          transform(Ingest.portableHashInts(col("chunk_text"), 16),
+            h => (pmod(h, lit(256)) - 128).cast("float")).as("emb"))
+      Corpus.meanPoolEmbeddings(chunks)
+        .select(col("doc_id"), posexplode(col("doc_embedding"))
+          .as(Seq("dim", "v")), col("n_chunks"))
+        .select(col("doc_id"), col("dim").cast("long").as("dim"),
+          floor(col("v") * 1e6 + 0.5).cast("long").as("pooled_ppm"),
+          col("n_chunks"))
+    }),
     // mBERT/XLM-R-style alpha=0.5 temperature mixture: quotas derive
     // from sqrt of OBSERVED stratum sizes (upsampling tail languages)
     // in pure integer arithmetic — quota = 200*isqrt(n_g)/sum isqrt;
@@ -816,6 +834,32 @@ object CorpusQueries {
         |FROM r
         |WHERE rk <= CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 40
         |  WHEN 'zh' THEN 30 WHEN 'fr' THEN 20 WHEN 'es' THEN 10 END""".stripMargin,
+    "corpus_pool" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), c AS (
+        |  SELECT doc_id, array_to_string(
+        |      list_slice(l, i + 1, least(i + 40, len(l))), ' ') AS ctext
+        |  FROM t, UNNEST(range(0, greatest(len(l), 1), 32)) u(i)
+        |  WHERE i < len(l)
+        |), emb AS (
+        |  SELECT doc_id, list_transform(range(0, 16), j ->
+        |      CAST((CAST(concat('0x',
+        |        substr(md5(ctext || ':' || CAST(j AS VARCHAR)), 1, 15))
+        |        AS BIGINT) % 2000001) % 256 - 128 AS DOUBLE)) AS e
+        |  FROM c
+        |), px AS (
+        |  SELECT doc_id, generate_subscripts(e, 1) - 1 AS dim,
+        |    unnest(e) AS v
+        |  FROM emb
+        |), pool AS (
+        |  SELECT doc_id, dim, sum(v) AS s, count(*) AS n
+        |  FROM px GROUP BY doc_id, dim
+        |)
+        |SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+        |  CAST(floor(s / n * 1000000.0 + 0.5) AS BIGINT) AS pooled_ppm,
+        |  n AS n_chunks
+        |FROM pool""".stripMargin,
     "corpus_temp_mix" ->
       """WITH c AS (
         |  SELECT lang, count(*) AS n FROM documents GROUP BY lang

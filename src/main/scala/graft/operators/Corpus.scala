@@ -85,6 +85,27 @@ object Corpus {
         col("id").as(idCol))
   }
 
+  /** MEAN-POOLING of chunk embeddings into one document embedding —
+    * the aggregation step of a chunk-embed-pool retrieval pipeline
+    * (embed fixed windows, represent the document by their mean).
+    *
+    * Scale design (100 TB): ONE hash aggregate through the imperative
+    * `VectorSum` (map-side partial element-wise sums — one dim-length
+    * double buffer per (doc × partition) shuffles, never n×dim
+    * exploded rows), then a per-row divide. The mean stays double
+    * (float32 inputs are exact in double; the divide is one rounding)
+    * — cast down at the consumer if fp32 storage is wanted.
+    * Output: (idCol, doc_embedding array<double>, n_chunks). */
+  def meanPoolEmbeddings(chunks: DataFrame, idCol: String = "doc_id",
+      vecCol: String = "emb"): DataFrame =
+    chunks.groupBy(col(idCol))
+      .agg(expr(s"graft_vecsum($vecCol)").as("_sum"),
+        count(lit(1)).as("n_chunks"))
+      .select(col(idCol),
+        transform(col("_sum"), s => s / col("n_chunks"))
+          .as("doc_embedding"),
+        col("n_chunks"))
+
   /** TEMPERATURE-WEIGHTED multilingual mixture (the mBERT/XLM-R
     * α = 0.5 exponential-smoothing sampler): per-stratum quotas
     * proportional to the SQUARE ROOT of observed stratum sizes —

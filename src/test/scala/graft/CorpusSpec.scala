@@ -264,6 +264,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(loose.values.forall(_ == 0L) && loose.size == 5)
   }
 
+  test("meanPoolEmbeddings equals the local per-dim mean") {
+    val chunks = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (1L, Array(3.0f, 2.0f, 1.0f)),
+      (1L, Array(2.0f, 2.0f, 2.0f)),
+      (2L, Array(0.5f, -0.5f, 0.25f))
+    ).toDF("doc_id", "emb")
+    val got = Corpus.meanPoolEmbeddings(chunks).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Double](1).toArray, r.getLong(2)))).toMap
+    assert(got(1L)._2 == 3L && got(2L)._2 == 1L)
+    assert(got(1L)._1.toSeq == Seq(2.0, 2.0, 2.0))
+    assert(got(2L)._1.toSeq == Seq(0.5, -0.5, 0.25))
+    // repartitioning must not move the mean beyond float-sum noise
+    val again = Corpus.meanPoolEmbeddings(chunks.repartition(5)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.foreach { case (id, (m, _)) =>
+      m.zip(again(id)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"doc $id: $a vs $b")
+      }
+    }
+  }
+
   test("temperatureMix: sqrt quotas smooth the head, picks portable") {
     val budget = 200L
     val got = Corpus.temperatureMix(docs, budget).collect()
