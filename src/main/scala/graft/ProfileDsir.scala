@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway-style stage triage for Corpus.dsirWeights (kept as a
+  * profiling main like ProfileLsh/ProfileMaint): times each candidate
+  * stage of the DSIR plan in isolation to locate the hot one. */
+object ProfileDsir {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    val docs = Tables.load(spark, sfDir, "documents")
+
+    def time(name: String)(f: => Long): Unit = {
+      f // warm: codegen + JIT
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    time("md5conv bucket uni+bi") {
+      val t = col("t")
+      val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("feat")), 1, 13), 16, 10)
+            .cast("long") % 1024).as("bucket"))
+        .groupBy("doc_id", "bucket").count().count()
+    }
+    time("xxhash bucket uni+bi") {
+      val t = col("t")
+      val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+        .select(col("doc_id"), pmod(xxhash64(col("feat")), lit(1024)).as("bucket"))
+        .groupBy("doc_id", "bucket").count().count()
+    }
+    time("explode only uni+bi") {
+      val t = col("t")
+      val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(concat(t, bigrams)).as("feat"))
+        .count()
+    }
+
+    val toks = split(col("text"), " ")
+    time("tokens only") {
+      docs.select(explode(toks).as("feat")).count()
+    }
+    time("bigrams transform") {
+      docs.select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat(element_at(toks, i + 1), lit(" "),
+            element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("feat")).count()
+    }
+    time("bigrams via toks column") {
+      docs.select(toks.as("t"))
+        .select(explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat(element_at(col("t"), i + 1), lit(" "),
+              element_at(col("t"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("feat")).count()
+    }
+    time("md5 bucket over unigrams") {
+      docs.select(explode(toks).as("feat"))
+        .select((conv(substring(md5(col("feat")), 1, 13), 16, 10)
+          .cast("long") % 1024).as("b")).groupBy("b").count().count()
+    }
+    time("full dsir") {
+      operators.Corpus.dsirWeights(docs, col("lang") === "en", 1024).count()
+    }
+    spark.stop()
+  }
+}

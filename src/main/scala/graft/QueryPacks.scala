@@ -127,6 +127,20 @@ object DedupQueries {
         .select((row_number().over(w) - 1).as("cid"),
           col("embedding").as("centroid"))
       Dedup.embeddingNearPairsBucketed(vecs, centroids, threshold = 0.3)
+    }),
+    // SemDeDup (Abbas et al. 2023) with the fixed data-row centroids
+    // of dedup_embed_fixed: within-cell cosine pairs >= 0.3 connect
+    // into duplicate groups; each group keeps the member FARTHEST
+    // from its cluster centroid (tie: min id). Fully SQL-checkable
+    // end to end: assignment, pairs, component closure, keeper pick.
+    "dedup_semantic" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val vecs = Tables.load(s, d, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = vecs.filter(col("vec_id") % 63 === 11)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      Dedup.semDedup(vecs, centroids, threshold = 0.3)
     })
   )
 
@@ -282,6 +296,64 @@ object DedupQueries {
          |SELECT id_a, id_b, round(cos, 6) AS cosine
          |FROM pairs WHERE cos >= 0.3""".stripMargin
     },
+    // SemDeDup: the dedup_embed_fixed assignment + pairs, closed into
+    // components by the recursive reach CTE (dedup_clusters pattern);
+    // keeper per component = max centroid distance, tie min id
+    "dedup_semantic" -> {
+      val sq =
+        "sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)) * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))"
+      val cosz =
+        """sum(CAST(z.a AS DOUBLE) * CAST(z.b AS DOUBLE)) /
+          | (sqrt(sum(CAST(z.a AS DOUBLE) * CAST(z.a AS DOUBLE))) *
+          |  sqrt(sum(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))))""".stripMargin
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM v WHERE vec_id % 63 = 11
+         |), ad AS (
+         |  SELECT v.vec_id, v.embedding, c.cid,
+         |    (SELECT $sq
+         |     FROM (SELECT unnest(v.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM v CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid, dst FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      (SELECT $cosz
+         |       FROM (SELECT unnest(a.embedding) AS a, unnest(b.embedding) AS b) z)
+         |        AS cos
+         |    FROM assign a JOIN assign b
+         |      ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |  WHERE cos >= 0.3
+         |), edges AS (
+         |  SELECT id_a AS u, id_b AS w FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs
+         |), reach(id, root) AS (
+         |  SELECT vec_id, vec_id FROM v
+         |  UNION
+         |  SELECT e.w, r.root FROM reach r JOIN edges e ON e.u = r.id
+         |), comp AS (
+         |  SELECT id, min(root) AS cluster_id FROM reach GROUP BY id
+         |), mk AS (
+         |  SELECT comp.id, comp.cluster_id, assign.dst AS cdist
+         |  FROM comp JOIN assign ON assign.vec_id = comp.id
+         |), k AS (
+         |  SELECT cluster_id, id AS keeper_id FROM (
+         |    SELECT cluster_id, id, row_number() OVER (
+         |      PARTITION BY cluster_id ORDER BY cdist DESC, id) AS rn
+         |    FROM mk)
+         |  WHERE rn = 1
+         |)
+         |SELECT m.id AS vec_id, m.cluster_id, k.keeper_id,
+         |  CAST(m.id = k.keeper_id AS BIGINT) AS is_kept
+         |FROM mk m JOIN k USING (cluster_id)""".stripMargin
+    },
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" ->
       s"""WITH sig AS ($simhashSql)
@@ -397,7 +469,19 @@ object TextQueries {
     // corpus-wide vocabulary heavy hitters: top-50 tokens by
     // occurrence (vocab/tokenizer construction, stopword discovery);
     // two map-side-combined aggregates + TakeOrderedAndProject
-    "text_vocab" -> ((s, d) => TextAnalysis.vocabTopK(docs(s, d), k = 50))
+    "text_vocab" -> ((s, d) => TextAnalysis.vocabTopK(docs(s, d), k = 50)),
+    // CCNet-style perplexity filter: unigram add-one LM trained on
+    // the corpus itself, head/middle/tail buckets at explicit ppl
+    // cutoffs (the production workflow precomputes percentile cutoffs
+    // once; 29.95/30.09 straddle this corpus's terciles). Buckets
+    // compare the ROUNDED ppl so the boundary is engine-portable.
+    "text_perplexity" -> ((s, d) =>
+      TextAnalysis.lmScore(docs(s, d), headPpl = 29.95, tailPpl = 30.09)),
+    // cross-document duplicated-4-gram coverage (Lee et al. 2022
+    // exact-substring-dedup diagnostic): fraction of a doc's token
+    // positions inside a 4-gram that also occurs in >= 2 docs
+    "text_ngram_coverage" -> ((s, d) =>
+      TextAnalysis.crossDocNgramCoverage(docs(s, d), n = 4))
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -647,7 +731,60 @@ object TextQueries {
         |  term, n_occ, n_docs
         |FROM t
         |QUALIFY rank <= 50
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+    // unigram add-one LM: p(w) = (c(w)+1)/(N+V); ppl = exp(mean nll).
+    // ln() on both engines; rounding (6dp nll, 4dp ppl) absorbs FP
+    // summation-order noise; the bucket CASE compares the rounded ppl
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), c AS (
+        |  SELECT term, count(*) AS c FROM toks GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        |  FROM c
+        |), lp AS (
+        |  SELECT t.doc_id,
+        |    ln((coalesce(c.c, 0) + 1.0) / (tot.n + tot.v)) AS lnp
+        |  FROM toks t LEFT JOIN c USING (term) CROSS JOIN tot
+        |), perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    -sum(lnp) / count(*) AS nll
+        |  FROM lp GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, round(nll, 6) AS avg_nll,
+        |  round(exp(nll), 4) AS ppl,
+        |  CASE WHEN round(exp(nll), 4) <= 29.95 THEN 'head'
+        |       WHEN round(exp(nll), 4) <= 30.09 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM perdoc""".stripMargin,
+    // duplicated-4-gram coverage: a token position is covered when
+    // any 4-gram window containing it occurs in >= 2 distinct docs.
+    // 1-based i here vs 0-based in the engine — a pure shift, so the
+    // per-doc covered-position COUNT is identical
+    "text_ngram_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:i+3], ' ') AS gram
+        |  FROM t, UNNEST(range(1, len(toks) - 2)) u(i)
+        |  WHERE len(toks) >= 4
+        |), dup AS (
+        |  SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+        |  WHERE nd >= 2
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos
+        |  FROM g JOIN dup USING (gram), UNNEST(range(i, i + 4)) v(pos)
+        |), cc AS (
+        |  SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id
+        |)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(cc.n_covered, 0) AS BIGINT) AS n_covered,
+        |  round(CAST(coalesce(cc.n_covered, 0) AS DOUBLE) / len(t.toks), 6)
+        |    AS coverage
+        |FROM t LEFT JOIN cc USING (doc_id)""".stripMargin
   )
 }
 
@@ -757,7 +894,14 @@ object CorpusQueries {
       Knn.exact(dataSide, probes, 5)
         .select(col("qid"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))
-    })
+    }),
+    // DSIR importance weights (Xie et al. 2023): hashed unigram +
+    // bigram features (portable 52-bit md5 prefix mod 1024), target
+    // distribution = the 'en' docs, add-one-smoothed per-bucket
+    // log-ratios, per-doc weight = sum of its features' lambdas
+    "corpus_dsir" -> ((s, d) =>
+      Corpus.dsirWeights(docs(s, d), isTarget = col("lang") === "en",
+        buckets = 1024))
   )
 
   private val curateMarkersSql = TextAnalysis.langMarkers.map {
@@ -1008,7 +1152,44 @@ object CorpusQueries {
         |SELECT d.doc_id, CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
         |  CAST(coalesce(h.n_shared, 0) > 0 AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
-        |WHERE d.doc_id % 20 <> 0""".stripMargin
+        |WHERE d.doc_id % 20 <> 0""".stripMargin,
+    // DSIR: same hashed-feature buckets (hex-prefix cast, the
+    // knn-style portable 52-bit hash), same add-one log-ratio model
+    "corpus_dsir" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    unnest(string_split(text, ' ')) AS feat
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, lang = 'en' AS is_target,
+        |    l[i] || ' ' || l[i+1] AS feat
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+        |        FROM documents),
+        |    UNNEST(range(1, len(l))) u(i)
+        |), db AS (
+        |  SELECT doc_id, is_target,
+        |    CAST(concat('0x', substr(md5(feat), 1, 13)) AS BIGINT) % 1024
+        |      AS bucket,
+        |    count(*) AS cnt
+        |  FROM f GROUP BY 1, 2, 3
+        |), pb AS (
+        |  SELECT bucket,
+        |    sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t,
+        |    sum(CASE WHEN is_target THEN 0 ELSE cnt END) AS r
+        |  FROM db GROUP BY bucket
+        |), tot AS (
+        |  SELECT CAST(sum(t) AS DOUBLE) AS tt, CAST(sum(r) AS DOUBLE) AS rr
+        |  FROM pb
+        |), lam AS (
+        |  SELECT bucket,
+        |    ln((pb.t + 1.0) / (tot.tt + 1024)) -
+        |    ln((pb.r + 1.0) / (tot.rr + 1024)) AS lambda
+        |  FROM pb CROSS JOIN tot
+        |)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
+        |  round(sum(cnt * lambda), 6) AS weight
+        |FROM db JOIN lam USING (bucket)
+        |GROUP BY doc_id""".stripMargin
   )
 }
 

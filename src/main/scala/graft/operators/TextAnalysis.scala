@@ -303,6 +303,97 @@ object TextAnalysis {
       (size(toks) - size(uniq)).cast("long").as("n_removed"))
   }
 
+  /** CCNet-STYLE PERPLEXITY FILTER — score every document by the
+    * average negative log-likelihood under a unigram add-one-smoothed
+    * language model trained on the corpus itself, then bucket into
+    * head / middle / tail by perplexity cutoffs (CCNet, Wenzek et al.
+    * 2020: the cutoffs are precomputed percentiles — here they are
+    * explicit parameters, the shape the production workflow uses once
+    * the percentile pass has run). p(w) = (c(w)+1)/(N+V); lower
+    * perplexity = more "in-distribution" = head.
+    *
+    * Scale design (100 TB): LM training is ONE map-side-combined
+    * count aggregate; the (N, V) totals are a single row crossJoined
+    * back (broadcast by construction); scoring joins the token
+    * relation to the count table on the term — an equi-join
+    * hash-partitioned on the term (the vocabulary of a web corpus is
+    * NOT broadcast-safe), then one per-doc aggregate. No window, no
+    * driver collect. Buckets compare the ROUNDED perplexity so the
+    * boundary is engine-portable. Output: (doc_id, n_tokens,
+    * avg_nll 6dp, ppl 4dp, bucket). */
+  def lmScore(docs: DataFrame, headPpl: Double, tailPpl: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(headPpl <= tailPpl)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(whitespaceTokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val scored = toks
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("n_total") + col("v_size")).cast("double")).as("lnp"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(col("lnp")) / count(lit(1)).cast("double")).as("nll"))
+    val ppl = round(exp(col("nll")), 4)
+    perDoc.select(col("doc_id"), col("n_tokens"),
+      round(col("nll"), 6).as("avg_nll"), ppl.as("ppl"),
+      when(ppl <= headPpl, "head").when(ppl <= tailPpl, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
+  /** CROSS-DOCUMENT duplicated-n-gram coverage — the "fraction of
+    * tokens inside an n-gram that also occurs in another document"
+    * signal (the cross-doc complement of `repetitionStats`'
+    * within-doc duplicated-trigram fraction; the per-doc diagnostic
+    * behind exact-substring-dedup decisions a la Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better").
+    * A token position counts as covered when ANY n-gram window
+    * containing it also appears in >= `minDocs` distinct documents.
+    *
+    * Scale design (100 TB): the gram relation is one row per token
+    * position (no blowup); duplicated-gram detection is two map-side-
+    * combined aggregates (distinct (gram, doc) then a count per gram
+    * — never count(DISTINCT) in one stage); the gram->dup join is a
+    * plain equi-join hash-partitioned on the gram; coverage expands
+    * ONLY duplicated-gram windows (n rows each) and closes with a
+    * (doc, pos)-distinct + per-doc count. Every stage is
+    * hash-partitioned; nothing is quadratic; nothing broadcasts a
+    * corpus-derived relation.
+    * Output: (doc_id, n_tokens, n_covered, coverage rounded 6dp). */
+  def crossDocNgramCoverage(docs: DataFrame, n: Int, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1 && minDocs >= 2)
+    val base = docs.select(col(idCol).as("doc_id"),
+      whitespaceTokens(col(textCol)).as("toks"))
+    // one row per n-gram start position i (0-based), gram = joined slice
+    val grams = base
+      .where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("gram"))
+    val dup = grams.select(col("gram"), col("doc_id")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select("gram")
+    val covered = grams.join(dup, Seq("gram"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    base.select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        round(coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_tokens"), 6).as("coverage"))
+  }
+
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,
       hashFn: Column => Column): DataFrame = {

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Round-9 curation additions: CCNet-style perplexity filtering,
+  * cross-doc duplicated-n-gram coverage, DSIR importance weights,
+  * SemDeDup keep-farthest-from-centroid collapse. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lmScore: hand-computed unigram add-one LM, buckets on rounded ppl") {
+    val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
+    // counts: a=3 b=1 c=1; N=5, V=3 -> p(a)=4/8, p(b)=p(c)=2/8
+    val got = TextAnalysis.lmScore(docs, headPpl = 2.5, tailPpl = 3.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    val nll1 = -(3 * math.log(0.5) + math.log(0.25)) / 4.0
+    assert(got(1L)._1 == 4L)
+    assert(math.abs(got(1L)._2 - nll1) < 1e-6)
+    assert(math.abs(got(1L)._3 - math.exp(nll1)) < 1e-4)
+    assert(got(1L)._4 == "head") // ppl ~2.3784 <= 2.5
+    assert(got(2L)._1 == 1L && got(2L)._3 == 4.0 && got(2L)._4 == "tail")
+  }
+
+  test("lmScore: unseen-term path scores p = 1/(N+V)") {
+    val train = Seq((1L, "a b")).toDF("doc_id", "text")
+    // score docs containing a term absent from the same-corpus LM is
+    // impossible by construction (LM trained on the scored corpus);
+    // the left-join path is still exercised through coalesce — pin
+    // the smoothed minimum: every p >= 1/(N+V), so ppl <= N+V
+    val got = TextAnalysis.lmScore(train, 1.0, 2.0).collect()
+    got.foreach(r => assert(r.getDouble(3) <= 4.0 + 1e-9)) // N=2,V=2
+  }
+
+  test("crossDocNgramCoverage: dup windows, overlap counted once, zeros") {
+    val docs = Seq(
+      (1L, "x y z w"),   // grams: "x y","y z","z w" — "x y" is cross-doc
+      (2L, "x y q"),     // grams: "x y","y q"
+      (3L, "p q r"),     // no shared gram
+      (4L, "x y x y")    // "x y" twice: covered = all 4 positions, once
+    ).toDF("doc_id", "text")
+    val cov = TextAnalysis.crossDocNgramCoverage(docs, n = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(cov(1L) == ((4L, 2L, 0.5)))
+    assert(cov(2L)._1 == 3L && cov(2L)._2 == 2L &&
+      math.abs(cov(2L)._3 - 2.0 / 3) < 1e-5)
+    assert(cov(3L) == ((3L, 0L, 0.0)))
+    assert(cov(4L) == ((4L, 4L, 1.0)))
+  }
+
+  test("crossDocNgramCoverage: doc shorter than n has zero coverage") {
+    val docs = Seq((1L, "a"), (2L, "a b c d"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val cov = TextAnalysis.crossDocNgramCoverage(docs, n = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cov(1L) == 0.0 && cov(2L) == 1.0 && cov(3L) == 1.0)
+  }
+
+  test("dsirWeights: target-like docs outweigh raw-like docs; feature count") {
+    val docs = Seq(
+      (1L, "the cat sat", true), (2L, "the dog ran", true),
+      (3L, "zz qq ww", false), (4L, "rr ss tt", false),
+      (5L, "the cat ran", false), // target-like features, raw split
+      (6L, "zz qq uu", false)     // raw-like
+    ).toDF("doc_id", "text", "tgt")
+    val w = Corpus.dsirWeights(docs, isTarget = col("tgt"), buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    // n_features = tokens + adjacent bigrams
+    assert(w(1L)._1 == 5L)
+    // the target-like raw doc must score above the raw-like raw doc
+    assert(w(5L)._2 > w(6L)._2,
+      s"target-like ${w(5L)._2} should outweigh raw-like ${w(6L)._2}")
+    // determinism under repartitioning
+    val again = Corpus.dsirWeights(docs.repartition(5), col("tgt"), 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == w.map { case (k, v) => k -> v._2 })
+  }
+
+  test("semDedup: keeper is farthest-from-centroid, singletons kept") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f)),  // near-dup pair {1,2}: cosine = 1.0
+      (2L, Array(2f, 0f)),  // farther from centroid -> the keeper
+      (3L, Array(0f, 5f))   // orthogonal: singleton, kept
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0, Array(0f, 0f))).toDF("cid", "centroid")
+    val got = Dedup.semDedup(vecs, centroids, threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((1L, 2L, 0L))) // cluster 1, keeper 2, dropped
+    assert(got(2L) == ((1L, 2L, 1L))) // the keeper
+    assert(got(3L) == ((3L, 3L, 1L))) // singleton keeps itself
+  }
+
+  test("semDedup: keeper tie at equal centroid distance breaks to min id") {
+    val vecs = Seq(
+      (7L, Array(3f, 0f)), (9L, Array(3f, 0f)) // identical vectors
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0, Array(0f, 0f))).toDF("cid", "centroid")
+    val got = Dedup.semDedup(vecs, centroids, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(7L) == 7L && got(9L) == 7L)
+  }
+}
