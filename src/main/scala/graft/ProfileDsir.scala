@@ -81,6 +81,36 @@ object ProfileDsir {
     time("full dsir") {
       operators.Corpus.dsirWeights(docs, col("lang") === "en", 1024).count()
     }
+    // span-dedup stage triage
+    val n = 4
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("toks"))
+    val grams = base.where(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("gram"))
+    time("span: grams") { grams.count() }
+    val dupKeeper = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occ"),
+        min(struct(col("doc_id"), col("i"))).as("fo"))
+      .where(col("n_occ") >= 2)
+      .select(col("gram"), col("fo"))
+    time("span: dupKeeper") { dupKeeper.count() }
+    val removed = grams.join(dupKeeper, "gram")
+      .where(!(col("doc_id") === col("fo")("doc_id") &&
+        col("i") === col("fo")("i")))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
+      .distinct()
+    time("span: removed") { removed.count() }
+    val tokRel = base.select(col("doc_id"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val kept = tokRel.join(removed, Seq("doc_id", "pos"), "left_anti")
+    time("span: kept") { kept.count() }
+    time("span: full") {
+      operators.Dedup.crossDocSpanDedup(docs, n).count()
+    }
     spark.stop()
   }
 }

@@ -481,7 +481,13 @@ object TextQueries {
     // exact-substring-dedup diagnostic): fraction of a doc's token
     // positions inside a 4-gram that also occurs in >= 2 docs
     "text_ngram_coverage" -> ((s, d) =>
-      TextAnalysis.crossDocNgramCoverage(docs(s, d), n = 4))
+      TextAnalysis.crossDocNgramCoverage(docs(s, d), n = 4)),
+    // the REMOVAL counterpart: every duplicated 4-token window keeps
+    // only its globally first occurrence; covered positions elsewhere
+    // are cut and the survivors reassemble in order (windowed
+    // approximation of suffix-array substring dedup)
+    "text_span_dedup" -> ((s, d) =>
+      Dedup.crossDocSpanDedup(docs(s, d), n = 4))
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -784,7 +790,43 @@ object TextQueries {
         |  CAST(coalesce(cc.n_covered, 0) AS BIGINT) AS n_covered,
         |  round(CAST(coalesce(cc.n_covered, 0) AS DOUBLE) / len(t.toks), 6)
         |    AS coverage
-        |FROM t LEFT JOIN cc USING (doc_id)""".stripMargin
+        |FROM t LEFT JOIN cc USING (doc_id)""".stripMargin,
+    // windowed substring dedup: keeper = first (doc, pos) occurrence
+    // per duplicated 4-gram; non-keeper window positions removed;
+    // docs with zero surviving tokens vanish (INNER join to kept)
+    "text_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, i, array_to_string(toks[i:i+3], ' ') AS gram
+        |  FROM t, UNNEST(range(1, len(toks) - 2)) u(i)
+        |  WHERE len(toks) >= 4
+        |), info AS (
+        |  SELECT gram, count(*) AS n_occ FROM g GROUP BY gram
+        |), keeper AS (
+        |  SELECT gram, doc_id AS kd, i AS ki FROM (
+        |    SELECT gram, doc_id, i, row_number() OVER (
+        |      PARTITION BY gram ORDER BY doc_id, i) AS rn FROM g)
+        |  WHERE rn = 1
+        |), removed AS (
+        |  SELECT DISTINCT g.doc_id, pos
+        |  FROM g JOIN info USING (gram) JOIN keeper USING (gram),
+        |    UNNEST(range(i, i + 4)) v(pos)
+        |  WHERE info.n_occ >= 2
+        |    AND NOT (g.doc_id = keeper.kd AND g.i = keeper.ki)
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM t, UNNEST(range(1, len(toks) + 1)) u(i)
+        |), kept AS (
+        |  SELECT tok.doc_id, tok.pos, tok.tok
+        |  FROM tok ANTI JOIN removed
+        |    ON tok.doc_id = removed.doc_id AND tok.pos = removed.pos
+        |)
+        |SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS text,
+        |  CAST(len(any_value(t.toks)) AS BIGINT) AS n_tokens,
+        |  CAST(len(any_value(t.toks)) - count(*) AS BIGINT) AS n_removed
+        |FROM kept k JOIN t ON t.doc_id = k.doc_id
+        |GROUP BY k.doc_id""".stripMargin
   )
 }
 

@@ -832,6 +832,70 @@ object Dedup {
         (col("n_total") - col("n_kept")).as("n_removed"))
   }
 
+  /** WINDOWED EXACT-SUBSTRING DEDUP (the removal counterpart of
+    * `TextAnalysis.crossDocNgramCoverage`; a windowed approximation
+    * of Lee et al. 2022's suffix-array substring dedup): every
+    * n-token window occurring MORE THAN ONCE in the corpus (across
+    * documents or within one) keeps only its globally FIRST
+    * occurrence (min (doc_id, position)); token positions covered by
+    * any non-keeper occurrence of a duplicated window are removed,
+    * and surviving tokens reassemble in order. A document whose every
+    * position is covered by non-keeper windows drops out entirely.
+    * Windowed vs suffix-array: repeats shorter than n are kept (not
+    * detected), repeats >= n are removed in n-aligned windows — the
+    * deterministic, shuffle-friendly approximation.
+    *
+    * Scale design (100 TB): the gram relation (one row per window
+    * position, no blowup) is shuffled by gram ONCE into a grouped
+    * occurrence list — the LSH candidate-stage shape, so duplicate
+    * detection, keeper pick (array_min over the (doc, pos) structs)
+    * and non-keeper emission all happen inside one aggregate instead
+    * of a groupBy + self-join that would compute and shuffle the
+    * grams twice (measured 2x the query cost). A gram's occurrence
+    * list is the same volume the join would have shuffled; a
+    * corpus-boilerplate window frequent enough to overflow one task's
+    * list is exactly what `boilerplateRemove` strips upstream.
+    * Removed positions then fold to ONE bounded set per document
+    * (<= doc length), and the cut + reassembly is expression-only
+    * against that array — the token relation is never exploded or
+    * shuffled. Output: (idCol, textCol deduped, n_tokens,
+    * n_removed). */
+  def crossDocSpanDedup(docs: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1)
+    val base = docs.select(col(idCol).cast("long").as(idCol),
+      split(col(textCol), " ").as("toks"))
+    val grams = base.where(size(col("toks")) >= n)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+      .select(col(idCol), col("pos").as("i"), col("col").as("gram"))
+    val removed = grams
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col(idCol), col("i"))).as("occs"))
+      .where(size(col("occs")) >= 2)
+      .select(col("occs"), array_min(col("occs")).as("k"))
+      .select(explode(filter(col("occs"),
+        o => !(o(idCol) === col("k")(idCol) &&
+          o("i") === col("k")("i")))).as("o"))
+      .select(col("o")(idCol).as(idCol),
+        explode(sequence(col("o")("i"), col("o")("i") + (n - 1)))
+          .as("pos"))
+    val removedByDoc = removed.groupBy(col(idCol))
+      .agg(collect_set(col("pos")).as("rm"))
+    base.join(removedByDoc, Seq(idCol), "left")
+      .select(col(idCol), col("toks"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .where(size(col("rm")) < size(col("toks"))) // fully-cut docs drop
+      .select(col(idCol),
+        array_join(transform(
+          filter(sequence(lit(0), size(col("toks")) - 1),
+            i => !array_contains(col("rm"), i)),
+          i => element_at(col("toks"), i + 1)), " ").as(textCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(col("rm")).cast("long").as("n_removed"))
+  }
+
   /** KEEPER-POLICY near-dup collapse: like `dupClustersFromPairs`,
     * but each cluster keeps its BEST-QUALITY member (6dp-rounded
     * `TextAnalysis.qualityCols` score; ties → smallest id) instead of

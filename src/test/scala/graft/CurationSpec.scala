@@ -83,6 +83,27 @@ class CurationSpec extends AnyFunSuite {
     assert(again == w.map { case (k, v) => k -> v._2 })
   }
 
+  test("crossDocSpanDedup: first occurrence survives, covered spans cut") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // keeper of "a b c"
+      (2L, "x a b c y"),       // loses positions 1-3 -> "x y"
+      (3L, "p q r p q r")      // within-doc repeat: "p q r" at 0 and 3
+    ).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanDedup(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("a b c d e", 5L, 0L)))
+    assert(got(2L) == (("x y", 5L, 3L)))
+    assert(got(3L) == (("p q r", 6L, 3L)))
+  }
+
+  test("crossDocSpanDedup: fully-duplicated doc drops out") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.crossDocSpanDedup(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a b c")) // doc 2 vanished entirely
+  }
+
   test("semDedup: keeper is farthest-from-centroid, singletons kept") {
     val vecs = Seq(
       (1L, Array(1f, 0f)),  // near-dup pair {1,2}: cosine = 1.0
