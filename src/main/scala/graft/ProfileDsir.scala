@@ -111,6 +111,41 @@ object ProfileDsir {
     time("span: full") {
       operators.Dedup.crossDocSpanDedup(docs, n).count()
     }
+    // planted-corpus span triage (the DedupScaleBench shape):
+    // SPARK_GRAFT_PROFILE_SPAN=200000 to enable
+    sys.env.get("SPARK_GRAFT_PROFILE_SPAN").map(_.toInt).foreach { nd =>
+      val pd = SynthData.plantedDocs(spark, nd, 50000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      pd.count()
+      val sn = 8
+      val pbase = pd.select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("toks"))
+      val pgrams = pbase.where(size(col("toks")) >= sn)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("toks")) - sn),
+            i => array_join(slice(col("toks"), i + 1, lit(sn)), " "))))
+        .select(col("doc_id"), col("pos").as("i"), col("col").as("gram"))
+      time("pspan: grams") { pgrams.count() }
+      val poccs = pgrams.groupBy(col("gram"))
+        .agg(collect_list(struct(col("doc_id"), col("i"))).as("occs"))
+        .where(size(col("occs")) >= 2)
+      time("pspan: occs>=2") { poccs.count() }
+      val premoved = poccs
+        .select(col("occs"), array_min(col("occs")).as("k"))
+        .select(explode(filter(col("occs"),
+          o => !(o("doc_id") === col("k")("doc_id") &&
+            o("i") === col("k")("i")))).as("o"))
+        .select(col("o")("doc_id").as("doc_id"),
+          explode(sequence(col("o")("i"), col("o")("i") + (sn - 1)))
+            .as("pos"))
+      time("pspan: removed") { premoved.count() }
+      val prm = premoved.groupBy(col("doc_id"))
+        .agg(collect_set(col("pos")).as("rm"))
+      time("pspan: rmByDoc") { prm.count() }
+      time("pspan: full") {
+        operators.Dedup.crossDocSpanDedup(pd, sn).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -865,10 +865,15 @@ object Dedup {
     require(n >= 1)
     val base = docs.select(col(idCol).cast("long").as(idCol),
       split(col(textCol), " ").as("toks"))
+    // group key = 104-bit md5 prefix of the window, NOT the window
+    // text: the shuffle key is fixed-width however long the window is
+    // (a 50-token dedup window would otherwise shuffle ~300 bytes per
+    // position; collision odds at 2^104 are nil at any corpus size)
     val grams = base.where(size(col("toks")) >= n)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+          i => substring(md5(
+            array_join(slice(col("toks"), i + 1, lit(n)), " ")), 1, 26))))
       .select(col(idCol), col("pos").as("i"), col("col").as("gram"))
     val removed = grams
       .groupBy(col("gram"))

@@ -181,6 +181,37 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"no per-domain window sort allowed:\n$plan")
   }
 
+  test("crossDocSpanDedup: token relation is never exploded") {
+    val plan = physical(Dedup.crossDocSpanDedup(
+      Tables.load(spark, sf, "documents"), n = 4))
+    // exactly three Generates: the gram posexplode, the non-keeper
+    // occurrence explode, the covered-position explode. A fourth
+    // would mean the reassembly exploded the corpus token relation
+    // (the per-doc removed-set formulation exists to avoid that).
+    assert(count(plan, "Generate") == 3, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("dsirWeights: scores read the one-scan snapshot, model broadcasts") {
+    val plan = physical(graft.operators.Corpus.dsirWeights(
+      Tables.load(spark, sf, "documents"),
+      isTarget = col("lang") === "en", buckets = 64))
+    // the (doc, bucket) counts are snapshotted at build time — the
+    // scoring plan must read the snapshot (no second corpus FileScan)
+    // and join the B-row lambda model by broadcast
+    assert(!plan.contains("FileScan"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("lmScore: term join is an equi join, never a cartesian") {
+    val plan = physical(graft.operators.TextAnalysis.lmScore(
+      Tables.load(spark, sf, "documents"), 29.95, 30.09))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the broadcast of the single (N, V)
+    // totals row
+    assert(count(plan, "BroadcastNestedLoopJoin") <= 1, plan)
+  }
+
   test("column pruning: id-only projection does not read the vectors") {
     val plan = physical(
       Tables.load(spark, sf, "embeddings").select($"vec_id"))
