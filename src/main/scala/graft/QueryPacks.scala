@@ -487,12 +487,41 @@ object TextQueries {
     // are cut and the survivors reassemble in order (windowed
     // approximation of suffix-array substring dedup)
     "text_span_dedup" -> ((s, d) =>
-      Dedup.crossDocSpanDedup(docs(s, d), n = 4))
+      Dedup.crossDocSpanDedup(docs(s, d), n = 4)),
+    // the cutoff TRAINER for the perplexity filter: EXACT distributed
+    // quantiles of the 4dp ppl scores (CCNet's percentile step, run
+    // scale-safe: order statistics via range sort + rank gather, not
+    // a value-buffering percentile aggregate)
+    "text_ppl_cutoffs" -> ((s, d) =>
+      Corpus.exactQuantiles(
+        TextAnalysis.lmScore(docs(s, d), 9e99, 9e99), "ppl",
+        qs = Seq(0.1, 0.33, 0.67, 0.9)))
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
   }
+
+  /** Shared CTE chain of the unigram add-one LM (text_perplexity and
+    * its quantile-cutoff trainer interpolate over the same scores). */
+  private val perplexityCore =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents
+      |), c AS (
+      |  SELECT term, count(*) AS c FROM toks GROUP BY term
+      |), tot AS (
+      |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+      |  FROM c
+      |), lp AS (
+      |  SELECT t.doc_id,
+      |    ln((coalesce(c.c, 0) + 1.0) / (tot.n + tot.v)) AS lnp
+      |  FROM toks t LEFT JOIN c USING (term) CROSS JOIN tot
+      |), perdoc AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    -sum(lnp) / count(*) AS nll
+      |  FROM lp GROUP BY doc_id
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -742,29 +771,25 @@ object TextQueries {
     // ln() on both engines; rounding (6dp nll, 4dp ppl) absorbs FP
     // summation-order noise; the bucket CASE compares the rounded ppl
     "text_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents
-        |), c AS (
-        |  SELECT term, count(*) AS c FROM toks GROUP BY term
-        |), tot AS (
-        |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
-        |  FROM c
-        |), lp AS (
-        |  SELECT t.doc_id,
-        |    ln((coalesce(c.c, 0) + 1.0) / (tot.n + tot.v)) AS lnp
-        |  FROM toks t LEFT JOIN c USING (term) CROSS JOIN tot
-        |), perdoc AS (
-        |  SELECT doc_id, count(*) AS n_tokens,
-        |    -sum(lnp) / count(*) AS nll
-        |  FROM lp GROUP BY doc_id
-        |)
+      s"""WITH $perplexityCore
         |SELECT doc_id, n_tokens, round(nll, 6) AS avg_nll,
         |  round(exp(nll), 4) AS ppl,
         |  CASE WHEN round(exp(nll), 4) <= 29.95 THEN 'head'
         |       WHEN round(exp(nll), 4) <= 30.09 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM perdoc""".stripMargin,
+    // the cutoff trainer: quantile_cont over the SAME 4dp ppl image
+    // the engine's order statistics interpolate between
+    "text_ppl_cutoffs" -> {
+      val qv = Seq(0.1, 0.33, 0.67, 0.9)
+      s"""WITH $perplexityCore, pp AS (
+         |  SELECT round(exp(nll), 4) AS ppl FROM perdoc
+         |)
+         |${qv.map(q =>
+             s"SELECT CAST($q AS DOUBLE) AS q, " +
+               s"round(quantile_cont(ppl, $q), 6) AS value FROM pp")
+           .mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // duplicated-4-gram coverage: a token position is covered when
     // any 4-gram window containing it occurs in >= 2 distinct docs.
     // 1-based i here vs 0-based in the engine — a pure shift, so the

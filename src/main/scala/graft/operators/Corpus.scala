@@ -316,6 +316,74 @@ object Corpus {
       .toDF("doc_id", "quality", "n_tokens", "tokens_before")
   }
 
+  /** EXACT DISTRIBUTED QUANTILES over a numeric column — the cutoff
+    * trainer for `TextAnalysis.lmScore` (CCNet computes its
+    * head/middle/tail perplexity cutoffs as percentiles over a scored
+    * corpus) and an exact, scale-safe alternative to Spark's
+    * `percentile` aggregate, which buffers EVERY value in one
+    * aggregation state (fine per small group, fatal for a global
+    * quantile at corpus scale — the boundary `Quantize`'s scaladoc
+    * documents). Linear interpolation between the two neighboring
+    * order statistics, identical to `percentile` / DuckDB
+    * quantile_cont.
+    *
+    * Scale design (100 TB): range-repartition + within-partition sort
+    * (no global single-task sort), ONE count pass for the partition
+    * offsets (P longs to the driver), then ONE gather pass that reads
+    * ONLY the partitions containing a wanted global rank and emits
+    * <= 2×|qs| rows — the selectByBudget prefix-sum skeleton applied
+    * to order statistics. The sorted relation is persisted across the
+    * two passes and released before returning. Output: (q, value
+    * rounded 6dp), one row per requested quantile. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val sorted = df.select(col(valueCol).cast("double").as("v"))
+      .where(col("v").isNotNull)
+      .repartitionByRange(col("v"))
+      .sortWithinPartitions(col("v"))
+      .as[Double].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val partTotals = sorted.mapPartitionsWithIndex { case (pid, it) =>
+        var s = 0L; it.foreach(_ => s += 1); Iterator((pid, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partTotals.scanLeft(0L)(_ + _)
+      val n = offsets.last
+      require(n > 0, "exactQuantiles: empty input")
+      val wanted = qs.flatMap { q =>
+        val pos = q * (n - 1)
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }.toSet
+      val bcOff = sorted.sparkContext.broadcast(offsets)
+      val bcWanted = sorted.sparkContext.broadcast(wanted)
+      val picked = sorted.mapPartitionsWithIndex { case (pid, it) =>
+        val lo = bcOff.value(pid); val hi = bcOff.value(pid + 1)
+        if (!bcWanted.value.exists(r => r >= lo && r < hi)) Iterator.empty
+        else {
+          var r = lo
+          it.flatMap { v =>
+            val out =
+              if (bcWanted.value.contains(r)) Iterator((r, v))
+              else Iterator.empty
+            r += 1
+            out
+          }
+        }
+      }.collect().toMap
+      qs.map { q =>
+        val pos = q * (n - 1)
+        val lo = math.floor(pos).toLong
+        val hi = math.ceil(pos).toLong
+        val v = picked(lo) + (pos - lo) * (picked(hi) - picked(lo))
+        (q, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+      }.toDF("q", "value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** The shared two-pass distributed prefix sum: pass 1 reduces each
     * partition of an already-range-sorted RDD to one weight total
     * (P longs to the driver), pass 2 adds the broadcast exclusive

@@ -104,6 +104,25 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a b c")) // doc 2 vanished entirely
   }
 
+  test("exactQuantiles equals the value-buffering percentile aggregate") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val qs = Seq(0.0, 0.1, 0.5, 0.95, 1.0)
+    val got = Corpus.exactQuantiles(docs, "n_chars", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exp = docs.selectExpr(
+      qs.zipWithIndex.map { case (q, i) =>
+        s"round(percentile(n_chars, $q), 6) AS p$i"
+      }: _*).head()
+    qs.zipWithIndex.foreach { case (q, i) =>
+      assert(math.abs(got(q) - exp.getDouble(i)) < 1e-9,
+        s"q=$q got ${got(q)} expected ${exp.getDouble(i)}")
+    }
+    // partition-count independence
+    val again = Corpus.exactQuantiles(docs.repartition(7), "n_chars", qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(again == got)
+  }
+
   test("semDedup: keeper is farthest-from-centroid, singletons kept") {
     val vecs = Seq(
       (1L, Array(1f, 0f)),  // near-dup pair {1,2}: cosine = 1.0
