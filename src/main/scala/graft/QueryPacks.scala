@@ -2590,6 +2590,22 @@ object StreamQueries {
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"),
           col("quality"))
     }),
+    // curation-at-ingest perplexity scoring: the LM trains batch-side
+    // (frozen model, full vocab kept at this SF), then scores the doc
+    // STREAM statelessly (map-literal lookup, append mode, no
+    // watermark) — same output and bucket rule as text_perplexity, so
+    // the full batch oracle checks the drained stream
+    "stream_score" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val model = graft.operators.TextAnalysis.trainLm(
+        Tables.load(s, d, "documents"), maxVocab = 1000000)
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      drained(graft.operators.TextAnalysis.lmScoreFrozen(
+        docs, model, headPpl = 29.95, tailPpl = 30.09), "stream_score")
+    }),
     // streaming exact dedup in keyed state (one boolean per distinct
     // content hash): single-batch output is each hash's min-doc_id
     // keeper — the batch Dedup.exact keeper rule — so the oracle is
@@ -2617,6 +2633,7 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "stream_curate" -> CorpusQueries.oracles("corpus_curate"),
+    "stream_score" -> TextQueries.oracles("text_perplexity"),
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -345,6 +345,58 @@ object TextAnalysis {
         .otherwise("tail").as("bucket"))
   }
 
+  /** Frozen unigram LM — the SERVING form of `lmScore`'s model: the
+    * top-`maxVocab` terms' counts plus the training totals (N, V).
+    * Terms outside the kept vocabulary score the smoothed floor
+    * 1/(N+V), exactly how a deployed closed-vocab filter treats OOV.
+    * With maxVocab >= the training vocabulary the scores are
+    * identical to `lmScore`'s. */
+  case class LmModel(counts: Map[String, Long], nTotal: Long, vSize: Long)
+
+  /** Train the frozen LM from a static corpus: one count aggregate +
+    * a TakeOrderedAndProject top-`maxVocab` cut (count desc, term
+    * asc) — the `vocabTopK` shape; the model is driver-sized by the
+    * parameter. */
+  def trainLm(docs: DataFrame, maxVocab: Int,
+      textCol: String = "text"): LmModel = {
+    val counts = docs
+      .select(explode(whitespaceTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val t = counts.agg(sum(col("c")), count(lit(1))).head()
+    val top = counts.orderBy(col("c").desc, col("term"))
+      .limit(maxVocab).collect()
+    LmModel(top.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      t.getLong(0), t.getLong(1))
+  }
+
+  /** Score documents against a FROZEN LM — purely expression-level
+    * (the model rides along as a map literal, the counterpart of the
+    * collected centroid matrices), so it is stateless and
+    * STREAMING-SAFE: no aggregation, no watermark, append mode — the
+    * curation-at-ingest scorer a crawl pipeline runs on arrival.
+    * Same output shape and bucket rule as `lmScore`; the nll fold is
+    * sequential over the token array (vs the batch aggregate's
+    * arbitrary order — the 6dp/4dp rounding absorbs the last-ulp
+    * difference, as everywhere else). */
+  def lmScoreFrozen(docs: DataFrame, model: LmModel,
+      headPpl: Double, tailPpl: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(headPpl <= tailPpl)
+    val cmap = typedLit(model.counts)
+    val denom = lit((model.nTotal + model.vSize).toDouble)
+    val toks = whitespaceTokens(col(textCol))
+    val nll = (-aggregate(toks, lit(0.0), (acc, t) =>
+      acc + log((coalesce(element_at(cmap, t), lit(0L)) + lit(1.0)) /
+        denom))) / size(toks).cast("double")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"), nll.as("nll"))
+    val ppl = round(exp(col("nll")), 4)
+    scored.select(col("doc_id"), col("n_tokens"),
+      round(col("nll"), 6).as("avg_nll"), ppl.as("ppl"),
+      when(ppl <= headPpl, "head").when(ppl <= tailPpl, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
   /** CROSS-DOCUMENT duplicated-n-gram coverage — the "fraction of
     * tokens inside an n-gram that also occurs in another document"
     * signal (the cross-doc complement of `repetitionStats`'

@@ -104,6 +104,27 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a b c")) // doc 2 vanished entirely
   }
 
+  test("lmScoreFrozen: full vocab equals lmScore; capped vocab floors OOV") {
+    val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
+    val model = TextAnalysis.trainLm(docs, maxVocab = 100)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getString(4)))).toMap
+    val frozen = snap(TextAnalysis.lmScoreFrozen(docs, model, 2.5, 3.5))
+    val batch = snap(TextAnalysis.lmScore(docs, 2.5, 3.5))
+    frozen.keys.foreach { k =>
+      assert(math.abs(frozen(k)._1 - batch(k)._1) < 1e-9)
+      assert(frozen(k)._3 == batch(k)._3)
+    }
+    // maxVocab=1 keeps only 'a'; an unseen term scores the smoothed
+    // floor 1/(N+V) = 1/8 -> ppl exactly 8
+    val capped = TextAnalysis.trainLm(docs, maxVocab = 1)
+    assert(capped.counts.keySet == Set("a"))
+    val oov = TextAnalysis.lmScoreFrozen(
+      Seq((9L, "zzz")).toDF("doc_id", "text"), capped, 1.0, 2.0).head()
+    assert(math.abs(oov.getDouble(3) - 8.0) < 1e-6)
+  }
+
   test("exactQuantiles equals the value-buffering percentile aggregate") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val qs = Seq(0.0, 0.1, 0.5, 0.95, 1.0)
