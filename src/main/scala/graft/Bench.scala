@@ -69,6 +69,7 @@ object Bench {
     // measured by stream_curate)
     val benchExcluded = Set("dedup_simhash_native",
       "dedup_simhash_pairs_native", "text_winnow_native",
+      "corpus_dsir_native",
       "ann_ivf_persist", "ann_ivf_delete", "ann_ivf_stats",
       "ann_nsw_persist", "ann_ivf_serve",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",

@@ -502,9 +502,10 @@ object TextQueries {
     lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
   }
 
-  /** Shared CTE chain of the unigram add-one LM (text_perplexity and
-    * its quantile-cutoff trainer interpolate over the same scores). */
-  private val perplexityCore =
+  /** Shared CTE chain of the unigram add-one LM (text_perplexity, its
+    * quantile-cutoff trainer, and the end-to-end curation funnel all
+    * score over the same model). */
+  private[graft] val perplexityCore =
     """toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents
@@ -968,7 +969,28 @@ object CorpusQueries {
     // log-ratios, per-doc weight = sum of its features' lambdas
     "corpus_dsir" -> ((s, d) =>
       Corpus.dsirWeights(docs(s, d), isTarget = col("lang") === "en",
-        buckets = 1024))
+        buckets = 1024)),
+    // production twin: xxhash64 bucketing (rows-only by design, the
+    // text_winnow_native pattern) — same model shape, ~2x the
+    // measured throughput of the md5-portable oracle path
+    "corpus_dsir_native" -> ((s, d) =>
+      Corpus.dsirWeights(docs(s, d), isTarget = col("lang") === "en",
+        buckets = 1024, nativeHash = true)),
+    // END-TO-END CURATION FUNNEL: perplexity gate (drop the tail
+    // bucket) -> windowed exact-substring dedup over the survivors ->
+    // quality-ordered token-budget selection over the DEDUPED text.
+    // Every stage deterministic, so the whole three-stage funnel is
+    // ONE DuckDB oracle — the curation analog of pipeline_rag.
+    "pipeline_curate" -> ((s, d) => {
+      val base = docs(s, d)
+      val keep = TextAnalysis.lmScore(base, headPpl = 29.95,
+          tailPpl = 30.09)
+        .where(col("bucket") =!= "tail").select("doc_id")
+      val deduped = Dedup.crossDocSpanDedup(
+        base.join(keep, "doc_id"), n = 4)
+      Corpus.selectByBudget(
+        deduped.select(col("doc_id"), col("text")), tokenBudget = 20000L)
+    })
   )
 
   private val curateMarkersSql = TextAnalysis.langMarkers.map {
@@ -1256,7 +1278,72 @@ object CorpusQueries {
         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
         |  round(sum(cnt * lambda), 6) AS weight
         |FROM db JOIN lam USING (bucket)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+    // three-stage funnel: the LM CTEs (shared with text_perplexity)
+    // gate the corpus, the span-dedup chain runs over the survivors,
+    // the quality-cumsum selection runs over the DEDUPED text
+    "pipeline_curate" -> {
+      val en = curateMarkersSql.toMap.apply("en")
+      s"""WITH ${TextQueries.perplexityCore}, fdocs AS (
+         |  SELECT d.doc_id, d.text FROM documents d
+         |  JOIN perdoc p ON p.doc_id = d.doc_id
+         |  WHERE round(exp(p.nll), 4) <= 30.09
+         |), sp_t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM fdocs
+         |), sp_g AS (
+         |  SELECT doc_id, i, array_to_string(toks[i:i+3], ' ') AS gram
+         |  FROM sp_t, UNNEST(range(1, len(toks) - 2)) u(i)
+         |  WHERE len(toks) >= 4
+         |), sp_info AS (
+         |  SELECT gram, count(*) AS n_occ FROM sp_g GROUP BY gram
+         |), sp_keeper AS (
+         |  SELECT gram, doc_id AS kd, i AS ki FROM (
+         |    SELECT gram, doc_id, i, row_number() OVER (
+         |      PARTITION BY gram ORDER BY doc_id, i) AS rn FROM sp_g)
+         |  WHERE rn = 1
+         |), sp_removed AS (
+         |  SELECT DISTINCT sp_g.doc_id, pos
+         |  FROM sp_g JOIN sp_info USING (gram) JOIN sp_keeper USING (gram),
+         |    UNNEST(range(i, i + 4)) v(pos)
+         |  WHERE sp_info.n_occ >= 2
+         |    AND NOT (sp_g.doc_id = sp_keeper.kd AND sp_g.i = sp_keeper.ki)
+         |), sp_tok AS (
+         |  SELECT doc_id, i AS pos, toks[i] AS tok
+         |  FROM sp_t, UNNEST(range(1, len(toks) + 1)) u(i)
+         |), sp_kept AS (
+         |  SELECT sp_tok.doc_id, sp_tok.pos, sp_tok.tok
+         |  FROM sp_tok ANTI JOIN sp_removed
+         |    ON sp_tok.doc_id = sp_removed.doc_id
+         |    AND sp_tok.pos = sp_removed.pos
+         |), sp AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         |  FROM sp_kept GROUP BY doc_id
+         |), q_t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM sp
+         |), q_s AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS DOUBLE) AS n,
+         |    CAST(len(list_filter(toks, x -> list_contains($en, x)))
+         |      AS DOUBLE) AS n_stop,
+         |    CAST(len(list_distinct(toks)) AS DOUBLE) AS n_uniq
+         |  FROM q_t
+         |), q_g AS (
+         |  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |    round(least(n / 100.0, 1.0) * 0.5 +
+         |      least(n_stop / n * 5.0, 1.0) * 0.2 + (n_uniq / n) * 0.3, 6)
+         |      AS quality
+         |  FROM q_s
+         |), q_c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      ORDER BY CAST(quality AS DECIMAL(9,6)) DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS tokens_before
+         |  FROM q_g
+         |)
+         |SELECT doc_id, quality, n_tokens, tokens_before
+         |FROM q_c WHERE tokens_before < 20000""".stripMargin
+    }
   )
 }
 

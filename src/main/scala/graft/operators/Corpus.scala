@@ -545,20 +545,27 @@ object Corpus {
     * weight rounded 6dp). */
   def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
       buckets: Int = 1024, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", nativeHash: Boolean = false): DataFrame = {
     require(buckets > 0)
     val t = col("t")
     val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       slice(t, lit(2), greatest(size(t) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
+    // feature -> bucket: portable 52-bit md5 prefix by default (the
+    // SQL oracle replays it); nativeHash=true swaps in xxhash64 — the
+    // production path, measured ~3x cheaper per feature with the
+    // same statistics (hashed importance weights don't care WHICH
+    // uniform hash buckets them)
+    val bucketOf = (f: org.apache.spark.sql.Column) =>
+      if (nativeHash) pmod(xxhash64(f), lit(buckets.toLong))
+      else conv(substring(md5(f), 1, 13), 16, 10).cast("long") % buckets
     val docBucket = docs
       .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("t"))
       .select(col("doc_id"), col("is_target"),
         explode(concat(t, bigrams)).as("feat"))
       .select(col("doc_id"), col("is_target"),
-        (conv(substring(md5(col("feat")), 1, 13), 16, 10)
-          .cast("long") % buckets).as("bucket"))
+        bucketOf(col("feat")).as("bucket"))
       .groupBy(col("doc_id"), col("is_target"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
       // the corpus is scanned ONCE: the (doc, bucket) count relation

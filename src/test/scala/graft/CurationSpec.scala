@@ -144,6 +144,21 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("dsirWeights native twin: same feature counts, deterministic") {
+    val docs = Seq((1L, "a b c", true), (2L, "x y", false))
+      .toDF("doc_id", "text", "tgt")
+    def run(native: Boolean) =
+      Corpus.dsirWeights(docs, col("tgt"), 64, nativeHash = native)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+    val p = run(false); val nv = run(true)
+    // bucketing changes weights, never the feature counts
+    assert(p.view.mapValues(_._1).toMap == nv.view.mapValues(_._1).toMap)
+    assert(nv == Corpus.dsirWeights(docs.repartition(3), col("tgt"), 64,
+      nativeHash = true).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap)
+  }
+
   test("semDedup: keeper is farthest-from-centroid, singletons kept") {
     val vecs = Seq(
       (1L, Array(1f, 0f)),  // near-dup pair {1,2}: cosine = 1.0
