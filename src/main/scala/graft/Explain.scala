@@ -14,7 +14,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q02_filter_pushdown", "q03_join_revenue", "knn_exact_low",
-        "knn_plan_node", "dedup_minhash_lsh", "ann_ivf_topk")
+        "knn_plan_node", "dedup_minhash_lsh", "ann_ivf_topk",
+        "text_span_dedup", "corpus_dsir", "text_perplexity",
+        "dedup_semantic", "pipeline_curate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -495,7 +495,18 @@ object TextQueries {
     "text_ppl_cutoffs" -> ((s, d) =>
       Corpus.exactQuantiles(
         TextAnalysis.lmScore(docs(s, d), 9e99, 9e99), "ppl",
-        qs = Seq(0.1, 0.33, 0.67, 0.9)))
+        qs = Seq(0.1, 0.33, 0.67, 0.9))),
+    // closed-vocab token ENCODING (the id sequences training
+    // consumes): top-100 vocabulary, ids 1..100 by (count desc,
+    // term), OOV -> 0; the digest pins every id and its order
+    "text_encode" -> ((s, d) => {
+      val base = docs(s, d)
+      val vocab = TextAnalysis.trainVocab(base, vocabSize = 100)
+      TextAnalysis.encodeTokens(base, vocab)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          md5(concat_ws(",",
+            transform(col("ids"), _.cast("string")))).as("ids_digest"))
+    })
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
@@ -791,6 +802,33 @@ object TextQueries {
                s"round(quantile_cont(ppl, $q), 6) AS value FROM pp")
            .mkString("\nUNION ALL\n")}""".stripMargin
     },
+    // closed-vocab encoding: vocabulary ids replayed from the same
+    // (count desc, term) ranking; OOV -> 0; digest pins id order
+    "text_encode" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), tv AS (
+        |  SELECT term, CAST(row_number() OVER (
+        |    ORDER BY n_occ DESC, term) AS INTEGER) AS id
+        |  FROM (
+        |    SELECT term, count(*) AS n_occ
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |          FROM documents)
+        |    GROUP BY term)
+        |  QUALIFY id <= 100
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, l[i] AS term
+        |  FROM t, UNNEST(range(1, len(l) + 1)) u(i)
+        |), enc AS (
+        |  SELECT tok.doc_id, tok.pos, coalesce(tv.id, 0) AS id
+        |  FROM tok LEFT JOIN tv USING (term)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unk,
+        |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos))
+        |    AS ids_digest
+        |FROM enc GROUP BY doc_id""".stripMargin,
     // duplicated-4-gram coverage: a token position is covered when
     // any 4-gram window containing it occurs in >= 2 distinct docs.
     // 1-based i here vs 0-based in the engine — a pure shift, so the

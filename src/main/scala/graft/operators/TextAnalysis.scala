@@ -397,6 +397,44 @@ object TextAnalysis {
         .otherwise("tail").as("bucket"))
   }
 
+  /** Closed-vocabulary trainer for `encodeTokens`: term -> id map
+    * from the top-`vocabSize` corpus tokens (occurrence desc, term
+    * asc — the `vocabTopK`/`oovRate` cut), ids starting at
+    * `firstId` so 0 stays free for UNK. Driver-sized by parameter. */
+  def trainVocab(docs: DataFrame, vocabSize: Int, firstId: Int = 1,
+      textCol: String = "text"): Map[String, Int] = {
+    require(vocabSize > 0)
+    docs.select(explode(whitespaceTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("term"))
+      .limit(vocabSize)
+      .collect().zipWithIndex
+      .map { case (r, i) => r.getString(0) -> (firstId + i) }.toMap
+  }
+
+  /** TOKEN ENCODING — the closed-vocab tokenization step that turns
+    * text into the integer id sequences training actually consumes
+    * (the step between `tokenStats`/`vocabTopK` and
+    * `Corpus.packSequences`): every token maps to its vocabulary id,
+    * out-of-vocabulary tokens to `unkId`. Purely expression-level
+    * (the vocabulary rides along as a map literal, bounded by the
+    * vocab-size parameter like `LmModel`) — stateless, zero shuffle,
+    * streaming-safe. Output: (idCol, ids ARRAY<INT>, n_tokens,
+    * n_unk). */
+  def encodeTokens(docs: DataFrame, vocab: Map[String, Int],
+      unkId: Int = 0, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(!vocab.valuesIterator.contains(unkId),
+      "unkId collides with a vocabulary id")
+    val vmap = typedLit(vocab)
+    val toks = whitespaceTokens(col(textCol))
+    val ids = transform(toks,
+      t => coalesce(element_at(vmap, t), lit(unkId)))
+    docs.select(col(idCol).as("doc_id"), ids.as("ids"),
+      size(toks).cast("long").as("n_tokens"),
+      size(filter(ids, i => i === unkId)).cast("long").as("n_unk"))
+  }
+
   /** CROSS-DOCUMENT duplicated-n-gram coverage — the "fraction of
     * tokens inside an n-gram that also occurs in another document"
     * signal (the cross-doc complement of `repetitionStats`'

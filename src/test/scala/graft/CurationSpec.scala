@@ -144,6 +144,20 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("encodeTokens: vocab ids, UNK fallback, unkId collision guard") {
+    val docs = Seq((1L, "a b z a")).toDF("doc_id", "text")
+    val got = TextAnalysis.encodeTokens(docs, Map("a" -> 1, "b" -> 2))
+      .head()
+    assert(got.getSeq[Int](1) == Seq(1, 2, 0, 1))
+    assert(got.getLong(2) == 4L && got.getLong(3) == 1L)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.encodeTokens(docs, Map("a" -> 0))
+    }
+    // trainVocab ranks by count desc then term: 'a' (2 occ) gets id 1
+    val v = TextAnalysis.trainVocab(docs, vocabSize = 2)
+    assert(v == Map("a" -> 1, "b" -> 2))
+  }
+
   test("dsirWeights native twin: same feature counts, deterministic") {
     val docs = Seq((1L, "a b c", true), (2L, "x y", false))
       .toDF("doc_id", "text", "tgt")
