@@ -13,10 +13,13 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
+      // corpus_dsir / pipeline_curate are NOT in the default set:
+      // their construction runs training jobs (model collect,
+      // localCheckpoint, prefix-sum) and the final plan reads an
+      // ExistingRDD — nothing for this tool to audit
       else Seq("q02_filter_pushdown", "q03_join_revenue", "knn_exact_low",
         "knn_plan_node", "dedup_minhash_lsh", "ann_ivf_topk",
-        "text_span_dedup", "corpus_dsir", "text_perplexity",
-        "dedup_semantic", "pipeline_curate")
+        "text_span_dedup", "text_perplexity", "dedup_semantic")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -892,10 +892,14 @@ object Dedup {
       .select(col(idCol), col("toks"),
         coalesce(col("rm"), array().cast("array<int>")).as("rm"))
       .where(size(col("rm")) < size(col("toks"))) // fully-cut docs drop
+      // surviving positions via array_except (hash-set lookup, order
+      // of the left array preserved, positions are distinct) — a
+      // filter + array_contains would rescan rm per position, going
+      // quadratic on exactly the boilerplate-laden docs this targets
       .select(col(idCol),
         array_join(transform(
-          filter(sequence(lit(0), size(col("toks")) - 1),
-            i => !array_contains(col("rm"), i)),
+          array_except(sequence(lit(0), size(col("toks")) - 1),
+            col("rm")),
           i => element_at(col("toks"), i + 1)), " ").as(textCol),
         size(col("toks")).cast("long").as("n_tokens"),
         size(col("rm")).cast("long").as("n_removed"))

@@ -359,11 +359,9 @@ object TextAnalysis {
     * parameter. */
   def trainLm(docs: DataFrame, maxVocab: Int,
       textCol: String = "text"): LmModel = {
-    val counts = docs
-      .select(explode(whitespaceTokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("c"))
-    val t = counts.agg(sum(col("c")), count(lit(1))).head()
-    val top = counts.orderBy(col("c").desc, col("term"))
+    val counts = termCounts(docs, textCol)
+    val t = counts.agg(sum(col("n_occ")), count(lit(1))).head()
+    val top = counts.orderBy(col("n_occ").desc, col("term"))
       .limit(maxVocab).collect()
     LmModel(top.map(r => r.getString(0) -> r.getLong(1)).toMap,
       t.getLong(0), t.getLong(1))
@@ -388,14 +386,25 @@ object TextAnalysis {
     val nll = (-aggregate(toks, lit(0.0), (acc, t) =>
       acc + log((coalesce(element_at(cmap, t), lit(0L)) + lit(1.0)) /
         denom))) / size(toks).cast("double")
-    val scored = docs.select(col(idCol).as("doc_id"),
-      size(toks).cast("long").as("n_tokens"), nll.as("nll"))
+    // null-text docs vanish from lmScore (explode drops them) — match
+    // that here or the frozen==batch parity breaks on such corpora
+    val scored = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(toks).cast("long").as("n_tokens"), nll.as("nll"))
     val ppl = round(exp(col("nll")), 4)
     scored.select(col("doc_id"), col("n_tokens"),
       round(col("nll"), 6).as("avg_nll"), ppl.as("ppl"),
       when(ppl <= headPpl, "head").when(ppl <= tailPpl, "middle")
         .otherwise("tail").as("bucket"))
   }
+
+  /** One corpus-wide term-count aggregate — the SINGLE definition of
+    * the (count desc, term asc) vocabulary ordering that `trainVocab`
+    * and `trainLm` cut from (and that `vocabTopK`/`oovRate`'s SQL
+    * oracles replay — keep the tie-break in lockstep). */
+  private def termCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(whitespaceTokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_occ"))
 
   /** Closed-vocabulary trainer for `encodeTokens`: term -> id map
     * from the top-`vocabSize` corpus tokens (occurrence desc, term
@@ -404,8 +413,7 @@ object TextAnalysis {
   def trainVocab(docs: DataFrame, vocabSize: Int, firstId: Int = 1,
       textCol: String = "text"): Map[String, Int] = {
     require(vocabSize > 0)
-    docs.select(explode(whitespaceTokens(col(textCol))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n_occ"))
+    termCounts(docs, textCol)
       .orderBy(col("n_occ").desc, col("term"))
       .limit(vocabSize)
       .collect().zipWithIndex
@@ -444,37 +452,41 @@ object TextAnalysis {
     * A token position counts as covered when ANY n-gram window
     * containing it also appears in >= `minDocs` distinct documents.
     *
-    * Scale design (100 TB): the gram relation is one row per token
-    * position (no blowup); duplicated-gram detection is two map-side-
-    * combined aggregates (distinct (gram, doc) then a count per gram
-    * — never count(DISTINCT) in one stage); the gram->dup join is a
-    * plain equi-join hash-partitioned on the gram; coverage expands
-    * ONLY duplicated-gram windows (n rows each) and closes with a
-    * (doc, pos)-distinct + per-doc count. Every stage is
-    * hash-partitioned; nothing is quadratic; nothing broadcasts a
-    * corpus-derived relation.
+    * Scale design (100 TB): the gram relation (one row per token
+    * position, fixed-width 104-bit md5 fingerprint as the shuffle
+    * key) is shuffled by gram ONCE into a grouped occurrence list —
+    * the same candidate-stage shape as `Dedup.crossDocSpanDedup`,
+    * instead of a groupBy + self-join that would compute and shuffle
+    * the grams twice; the distinct-doc gate evaluates on the grouped
+    * list, coverage expands ONLY duplicated-gram windows (n rows
+    * each), and the per-doc covered count folds through one bounded
+    * collect_set per document (<= doc length). Nothing is quadratic;
+    * nothing broadcasts a corpus-derived relation.
     * Output: (doc_id, n_tokens, n_covered, coverage rounded 6dp). */
   def crossDocNgramCoverage(docs: DataFrame, n: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1 && minDocs >= 2)
     val base = docs.select(col(idCol).as("doc_id"),
       whitespaceTokens(col(textCol)).as("toks"))
-    // one row per n-gram start position i (0-based), gram = joined slice
+    // one row per n-gram start position i (0-based)
     val grams = base
       .where(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => array_join(slice(col("toks"), i + 1, lit(n)), " "))))
+          i => substring(md5(
+            array_join(slice(col("toks"), i + 1, lit(n)), " ")), 1, 26))))
       .select(col("doc_id"), col("pos").as("i"), col("col").as("gram"))
-    val dup = grams.select(col("gram"), col("doc_id")).distinct()
-      .groupBy("gram").agg(count(lit(1)).as("n_docs"))
-      .where(col("n_docs") >= minDocs)
-      .select("gram")
-    val covered = grams.join(dup, Seq("gram"))
-      .select(col("doc_id"),
-        explode(sequence(col("i"), col("i") + (n - 1))).as("pos"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    val covered = grams
+      .groupBy(col("gram"))
+      .agg(collect_list(struct(col("doc_id"), col("i"))).as("occs"))
+      .where(size(array_distinct(
+        transform(col("occs"), o => o("doc_id")))) >= minDocs)
+      .select(explode(col("occs")).as("o"))
+      .select(col("o")("doc_id").as("doc_id"),
+        explode(sequence(col("o")("i"), col("o")("i") + (n - 1)))
+          .as("pos"))
+      .groupBy("doc_id")
+      .agg(size(collect_set(col("pos"))).cast("long").as("n_covered"))
     base.select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
