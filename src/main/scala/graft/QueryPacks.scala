@@ -1293,17 +1293,16 @@ object CorpusQueries {
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
         |        FROM documents),
         |    UNNEST(range(1, len(l))) u(i)
-        |), db AS (
+        |), fb AS (
         |  SELECT doc_id, is_target,
         |    CAST(concat('0x', substr(md5(feat), 1, 13)) AS BIGINT) % 1024
-        |      AS bucket,
-        |    count(*) AS cnt
-        |  FROM f GROUP BY 1, 2, 3
+        |      AS bucket
+        |  FROM f
         |), pb AS (
         |  SELECT bucket,
-        |    sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS t,
-        |    sum(CASE WHEN is_target THEN 0 ELSE cnt END) AS r
-        |  FROM db GROUP BY bucket
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t,
+        |    sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS r
+        |  FROM fb GROUP BY bucket
         |), tot AS (
         |  SELECT CAST(sum(t) AS DOUBLE) AS tt, CAST(sum(r) AS DOUBLE) AS rr
         |  FROM pb
@@ -1313,9 +1312,9 @@ object CorpusQueries {
         |    ln((pb.r + 1.0) / (tot.rr + 1024)) AS lambda
         |  FROM pb CROSS JOIN tot
         |)
-        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_features,
-        |  round(sum(cnt * lambda), 6) AS weight
-        |FROM db JOIN lam USING (bucket)
+        |SELECT doc_id, count(*) AS n_features,
+        |  round(sum(lambda), 6) AS weight
+        |FROM fb JOIN lam USING (bucket)
         |GROUP BY doc_id""".stripMargin,
     // three-stage funnel: the LM CTEs (shared with text_perplexity)
     // gate the corpus, the span-dedup chain runs over the survivors,

@@ -534,15 +534,19 @@ object Corpus {
     * construction: unigram/bigram arrays built from a PROJECTED token
     * column with zip_with — never `transform` + `element_at` over an
     * inline split, which CollapseProject would duplicate into a
-    * per-element re-split); the corpus is scanned into ONE early
-    * map-side-combined (doc, bucket, is_target) count aggregate, so
-    * everything downstream (per-bucket totals, the lambda model, the
-    * per-doc weights) works off doc×distinct-bucket rows, not raw
-    * feature occurrences. The lambda table has EXACTLY `buckets`
-    * rows — broadcast by construction — so the weight join is
-    * map-side. Hash collisions are part of the method (hashed
-    * importance weights), not an error. Output: (doc_id, n_features,
-    * weight rounded 6dp). */
+    * per-element re-split), and it is NEVER materialized: the model
+    * pass streams it into a `buckets`-group map-side-combined count
+    * aggregate (collected — EXACTLY `buckets` (t, r) pairs, like a
+    * centroid table), and the scoring pass streams it again through
+    * the broadcast lambda join into a per-doc aggregate whose
+    * partials stay bounded (each doc's features live in one
+    * partition). Two scans by design — an earlier one-scan variant
+    * snapshotted the (doc, bucket) counts via localCheckpoint, but
+    * ~120 features over 1024 buckets barely collide, so the snapshot
+    * is feature-stream-sized and starved execution memory at 10M
+    * docs. Hash collisions are part of the method (hashed importance
+    * weights), not an error. Output: (doc_id, n_features, weight
+    * rounded 6dp). */
   def dsirWeights(docs: DataFrame, isTarget: org.apache.spark.sql.Column,
       buckets: Int = 1024, idCol: String = "doc_id",
       textCol: String = "text", nativeHash: Boolean = false): DataFrame = {
@@ -559,30 +563,18 @@ object Corpus {
     val bucketOf = (f: org.apache.spark.sql.Column) =>
       if (nativeHash) pmod(xxhash64(f), lit(buckets.toLong))
       else conv(substring(md5(f), 1, 13), 16, 10).cast("long") % buckets
-    val docBucket = docs
+    val feats = docs
       .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("t"))
       .select(col("doc_id"), col("is_target"),
         explode(concat(t, bigrams)).as("feat"))
       .select(col("doc_id"), col("is_target"),
         bucketOf(col("feat")).as("bucket"))
-      .groupBy(col("doc_id"), col("is_target"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      // the corpus is scanned ONCE: the (doc, bucket) count relation
-      // (orders of magnitude smaller than the raw feature stream) is
-      // snapshotted executor-side, and both the model training and
-      // the scoring read the snapshot — without it the train job and
-      // the score job each re-run the explode+hash scan (measured 2x
-      // the query cost). Same hygiene as connectedComponents' loop.
-      .localCheckpoint()
-    // train the model in ONE job and hold it on the driver: the model
-    // is EXACTLY `buckets` (t, r) pairs — driver-sized by the
-    // parameter, like a k-means centroid table. Without this the
-    // lambda table's broadcast would recompute the corpus scan twice
-    // more (totals, then lambdas) — measured 3x the query cost.
-    val perBucket = docBucket.groupBy("bucket")
-      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L)).as("t"),
-        sum(when(col("is_target"), 0L).otherwise(col("cnt"))).as("r"))
+    // model pass: one streamed scan into `buckets` map-side-combined
+    // groups, collected to the driver (driver-sized by the parameter)
+    val perBucket = feats.groupBy("bucket")
+      .agg(sum(when(col("is_target"), 1L).otherwise(0L)).as("t"),
+        sum(when(col("is_target"), 0L).otherwise(1L)).as("r"))
       .collect()
     val tt = perBucket.map(_.getLong(1)).sum.toDouble
     val rr = perBucket.map(_.getLong(2)).sum.toDouble
@@ -594,9 +586,12 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     val lambdas = lambdaRows.toSeq.toDF("bucket", "lambda")
-    docBucket.join(broadcast(lambdas), Seq("bucket"))
+    // scoring pass: the second streamed scan — broadcast lambda join,
+    // per-doc aggregate (partials bounded: a doc's features all come
+    // from its one source row, so each doc folds within one task)
+    feats.join(broadcast(lambdas), Seq("bucket"))
       .groupBy("doc_id")
-      .agg(sum(col("cnt")).as("n_features"),
-        round(sum(col("cnt") * col("lambda")), 6).as("weight"))
+      .agg(count(lit(1)).as("n_features"),
+        round(sum(col("lambda")), 6).as("weight"))
   }
 }

@@ -192,15 +192,17 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("dsirWeights: scores read the one-scan snapshot, model broadcasts") {
+  test("dsirWeights: scoring is one streamed scan + broadcast model join") {
     val plan = physical(graft.operators.Corpus.dsirWeights(
       Tables.load(spark, sf, "documents"),
       isTarget = col("lang") === "en", buckets = 64))
-    // the (doc, bucket) counts are snapshotted at build time — the
-    // scoring plan must read the snapshot (no second corpus FileScan)
-    // and join the B-row lambda model by broadcast
-    assert(!plan.contains("FileScan"), plan)
+    // the model is collected at build time (the other scan); the
+    // returned scoring plan must be exactly ONE corpus scan joining
+    // the B-row lambda model by broadcast — never a shuffled join,
+    // never a materialized feature-stream intermediate
+    assert(count(plan, "FileScan") == 1, plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("lmScore: term join is an equi join, never a cartesian") {
