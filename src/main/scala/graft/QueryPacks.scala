@@ -506,11 +506,66 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           md5(concat_ws(",",
             transform(col("ids"), _.cast("string")))).as("ids_digest"))
+    }),
+    // Okapi BM25 lexical top-k: probe docs (doc_id % 97 == 0) query
+    // with their own first 5 tokens; scores 6dp-rounded BEFORE the
+    // rank cut so the top-k selection is engine-portable. The probe
+    // doc itself ranking #1 for its own prefix is the sanity anchor.
+    "text_bm25" -> ((s, d) => {
+      val base = docs(s, d)
+      val qs = base.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+            .as("q_text"))
+      Retrieval.bm25TopK(base, qs, k = 10)
     })
   )
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+  }
+
+  /** Shared CTE chain of the Okapi BM25 scorer (text_bm25 and the
+    * hybrid-fusion pipeline score over the same model). Expects a
+    * corpus CTE `$corpus(doc_id, toks)` and a query-term CTE
+    * `bm_q(qid, term)` to already exist; defines `bm_sc(qid, doc_id,
+    * score)` with the 6dp-rounded per-(query, doc) BM25 score. The
+    * k1/b constants are interpolated from the SAME Scala doubles the
+    * Spark side computes with (shortest-round-trip repr), so both
+    * engines evaluate identical IEEE literals. */
+  private[graft] def bm25Core(corpus: String, k1: Double = 1.2,
+      b: Double = 0.75): String = {
+    val k1p1 = k1 + 1.0
+    val omb = 1.0 - b
+    s"""bm_tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT doc_id, unnest(toks) AS term FROM $corpus)
+       |  GROUP BY doc_id, term
+       |), bm_dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM $corpus
+       |), bm_df AS (
+       |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM bm_tf
+       |  GROUP BY term
+       |), bm_st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(CAST(len(toks) AS BIGINT)) AS DOUBLE) /
+       |      CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM $corpus
+       |), bm_sc AS (
+       |  SELECT bm_q.qid, bm_tf.doc_id,
+       |    round(sum(
+       |      ln(1.0 + (bm_st.n - bm_df.df + 0.5) / (bm_df.df + 0.5)) *
+       |      bm_tf.tf * $k1p1 /
+       |      (bm_tf.tf + $k1 * ($omb + $b * bm_dl.dl / bm_st.avgdl))
+       |    ), 6) AS score
+       |  FROM bm_q
+       |  JOIN bm_tf USING (term)
+       |  JOIN bm_df USING (term)
+       |  JOIN bm_dl ON bm_dl.doc_id = bm_tf.doc_id
+       |  CROSS JOIN bm_st
+       |  GROUP BY bm_q.qid, bm_tf.doc_id
+       |)""".stripMargin
   }
 
   /** Shared CTE chain of the unigram add-one LM (text_perplexity, its
@@ -829,6 +884,24 @@ object TextQueries {
         |  md5(string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos))
         |    AS ids_digest
         |FROM enc GROUP BY doc_id""".stripMargin,
+    // Okapi BM25 over the full corpus; probe docs query with their
+    // own first-5-token prefix. Rank cut + tie-break run on the
+    // 6dp-ROUNDED score on both engines (the domainCap pattern), so
+    // last-ulp sum-order differences cannot flap the top-k.
+    "text_bm25" ->
+      s"""WITH bm_t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), bm_q AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT doc_id AS qid, unnest(list_slice(toks, 1, 5)) AS term
+         |    FROM bm_t WHERE doc_id % 97 = 0)
+         |), ${bm25Core("bm_t")}
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, score
+         |FROM bm_sc
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     // duplicated-4-gram coverage: a token position is covered when
     // any 4-gram window containing it occurs in >= 2 distinct docs.
     // 1-based i here vs 0-based in the engine — a pure shift, so the
@@ -1028,6 +1101,33 @@ object CorpusQueries {
         base.join(keep, "doc_id"), n = 4)
       Corpus.selectByBudget(
         deduped.select(col("doc_id"), col("text")), tokenBudget = 20000L)
+    }),
+    // HYBRID RETRIEVAL: BM25 lexical top-20 + dense exact top-20
+    // (16-dim portable md5 embedder — pipeline_rag's), fused by
+    // reciprocal-rank fusion at k_rrf=60. Both input ranks are
+    // integers and the fused score is ONE IEEE addition of two exact
+    // divisions, so the fusion needs no rounding anywhere.
+    "pipeline_hybrid" -> ((s, d) => {
+      val base = docs(s, d)
+      val probe = col("doc_id") % 97 === 0
+      val corpus = base.filter(!probe)
+      val qs = base.filter(probe)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+            .as("q_text"))
+      val sparse = Retrieval.bm25TopK(corpus, qs, k = 20)
+        .select(col("qid"), col("rank"), col("doc_id"))
+      val dense = Knn.exact(
+          corpus.select(col("doc_id").as("vec_id"),
+            Ingest.syntheticEmbeddingPortable(col("text"), dim = 16)
+              .as("embedding")),
+          qs.select(col("qid"),
+            Ingest.syntheticEmbeddingPortable(col("q_text"), dim = 16)
+              .as("q_embedding")),
+          20)
+        .select(col("qid"), col("rank"), col("neighbor_id").as("doc_id"))
+      Retrieval.rrfFuse(sparse, dense, k = 10)
     })
   )
 
@@ -1380,7 +1480,65 @@ object CorpusQueries {
          |)
          |SELECT doc_id, quality, n_tokens, tokens_before
          |FROM q_c WHERE tokens_before < 20000""".stripMargin
-    }
+    },
+    // hybrid fusion: the shared BM25 CTEs over the non-probe corpus
+    // + the pipeline_rag md5-embedder SQL for the dense side, RRF'd.
+    // The fused score is emitted UNROUNDED — 1/(rank+60) divisions
+    // and one addition are bit-identical across engines.
+    "pipeline_hybrid" ->
+      s"""WITH bm_all AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks
+         |  FROM documents
+         |), bm_t AS (
+         |  SELECT doc_id, toks FROM bm_all WHERE doc_id % 97 <> 0
+         |), qdoc AS (
+         |  SELECT doc_id AS qid,
+         |    array_to_string(list_slice(toks, 1, 5), ' ') AS qtext
+         |  FROM bm_all WHERE doc_id % 97 = 0
+         |), bm_q AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT qid, unnest(string_split(qtext, ' ')) AS term
+         |    FROM qdoc)
+         |), ${TextQueries.bm25Core("bm_t")}, sparse AS (
+         |  SELECT qid, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS r
+         |  FROM bm_sc QUALIFY r <= 20
+         |), demb AS (
+         |  SELECT doc_id, list_transform(range(0, 16), j ->
+         |      CAST(CAST(concat('0x',
+         |        substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 15))
+         |        AS BIGINT) % 2000001 / 1000000.0 - 1.0 AS REAL)) AS e
+         |  FROM bm_all WHERE doc_id % 97 <> 0
+         |), qemb AS (
+         |  SELECT qid, list_transform(range(0, 16), j ->
+         |      CAST(CAST(concat('0x',
+         |        substr(md5(qtext || ':' || CAST(j AS VARCHAR)), 1, 15))
+         |        AS BIGINT) % 2000001 / 1000000.0 - 1.0 AS REAL)) AS e
+         |  FROM qdoc
+         |), dd AS (
+         |  SELECT q.qid, d.doc_id,
+         |    (SELECT sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE))
+         |        * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))
+         |     FROM (SELECT unnest(q.e) AS a, unnest(d.e) AS b) z) AS dst
+         |  FROM qemb q CROSS JOIN demb d
+         |), dense AS (
+         |  SELECT qid, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, doc_id) AS BIGINT) AS r
+         |  FROM dd QUALIFY r <= 20
+         |), fuse AS (
+         |  SELECT coalesce(s.qid, de.qid) AS qid,
+         |    coalesce(s.doc_id, de.doc_id) AS doc_id,
+         |    coalesce(1.0 / (s.r + 60), 0.0) +
+         |      coalesce(1.0 / (de.r + 60), 0.0) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense de
+         |    ON s.qid = de.qid AND s.doc_id = de.doc_id
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, rrf AS rrf_score
+         |FROM fuse
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin
   )
 }
 

@@ -197,6 +197,17 @@ object VectorQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"),
           round(col("dist"), 6).as("dist"))
     }),
+    // Two-stage binary serving: sign-packed hamming shortlist (the
+    // 32x-smaller scan) + exact full-width re-rank of the 100
+    // candidates. Hamming distances are integers and the re-rank is
+    // the shared sequential-double arithmetic -> full oracle.
+    "knn_binary_rerank" -> ((spark: SparkSession, dir: String) => {
+      GraftFunctions.register(spark)
+      Knn.binaryRerank(dataDf(spark, dir).filter(filterLow),
+          queriesDf(spark, dir), K, nCandidates = 100)
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
     // Hard-negative mining: the k nearest DIFFERENT-label vectors per
     // query — queries grouped by label, one bounded-heap search per
     // label against the complement corpus; fully deterministic
@@ -317,6 +328,41 @@ object VectorQueries {
          |  SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id, row_number() OVER (
          |      PARTITION BY qid ORDER BY cdst, vec_id) AS crk FROM cd)
+         |  WHERE crk <= 100
+         |), fd AS (
+         |  SELECT c.qid, c.vec_id,
+         |    (SELECT $sqdist
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z) AS dst
+         |  FROM cand c
+         |  JOIN q ON q.qid = c.qid
+         |  JOIN d ON d.vec_id = c.vec_id
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id ASC) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id, round(dst, 6) AS dist
+         |FROM fd
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    // binary shortlist (sign-mismatch count = hamming over packed
+    // sign bits — knn_hamming's green distance SQL) + exact re-rank:
+    // the truncate_refine recipe with the coarse metric swapped
+    "knn_binary_rerank" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), hd AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT $hammingSign
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z)
+         |      AS hdst
+         |  FROM q CROSS JOIN d
+         |), cand AS (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY hdst, vec_id) AS crk FROM hd)
          |  WHERE crk <= 100
          |), fd AS (
          |  SELECT c.qid, c.vec_id,

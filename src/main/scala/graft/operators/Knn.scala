@@ -322,6 +322,47 @@ object Knn {
       col("neighbor_id"), col("qid"))
   }
 
+  /** BINARY-SHORTLIST + EXACT RE-RANK: the classic two-stage binary
+    * quantization serving path (the reference's binary-quantized
+    * variant, utils_grid_search.py:433-434, :649-654, made into a
+    * complete retrieval operator). Pass 1 shortlists `nCandidates`
+    * per query by hamming distance over sign-packed bits (8 bytes per
+    * 64 dims — a 32× smaller scan than full fp32, the "scan 3 TB
+    * instead of 100 TB" stage); pass 2 gathers ONLY the shortlist
+    * back from the full-width column by broadcast join and re-ranks
+    * with the exact metric.
+    *
+    * Same physical shape as `truncateRefine` with the coarse pass
+    * swapped for `exactHamming`: both passes deterministic
+    * ((dist, id) tie-break; hamming distances are integers), so the
+    * whole operator is SQL-oracle-reproducible. At nCandidates >= n
+    * the shortlist is total and the output equals `exact` bit-for-bit
+    * (pinned in KnnSpec).
+    */
+  def binaryRerank(
+      data: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCandidates: Int,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qidCol: String = "qid",
+      qvecCol: String = "q_embedding"): DataFrame = {
+    require(nCandidates >= k,
+      s"nCandidates ($nCandidates) must be >= k ($k)")
+    val coarse = exactHamming(data, queries, nCandidates,
+        idCol, vecCol, qidCol, qvecCol)
+      .select(col("qid"), col("neighbor_id"))
+    val gathered = data
+      .select(col(idCol).cast("long").as("neighbor_id"), col(vecCol).as("_v"))
+      .join(broadcast(coarse), "neighbor_id")
+      .join(broadcast(queries.select(col(qidCol).cast("long").as("qid"),
+        col(qvecCol).as("_q"))), "qid")
+    topKFrom(gathered, k, distance(metric, col("_v"), col("_q")),
+      col("neighbor_id"), col("qid"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: for each query,
     * the k NEAREST vectors with a different label (the negatives that
     * actually move an embedding model, vs. the uniform pool draws of

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Knn, Retrieval, TextAnalysis}
+
+/** BM25 lexical retrieval, reciprocal-rank fusion, and the binary
+  * shortlist + exact re-rank path — hand-computed fixtures,
+  * partitioning invariance, and exact-equivalence pins. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  private def bm25Ref(tf: Double, df: Double, dl: Double, n: Double,
+      avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+
+  test("bm25: hand-computed scores on a three-doc corpus") {
+    // corpus: d1 = "cat dog", d2 = "cat cat fish", d3 = "bird"
+    // N = 3, avgdl = (2 + 3 + 1) / 3 = 2.0
+    // df: cat=2, dog=1, fish=1, bird=1
+    val docs = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val qs = Seq((100L, "cat fish")).toDF("qid", "q_text")
+    val got = Retrieval.bm25TopK(docs, qs, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val n = 3.0; val avgdl = 2.0
+    val d2 = BigDecimal(bm25Ref(2, 2, 3, n, avgdl) +
+      bm25Ref(1, 1, 3, n, avgdl))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d1 = BigDecimal(bm25Ref(1, 2, 2, n, avgdl))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // d2 matches cat(tf=2) + fish(tf=1); d1 matches cat only; d3 none
+    assert(got.toSeq == Seq((1L, 2L, d2), (2L, 1L, d1)))
+  }
+
+  test("bm25: repeated query terms count once (distinct-term query)") {
+    val docs = Seq((1L, "cat dog"), (2L, "dog dog")).toDF("doc_id", "text")
+    val once = Retrieval.bm25TopK(docs,
+      Seq((9L, "dog")).toDF("qid", "q_text"), k = 2).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    val twice = Retrieval.bm25TopK(docs,
+      Seq((9L, "dog dog")).toDF("qid", "q_text"), k = 2).collect()
+      .map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(once == twice)
+  }
+
+  test("bm25: rank invariants and partition independence on testdata") {
+    val docs = Tables.load(spark, sf, "documents")
+    val qs = docs.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+          .as("q_text"))
+    val rows = Retrieval.bm25TopK(docs, qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val base = rows.toSet
+    assert(base.nonEmpty)
+    // per query: contiguous ranks 1..5, scores non-increasing, and
+    // the (score desc, doc_id asc) tie-break honored. (NOT asserting
+    // the probe doc wins its own prefix query: with common-word
+    // prefixes, BM25's length normalization legitimately prefers
+    // shorter docs containing the same terms.)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byRank = g.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq)
+      byRank.sliding(2).foreach {
+        case Array((_, _, id1, s1), (_, _, id2, s2)) =>
+          assert(s1 > s2 || (s1 == s2 && id1 < id2))
+        case _ =>
+      }
+    }
+    val repart = Retrieval.bm25TopK(docs.repartition(7), qs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(repart == base)
+  }
+
+  test("rrf: hand case with one-sided members and id tie-break") {
+    // query 1: sparse ranks a=1, b=2; dense ranks b=1, c=2.
+    //   b: 1/62 + 1/61;  a: 1/61;  c: 1/62  ->  order b, a, c
+    val sparse = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("qid", "rank", "doc_id")
+    val dense = Seq((1L, 1L, 20L), (1L, 2L, 30L)).toDF("qid", "rank", "doc_id")
+    val got = Retrieval.rrfFuse(sparse, dense, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 20L, 1.0 / 62 + 1.0 / 61),
+      (2L, 10L, 1.0 / 61),
+      (3L, 30L, 1.0 / 62)))
+    // symmetric ranks fuse to EQUAL scores -> id asc breaks the tie
+    val s2 = Seq((1L, 1L, 10L), (1L, 2L, 20L)).toDF("qid", "rank", "doc_id")
+    val d2 = Seq((1L, 1L, 20L), (1L, 2L, 10L)).toDF("qid", "rank", "doc_id")
+    val tied = Retrieval.rrfFuse(s2, d2, k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("binary rerank: total shortlist equals exact search bit-for-bit") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+    val data = emb.filter(col("vec_id") % 50 =!= 0)
+    val n = data.count().toInt
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(key(Knn.binaryRerank(data, qs, 10, nCandidates = n)) ==
+      key(Knn.exact(data, qs, 10)))
+  }
+
+  test("binary rerank: shortlist is by hamming, re-rank is exact") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+    val data = emb.filter(col("vec_id") % 100 =!= 0)
+    val got = Knn.binaryRerank(data, qs, 5, nCandidates = 40)
+    // declarative twin: hamming top-40 ids, then exact distances over
+    // the candidate set only, re-ranked (dist, id)
+    val cand = Knn.exactHamming(data, qs, 40)
+      .select(col("qid"), col("neighbor_id"))
+    val gathered = data
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(cand, "neighbor_id")
+      .join(qs.select(col("qid"), col("q_embedding")), "qid")
+    val twin = Knn.topKFrom(gathered, 5,
+      Knn.distance("sqeuclidean", col("embedding"), col("q_embedding")),
+      col("neighbor_id"), col("qid"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(key(got) == key(twin))
+  }
+}
