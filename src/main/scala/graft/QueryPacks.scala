@@ -519,6 +519,25 @@ object TextQueries {
             slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
             .as("q_text"))
       Retrieval.bm25TopK(base, qs, k = 10)
+    }),
+    // count-min sketch (4x512 counters, portable md5 buckets) point-
+    // estimated for the probe docs' vocabulary, side by side with the
+    // exact counts — the oracle re-derives every counter cell, and
+    // cms_count >= n_exact (the CMS upper-bound guarantee) is visible
+    // in the rows themselves
+    "text_cms" -> ((s, d) => {
+      val base = docs(s, d)
+      val sketch = TextAnalysis.cmsSketch(base)
+      val cand = base.filter(col("doc_id") % 97 === 0)
+        .select(explode(TextAnalysis.whitespaceTokens(col("text")))
+          .as("term")).distinct()
+      val exact = base
+        .select(explode(TextAnalysis.whitespaceTokens(col("text")))
+          .as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n_exact"))
+      TextAnalysis.cmsEstimate(sketch, cand)
+        .join(exact, "term")
+        .select(col("term"), col("cms_count"), col("n_exact"))
     })
   )
 
@@ -902,6 +921,37 @@ object TextQueries {
          |FROM bm_sc
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    // count-min sketch: every counter cell re-derived from the same
+    // 52-bit md5 bucket hash (the DSIR recipe, row-salted), estimate
+    // = min over the 4 rows, exact counts joined alongside
+    "text_cms" ->
+      """WITH occ AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |), cells AS (
+        |  SELECT r, CAST(concat('0x',
+        |      substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 13))
+        |      AS BIGINT) % 512 AS bucket
+        |  FROM occ, UNNEST(range(0, 4)) u(r)
+        |), sk AS (
+        |  SELECT r, bucket, CAST(count(*) AS BIGINT) AS c
+        |  FROM cells GROUP BY r, bucket
+        |), cand AS (
+        |  SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), cb AS (
+        |  SELECT term, r, CAST(concat('0x',
+        |      substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 13))
+        |      AS BIGINT) % 512 AS bucket
+        |  FROM cand, UNNEST(range(0, 4)) u(r)
+        |), est AS (
+        |  SELECT term, CAST(min(coalesce(c, 0)) AS BIGINT) AS cms_count
+        |  FROM cb LEFT JOIN sk USING (r, bucket) GROUP BY term
+        |), ex AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM occ GROUP BY term
+        |)
+        |SELECT e.term, e.cms_count, x.n_exact
+        |FROM est e JOIN ex x ON e.term = x.term""".stripMargin,
     // duplicated-4-gram coverage: a token position is covered when
     // any 4-gram window containing it occurs in >= 2 distinct docs.
     // 1-based i here vs 0-based in the engine — a pure shift, so the
@@ -1128,6 +1178,16 @@ object CorpusQueries {
           20)
         .select(col("qid"), col("rank"), col("neighbor_id").as("doc_id"))
       Retrieval.rrfFuse(sparse, dense, k = 10)
+    }),
+    // k-center greedy coreset: 10 maximally-spread exemplars from the
+    // vec_id % 5 == 0 slice — min-id seed, then farthest-point picks
+    // on 6dp-rounded distances (ties to min id), so a recursive-CTE
+    // oracle replays the identical selection order
+    "corpus_coreset" -> ((s, d) => {
+      GraftFunctions.register(s)
+      Corpus.kCenters(
+        Tables.load(s, d, "embeddings").filter(col("vec_id") % 5 === 0),
+        k = 10)
     })
   )
 
@@ -1538,7 +1598,40 @@ object CorpusQueries {
          |  doc_id, rrf AS rrf_score
          |FROM fuse
          |QUALIFY rank <= 10
-         |ORDER BY qid, rank""".stripMargin
+         |ORDER BY qid, rank""".stripMargin,
+    // farthest-point greedy replayed as a recursive CTE over the
+    // 6dp-rounded pair-distance matrix: at each step append the
+    // unselected point with the largest min-distance-to-selected
+    // (ties to min id) — the engine's k narrow passes produce the
+    // identical order
+    "corpus_coreset" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0
+        |), dm AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |    round((SELECT sum((CAST(z.x AS DOUBLE) - CAST(z.y AS DOUBLE))
+        |        * (CAST(z.x AS DOUBLE) - CAST(z.y AS DOUBLE)))
+        |      FROM (SELECT unnest(a.embedding) AS x,
+        |            unnest(b.embedding) AS y) z), 6) AS d
+        |  FROM e a CROSS JOIN e b
+        |), sel(it, ids) AS (
+        |  SELECT 1, [(SELECT min(vec_id) FROM e)]
+        |  UNION ALL
+        |  SELECT it + 1, list_append(ids, (
+        |    SELECT m.j FROM (
+        |      SELECT dm.j, min(dm.d) AS md FROM dm
+        |      WHERE list_contains(sel.ids, dm.i)
+        |        AND NOT list_contains(sel.ids, dm.j)
+        |      GROUP BY dm.j) m
+        |    ORDER BY m.md DESC, m.j LIMIT 1))
+        |  FROM sel WHERE it < 10
+        |), last AS (
+        |  SELECT ids FROM sel ORDER BY it DESC LIMIT 1
+        |)
+        |SELECT CAST(g.g + 1 AS BIGINT) AS rank,
+        |  CAST(ids[CAST(g.g + 1 AS INTEGER)] AS BIGINT) AS vec_id
+        |FROM last, UNNEST(range(0, len(ids))) g(g)
+        |ORDER BY rank""".stripMargin
   )
 }
 

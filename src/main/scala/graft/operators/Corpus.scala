@@ -594,4 +594,77 @@ object Corpus {
       .agg(count(lit(1)).as("n_features"),
         round(sum(col("lambda")), 6).as("weight"))
   }
+
+  /** K-CENTER GREEDY (farthest-point traversal, Gonzalez 1985)
+    * coreset selection: pick the min-id row as the seed, then `k - 1`
+    * times pick the row FARTHEST from the already-selected set (max
+    * over rows of min over centers, ties to min id) — the classic
+    * 2-approximation to the k-center cover and the standard
+    * diversity-sampling step for training-data coresets (maximally
+    * spread exemplars, the complement of SemDeDup's near-dup
+    * collapse).
+    *
+    * Determinism/portability: each pair distance is rounded to 6dp
+    * BEFORE the running min (so the per-row min-to-selected is a min
+    * of rounded values), and the argmax breaks ties on id — an
+    * engine replaying the same greedy (e.g. a recursive-CTE oracle)
+    * reproduces the identical selection order.
+    *
+    * Scale design (100 TB): the running min-distance is ONE double
+    * per row, updated by a narrow map against the single newest
+    * center (broadcast as a literal); each pick is
+    * TakeOrderedAndProject(1) — per-partition 1-row heaps, one row to
+    * the driver, never a global sort. Total cost k narrow passes,
+    * zero shuffles. State is re-persisted each round and the prior
+    * round unpersisted, so lineage and memory stay O(1) per round.
+    * Output: (rank 1..k, idCol) in selection order.
+    */
+  def kCenters(data: DataFrame, k: Int, metric: String = "sqeuclidean",
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"kCenters: k must be positive, got $k")
+    val spark = data.sparkSession
+    import spark.implicits._
+    val base = data.select(col(idCol).cast("long").as("_id"),
+      col(vecCol).as("_v"))
+    val seedRow = base.orderBy(col("_id")).limit(1)
+      .as[(Long, Array[Float])].collect()
+    if (seedRow.isEmpty) return Seq.empty[(Long, Long)]
+      .toDF("rank", idCol)
+    var selected = List(seedRow.head)
+    // running min of ROUNDED distances to the selected set
+    var state = base
+      .withColumn("_md", round(Knn.distance(metric, col("_v"),
+        typedlit(seedRow.head._2.toSeq)), 6))
+      .persist()
+    var picks = math.min(k, 1)
+    try {
+      while (picks < k) {
+        val chosen = selected.map(_._1)
+        val next = state
+          .filter(!col("_id").isin(chosen: _*))
+          .orderBy(col("_md").desc, col("_id"))
+          .limit(1)
+          .select(col("_id"), col("_v")).as[(Long, Array[Float])]
+          .collect()
+        if (next.isEmpty) { picks = k } // fewer than k rows: stop
+        else {
+          selected = next.head :: selected
+          picks += 1
+          if (picks < k) {
+            val prev = state
+            state = state.withColumn("_md",
+              least(col("_md"), round(Knn.distance(metric, col("_v"),
+                typedlit(next.head._2.toSeq)), 6)))
+              .persist()
+            // materialize before dropping the parent from cache
+            state.count()
+            prev.unpersist()
+          }
+        }
+      }
+    } finally state.unpersist()
+    selected.reverse.zipWithIndex
+      .map { case ((id, _), i) => (i + 1L, id) }
+      .toDF("rank", idCol)
+  }
 }

@@ -496,6 +496,57 @@ object TextAnalysis {
           col("n_tokens"), 6).as("coverage"))
   }
 
+  /** COUNT-MIN SKETCH over token occurrences (Cormode & Muthukrishnan
+    * 2005): `d` hash rows × `w` buckets of counters; every occurrence
+    * increments one bucket per row, and a term's estimate is the MIN
+    * of its `d` counters — an upper bound on the true count that is
+    * tight for heavy hitters. This is the bounded-memory alternative
+    * to the exact `vocabTopK` groupBy when the vocabulary itself
+    * explodes (web-scale n-gram or URL frequency profiling): counter
+    * state is d×w regardless of vocabulary size, and sketches MERGE
+    * by cell-wise addition, so per-shard sketches roll up without
+    * ever shuffling terms.
+    *
+    * Scale design (100 TB): the sketch is ONE map-side-combined hash
+    * aggregate on (row, bucket) — the key space is d×w (thousands),
+    * so partial aggregation collapses each partition to at most d×w
+    * rows before the (tiny) shuffle; the corpus-sized occurrence
+    * relation never moves. Buckets hash with the portable 52-bit md5
+    * prefix (the DSIR/knn ranking hash), so an oracle reproduces
+    * every cell.
+    * Output: (r, bucket, c) — the sketch relation. */
+  def cmsSketch(docs: DataFrame, depth: Int = 4, width: Int = 512,
+      textCol: String = "text"): DataFrame = {
+    require(depth > 0 && width > 0,
+      s"cmsSketch: depth/width must be positive, got $depth/$width")
+    docs.select(explode(whitespaceTokens(col(textCol))).as("term"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col("term"))
+      .select(col("r"), cmsBucket(col("r"), col("term"), width).as("bucket"))
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Point-estimate lookup against a `cmsSketch` relation for a
+    * (small) candidate-term table: estimate = min over the d rows of
+    * the term's counter, 0 when a bucket was never touched. The
+    * sketch (d×w rows) BROADCASTS into the candidate join — nothing
+    * corpus-sized is involved. Output: (term, cms_count). */
+  def cmsEstimate(sketch: DataFrame, terms: DataFrame, depth: Int = 4,
+      width: Int = 512, termCol: String = "term"): DataFrame =
+    terms.select(col(termCol).as("term"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col("term"), width))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
+
+  /** Portable CMS bucket hash: 52-bit md5 prefix of "r:term" mod
+    * width (the DSIR feature-bucket recipe, row-salted). */
+  private def cmsBucket(r: Column, term: Column, width: Int): Column =
+    conv(substring(md5(concat(r.cast("string"), lit(":"), term)), 1, 13),
+      16, 10).cast("long") % width
+
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,
       hashFn: Column => Column): DataFrame = {

@@ -495,4 +495,52 @@ class CorpusSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet
     assert(got.map(_.getLong(0)).toSet == expected)
   }
+
+  test("kCenters: hand-computed farthest-point order on a line") {
+    // points at 0, 1, 10, 11 (1-D). seed = min id (at 0).
+    // farthest from {0} -> 11; then min-dists {1:1, 10:1} tie -> min id
+    val vecs = Seq(
+      (1L, Array(0f)), (2L, Array(1f)), (3L, Array(10f)), (4L, Array(11f))
+    ).toDF("vec_id", "embedding")
+    val got = Corpus.kCenters(vecs, k = 3)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 1L), (2L, 4L), (3L, 2L)))
+  }
+
+  test("kCenters: equals the local greedy replay; k > n selects all") {
+    val data = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter($"vec_id" % 25 === 0)
+    val rows = data.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    def rd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // local replay of the greedy on rounded distances
+    val k = 6
+    var sel = List(rows.head)
+    while (sel.length < k) {
+      val chosen = sel.map(_._1).toSet
+      val next = rows.filter(r => !chosen(r._1))
+        .map(r => (r, sel.map(c => rd(r._2, c._2)).min))
+        .sortBy { case ((id, _), md) => (-md, id) }.head._1
+      sel = next :: sel
+    }
+    val expected = sel.reverse.map(_._1).zipWithIndex
+      .map { case (id, i) => (i + 1L, id) }
+    val got = Corpus.kCenters(data, k)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == expected)
+    // partition independence
+    val repart = Corpus.kCenters(data.repartition(7), k)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(repart.toSeq == expected)
+    // k beyond the row count selects every row, order still greedy
+    val n = rows.length
+    val all = Corpus.kCenters(data, n + 5)
+    assert(all.count() == n)
+  }
 }

@@ -197,4 +197,39 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got(7L) == 7L && got(9L) == 7L)
   }
+
+  test("cms: upper bound on every term, row sums conserve occurrences") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val sketch = TextAnalysis.cmsSketch(docs, depth = 4, width = 256).cache()
+    val terms = docs
+      .select(explode(TextAnalysis.whitespaceTokens(col("text"))).as("term"))
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n_exact"))
+    val est = TextAnalysis.cmsEstimate(sketch, exact.select("term"),
+      depth = 4, width = 256)
+    val joined = est.join(exact, "term")
+      .select(col("term"), col("cms_count"), col("n_exact")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(1) >= r.getLong(2),
+      s"CMS under-estimated ${r.getString(0)}"))
+    // every hash row holds exactly one increment per occurrence
+    val totalOcc = terms.count()
+    val rowSums = sketch.groupBy("r").agg(sum("c").as("s"))
+      .collect().map(r => r.getLong(1))
+    assert(rowSums.length == 4 && rowSums.forall(_ == totalOcc))
+    sketch.unpersist()
+  }
+
+  test("cms: sketches of disjoint halves merge cell-wise to the whole") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val whole = TextAnalysis.cmsSketch(docs, depth = 2, width = 128)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def half(pred: org.apache.spark.sql.Column) =
+      TextAnalysis.cmsSketch(docs.filter(pred), depth = 2, width = 128)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val a = half(col("doc_id") % 2 === 0)
+    val b = half(col("doc_id") % 2 =!= 0)
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
 }
