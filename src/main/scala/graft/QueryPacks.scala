@@ -538,8 +538,50 @@ object TextQueries {
       TextAnalysis.cmsEstimate(sketch, cand)
         .join(exact, "term")
         .select(col("term"), col("cms_count"), col("n_exact"))
-    })
+    }),
+    // distributed BPE tokenizer training: 8 most-frequent-pair merges
+    // over the distinct-word frequency relation (the corpus collapses
+    // to vocab size after one scan). Integer counts + binary-string
+    // tie-breaks -> the oracle replays every round exactly
+    "text_bpe" -> ((s, d) => Bpe.trainBpe(docs(s, d), numMerges = 8))
   )
+
+  /** One unrolled BPE round for the text_bpe oracle: pair counts ->
+    * argmax -> declarative merge application (l != r merges every
+    * adjacency — overlap impossible; l == r merges even offsets
+    * within each run — greedy left-to-right). Mirrors
+    * `Bpe.applyMerge` exactly. */
+  private def bpeRoundSql(r: Int): String =
+    s"""p$r AS (
+       |  SELECT word, wcount, pos, sym,
+       |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt,
+       |    lag(sym) OVER (PARTITION BY word ORDER BY pos) AS prv
+       |  FROM st$r
+       |), m$r AS (
+       |  SELECT sym AS l, nxt AS r, sum(wcount) AS c
+       |  FROM p$r WHERE nxt IS NOT NULL GROUP BY sym, nxt
+       |  ORDER BY c DESC, l, r LIMIT 1
+       |), rk$r AS (
+       |  SELECT p.*, m.l, m.r,
+       |    sum(CASE WHEN p.sym <> m.l OR p.prv IS NULL OR p.prv <> m.l
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY p.word ORDER BY p.pos) AS run_id
+       |  FROM p$r p CROSS JOIN m$r m
+       |), of$r AS (
+       |  SELECT *,
+       |    CASE WHEN sym = l THEN
+       |      row_number() OVER (PARTITION BY word, run_id ORDER BY pos) - 1
+       |    END AS off
+       |  FROM rk$r
+       |), st${r + 1} AS (
+       |  SELECT word, wcount, pos,
+       |    CASE WHEN (CASE WHEN l <> r THEN sym = l AND nxt = r
+       |               ELSE sym = l AND nxt = l AND off % 2 = 0 END)
+       |      THEN l || r ELSE sym END AS sym
+       |  FROM of$r
+       |  WHERE NOT (CASE WHEN l <> r THEN sym = r AND prv = l
+       |             ELSE sym = l AND off % 2 = 1 END)
+       |)""".stripMargin
 
   private val markersSql = TextAnalysis.langMarkers.map { case (lang, ms) =>
     lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -952,6 +994,30 @@ object TextQueries {
         |)
         |SELECT e.term, e.cms_count, x.n_exact
         |FROM est e JOIN ex x ON e.term = x.term""".stripMargin,
+    // BPE training replayed round by round: the same window-based
+    // merge application, unrolled as one CTE chain per merge
+    "text_bpe" -> {
+      val n = 8
+      val rounds = (0 until n).map(bpeRoundSql).mkString(",\n")
+      val emit = (0 until n).map(r =>
+        s"SELECT CAST(${r + 1} AS BIGINT) AS round, l AS left_sym, " +
+          s"r AS right_sym, CAST(c AS BIGINT) AS pair_count FROM m$r")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH st0 AS (
+         |  SELECT word, wcount, CAST(i AS BIGINT) AS pos,
+         |    substr(word, CAST(i AS INTEGER), 1) AS sym
+         |  FROM (
+         |    SELECT term AS word, CAST(count(*) AS BIGINT) AS wcount
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS term
+         |          FROM documents)
+         |    GROUP BY term),
+         |    UNNEST(range(1, len(word) + 1)) u(i)
+         |),
+         |$rounds
+         |SELECT * FROM (
+         |  $emit
+         |) ORDER BY round""".stripMargin
+    },
     // duplicated-4-gram coverage: a token position is covered when
     // any 4-gram window containing it occurs in >= 2 distinct docs.
     // 1-based i here vs 0-based in the engine — a pure shift, so the

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016): learn
+  * `numMerges` byte-pair merges by repeatedly merging the most
+  * frequent adjacent symbol pair across the corpus — the tokenizer-
+  * construction step upstream of `TextAnalysis.trainVocab`/
+  * `encodeTokens` (which assume a finished vocabulary).
+  *
+  * Scale design (100 TB): the classic trainer optimization IS the
+  * distributed design — after ONE corpus scan the working state is
+  * the distinct-WORD frequency relation (vocabulary-sized, not
+  * corpus-sized), exploded to (word, wcount, pos, sym) symbol rows.
+  * Every merge round is then: one window pass partitioned by word
+  * (group size bounded by word length — skew-immune), one map-side-
+  * combined pair-count aggregate, and a 1-row TakeOrderedAndProject
+  * argmax to the driver. All counts are integers and the tie-break
+  * is binary string order, so the whole training run is exactly
+  * reproducible by an engine replaying the same rounds (the driver
+  * oracle unrolls them as SQL CTEs).
+  *
+  * Merge application is DECLARATIVE: for l != r, every (l, r)
+  * adjacency merges (overlap is impossible — a tail has sym r != l
+  * and so can never also be a head); for l == r, greedy
+  * left-to-right merging of a run of length m takes pairs at even
+  * offsets, so heads/tails fall out of a run-id + offset-parity
+  * window — no sequential scan anywhere.
+  */
+object Bpe {
+
+  /** Train `numMerges` merges over the whitespace words of `docs`.
+    * Output: (round 1-based, left_sym, right_sym, pair_count) in
+    * learning order. Stops early if no adjacent pair remains. */
+  def trainBpe(docs: DataFrame, numMerges: Int,
+      textCol: String = "text"): DataFrame = {
+    require(numMerges > 0, s"trainBpe: numMerges must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(TextAnalysis.whitespaceTokens(col(textCol)))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wcount"))
+    var state = initialSymbols(words).localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= numMerges && !exhausted) {
+      val top = bestPair(state)
+      top match {
+        case None => exhausted = true
+        case Some((l, r, c)) =>
+          merges += ((round, l, r, c))
+          val prev = state
+          state = applyMerge(state, l, r).localCheckpoint()
+          prev.unpersist()
+          round += 1
+      }
+    }
+    merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
+      .select(col("round").cast("long"), col("left_sym"),
+        col("right_sym"), col("pair_count"))
+  }
+
+  /** ENCODE with a learned merge list: replay the merges in learning
+    * order over `docs`' word symbols and emit each document's BPE
+    * token sequence. The state here is (doc, word-position)-keyed —
+    * corpus-sized — so cost is numMerges window passes over it;
+    * production encoders replay merges per distinct word instead
+    * (vocabulary-sized, then join back), which `trainBpe`'s state
+    * shape already demonstrates. Output: (idCol, tokens
+    * ARRAY<STRING>) with tokens in document order. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // word instances keyed by (doc, widx) so repeated words stay
+    // distinct; symbols under the same layout as the trainer
+    val words = docs.select(col(idCol).as("_did"),
+        posexplode(TextAnalysis.whitespaceTokens(col(textCol)))
+          .as(Seq("widx", "_w")))
+      .select(concat_ws("#", col("_did"), col("widx")).as("word"),
+        col("_did"), col("widx"), lit(1L).as("wcount"), col("_w"))
+    var state = words
+      .select(col("word"), col("_did"), col("widx"), col("wcount"),
+        col("_w"),
+        explode(sequence(lit(1L), length(col("_w")).cast("long")))
+          .as("pos"))
+      .withColumn("sym", col("_w").substr(col("pos").cast("int"), lit(1)))
+      .select(col("word"), col("_did"), col("widx"), col("wcount"),
+        col("pos"), col("sym"))
+      .localCheckpoint()
+    merges.foreach { case (l, r) =>
+      val prev = state
+      state = applyMerge(state, l, r,
+        carry = Seq("_did", "widx")).localCheckpoint()
+      prev.unpersist()
+    }
+    state
+      .groupBy(col("_did"))
+      .agg(array_sort(collect_list(struct(col("widx"), col("pos"),
+        col("sym")))).as("_s"))
+      .select(col("_did").as(idCol),
+        transform(col("_s"), x => x.getField("sym")).as("tokens"))
+  }
+
+  /** (word, wcount) -> one row per character position. */
+  private def initialSymbols(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("wcount"),
+        explode(sequence(lit(1L), length(col("word")).cast("long")))
+          .as("pos"))
+      .withColumn("sym", col("word").substr(col("pos").cast("int"), lit(1)))
+
+  /** Most frequent adjacent pair (count desc, left asc, right asc),
+    * or None when no adjacency remains. */
+  private def bestPair(state: DataFrame): Option[(String, String, Long)] = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    state
+      .withColumn("nxt", lead(col("sym"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("l"), col("nxt").as("r"))
+      .agg(sum("wcount").as("c"))
+      .orderBy(col("c").desc, col("l"), col("r"))
+      .limit(1)
+      .collect()
+      .headOption.map(row => (row.getString(0), row.getString(1),
+        row.getLong(2)))
+  }
+
+  /** One declarative merge application (see object doc for the
+    * non-overlap argument). `carry` names extra columns to keep. */
+  private[operators] def applyMerge(state: DataFrame, l: String, r: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy("word").orderBy("pos")
+    val keep = (Seq("word", "wcount", "pos") ++ carry).map(col)
+    val p = state
+      .withColumn("nxt", lead(col("sym"), 1).over(w))
+      .withColumn("prv", lag(col("sym"), 1).over(w))
+    if (l != r) {
+      p.filter(!(col("sym") === r && col("prv") === l))
+        .withColumn("sym",
+          when(col("sym") === l && col("nxt") === r, lit(l + r))
+            .otherwise(col("sym")))
+        .select(keep :+ col("sym"): _*)
+    } else {
+      // run-id increments at every row that is not a continuation of
+      // an l-run; offset parity inside the run decides head vs tail
+      val runId = sum(when(col("sym") =!= l || col("prv").isNull ||
+          col("prv") =!= l, 1L).otherwise(0L)).over(w)
+      val off = row_number().over(
+        Window.partitionBy(col("word"), col("run_id")).orderBy(col("pos")))
+      p.withColumn("run_id", runId)
+        .withColumn("off",
+          when(col("sym") === l, off - 1).otherwise(lit(null)))
+        .filter(!(col("sym") === l && col("off") % 2 === 1))
+        .withColumn("sym",
+          when(col("sym") === l && col("nxt") === l && col("off") % 2 === 0,
+            lit(l + r)).otherwise(col("sym")))
+        .select(keep :+ col("sym"): _*)
+    }
+  }
+}
