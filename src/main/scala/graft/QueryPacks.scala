@@ -3047,6 +3047,27 @@ object StreamQueries {
       drained(graft.operators.TextAnalysis.lmScoreFrozen(
         docs, model, headPpl = 29.95, tailPpl = 30.09), "stream_score")
     }),
+    // streaming BM25 against standing queries (retrieval-at-ingest:
+    // route/alert arriving docs): frozen stats trained on the static
+    // corpus, scoring purely expression-level (model = literal
+    // struct array) — stateless, watermark-free; the drained stream
+    // reproduces the batch scorer's candidate relation exactly, so
+    // the batch BM25 SQL (scores, no top-k cut) is the oracle
+    "stream_bm25" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val static = Tables.load(s, d, "documents")
+      val qs = static.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(
+            TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+            .as("q_text"))
+      val model = Retrieval.trainBm25Frozen(static, qs)
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      drained(Retrieval.bm25ScoreFrozen(docs, model), "stream_bm25")
+    }),
     // streaming exact dedup in keyed state (one boolean per distinct
     // content hash): single-batch output is each hash's min-doc_id
     // keeper — the batch Dedup.exact keeper rule — so the oracle is
@@ -3075,6 +3096,18 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     "stream_curate" -> CorpusQueries.oracles("corpus_curate"),
     "stream_score" -> TextQueries.oracles("text_perplexity"),
+    // the un-cut BM25 candidate relation (every query-doc pair with a
+    // shared term, 6dp-rounded score) — top-k would need cross-batch
+    // state; routing-at-ingest consumes raw scores
+    "stream_bm25" ->
+      s"""WITH bm_t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), bm_q AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT doc_id AS qid, unnest(list_slice(toks, 1, 5)) AS term
+         |    FROM bm_t WHERE doc_id % 97 = 0)
+         |), ${TextQueries.bm25Core("bm_t")}
+         |SELECT qid, doc_id, score FROM bm_sc""".stripMargin,
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_hash
         |FROM documents GROUP BY md5(text)""".stripMargin,

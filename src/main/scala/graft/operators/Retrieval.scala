@@ -96,6 +96,96 @@ object Retrieval {
         col("nn.id").as("doc_id"), (-col("nn.dist")).as("score"))
   }
 
+  /** Frozen BM25 model for a FIXED query set: corpus statistics
+    * (N, avgdl) plus each query's terms with their corpus document
+    * frequencies. Driver-sized by contract (queries are small); the
+    * corpus-sized tf/df relations are reduced by two aggregates and
+    * only the query-term rows are collected. */
+  case class Bm25Model(n: Double, avgdl: Double, k1: Double, b: Double,
+      queries: Seq[(Long, Seq[(String, Double)])])
+
+  /** Train the frozen model: one corpus stats aggregate + one df
+    * aggregate semi-joined to the distinct query terms. */
+  def trainBm25Frozen(
+      docs: DataFrame,
+      queries: DataFrame,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      textCol: String = "text",
+      qidCol: String = "qid",
+      qtextCol: String = "q_text"): Bm25Model = {
+    val toks = docs.select(
+      TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
+    val Array(nDocs, sumLen) = toks
+      .agg(count(lit(1)), sum(size(col("_toks")).cast("long")))
+      .collect()(0) match {
+        case row => Array(row.getLong(0), row.getLong(1))
+      }
+    val qrows = queries.select(col(qidCol).cast("long"),
+        array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val allTerms = qrows.flatMap(_._2).distinct
+    val dfMap = toks
+      .select(explode(array_distinct(col("_toks"))).as("term"))
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Bm25Model(nDocs.toDouble,
+      sumLen.toDouble / nDocs.toDouble, k1, b,
+      qrows.toSeq.map { case (qid, ts) =>
+        // canonical (sorted) term order so the score fold is
+        // deterministic run-to-run
+        qid -> ts.sorted.map(t => t -> dfMap.getOrElse(t, 0.0)).toSeq
+      })
+  }
+
+  /** STREAMING-SAFE BM25 scoring against a frozen model: purely
+    * expression-level — the model rides along as a literal array of
+    * (qid, [(term, df)]) structs, tf comes from `filter` over the
+    * doc's own token array, and the per-query score is an
+    * `aggregate` fold in canonical term order. Stateless,
+    * watermark-free, append-mode (retrieval-at-ingest: route/alert
+    * arriving documents against standing queries). Emits one row per
+    * (query, doc) pair sharing at least one term — exactly the
+    * batch scorer's candidate relation — with the same 6dp-rounded
+    * score, so the batch BM25 SQL is the oracle for a drained
+    * stream. */
+  def bm25ScoreFrozen(
+      docs: DataFrame,
+      model: Bm25Model,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val qlit = array(model.queries.map { case (qid, tds) =>
+      struct(lit(qid).as("qid"),
+        array(tds.map { case (t, df) =>
+          struct(lit(t).as("term"), lit(df).as("df"))
+        }: _*).as("terms"))
+    }: _*)
+    val k1 = model.k1; val b = model.b
+    val docNorm = lit(1.0 - b) +
+      col("_dl") * b / lit(model.avgdl)
+    def termScore(t: Column): Column = {
+      val tf = size(filter(col("_toks"), x => x === t.getField("term")))
+        .cast("double")
+      val df = t.getField("df")
+      when(tf > 0,
+        log(lit(1.0) + (lit(model.n) - df + 0.5) / (df + 0.5)) *
+          tf * (k1 + 1.0) / (tf + docNorm * k1))
+        .otherwise(lit(0.0))
+    }
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("double"))
+      .select(col("doc_id"), col("_toks"), col("_dl"),
+        explode(qlit).as("q"))
+      .filter(exists(col("q.terms"),
+        t => array_contains(col("_toks"), t.getField("term"))))
+      .select(col("q.qid").as("qid"), col("doc_id"),
+        round(aggregate(col("q.terms"), lit(0.0),
+          (acc, t) => acc + termScore(t)), 6).as("score"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of two rank
     * lists: fused(q, d) = Σ_lists 1 / (kRrf + rank(q, d)), summed over
     * the lists that contain d; top-`k` per query by (fused desc, id).

@@ -81,6 +81,26 @@ class RetrievalSpec extends AnyFunSuite {
     assert(repart == base)
   }
 
+  test("bm25ScoreFrozen: equals the batch ranker's score relation") {
+    val docs = Tables.load(spark, sf, "documents")
+    val qs = docs.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+          .as("q_text"))
+    val model = Retrieval.trainBm25Frozen(docs, qs)
+    val frozen = Retrieval.bm25ScoreFrozen(docs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // k >= corpus size -> the batch ranker emits the whole candidate
+    // relation; scores must agree pairwise at the shared 6dp rounding
+    val n = docs.count().toInt
+    val batch = Retrieval.bm25TopK(docs, qs, k = n)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(frozen == batch)
+  }
+
   test("rrf: hand case with one-sided members and id tie-break") {
     // query 1: sparse ranks a=1, b=2; dense ranks b=1, c=2.
     //   b: 1/62 + 1/61;  a: 1/61;  c: 1/62  ->  order b, a, c
