@@ -144,6 +144,49 @@ object DedupScaleBench {
         f"$dsSec%.1fs -> $nScored docs scored ${n / dsSec / 1e3}%.1fK docs/s")
     }
 
+    // BM25 lexical retrieval: 100 standing queries (5-term prefixes of
+    // every n/100-th doc) served top-10 over the full corpus — the
+    // tf aggregate is the dominant scan, the query join broadcasts
+    if (enabled("bm25")) {
+      def qsOf(df: org.apache.spark.sql.DataFrame, every: Long) =
+        df.filter(col("doc_id") % every === 0)
+          .select(col("doc_id").as("qid"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+              .as("q_text"))
+      graft.operators.Retrieval.bm25TopK(warmDocs,
+        qsOf(warmDocs, 100L), k = 10).count()
+      val (nHits, bmSec) = time {
+        graft.operators.Retrieval.bm25TopK(docs,
+          qsOf(docs, n / 100L), k = 10).count()
+      }
+      println(f"[dscale] bm25 (100 queries, top-10): $bmSec%.1fs -> " +
+        f"$nHits result rows ${n / bmSec / 1e3}%.1fK docs/s")
+    }
+
+    // count-min sketch: one map-side-combined (row, bucket) aggregate
+    // over 4x16384 counters — the bounded-memory frequency profile
+    if (enabled("cms")) {
+      graft.operators.TextAnalysis.cmsSketch(warmDocs,
+        depth = 4, width = 16384).count()
+      val (cells, cmsSec) = time {
+        graft.operators.TextAnalysis.cmsSketch(docs,
+          depth = 4, width = 16384).count()
+      }
+      println(f"[dscale] count-min sketch (4x16384): $cmsSec%.1fs -> " +
+        f"$cells cells ${n / cmsSec / 1e3}%.1fK docs/s")
+    }
+
+    // BPE training: one corpus scan collapses to the distinct-word
+    // relation (vocab-sized), then every merge round runs on it
+    if (enabled("bpe")) {
+      graft.operators.Bpe.trainBpe(warmDocs, numMerges = 2).count()
+      val (nMerges, bpeSec) = time {
+        graft.operators.Bpe.trainBpe(docs, numMerges = 6).count()
+      }
+      println(f"[dscale] bpe training (6 merges over $vocab-word vocab): " +
+        f"$bpeSec%.1fs -> $nMerges merges ${n / bpeSec / 1e3}%.1fK docs/s")
+    }
+
     if (enabled("lsh") || enabled("cc")) {
       val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7)
       if (enabled("lsh")) {

@@ -28,15 +28,19 @@ object Retrieval {
     * cut and tie-break (score desc, doc_id asc) cannot flap between
     * engines on last-ulp sum-order differences.
     *
-    * Scale design (100 TB): term statistics reduce through map-side-
-    * combined hash aggregates — (doc, term) tf partials, then per-term
-    * df totals. The corpus-sized tf relation is pruned by a BROADCAST
-    * join with the (small, by contract) query-term table before any
-    * further work; per-term df for the matched vocabulary and the
-    * 1-row corpus stats also broadcast. The only shuffle after the tf
-    * aggregate carries matched (qid, doc) partial scores into the
-    * per-query bounded-heap top-k (`graft_topk` — q × k rows out, no
-    * window sort over all candidates).
+    * Scale design (100 TB): the corpus-sized EXPLODED token relation
+    * is pruned by a BROADCAST join with the (small, by contract)
+    * query-term table BEFORE any aggregation — corpus-wide tf is
+    * never materialized (with a 100-term query set over a web-scale
+    * vocabulary, ~99.9% of occurrences drop inside the codegen'd
+    * scan). The (doc, term) tf aggregate and the per-term df totals
+    * then run on the matched slice only (df per matched term = row
+    * count of the matched tf relation — corpus-wide df by
+    * construction, since the prune keeps every occurrence of a query
+    * term). The 1-row corpus stats (N, avgdl) come from a scan with
+    * no explosion, and the only remaining shuffle carries matched
+    * (qid, doc) partial scores into the per-query bounded-heap top-k
+    * (`graft_topk` — q × k rows out, no window sort).
     */
   def bm25TopK(
       docs: DataFrame,
@@ -52,21 +56,23 @@ object Retrieval {
     GraftFunctions.register(docs.sparkSession)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
-    val tf = toks
-      .select(col("doc_id"), size(col("_toks")).cast("double").as("_dl"),
-        explode(col("_toks")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      // _dl is functionally dependent on doc_id, so first() is exact
-      .agg(count(lit(1)).cast("double").as("tf"), first(col("_dl")).as("dl"))
     val qterms = queries.select(col(qidCol).cast("long").as("qid"),
       explode(array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
         .as("term"))
-    // df over the FULL corpus vocabulary, then pruned to the matched
-    // terms so the relation that reaches the score join is
-    // query-sized, not vocabulary-sized
+    val qtermSet = qterms.select("term").distinct()
+    // prune the exploded occurrences to query terms BEFORE the tf
+    // aggregate — corpus-wide tf is never built
+    val tf = toks
+      .select(col("doc_id"), size(col("_toks")).cast("double").as("_dl"),
+        explode(col("_toks")).as("term"))
+      .join(broadcast(qtermSet), "term")
+      .groupBy(col("doc_id"), col("term"))
+      // _dl is functionally dependent on doc_id, so first() is exact
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("_dl")).as("dl"))
+    // the prune keeps EVERY occurrence of a query term, so the
+    // matched tf relation's per-term row count IS the corpus-wide df
     val dfreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("df"))
-      .join(broadcast(qterms.select("term").distinct()), "term")
     // N and avgdl folded in as a broadcast 1-row aggregate (integer
     // sums — engine-exact); an eager count() here would launch a
     // separate corpus scan at DataFrame-construction time
