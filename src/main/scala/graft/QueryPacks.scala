@@ -543,7 +543,13 @@ object TextQueries {
     // over the distinct-word frequency relation (the corpus collapses
     // to vocab size after one scan). Integer counts + binary-string
     // tie-breaks -> the oracle replays every round exactly
-    "text_bpe" -> ((s, d) => Bpe.trainBpe(docs(s, d), numMerges = 8))
+    "text_bpe" -> ((s, d) => Bpe.trainBpe(docs(s, d), numMerges = 8)),
+    // Min-K% Prob membership diagnostic: mean of each doc's lowest
+    // 20% token logprobs under the corpus unigram LM; per-token lnp
+    // rounded before the sort/cut so the lowest-k multiset is
+    // engine-portable
+    "text_min_k_prob" -> ((s, d) =>
+      TextAnalysis.minKProb(docs(s, d), kPct = 0.2))
   )
 
   /** One unrolled BPE round for the text_bpe oracle: pair counts ->
@@ -1018,6 +1024,39 @@ object TextQueries {
          |  $emit
          |) ORDER BY round""".stripMargin
     },
+    // Min-K% Prob: the perplexity LM's lnp terms in exact integer
+    // micro-nats (round(lnp*1e6) — identical IEEE product, identical
+    // half-away rounding), sorted per doc, lowest ceil(0.2 n) summed
+    // as BIGINTs — no float anywhere downstream of the conversion
+    "text_min_k_prob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), c AS (
+        |  SELECT term, count(*) AS c FROM toks GROUP BY term
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS DOUBLE) AS n, CAST(count(*) AS DOUBLE) AS v
+        |  FROM c
+        |), lp AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(ln((coalesce(c.c, 0) + 1.0) / (tot.n + tot.v))
+        |      * 1000000.0) AS BIGINT) AS lnp_micro
+        |  FROM toks t LEFT JOIN c USING (term) CROSS JOIN tot
+        |), s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    list_sort(list(lnp_micro)) AS ls
+        |  FROM lp GROUP BY doc_id
+        |), k AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(ceil(n_tokens * 0.2) AS BIGINT) AS n_lowest, ls
+        |  FROM s
+        |)
+        |SELECT doc_id, n_tokens, n_lowest,
+        |  CAST(list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        ls[1:CAST(n_lowest AS INTEGER)]),
+        |      (a, b) -> a + b) AS BIGINT) AS min_k_sum_micro
+        |FROM k""".stripMargin,
     // duplicated-4-gram coverage: a token position is covered when
     // any 4-gram window containing it occurs in >= 2 distinct docs.
     // 1-based i here vs 0-based in the engine — a pure shift, so the

@@ -345,6 +345,59 @@ object TextAnalysis {
         .otherwise("tail").as("bucket"))
   }
 
+  /** MIN-K% PROB membership/contamination diagnostic (Shi et al.
+    * 2023, "Detecting Pretraining Data from Large Language Models"):
+    * per document, the mean of the lowest ceil(kPct·n) token
+    * log-probabilities under the corpus unigram LM. Documents the
+    * model finds suspiciously UNsurprising even at their least-likely
+    * tokens (high min-k score) are membership candidates; the
+    * canonical leak check run with a real LM's logprobs — here over
+    * the same add-one unigram model as `lmScore`, which keeps the
+    * whole diagnostic SQL-reproducible.
+    *
+    * Determinism/portability: each token's lnp converts to exact
+    * INTEGER MICRO-NATS (round(lnp·10⁶), both engines round the
+    * identical IEEE product half-away-from-zero) BEFORE the per-doc
+    * sort and cut — everything downstream is integer arithmetic, so
+    * there is no rounding boundary anywhere. (A rounded MEAN of
+    * already-rounded values is a midpoint trap: a mean of eight 6dp
+    * values lands on x.xxxxxx5 exactly, where engines' rounding of
+    * the binary double legitimately disagrees — hit on real data,
+    * hence the integer formulation.) The score is
+    * min_k_sum_micro / (10⁶ · n_lowest) if a float is wanted.
+    *
+    * Scale design (100 TB): same shapes as `lmScore` — one count
+    * aggregate, one term-keyed join (web-scale vocab is not
+    * broadcast-safe), then ONE per-doc aggregate whose collect_list
+    * is bounded by document length, never corpus size.
+    * Output: (idCol, n_tokens, n_lowest, min_k_sum_micro). */
+  def minKProb(docs: DataFrame, kPct: Double = 0.2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(kPct > 0.0 && kPct <= 1.0,
+      s"minKProb: kPct must be in (0, 1], got $kPct")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(whitespaceTokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    val scored = toks
+      .join(counts, Seq("term"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("n_total") + col("v_size")).cast("double")) * 1e6)
+          .cast("long").as("lnp_micro"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sort_array(collect_list(col("lnp_micro"))).as("_ls"))
+      .withColumn("_k",
+        ceil(col("n_tokens") * lit(kPct)).cast("int"))
+      .select(col("doc_id").as(idCol), col("n_tokens"),
+        col("_k").cast("long").as("n_lowest"),
+        aggregate(slice(col("_ls"), lit(1), col("_k")), lit(0L),
+          (acc, x) => acc + x).as("min_k_sum_micro"))
+  }
+
   /** Frozen unigram LM — the SERVING form of `lmScore`'s model: the
     * top-`maxVocab` terms' counts plus the training totals (N, V).
     * Terms outside the kept vocabulary score the smoothed floor

@@ -198,6 +198,20 @@ class CurationSpec extends AnyFunSuite {
     assert(got(7L) == 7L && got(9L) == 7L)
   }
 
+  test("minKProb: hand-computed micro-nat sums of the lowest-k tokens") {
+    // counts: a=3 b=1 c=1; N=5, V=3 -> p(a)=4/8, p(b)=p(c)=2/8
+    val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
+    val aMicro = math.round(math.log(0.5) * 1e6)       // -693147
+    val bMicro = math.round(math.log(0.25) * 1e6)      // -1386294
+    val got = TextAnalysis.minKProb(docs, kPct = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // doc 1: sorted micros [b, a, a, a], k = ceil(4*0.5) = 2
+    assert(got(1L) == ((4L, 2L, bMicro + aMicro)))
+    // doc 2: single token, k = 1
+    assert(got(2L) == ((1L, 1L, bMicro)))
+  }
+
   test("cms: upper bound on every term, row sums conserve occurrences") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     val sketch = TextAnalysis.cmsSketch(docs, depth = 4, width = 256).cache()
