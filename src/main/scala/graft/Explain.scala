@@ -17,9 +17,13 @@ object Explain {
       // their construction runs training jobs (model collect,
       // localCheckpoint, prefix-sum) and the final plan reads an
       // ExistingRDD — nothing for this tool to audit
+      // corpus_classifier joins corpus_dsir in the excluded set:
+      // training runs eagerly at construction, the final plan reads
+      // collected results
       else Seq("q02_filter_pushdown", "q03_join_revenue", "knn_exact_low",
         "knn_plan_node", "dedup_minhash_lsh", "ann_ivf_topk",
-        "text_span_dedup", "text_perplexity", "dedup_semantic")
+        "text_span_dedup", "text_perplexity", "dedup_semantic",
+        "text_bm25", "pipeline_hybrid", "text_cms")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1284,6 +1284,29 @@ object CorpusQueries {
         .select(col("qid"), col("rank"), col("neighbor_id").as("doc_id"))
       Retrieval.rrfFuse(sparse, dense, k = 10)
     }),
+    // DPR-style contrastive training data: each probe doc's 5-token
+    // prefix is the query, the probe doc itself the positive, and
+    // the top-5 OTHER BM25 hits the lexical hard negatives (the
+    // BM25-mined-negatives recipe of dense-retriever training).
+    // top-6 overall always contains the top-5 non-self, so dropping
+    // the self row and re-ranking is exact
+    "pipeline_dpr" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, d)
+      val qs = base.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+            .as("q_text"))
+      Retrieval.bm25TopK(base, qs, k = 6)
+        .filter(col("doc_id") =!= col("qid"))
+        .withColumn("neg_rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rank")))
+          .cast("long"))
+        .filter(col("neg_rank") <= 5)
+        .select(col("qid"), col("qid").as("pos_id"), col("neg_rank"),
+          col("doc_id").as("neg_id"), col("score"))
+    }),
     // k-center greedy coreset: 10 maximally-spread exemplars from the
     // vec_id % 5 == 0 slice — min-id seed, then farthest-point picks
     // on 6dp-rounded distances (ties to min id), so a recursive-CTE
@@ -1749,6 +1772,25 @@ object CorpusQueries {
          |FROM fuse
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    // rank among non-self candidates directly — equivalent to the
+    // engine's top-6-then-drop-self (top-6 contains the top-5
+    // non-self by construction)
+    "pipeline_dpr" ->
+      s"""WITH bm_t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), bm_q AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT doc_id AS qid, unnest(list_slice(toks, 1, 5)) AS term
+         |    FROM bm_t WHERE doc_id % 97 = 0)
+         |), ${TextQueries.bm25Core("bm_t")}
+         |SELECT qid, qid AS pos_id, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+         |    AS neg_rank,
+         |  doc_id AS neg_id, score
+         |FROM bm_sc
+         |WHERE doc_id <> qid
+         |QUALIFY neg_rank <= 5
+         |ORDER BY qid, neg_rank""".stripMargin,
     // farthest-point greedy replayed as a recursive CTE over the
     // 6dp-rounded pair-distance matrix: at each step append the
     // unselected point with the largest min-distance-to-selected
