@@ -187,6 +187,23 @@ object DedupScaleBench {
         f"$bpeSec%.1fs -> $nMerges merges ${n / bpeSec / 1e3}%.1fK docs/s")
     }
 
+    // logistic quality classifier: feature snapshot (one scan) + 5
+    // full-batch GD steps (each = broadcast lookup + two map-side-
+    // combined aggregates); label = "contains any of w0..w99"
+    // (learnable from the hashed unigram buckets)
+    if (enabled("clf")) {
+      val gate = exists(split(col("text"), " "),
+        t => t.rlike("^w[0-9]{1,2}$"))
+      graft.operators.Classifier.trainLogistic(warmDocs, gate,
+        buckets = 1024, steps = 2, lr = 0.1)
+      val (nw, clfSec) = time {
+        graft.operators.Classifier.trainLogistic(docs, gate,
+          buckets = 1024, steps = 5, lr = 0.1).size
+      }
+      println(f"[dscale] logistic classifier (1024 buckets, 5 GD steps): " +
+        f"$clfSec%.1fs -> $nw weights ${n / clfSec / 1e3}%.1fK docs/s")
+    }
+
     if (enabled("lsh") || enabled("cc")) {
       val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7)
       if (enabled("lsh")) {

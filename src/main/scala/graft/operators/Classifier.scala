@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   * Consequence: T steps of distributed training are bit-reproducible
   * and a SQL oracle replays them as T unrolled CTE chains.
   *
-  * Scale design (100 TB): the (doc, bucket, count) feature relation
-  * is built ONCE (one corpus scan + one map-side-combined aggregate)
-  * and snapshotted via localCheckpoint for reuse across steps. Each
-  * step is then: a broadcast map-literal lookup + per-doc aggregate
+  * Scale design (100 TB): the per-doc token-bucket array is built
+  * ONCE by a narrow projection (no aggregate — token multiplicity
+  * carries the per-bucket counts through both the logit and the
+  * gradient) and snapshotted via localCheckpoint for reuse across
+  * steps. Each step is then: an expression-only map-literal fold
   * (the logit), a narrow sigmoid/residual projection, and a per-
   * bucket aggregate (the gradient) whose key space is `buckets` —
   * partials collapse map-side, B rows to the driver. The model
@@ -59,7 +60,15 @@ object Classifier {
       idCol: String = "doc_id",
       textCol: String = "text"): Map[Long, Long] = {
     require(steps > 0 && buckets > 0)
-    val feats = featureCounts(docs, isTarget, buckets, idCol, textCol)
+    // snapshot ONE ROW PER DOC with the raw token-bucket array
+    // inline — a pure NARROW projection (no aggregate anywhere:
+    // z = Σ_tokens w[bucket] and grad_b = Σ_tokens r carry the
+    // per-bucket counts implicitly through token multiplicity).
+    // Every step is then two narrow passes over it (expression-only
+    // logit fold — integer sums need no ordering — then explode +
+    // the map-side-combined B-row gradient aggregate). No per-step
+    // join, no per-step sort, no corpus-sized shuffle ever.
+    val feats = featureArrays(docs, isTarget, buckets, idCol, textCol)
       .localCheckpoint()
     val n = docs.count()
     try {
@@ -88,34 +97,36 @@ object Classifier {
       buckets: Int = 256,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val feats = featureCounts(docs, isTarget, buckets, idCol, textCol)
-    logits(feats, model)
+    val feats = featureArrays(docs, isTarget, buckets, idCol, textCol)
+    logits(feats, model, buckets)
       .select(col("doc_id").as(idCol),
         pMicro(col("z_micro")).as("p_micro"), col("y"),
         ((pMicro(col("z_micro")) >= 500000L) === (col("y") === 1L))
           .cast("long").as("correct"))
   }
 
-  /** (doc_id, y, bucket, x): one corpus scan, one map-side-combined
-    * aggregate. */
-  private def featureCounts(docs: DataFrame, isTarget: Column,
+  /** (doc_id, y, bs ARRAY<BIGINT>): one row per doc holding its raw
+    * token-bucket sequence — a narrow projection, zero aggregates. */
+  private def featureArrays(docs: DataFrame, isTarget: Column,
       buckets: Int, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast("long").as("doc_id"),
-        isTarget.cast("long").as("y"),
-        explode(TextAnalysis.whitespaceTokens(col(textCol))).as("term"))
-      .select(col("doc_id"), col("y"),
-        bucketOf(col("term"), buckets).as("bucket"))
-      .groupBy(col("doc_id"), col("y"), col("bucket"))
-      .agg(count(lit(1)).as("x"))
+      isTarget.cast("long").as("y"),
+      transform(TextAnalysis.whitespaceTokens(col(textCol)),
+        t => bucketOf(t, buckets)).as("bs"))
 
-  /** Integer logits: z_micro = Σ x·w_micro via a map-literal lookup
-    * — exact in any aggregation order. */
-  private def logits(feats: DataFrame, w: Map[Long, Long]): DataFrame = {
-    val wlit = if (w.isEmpty) typedlit(Map(-1L -> 0L)) else typedlit(w)
-    feats
-      .withColumn("_wm", coalesce(element_at(wlit, col("bucket")), lit(0L)))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("x") * col("_wm")).as("z_micro"))
+  /** Integer logits: z_micro = Σ_tokens w_micro[bucket] via an
+    * expression-only fold — token multiplicity IS the per-bucket
+    * count; exact in any order, no join. The model rides along as a
+    * DENSE ARRAY literal indexed by bucket (a MAP literal would be
+    * an O(B) linear scan per token lookup — measured 10× slower at
+    * B = 1024). */
+  private def logits(feats: DataFrame, w: Map[Long, Long],
+      buckets: Int): DataFrame = {
+    val dense = Array.tabulate(buckets)(b => w.getOrElse(b.toLong, 0L))
+    val wlit = typedlit(dense.toSeq)
+    feats.withColumn("z_micro",
+      aggregate(col("bs"), lit(0L), (acc, b) =>
+        acc + element_at(wlit, b.cast("int") + 1)))
   }
 
   /** The one float step: p_micro = round(σ(z_micro/10⁶)·10⁶). */
@@ -123,16 +134,17 @@ object Classifier {
     round(lit(1.0) / (lit(1.0) + exp(-(zMicro.cast("double") / 1000000.0)))
       * 1000000.0).cast("long")
 
-  /** One step's integer gradients: bucket -> Σ x·(p_micro − y·10⁶).
-    * Driver-sized result (≤ buckets rows). */
+  /** One step's integer gradients: bucket -> Σ_tokens (p_micro −
+    * y·10⁶) — multiplicity again supplies the count factor. Two
+    * narrow passes over the per-doc snapshot + one B-row map-side-
+    * combined aggregate; driver-sized result. */
   private def gradients(feats: DataFrame, w: Map[Long, Long],
       buckets: Int): Map[Long, Long] = {
-    val resid = logits(feats, w)
-      .select(col("doc_id"),
-        (pMicro(col("z_micro")) - col("y") * 1000000L).as("r"))
-    feats.join(resid, "doc_id")
+    logits(feats, w, buckets)
+      .select((pMicro(col("z_micro")) - col("y") * 1000000L).as("r"),
+        explode(col("bs")).as("bucket"))
       .groupBy(col("bucket"))
-      .agg(sum(col("x") * col("r")).as("gm"))
+      .agg(sum(col("r")).as("gm"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 }
