@@ -549,7 +549,14 @@ object TextQueries {
     // rounded before the sort/cut so the lowest-k multiset is
     // engine-portable
     "text_min_k_prob" -> ((s, d) =>
-      TextAnalysis.minKProb(docs(s, d), kPct = 0.2))
+      TextAnalysis.minKProb(docs(s, d), kPct = 0.2)),
+    // bigram add-one LM perplexity (the context-aware CCNet filter
+    // step): expression-only (prev, cur) pair stream, two count
+    // aggregates, term-keyed scoring joins; cutoffs straddle this
+    // corpus's bigram-ppl terciles
+    "text_perplexity2" -> ((s, d) =>
+      TextAnalysis.lmScoreBigram(docs(s, d), headPpl = 29.18,
+        tailPpl = 29.89))
   )
 
   /** One unrolled BPE round for the text_bpe oracle: pair counts ->
@@ -1057,6 +1064,42 @@ object TextQueries {
         |        ls[1:CAST(n_lowest AS INTEGER)]),
         |      (a, b) -> a + b) AS BIGINT) AS min_k_sum_micro
         |FROM k""".stripMargin,
+    // bigram LM: (prev, cur) pairs by position (i = 1 takes the <s>
+    // start context), add-one smoothing over the cur-side vocabulary
+    "text_perplexity2" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |), pr AS (
+        |  SELECT doc_id,
+        |    CASE WHEN i = 1 THEN '<s>' ELSE l[CAST(i - 1 AS INTEGER)]
+        |      END AS prev,
+        |    l[CAST(i AS INTEGER)] AS cur
+        |  FROM t, UNNEST(range(1, len(l) + 1)) u(i)
+        |), bc AS (
+        |  SELECT prev, cur, count(*) AS bc FROM pr GROUP BY prev, cur
+        |), cc AS (
+        |  SELECT prev, count(*) AS cc FROM pr GROUP BY prev
+        |), vv AS (
+        |  SELECT CAST(count(DISTINCT cur) AS DOUBLE) AS v FROM pr
+        |), lp AS (
+        |  SELECT p.doc_id,
+        |    ln((coalesce(bc.bc, 0) + 1.0) /
+        |       (coalesce(cc.cc, 0) + vv.v)) AS lnp
+        |  FROM pr p
+        |  LEFT JOIN bc USING (prev, cur)
+        |  LEFT JOIN cc USING (prev)
+        |  CROSS JOIN vv
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    -sum(lnp) / count(*) AS nll
+        |  FROM lp GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, round(nll, 6) AS avg_nll,
+        |  round(exp(nll), 4) AS ppl,
+        |  CASE WHEN round(exp(nll), 4) <= 29.18 THEN 'head'
+        |       WHEN round(exp(nll), 4) <= 29.89 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM perdoc""".stripMargin,
     // duplicated-4-gram coverage: a token position is covered when
     // any 4-gram window containing it occurs in >= 2 distinct docs.
     // 1-based i here vs 0-based in the engine — a pure shift, so the

@@ -345,6 +345,58 @@ object TextAnalysis {
         .otherwise("tail").as("bucket"))
   }
 
+  /** BIGRAM add-one LM perplexity — the context-aware step from
+    * `lmScore`'s unigram model toward CCNet's n-gram KenLM filter:
+    * p(w_i | w_{i-1}) = (c(w_{i-1} w_i) + 1) / (c(w_{i-1}) + V),
+    * with a <s> start context per document (c(<s>) = nDocs) and V =
+    * the unigram vocabulary size. Repetitive/templated text scores
+    * much lower ppl than under the unigram model (context captures
+    * the repetition), which is exactly why CCNet filters on n-gram
+    * perplexity.
+    *
+    * Scale design (100 TB): the (prev, cur) pair stream is built
+    * EXPRESSION-ONLY (zip_with against the shifted token array — no
+    * window, no per-doc sort, zero extra shuffle); bigram and
+    * context counts are two map-side-combined aggregates; scoring
+    * joins are keyed on (prev, cur)/(prev) — a web-scale vocabulary
+    * is NOT broadcast-safe, same design as `lmScore`. Buckets
+    * compare the ROUNDED ppl (engine-portable boundary).
+    * Output: (idCol, n_tokens, avg_nll 6dp, ppl 4dp, bucket). */
+  def lmScoreBigram(docs: DataFrame, headPpl: Double, tailPpl: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(headPpl <= tailPpl)
+    val toks = whitespaceTokens(col(textCol))
+    val pairs = docs.select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          concat(array(lit("<s>")), slice(toks, lit(1),
+            greatest(size(toks) - 1, lit(0)))),
+          toks,
+          (p, c) => struct(p.as("prev"), c.as("cur")))).as("pc"))
+      .select(col("doc_id"), col("pc.prev").as("prev"),
+        col("pc.cur").as("cur"))
+    val bc = pairs.groupBy("prev", "cur").agg(count(lit(1)).as("bc"))
+    val cc = pairs.groupBy("prev").agg(count(lit(1)).as("cc"))
+    // V from the cur side: every token occurrence appears as cur
+    // exactly once (prev misses each doc's final token)
+    val vSize = pairs.agg(countDistinct(col("cur")).as("_v"))
+    val scored = pairs
+      .join(bc, Seq("prev", "cur"), "left")
+      .join(cc, Seq("prev"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("doc_id"),
+        log((coalesce(col("bc"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("cc"), lit(0L)) + col("_v")).cast("double"))
+          .as("lnp"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (-sum(col("lnp")) / count(lit(1)).cast("double")).as("nll"))
+    val ppl = round(exp(col("nll")), 4)
+    perDoc.select(col("doc_id").as(idCol), col("n_tokens"),
+      round(col("nll"), 6).as("avg_nll"), ppl.as("ppl"),
+      when(ppl <= headPpl, "head").when(ppl <= tailPpl, "middle")
+        .otherwise("tail").as("bucket"))
+  }
+
   /** MIN-K% PROB membership/contamination diagnostic (Shi et al.
     * 2023, "Detecting Pretraining Data from Large Language Models"):
     * per document, the mean of the lowest ceil(kPct·n) token

@@ -198,6 +198,23 @@ class CurationSpec extends AnyFunSuite {
     assert(got(7L) == 7L && got(9L) == 7L)
   }
 
+  test("lmScoreBigram: hand-computed add-one bigram model with <s>") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b")).toDF("doc_id", "text")
+    // bc: (<s>,a)=2 (a,b)=3 (b,a)=1; cc: <s>=2 a=3 b=1; V=|{a,b}|=2
+    val got = TextAnalysis.lmScoreBigram(docs, headPpl = 1.3,
+        tailPpl = 2.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getString(4)))).toMap
+    val nll2 = -(math.log(3.0 / 4.0) + math.log(4.0 / 5.0)) / 2.0
+    assert(got(2L)._1 == 2L)
+    assert(math.abs(got(2L)._2 - nll2) < 1e-6)
+    // doc 2's ppl = exp(nll2) ~ 1.291 -> head at the 1.3 cutoff
+    assert(got(2L)._3 == "head")
+    val nll1 = -(math.log(3.0 / 4.0) + 2 * math.log(4.0 / 5.0) +
+      math.log(2.0 / 3.0)) / 4.0
+    assert(math.abs(got(1L)._2 - nll1) < 1e-6)
+  }
+
   test("minKProb: hand-computed micro-nat sums of the lowest-k tokens") {
     // counts: a=3 b=1 c=1; N=5, V=3 -> p(a)=4/8, p(b)=p(c)=2/8
     val docs = Seq((1L, "a a a b"), (2L, "c")).toDF("doc_id", "text")
