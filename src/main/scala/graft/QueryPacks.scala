@@ -1360,6 +1360,32 @@ object CorpusQueries {
         Tables.load(s, d, "embeddings").filter(col("vec_id") % 5 === 0),
         k = 10)
     }),
+    // lexical-vs-dense AGREEMENT: BM25 top-10 scored against the
+    // dense exact top-10 as truth (recall/MRR/NDCG@10) — the
+    // diagnostic that motivates hybrid fusion (low agreement = the
+    // rankers surface different evidence and RRF has headroom)
+    "bm25_rank_metrics" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = docs(s, d)
+      val probe = col("doc_id") % 97 === 0
+      val corpus = base.filter(!probe)
+      val qs = base.filter(probe)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+            .as("q_text"))
+      val found = Retrieval.bm25TopK(corpus, qs, k = 10)
+        .select(col("qid"), col("rank"), col("doc_id").as("neighbor_id"))
+      val truth = Knn.exact(
+        corpus.select(col("doc_id").as("vec_id"),
+          Ingest.syntheticEmbeddingPortable(col("text"), dim = 16)
+            .as("embedding")),
+        qs.select(col("qid"),
+          Ingest.syntheticEmbeddingPortable(col("q_text"), dim = 16)
+            .as("q_embedding")),
+        10)
+      Recall.rankMetrics(found, truth, 10)
+    }),
     // fastText-style quality classifier: logistic regression over
     // 256 hashed unigram buckets, 40 full-batch GD steps at lr=0.05.
     // Label = the en-marker gate (>= 3 marker occurrences) — a
@@ -1815,6 +1841,72 @@ object CorpusQueries {
          |FROM fuse
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    // the hybrid oracle's sparse/dense rankers + the knn_rank_metrics
+    // metric tail (recall/MRR/NDCG@10, truth-averaged)
+    "bm25_rank_metrics" ->
+      s"""WITH bm_all AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS toks
+         |  FROM documents
+         |), bm_t AS (
+         |  SELECT doc_id, toks FROM bm_all WHERE doc_id % 97 <> 0
+         |), qdoc AS (
+         |  SELECT doc_id AS qid,
+         |    array_to_string(list_slice(toks, 1, 5), ' ') AS qtext
+         |  FROM bm_all WHERE doc_id % 97 = 0
+         |), bm_q AS (
+         |  SELECT DISTINCT qid, term FROM (
+         |    SELECT qid, unnest(string_split(qtext, ' ')) AS term
+         |    FROM qdoc)
+         |), ${TextQueries.bm25Core("bm_t")}, found AS (
+         |  SELECT qid, doc_id AS neighbor_id, CAST(row_number() OVER (
+         |      PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+         |      AS rank
+         |  FROM bm_sc QUALIFY rank <= 10
+         |), demb AS (
+         |  SELECT doc_id, list_transform(range(0, 16), j ->
+         |      CAST(CAST(concat('0x',
+         |        substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 15))
+         |        AS BIGINT) % 2000001 / 1000000.0 - 1.0 AS REAL)) AS e
+         |  FROM bm_all WHERE doc_id % 97 <> 0
+         |), qemb AS (
+         |  SELECT qid, list_transform(range(0, 16), j ->
+         |      CAST(CAST(concat('0x',
+         |        substr(md5(qtext || ':' || CAST(j AS VARCHAR)), 1, 15))
+         |        AS BIGINT) % 2000001 / 1000000.0 - 1.0 AS REAL)) AS e
+         |  FROM qdoc
+         |), dd AS (
+         |  SELECT q.qid, d.doc_id,
+         |    (SELECT sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE))
+         |        * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))
+         |     FROM (SELECT unnest(q.e) AS a, unnest(d.e) AS b) z) AS dst
+         |  FROM qemb q CROSS JOIN demb d
+         |), truth AS (
+         |  SELECT qid, doc_id AS neighbor_id FROM (
+         |    SELECT qid, doc_id, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, doc_id) AS trk FROM dd)
+         |  WHERE trk <= 10
+         |), hits AS (
+         |  SELECT f.qid, f.rank,
+         |    CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM found f LEFT JOIN truth t
+         |    ON f.qid = t.qid AND f.neighbor_id = t.neighbor_id
+         |), perq AS (
+         |  SELECT qid, sum(hit) / 10.0 AS q_recall,
+         |    coalesce(1.0 / min(CASE WHEN hit = 1 THEN rank END), 0.0)
+         |      AS q_mrr,
+         |    sum(CASE WHEN hit = 1
+         |        THEN 1.0 / (ln(rank + 1.0) / ln(2.0)) ELSE 0 END) /
+         |      (SELECT sum(1.0 / (ln(i + 1.0) / ln(2.0)))
+         |       FROM UNNEST(range(1, 11)) t(i)) AS q_ndcg
+         |  FROM hits GROUP BY qid
+         |), tq AS (
+         |  SELECT DISTINCT qid FROM truth
+         |)
+         |SELECT count(*) AS n_queries,
+         |  round(avg(coalesce(q_recall, 0)), 6) AS recall,
+         |  round(avg(coalesce(q_mrr, 0)), 6) AS mrr,
+         |  round(avg(coalesce(q_ndcg, 0)), 6) AS ndcg
+         |FROM tq LEFT JOIN perq USING (qid)""".stripMargin,
     // rank among non-self candidates directly — equivalent to the
     // engine's top-6-then-drop-self (top-6 contains the top-5
     // non-self by construction)
