@@ -556,7 +556,18 @@ object TextQueries {
     // corpus's bigram-ppl terciles
     "text_perplexity2" -> ((s, d) =>
       TextAnalysis.lmScoreBigram(docs(s, d), headPpl = 29.18,
-        tailPpl = 29.89))
+        tailPpl = 29.89)),
+    // the cutoff trainer STRATIFIED: one exact ppl-tercile pair per
+    // LANGUAGE (CCNet trains per-language cutoffs) — per-group order
+    // statistics via one (group, value) range sort + rank gather,
+    // never a per-group window or value-buffering percentile
+    "text_ppl_cutoffs_by_lang" -> ((s, d) => {
+      val base = docs(s, d)
+      val scored = TextAnalysis.lmScore(base, 9e99, 9e99)
+        .join(base.select(col("doc_id"), col("lang")), "doc_id")
+      Corpus.groupedExactQuantiles(scored, "lang", "ppl",
+        qs = Seq(0.33, 0.67))
+    })
   )
 
   /** One unrolled BPE round for the text_bpe oracle: pair counts ->
@@ -930,6 +941,18 @@ object TextQueries {
              s"SELECT CAST($q AS DOUBLE) AS q, " +
                s"round(quantile_cont(ppl, $q), 6) AS value FROM pp")
            .mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // per-language quantile_cont over the same rounded ppl scores
+    "text_ppl_cutoffs_by_lang" -> {
+      val qv = Seq(0.33, 0.67)
+      s"""WITH $perplexityCore, pp AS (
+         |  SELECT d.lang, round(exp(p.nll), 4) AS ppl
+         |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id
+         |)
+         |${qv.map(q =>
+             s"SELECT lang, CAST($q AS DOUBLE) AS q, " +
+               s"round(quantile_cont(ppl, $q), 6) AS value " +
+               "FROM pp GROUP BY lang").mkString("\nUNION ALL\n")}""".stripMargin
     },
     // closed-vocab encoding: vocabulary ids replayed from the same
     // (count desc, term) ranking; OOV -> 0; digest pins id order

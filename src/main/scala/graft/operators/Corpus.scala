@@ -595,6 +595,97 @@ object Corpus {
         round(sum(col("lambda")), 6).as("weight"))
   }
 
+  /** PER-GROUP exact quantiles — `exactQuantiles` stratified (the
+    * per-language CCNet cutoff trainer: one ppl threshold per lang,
+    * not one global): exact order statistics WITHIN each group with
+    * percentile/quantile_cont interpolation, still without any
+    * value-buffering aggregate.
+    *
+    * Scale design (100 TB): ONE range sort by (group, value) — group
+    * skew is handled by the range partitioner splitting a big group
+    * across partitions, never one-task-per-group like a window sort.
+    * Pass 1 reduces each partition to its per-group counts (P×G
+    * pairs to the driver, G = #groups, bounded); pass 2 reads only
+    * the partitions holding a wanted (group, rank) and emits
+    * <= 2×|qs| rows per group. Interpolation happens on the driver
+    * over those picked values.
+    * Output: (groupCol, q, value rounded 6dp). */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val sorted = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .repartitionByRange(col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .as[(String, Double)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: per-(partition, group) counts, in partition order
+      val counts = sorted.mapPartitionsWithIndex { case (pid, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _) => m(g) = m.getOrElse(g, 0L) + 1L }
+        m.iterator.map { case (g, c) => (pid, g, c) }.toList.iterator
+      }.collect()
+      // per group: total and, per partition, the group's rank offset
+      val byGroup = counts.groupBy(_._2)
+      val groupTotals = byGroup.map { case (g, cs) => g -> cs.map(_._3).sum }
+      // wanted global-within-group ranks per group
+      val wanted: Map[String, Set[Long]] = groupTotals.map { case (g, n) =>
+        require(n > 0)
+        g -> qs.flatMap { q =>
+          val pos = q * (n - 1)
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.toSet
+      }
+      // per (partition, group): the group's exclusive rank offset at
+      // that partition's start
+      val offsets: Map[(Int, String), Long] = byGroup.iterator.flatMap {
+        case (g, cs) =>
+          var acc = 0L
+          cs.sortBy(_._1).map { case (pid, _, c) =>
+            val o = ((pid, g), acc); acc += c; o
+          }
+      }.toMap
+      val bcOff = sorted.sparkContext.broadcast(offsets)
+      val bcWanted = sorted.sparkContext.broadcast(wanted)
+      val picked = sorted.mapPartitionsWithIndex { case (pid, it) =>
+        val off = bcOff.value; val want = bcWanted.value
+        var g: String = null
+        var r = 0L
+        var inPlay = false
+        var ws: Set[Long] = Set.empty
+        it.flatMap { case (grp, v) =>
+          if (grp != g) {
+            g = grp
+            r = off((pid, g))
+            ws = want(g)
+            // skip partitions holding none of this group's wanted
+            // ranks (cheap per-group test, not per-row)
+            inPlay = ws.exists(_ >= r)
+          }
+          val out = if (inPlay && ws.contains(r)) Iterator(((g, r), v))
+            else Iterator.empty
+          r += 1
+          out
+        }
+      }.collect().toMap
+      groupTotals.toSeq.sorted.flatMap { case (g, n) =>
+        qs.map { q =>
+          val pos = q * (n - 1)
+          val lo = math.floor(pos).toLong
+          val hi = math.ceil(pos).toLong
+          val v = picked((g, lo)) + (pos - lo) * (picked((g, hi)) - picked((g, lo)))
+          (g, q, BigDecimal(v).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+      }.toDF(groupCol, "q", "value")
+    } finally sorted.unpersist(blocking = false)
+  }
+
   /** K-CENTER GREEDY (farthest-point traversal, Gonzalez 1985)
     * coreset selection: pick the min-id row as the seed, then `k - 1`
     * times pick the row FARTHEST from the already-selected set (max

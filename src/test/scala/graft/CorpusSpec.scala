@@ -496,6 +496,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSet == expected)
   }
 
+  test("groupedExactQuantiles: hand values, extremes, partition independence") {
+    val df = ((1 to 10).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0))).toDF("g", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Corpus.groupedExactQuantiles(d, "g", "v",
+        qs = Seq(0.0, 0.5, 1.0))
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getDouble(2))).toSet
+    val got = run(df)
+    // a: 1..10 -> median interpolates 5.5; b: {100, 200} -> 150
+    assert(got == Set(
+      ("a", 0.0, 1.0), ("a", 0.5, 5.5), ("a", 1.0, 10.0),
+      ("b", 0.0, 100.0), ("b", 0.5, 150.0), ("b", 1.0, 200.0)))
+    assert(run(df.repartition(7)) == got)
+    // a skewed group spanning many partitions: same answer
+    val big = (1 to 5000).map(i => ("big", i.toDouble)).toDF("g", "v")
+      .repartition(13)
+    val bigQ = Corpus.groupedExactQuantiles(big, "g", "v", qs = Seq(0.25))
+      .collect().map(r => r.getDouble(2)).head
+    assert(bigQ == 1250.75) // 0.25 * 4999 = 1249.75 -> 1250.75
+  }
+
   test("kCenters: hand-computed farthest-point order on a line") {
     // points at 0, 1, 10, 11 (1-D). seed = min id (at 0).
     // farthest from {0} -> 11; then min-dists {1:1, 10:1} tie -> min id
