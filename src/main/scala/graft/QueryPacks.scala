@@ -603,7 +603,8 @@ object TextQueries {
        |               ELSE sym = l AND nxt = l AND off % 2 = 0 END)
        |      THEN l || r ELSE sym END AS sym
        |  FROM of$r
-       |  WHERE NOT (CASE WHEN l <> r THEN sym = r AND prv = l
+       |  WHERE NOT (CASE WHEN l <> r
+       |             THEN sym = r AND prv IS NOT DISTINCT FROM l
        |             ELSE sym = l AND off % 2 = 1 END)
        |)""".stripMargin
 
@@ -1967,13 +1968,21 @@ object CorpusQueries {
         |), sel(it, ids) AS (
         |  SELECT 1, [(SELECT min(vec_id) FROM e)]
         |  UNION ALL
-        |  SELECT it + 1, list_append(ids, (
-        |    SELECT m.j FROM (
-        |      SELECT dm.j, min(dm.d) AS md FROM dm
-        |      WHERE list_contains(sel.ids, dm.i)
-        |        AND NOT list_contains(sel.ids, dm.j)
-        |      GROUP BY dm.j) m
-        |    ORDER BY m.md DESC, m.j LIMIT 1))
+        |  SELECT it + 1,
+        |    CASE WHEN (
+        |      SELECT m.j FROM (
+        |        SELECT dm.j, min(dm.d) AS md FROM dm
+        |        WHERE list_contains(sel.ids, dm.i)
+        |          AND NOT list_contains(sel.ids, dm.j)
+        |        GROUP BY dm.j) m
+        |      ORDER BY m.md DESC, m.j LIMIT 1) IS NULL THEN ids
+        |    ELSE list_append(ids, (
+        |      SELECT m.j FROM (
+        |        SELECT dm.j, min(dm.d) AS md FROM dm
+        |        WHERE list_contains(sel.ids, dm.i)
+        |          AND NOT list_contains(sel.ids, dm.j)
+        |        GROUP BY dm.j) m
+        |      ORDER BY m.md DESC, m.j LIMIT 1)) END
         |  FROM sel WHERE it < 10
         |), last AS (
         |  SELECT ids FROM sel ORDER BY it DESC LIMIT 1

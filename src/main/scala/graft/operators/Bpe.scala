@@ -77,24 +77,25 @@ object Bpe {
     val spark = docs.sparkSession
     // word instances keyed by (doc, widx) so repeated words stay
     // distinct; symbols under the same layout as the trainer
-    val words = docs.select(col(idCol).as("_did"),
+    // word instances keyed by the native (_did, widx) pair — the
+    // merge windows partition by these columns directly (a
+    // synthesized string key would pay a concat projection plus
+    // string comparisons in every round's sort). Empty words (from
+    // consecutive spaces) carry no symbols, like the trainer.
+    var state = docs.select(col(idCol).as("_did"),
         posexplode(TextAnalysis.whitespaceTokens(col(textCol)))
           .as(Seq("widx", "_w")))
-      .select(concat_ws("#", col("_did"), col("widx")).as("word"),
-        col("_did"), col("widx"), lit(1L).as("wcount"), col("_w"))
-    var state = words
-      .select(col("word"), col("_did"), col("widx"), col("wcount"),
-        col("_w"),
+      .filter(length(col("_w")) > 0)
+      .select(col("_did"), col("widx"), col("_w"),
         explode(sequence(lit(1L), length(col("_w")).cast("long")))
           .as("pos"))
       .withColumn("sym", col("_w").substr(col("pos").cast("int"), lit(1)))
-      .select(col("word"), col("_did"), col("widx"), col("wcount"),
-        col("pos"), col("sym"))
+      .select(col("_did"), col("widx"), col("pos"), col("sym"))
       .localCheckpoint()
     merges.foreach { case (l, r) =>
       val prev = state
       state = applyMerge(state, l, r,
-        carry = Seq("_did", "widx")).localCheckpoint()
+        keyCols = Seq("_did", "widx"), carry = Nil).localCheckpoint()
       prev.unpersist()
     }
     state
@@ -105,9 +106,13 @@ object Bpe {
         transform(col("_s"), x => x.getField("sym")).as("tokens"))
   }
 
-  /** (word, wcount) -> one row per character position. */
+  /** (word, wcount) -> one row per character position. Empty words
+    * contribute no symbols (sequence(1, 0) would otherwise yield
+    * [1, 0] — Spark auto-steps DOWN when start > stop — and
+    * manufacture two phantom "" symbols per empty word). */
   private def initialSymbols(words: DataFrame): DataFrame =
     words
+      .filter(length(col("word")) > 0)
       .select(col("word"), col("wcount"),
         explode(sequence(lit(1L), length(col("word")).cast("long")))
           .as("pos"))
@@ -130,16 +135,22 @@ object Bpe {
   }
 
   /** One declarative merge application (see object doc for the
-    * non-overlap argument). `carry` names extra columns to keep. */
+    * non-overlap argument). `keyCols` identify a word instance (the
+    * window partition); `carry` names extra columns to keep. */
   private[operators] def applyMerge(state: DataFrame, l: String, r: String,
-      carry: Seq[String] = Nil): DataFrame = {
-    val w = Window.partitionBy("word").orderBy("pos")
-    val keep = (Seq("word", "wcount", "pos") ++ carry).map(col)
+      keyCols: Seq[String] = Seq("word"),
+      carry: Seq[String] = Seq("wcount")): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy("pos")
+    val keep = (keyCols ++ carry ++ Seq("pos")).map(col)
     val p = state
       .withColumn("nxt", lead(col("sym"), 1).over(w))
       .withColumn("prv", lag(col("sym"), 1).over(w))
     if (l != r) {
-      p.filter(!(col("sym") === r && col("prv") === l))
+      // null-safe prv comparison: a word-INITIAL symbol equal to r
+      // has prv = NULL, and `prv === l` would make the whole
+      // predicate NULL -> filter() silently drops the row (deletes
+      // the word's first symbol)
+      p.filter(!(col("sym") === r && (col("prv") <=> l)))
         .withColumn("sym",
           when(col("sym") === l && col("nxt") === r, lit(l + r))
             .otherwise(col("sym")))
@@ -150,7 +161,8 @@ object Bpe {
       val runId = sum(when(col("sym") =!= l || col("prv").isNull ||
           col("prv") =!= l, 1L).otherwise(0L)).over(w)
       val off = row_number().over(
-        Window.partitionBy(col("word"), col("run_id")).orderBy(col("pos")))
+        Window.partitionBy(keyCols.map(col) :+ col("run_id"): _*)
+          .orderBy(col("pos")))
       p.withColumn("run_id", runId)
         .withColumn("off",
           when(col("sym") === l, off - 1).otherwise(lit(null)))

@@ -106,13 +106,16 @@ object Classifier {
   }
 
   /** (doc_id, y, bs ARRAY<BIGINT>): one row per doc holding its raw
-    * token-bucket sequence — a narrow projection, zero aggregates. */
+    * token-bucket sequence — a narrow projection, zero aggregates.
+    * NULL-text docs are excluded (they have no feature rows in the
+    * SQL-oracle formulation and would otherwise score NULL rows). */
   private def featureArrays(docs: DataFrame, isTarget: Column,
       buckets: Int, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
-      isTarget.cast("long").as("y"),
-      transform(TextAnalysis.whitespaceTokens(col(textCol)),
-        t => bucketOf(t, buckets)).as("bs"))
+    docs.where(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        isTarget.cast("long").as("y"),
+        transform(TextAnalysis.whitespaceTokens(col(textCol)),
+          t => bucketOf(t, buckets)).as("bs"))
 
   /** Integer logits: z_micro = Σ_tokens w_micro[bucket] via an
     * expression-only fold — token multiplicity IS the per-bucket

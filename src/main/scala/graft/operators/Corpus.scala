@@ -727,7 +727,7 @@ object Corpus {
       .withColumn("_md", round(Knn.distance(metric, col("_v"),
         typedlit(seedRow.head._2.toSeq)), 6))
       .persist()
-    var picks = math.min(k, 1)
+    var picks = 1 // the seed (k >= 1 enforced on entry)
     try {
       while (picks < k) {
         val chosen = selected.map(_._1)

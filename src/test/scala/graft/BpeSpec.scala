@@ -85,6 +85,31 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainBpe(docs, numMerges = 5).count() == 0)
   }
 
+  test("trainBpe: word-initial right symbol survives (null-prv regression)") {
+    // merge 1 = (a,n); word "na" STARTS with n whose prv is NULL —
+    // a non-null-safe tail filter deleted that first symbol and lost
+    // round 2's (n,a) merge
+    val docs = Seq((1L, "na an an")).toDF("doc_id", "text")
+    val got = Bpe.trainBpe(docs, numMerges = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toList
+    assert(got == List(("a", "n", 2L), ("n", "a", 1L)))
+  }
+
+  test("bpeEncode: word starting with the merge's right symbol") {
+    val docs = Seq((1L, "ba")).toDF("doc_id", "text")
+    val got = Bpe.bpeEncode(docs, Seq(("a", "b")))
+      .collect().map(r => r.getSeq[String](1).toList).head
+    assert(got == List("b", "a"))
+  }
+
+  test("trainBpe: empty words from consecutive spaces carry no symbols") {
+    // "a  b" tokenizes to ["a", "", "b"]; sequence(1, 0) would
+    // otherwise manufacture two phantom "" symbols and a ("","") pair
+    val docs = Seq((1L, "a  b a  b")).toDF("doc_id", "text")
+    assert(Bpe.trainBpe(docs, numMerges = 3).count() == 0)
+  }
+
   test("trainBpe: partition independence on testdata") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     def run(df: org.apache.spark.sql.DataFrame) =
