@@ -1384,6 +1384,24 @@ object CorpusQueries {
         Tables.load(s, d, "embeddings").filter(col("vec_id") % 5 === 0),
         k = 10)
     }),
+    // SIF-style retrieval: idf-weighted pooled doc embeddings
+    // (integer-exact BIGINT pooling — order-free sums, floats only
+    // in the final normalization) + exact search of the probe docs
+    // against the rest
+    "pipeline_sif" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val pooled = Retrieval.sifEmbed(docs(s, d))
+      val probe = col("doc_id") % 97 === 0
+      Knn.exact(
+        pooled.filter(!probe)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        pooled.filter(probe)
+          .select(col("doc_id").as("qid"),
+            col("embedding").as("q_embedding")),
+        10)
+        .select(col("qid"), col("rank"), col("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+    }),
     // lexical-vs-dense AGREEMENT: BM25 top-10 scored against the
     // dense exact top-10 as truth (recall/MRR/NDCG@10) — the
     // diagnostic that motivates hybrid fusion (low agreement = the
@@ -1865,6 +1883,56 @@ object CorpusQueries {
          |FROM fuse
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+    // integer micro-weight pooling replayed cell by cell, floats
+    // only at the final normalization and the zipped-unnest distance
+    "pipeline_sif" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS term FROM t
+        |), sdf AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY term
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |), wtok AS (
+        |  SELECT tok.doc_id, u.j,
+        |    (CAST(concat('0x', substr(md5(term || ':' ||
+        |        CAST(u.j AS VARCHAR)), 1, 15)) AS BIGINT) % 2000001)
+        |      * CAST(round(1000000.0 * CAST(nn.n AS DOUBLE) /
+        |          CAST(sdf.df AS DOUBLE)) AS BIGINT) AS wv
+        |  FROM tok JOIN sdf USING (term) CROSS JOIN nn,
+        |    UNNEST(range(0, 16)) u(j)
+        |), pool AS (
+        |  SELECT doc_id, j, CAST(sum(wv) AS BIGINT) AS p
+        |  FROM wtok GROUP BY doc_id, j
+        |), ntok AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM tok GROUP BY doc_id
+        |), emb AS (
+        |  SELECT pool.doc_id,
+        |    list(CAST(CAST(pool.p AS DOUBLE) / 1000000000000.0 /
+        |      CAST(ntok.n_tokens AS DOUBLE) AS REAL) ORDER BY pool.j)
+        |      AS e
+        |  FROM pool JOIN ntok USING (doc_id)
+        |  GROUP BY pool.doc_id
+        |), q AS (
+        |  SELECT doc_id AS qid, e AS qe FROM emb WHERE doc_id % 97 = 0
+        |), d AS (
+        |  SELECT doc_id, e FROM emb WHERE doc_id % 97 <> 0
+        |), dist AS (
+        |  SELECT q.qid, d.doc_id,
+        |    (SELECT sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE))
+        |        * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))
+        |     FROM (SELECT unnest(q.qe) AS a, unnest(d.e) AS b) z) AS dst
+        |  FROM q CROSS JOIN d
+        |)
+        |SELECT qid, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY dst, doc_id ASC) AS BIGINT) AS rank,
+        |  doc_id AS neighbor_id, round(dst, 6) AS dist
+        |FROM dist
+        |QUALIFY rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     // the hybrid oracle's sparse/dense rankers + the knn_rank_metrics
     // metric tail (recall/MRR/NDCG@10, truth-averaged)
     "bm25_rank_metrics" ->

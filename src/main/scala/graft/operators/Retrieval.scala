@@ -102,6 +102,60 @@ object Retrieval {
         col("nn.id").as("doc_id"), (-col("nn.dist")).as("score"))
   }
 
+  /** SIF-style IDF-WEIGHTED POOLED document embeddings (Arora et al.
+    * 2017 "A Simple but Tough-to-Beat Baseline"): each document's
+    * embedding is the idf-weighted mean of its token vectors, so
+    * frequent (low-information) tokens contribute little — the
+    * static-embedding retrieval baseline between pure BM25 and a
+    * learned encoder.
+    *
+    * INTEGER-EXACT POOLING (the minKProb/Classifier discipline):
+    * token vectors are the raw md5 pre-image integers
+    * (`Ingest.portableHashInts`, 0..2×10⁶), idf becomes integer
+    * micro-weights w = round(10⁶·N/df), and the pooled vector is
+    * Σ_tokens w·v per dimension — BIGINT sums, exact in ANY
+    * aggregation order. Floats appear only in the final per-doc
+    * normalization (identical operands on every engine) and the
+    * result quantizes to float32. Overflow bound: 10⁶·N·2·10⁶·L per
+    * cell — int64-safe to ~10⁶ docs of 10³ tokens; rescale the
+    * micro-weight for larger corpora.
+    *
+    * Scale design (100 TB): df is one map-side-combined aggregate;
+    * the token relation joins it BY TERM (web-scale vocab never
+    * broadcast) and reduces per doc through a bounded fold
+    * (collect_list ≤ doc length of dim-length arrays, zip_with
+    * sums). One shuffle by term, one by doc.
+    * Output: (idCol, n_tokens, embedding ARRAY<FLOAT>). */
+  def sifEmbed(
+      docs: DataFrame,
+      dim: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(TextAnalysis.whitespaceTokens(col(textCol))).as("term"))
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val weighted = toks
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        transform(Ingest.portableHashInts(col("term"), dim), h =>
+          h * round(lit(1000000.0) * col("_n").cast("double") /
+            col("df").cast("double")).cast("long")).as("wv"))
+    weighted
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(collect_list(col("wv")),
+          typedlit(Seq.fill(dim)(0L)),
+          (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("_pool"))
+      .select(col("doc_id").as(idCol), col("n_tokens"),
+        transform(col("_pool"), p =>
+          (p.cast("double") / 1000000000000.0 /
+            col("n_tokens").cast("double")).cast("float"))
+          .as("embedding"))
+  }
+
   /** Frozen BM25 model for a FIXED query set: corpus statistics
     * (N, avgdl) plus each query's terms with their corpus document
     * frequencies. Driver-sized by contract (queries are small); the

@@ -101,6 +101,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(frozen == batch)
   }
 
+  test("sifEmbed: local integer-pool replay and partition independence") {
+    val docs = Seq((1L, "c r"), (2L, "c"), (3L, "c s s"))
+      .toDF("doc_id", "text")
+    // term vectors from the same primitive the operator uses
+    val vints = Seq("c", "r", "s").toDF("term")
+      .select(col("term"),
+        graft.operators.Ingest.portableHashInts(col("term"), 4).as("v"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // df: c=3 r=1 s=1, N=3 -> w(c)=1e6, w(r)=w(s)=3e6
+    def w(df: Long) = math.round(1000000.0 * 3.0 / df)
+    def pool(terms: Seq[(String, Long)], n: Long): Seq[Float] =
+      (0 until 4).map { j =>
+        val s = terms.map { case (t, df) => vints(t)(j) * w(df) }.sum
+        (s.toDouble / 1000000000000.0 / n.toDouble).toFloat
+      }
+    val expected = Map(
+      1L -> pool(Seq("c" -> 3L, "r" -> 1L), 2),
+      2L -> pool(Seq("c" -> 3L), 1),
+      3L -> pool(Seq("c" -> 3L, "s" -> 1L, "s" -> 1L), 3))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Retrieval.sifEmbed(d, dim = 4)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](2).toSeq)
+        .toMap
+    assert(run(docs) == expected)
+    assert(run(docs.repartition(5)) == expected)
+  }
+
   test("rrf: hand case with one-sided members and id tie-break") {
     // query 1: sparse ranks a=1, b=2; dense ranks b=1, c=2.
     //   b: 1/62 + 1/61;  a: 1/61;  c: 1/62  ->  order b, a, c
