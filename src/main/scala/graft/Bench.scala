@@ -150,35 +150,60 @@ object Bench {
     def esc(s: String): String =
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
                   case c if c < ' ' => " "; case c => c.toString }
+    def fmt(v: Double, dec: Int): String = {
+      // trim trailing zeros ("0.30"->"0.3", "2.00"->"2") — same
+      // resolution, shorter line; JSON numbers stay valid
+      val s = s"%.${dec}f".format(v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val sfName = new java.io.File(sfDir).getName
+    val allErrs = results.collect { case (k, _, Some(e)) =>
+      s"\"" + k + "\":\"" + esc(e.take(120)) + "\"" }
+    // FULL per-query detail goes to a repo file (the pack outgrew any
+    // stdout budget at ~100 measured queries): committed alongside the
+    // round artifacts, it carries what the compact line cannot
+    val fullQs = results.map { case (k, v, _) =>
+      s"\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}")
+    val fullErrField =
+      if (allErrs.isEmpty) "" else allErrs.mkString(",\"errors\":{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$fullQs$fullErrField,"sf":"$sfName"}"""
+    try {
+      val out = new java.io.PrintWriter("BENCH_full.json")
+      try out.println(fullLine) finally out.close()
+    } catch { case _: Throwable => () } // detail file is best-effort
     // The consumer keeps EXACTLY the last 2000 chars of stdout
     // (measured: every recorded tail is 2000 chars), and the build
     // tool's trailing success line ("[success] Total time: ...",
-    // ~74 chars + newlines) eats from that window. The JSON line must
-    // therefore stay <= ~1915 chars to survive intact: 2-decimal
-    // seconds preferred (10 ms resolution — two orders below this
-    // host's run-to-run noise), trailing zeros trimmed, errors capped
-    // at 1 entry x 60 chars, with 1-decimal and integer fallbacks if
-    // the pack outgrows the budget.
-    def build(dec: Int): String = {
-      // trim trailing zeros ("0.30"->"0.3", "2.00"->"2") — same
-      // resolution, shorter line; JSON numbers stay valid
-      def fmt(v: Double): String = {
-        val s = s"%.${dec}f".format(v)
-        if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-        else s
+    // ~74 chars + newlines) eats from that window. r9's lesson: even
+    // integer-resolution full maps no longer fit, and a cut line
+    // parses as nothing — so the LAST stdout line is now a compact
+    // digest GUARANTEED to fit: totals + the most expensive queries
+    // (time desc) greedily up to a hard budget, the rest summarized
+    // in an "omitted" count. The total always covers every query.
+    val budget = 1500 // chars for the queries map — leaves ample slack
+    val byCost = results.sortBy { case (_, v, _) => -v }
+    val included = {
+      var used = 2 // braces
+      byCost.takeWhile { case (k, v, _) =>
+        val entry = k.length + fmt(v, 2).length + 4
+        if (used + entry <= budget) { used += entry; true } else false
       }
-      val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      val errs = results.collect { case (k, _, Some(e)) =>
-        s"\"" + k + "\":\"" + esc(e.take(60)) + "\"" }.take(1)
-      val errField =
-        if (errs.isEmpty) "" else errs.mkString(",\"errors\":{", ",", "}")
-      val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-      val sfName = new java.io.File(sfDir).getName
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errField,"sf":"$sfName"}"""
     }
-    val line = Iterator(2, 1, 0).map(build)
-      .find(_.length <= 1910).getOrElse(build(0))
+    val compactQs = included
+      .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    val errField = if (allErrs.isEmpty) ""
+      else allErrs.map(_.take(80)).take(1)
+        .mkString(",\"errors\":{", ",", "}")
+    val omitted = results.length - included.length
+    val line =
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$compactQs,"omitted":$omitted,"n_queries":${results.length}$errField,"sf":"$sfName"}"""
+    // stdout carries ONLY the compact line: a >2000-char full line
+    // would leave a truncated JSON fragment in the tail window ahead
+    // of it (the full detail lives in BENCH_full.json)
     println(line)
     spark.stop()
   }

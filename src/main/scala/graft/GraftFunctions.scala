@@ -59,6 +59,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_vecsum", es => VectorSum(es(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_vecsum_long", es => VectorSumLong(es(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_fp16_encode", es => Fp16Encode(es(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_fp16_decode", es => Fp16Decode(es(0)), "built-in")
@@ -133,6 +135,7 @@ object GraftFunctions {
     call_function("graft_lsh_bands", sig, lit(bands))
   }
   def vecSum(a: Column): Column = call_function("graft_vecsum", a)
+  def vecSumLong(a: Column): Column = call_function("graft_vecsum_long", a)
   def repetition(text: Column): Column = call_function("graft_repetition", text)
 
   /** Bloom-filter membership probe. The filter object cannot be a SQL

@@ -722,17 +722,21 @@ object Corpus {
     if (seedRow.isEmpty) return Seq.empty[(Long, Long)]
       .toDF("rank", idCol)
     var selected = List(seedRow.head)
-    // running min of ROUNDED distances to the selected set
+    // running min of ROUNDED distances to the selected set, plus a
+    // _sel flag marking already-picked rows — a growing isin(list)
+    // filter would re-compare every row against all k picks each
+    // round (O(k²·n/P) total, and an expression tree that grows per
+    // round); the flag keeps every pass O(n) independent of k
     var state = base
       .withColumn("_md", round(Knn.distance(metric, col("_v"),
         typedlit(seedRow.head._2.toSeq)), 6))
+      .withColumn("_sel", col("_id") === seedRow.head._1)
       .persist()
     var picks = 1 // the seed (k >= 1 enforced on entry)
     try {
       while (picks < k) {
-        val chosen = selected.map(_._1)
         val next = state
-          .filter(!col("_id").isin(chosen: _*))
+          .filter(!col("_sel"))
           .orderBy(col("_md").desc, col("_id"))
           .limit(1)
           .select(col("_id"), col("_v")).as[(Long, Array[Float])]
@@ -743,9 +747,12 @@ object Corpus {
           picks += 1
           if (picks < k) {
             val prev = state
-            state = state.withColumn("_md",
-              least(col("_md"), round(Knn.distance(metric, col("_v"),
-                typedlit(next.head._2.toSeq)), 6)))
+            state = state
+              .withColumn("_md",
+                least(col("_md"), round(Knn.distance(metric, col("_v"),
+                  typedlit(next.head._2.toSeq)), 6)))
+              .withColumn("_sel",
+                col("_sel") || col("_id") === next.head._1)
               .persist()
             // materialize before dropping the parent from cache
             state.count()

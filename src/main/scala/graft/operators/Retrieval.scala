@@ -112,46 +112,78 @@ object Retrieval {
     * INTEGER-EXACT POOLING (the minKProb/Classifier discipline):
     * token vectors are the raw md5 pre-image integers
     * (`Ingest.portableHashInts`, 0..2×10⁶), idf becomes integer
-    * micro-weights w = round(10⁶·N/df), and the pooled vector is
-    * Σ_tokens w·v per dimension — BIGINT sums, exact in ANY
+    * micro-weights w = round(microScale·N/df), and the pooled vector
+    * is Σ_tokens w·v per dimension — BIGINT sums, exact in ANY
     * aggregation order. Floats appear only in the final per-doc
     * normalization (identical operands on every engine) and the
-    * result quantizes to float32. Overflow bound: 10⁶·N·2·10⁶·L per
-    * cell — int64-safe to ~10⁶ docs of 10³ tokens; rescale the
-    * micro-weight for larger corpora.
+    * result quantizes to float32.
     *
-    * Scale design (100 TB): df is one map-side-combined aggregate;
-    * the token relation joins it BY TERM (web-scale vocab never
-    * broadcast) and reduces per doc through a bounded fold
-    * (collect_list ≤ doc length of dim-length arrays, zip_with
-    * sums). One shuffle by term, one by doc.
+    * OVERFLOW DISCIPLINE: a pooled cell is bounded by
+    * L · w_max · 2×10⁶ where w_max = microScale·N (a df = 1 term) and
+    * L = the doc's token count — at the default microScale = 10⁶ that
+    * is int64-safe only while N·L ≲ 4.6×10⁶ in the worst case (NOT
+    * "10⁶ docs of 10³ tokens"; a handful of rare-term occurrences in
+    * one doc of a 10⁶-doc corpus can exceed 2⁶³). Overflow is
+    * therefore LOUD at both sites that could wrap: the per-term
+    * weight multiply is guarded by an assert (w ≤ maxLong / 2×10⁶)
+    * and the pooling aggregate (`VectorSumLong`) sums via
+    * Math.addExact — a corpus beyond the bound throws instead of
+    * silently corrupting embeddings. For larger corpora lower
+    * `microScale` (e.g. 10³ at N·L ~ 10⁹): weights w = microScale·N/df
+    * keep ≥ 3 significant digits as long as microScale ≥ 10³, and the
+    * normalization divides the same scale back out.
+    *
+    * Scale design (100 TB): df is one map-side-combined aggregate,
+    * and the 16-md5 hash vector + micro-weight are term-functional,
+    * so both are computed ONCE PER DISTINCT TERM on the vocab-sized
+    * df relation — not per token occurrence (hoisting them off the
+    * corpus-sized exploded relation cut the md5 work by the corpus/
+    * vocab ratio and took the sf0.1 pipeline from 27 s to seconds).
+    * The token relation then joins the precomputed weighted vectors
+    * BY TERM (web-scale vocab never broadcast) and pools per doc
+    * through `VectorSumLong` — map-side partial buffers, one
+    * dim-length array per (doc × partition) through the doc-keyed
+    * shuffle, instead of collect_list shipping every occurrence's
+    * array. One shuffle by term, one by doc.
     * Output: (idCol, n_tokens, embedding ARRAY<FLOAT>). */
   def sifEmbed(
       docs: DataFrame,
       dim: Int = 16,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      microScale: Long = 1000000L): DataFrame = {
+    require(microScale >= 1000L,
+      s"sifEmbed: microScale must keep >= 3 significant digits, got $microScale")
+    GraftFunctions.register(docs.sparkSession)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       explode(TextAnalysis.whitespaceTokens(col(textCol))).as("term"))
     val dfreq = toks.select(col("doc_id"), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("_n"))
-    val weighted = toks
-      .join(dfreq, "term")
+    // hash vector and micro-weight are functions of the TERM alone —
+    // build them once per distinct term on the vocab-sized relation
+    val w = round(lit(microScale.toDouble) * col("_n").cast("double") /
+      col("df").cast("double")).cast("long")
+    // loud guard on the weight multiply: v <= 2e6, so w beyond
+    // maxLong / 2e6 could wrap in h * w (assert_true returns NULL on
+    // success, throws on failure — one cheap check per vocab row)
+    val wGuarded = when(
+      assert_true(w <= lit(Long.MaxValue / 2000001L),
+        lit("sifEmbed: micro-weight overflow — lower microScale")).isNull,
+      w)
+    val termVecs = dfreq
       .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"),
-        transform(Ingest.portableHashInts(col("term"), dim), h =>
-          h * round(lit(1000000.0) * col("_n").cast("double") /
-            col("df").cast("double")).cast("long")).as("wv"))
-    weighted
+      .select(col("term"),
+        transform(Ingest.portableHashInts(col("term"), dim),
+          h => h * wGuarded).as("wv"))
+    toks
+      .join(termVecs, "term")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        aggregate(collect_list(col("wv")),
-          typedlit(Seq.fill(dim)(0L)),
-          (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("_pool"))
+        GraftFunctions.vecSumLong(col("wv")).as("_pool"))
       .select(col("doc_id").as(idCol), col("n_tokens"),
         transform(col("_pool"), p =>
-          (p.cast("double") / 1000000000000.0 /
+          (p.cast("double") / (microScale.toDouble * 1000000.0) /
             col("n_tokens").cast("double")).cast("float"))
           .as("embedding"))
   }

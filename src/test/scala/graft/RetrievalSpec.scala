@@ -128,6 +128,74 @@ class RetrievalSpec extends AnyFunSuite {
     assert(run(docs.repartition(5)) == expected)
   }
 
+  test("sifEmbed: hoisted-hash + VectorSumLong plan equals the legacy " +
+      "per-occurrence collect_list pooling on testdata") {
+    import graft.operators.{Ingest, Retrieval, TextAnalysis}
+    val docs = Tables.load(spark, sf, "documents")
+    val dim = 16
+    // legacy formulation (pre-round-10): per-occurrence hash vectors,
+    // collect_list + zip_with fold pooling — kept here as the
+    // semantic pin for the rewritten operator
+    val toks = docs.select(col("doc_id").cast("long").as("doc_id"),
+      explode(TextAnalysis.whitespaceTokens(col("text"))).as("term"))
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("_n"))
+    val legacy = toks
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"),
+        transform(Ingest.portableHashInts(col("term"), dim), h =>
+          h * round(lit(1000000.0) * col("_n").cast("double") /
+            col("df").cast("double")).cast("long")).as("wv"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(collect_list(col("wv")),
+          typedlit(Seq.fill(dim)(0L)),
+          (acc, v) => zip_with(acc, v, (a, b) => a + b)).as("_pool"))
+      .select(col("doc_id"), col("n_tokens"),
+        transform(col("_pool"), p =>
+          (p.cast("double") / 1000000000000.0 /
+            col("n_tokens").cast("double")).cast("float"))
+          .as("embedding"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).toSeq)).toSet
+    assert(key(Retrieval.sifEmbed(docs, dim)) == key(legacy))
+  }
+
+  test("sifEmbed pooling overflow is loud, not silent") {
+    // the pooling aggregate must refuse to wrap: Math.addExact throws
+    val overflowing = Seq((1L, Seq(Long.MaxValue)), (1L, Seq(1L)))
+      .toDF("doc_id", "wv")
+    val e = intercept[Exception] {
+      overflowing.groupBy("doc_id")
+        .agg(GraftFunctions.vecSumLong(col("wv")).as("p"))
+        .collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected ArithmeticException in cause chain, got $e")
+  }
+
+  test("sifEmbed: lowered microScale stays within float tolerance " +
+      "of the default") {
+    import graft.operators.Retrieval
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val a = Retrieval.sifEmbed(docs, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val b = Retrieval.sifEmbed(docs, dim = 8, microScale = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (id, va) =>
+      va.zip(b(id)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= math.abs(x).max(1e-6f) * 1e-3f,
+          s"doc $id: $x vs $y")
+      }
+    }
+  }
+
   test("rrf: hand case with one-sided members and id tie-break") {
     // query 1: sparse ranks a=1, b=2; dense ranks b=1, c=2.
     //   b: 1/62 + 1/61;  a: 1/61;  c: 1/62  ->  order b, a, c
