@@ -520,6 +520,19 @@ object TextQueries {
             .as("q_text"))
       Retrieval.bm25TopK(base, qs, k = 10)
     }),
+    // the DISTRIBUTED lowering of the same BM25 job (query tables
+    // beyond broadcast: full-corpus tf, term-keyed sort-merge scoring
+    // join, nothing query-sized on the driver) — same scores, same
+    // rank cut, so text_bm25's oracle SQL applies verbatim
+    "text_bm25_bigq" -> ((s, d) => {
+      val base = docs(s, d)
+      val qs = base.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ",
+            slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+            .as("q_text"))
+      Retrieval.bm25TopKShuffled(base, qs, k = 10)
+    }),
     // count-min sketch (4x512 counters, portable md5 buckets) point-
     // estimated for the probe docs' vocabulary, side by side with the
     // exact counts — the oracle re-derives every counter cell, and
@@ -653,6 +666,25 @@ object TextQueries {
        |  GROUP BY bm_q.qid, bm_tf.doc_id
        |)""".stripMargin
   }
+
+  /** The BM25 top-10 oracle over the probe-prefix query set — shared
+    * verbatim by `text_bm25` (broadcast lowering) and
+    * `text_bm25_bigq` (term-keyed shuffle lowering): one truth
+    * relation, two physical plans. */
+  private val bm25TopKSql: String =
+    s"""WITH bm_t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+       |), bm_q AS (
+       |  SELECT DISTINCT qid, term FROM (
+       |    SELECT doc_id AS qid, unnest(list_slice(toks, 1, 5)) AS term
+       |    FROM bm_t WHERE doc_id % 97 = 0)
+       |), ${bm25Core("bm_t")}
+       |SELECT qid, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+       |  doc_id, score
+       |FROM bm_sc
+       |QUALIFY rank <= 10
+       |ORDER BY qid, rank""".stripMargin
 
   /** Shared CTE chain of the unigram add-one LM (text_perplexity, its
     * quantile-cutoff trainer, and the end-to-end curation funnel all
@@ -986,20 +1018,10 @@ object TextQueries {
     // own first-5-token prefix. Rank cut + tie-break run on the
     // 6dp-ROUNDED score on both engines (the domainCap pattern), so
     // last-ulp sum-order differences cannot flap the top-k.
-    "text_bm25" ->
-      s"""WITH bm_t AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-         |), bm_q AS (
-         |  SELECT DISTINCT qid, term FROM (
-         |    SELECT doc_id AS qid, unnest(list_slice(toks, 1, 5)) AS term
-         |    FROM bm_t WHERE doc_id % 97 = 0)
-         |), ${bm25Core("bm_t")}
-         |SELECT qid, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
-         |  doc_id, score
-         |FROM bm_sc
-         |QUALIFY rank <= 10
-         |ORDER BY qid, rank""".stripMargin,
+    "text_bm25" -> bm25TopKSql,
+    // the distributed lowering computes the SAME relation — one
+    // oracle, two plans (the ann_ivf_bigq recipe)
+    "text_bm25_bigq" -> bm25TopKSql,
     // count-min sketch: every counter cell re-derived from the same
     // 52-bit md5 bucket hash (the DSIR recipe, row-salted), estimate
     // = min over the 4 rows, exact counts joined alongside
@@ -1446,6 +1468,23 @@ object CorpusQueries {
         x => x.isin(markers: _*))) >= 3
       val model = Classifier.trainLogistic(base, isGood,
         buckets = 256, steps = 40, lr = 0.05)
+      Classifier.logisticScore(base, model, isGood)
+    }),
+    // the PRODUCTION training mode: gradient passes over a
+    // deterministic 250-doc md5-rank sample (the model has only 256
+    // parameters — a bounded sample saturates it), full corpus only
+    // SCORED. The oracle replays the identical sample pick + 40-step
+    // trajectory + full-corpus scoring, so the whole sampled
+    // training loop is hash-pinned end to end.
+    "corpus_classifier_sampled" -> ((s, d) => {
+      val base = docs(s, d)
+      val markers = TextAnalysis.langMarkers.toMap.apply("en")
+      val isGood = size(filter(
+        TextAnalysis.whitespaceTokens(col("text")),
+        x => x.isin(markers: _*))) >= 3
+      val model = Classifier.trainLogistic(base, isGood,
+        buckets = 256, steps = 40, lr = 0.05,
+        sampleBudget = Some(250))
       Classifier.logisticScore(base, model, isGood)
     })
   )
@@ -2088,6 +2127,59 @@ object CorpusQueries {
          |czf AS (
          |  SELECT f.doc_id, f.y, sum(f.x * w.wm) AS zm
          |  FROM cf f JOIN cw$nSteps w USING (bucket)
+         |  GROUP BY f.doc_id, f.y
+         |), cpf AS (
+         |  SELECT doc_id, y,
+         |    CAST(round(1.0 / (1.0 + exp(-(CAST(zm AS DOUBLE) / 1000000.0)))
+         |      * 1000000.0) AS BIGINT) AS p_micro
+         |  FROM czf
+         |)
+         |SELECT doc_id, p_micro, y,
+         |  CAST((p_micro >= 500000) = (y = 1) AS BIGINT) AS correct
+         |FROM cpf""".stripMargin
+    },
+    "corpus_classifier_sampled" -> {
+      val nSteps = 40
+      val budget = 250
+      val steps = (0 until nSteps).map(classifierStepSql(_))
+        .mkString(",\n")
+      val en = curateMarkersSql.toMap.apply("en")
+      // cf (training features) comes from the md5-rank sample; nn is
+      // the SAMPLE size, so every unrolled step divides by it exactly
+      // as the engine does. Final scoring runs over cfall (the full
+      // corpus) with a LEFT join + coalesce: a bucket the sample
+      // never saw scores with weight 0, matching the engine's dense
+      // zero-default model array.
+      s"""WITH samp AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13),
+         |        doc_id) AS rk
+         |    FROM documents) WHERE rk <= $budget
+         |), cfall AS MATERIALIZED (
+         |  SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS x
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN len(list_filter(string_split(text, ' '),
+         |        m -> list_contains($en, m))) >= 3 THEN 1 ELSE 0
+         |        END AS y,
+         |      CAST(concat('0x', substr(md5(term), 1, 13)) AS BIGINT)
+         |        % 256 AS bucket
+         |    FROM (SELECT doc_id, text,
+         |            unnest(string_split(text, ' ')) AS term
+         |          FROM documents))
+         |  GROUP BY doc_id, y, bucket
+         |), cf AS MATERIALIZED (
+         |  SELECT f.* FROM cfall f JOIN samp USING (doc_id)
+         |), nn AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n FROM samp
+         |), cw0 AS MATERIALIZED (
+         |  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS wm FROM cf
+         |),
+         |$steps,
+         |czf AS (
+         |  SELECT f.doc_id, f.y, sum(f.x * coalesce(w.wm, 0)) AS zm
+         |  FROM cfall f LEFT JOIN cw$nSteps w USING (bucket)
          |  GROUP BY f.doc_id, f.y
          |), cpf AS (
          |  SELECT doc_id, y,

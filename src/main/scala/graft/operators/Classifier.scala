@@ -50,7 +50,17 @@ object Classifier {
 
   /** Train `steps` full-batch GD steps from w = 0. Returns the model
     * as bucket -> w_micro (driver-sized: at most `buckets` entries).
-    */
+    *
+    * `sampleBudget`: when set, the GRADIENT PASSES run over a
+    * deterministic md5-rank sample of that many docs (lowest 13-hex-
+    * char md5(id) prefix, ties to id — the `stratifiedSample` rank,
+    * so a SQL oracle replays the identical pick set) instead of the
+    * whole corpus; n becomes the sample size. This is how production
+    * fastText-style quality filters actually train: the model has
+    * `buckets` parameters, so a bounded sample saturates it, and the
+    * full corpus is only ever SCORED (one pass) — without it, T
+    * steps cost 2·T corpus-sized passes (80 at the pack's 40 steps),
+    * which no 100-TB pipeline would pay for a 256-weight model. */
   def trainLogistic(
       docs: DataFrame,
       isTarget: Column,
@@ -58,8 +68,20 @@ object Classifier {
       steps: Int = 3,
       lr: Double = 0.5,
       idCol: String = "doc_id",
-      textCol: String = "text"): Map[Long, Long] = {
+      textCol: String = "text",
+      sampleBudget: Option[Int] = None): Map[Long, Long] = {
     require(steps > 0 && buckets > 0)
+    require(sampleBudget.forall(_ > 0), "sampleBudget must be positive")
+    val trainDocs = sampleBudget match {
+      case Some(s) =>
+        // TakeOrderedAndProject gathers the s winners; re-spread them
+        // so the per-step passes keep cluster parallelism
+        docs.orderBy(substring(md5(col(idCol).cast("string")), 1, 13),
+            col(idCol))
+          .limit(s)
+          .repartition(col(idCol))
+      case None => docs
+    }
     // snapshot ONE ROW PER DOC with the raw token-bucket array
     // inline — a pure NARROW projection (no aggregate anywhere:
     // z = Σ_tokens w[bucket] and grad_b = Σ_tokens r carry the
@@ -68,9 +90,9 @@ object Classifier {
     // logit fold — integer sums need no ordering — then explode +
     // the map-side-combined B-row gradient aggregate). No per-step
     // join, no per-step sort, no corpus-sized shuffle ever.
-    val feats = featureArrays(docs, isTarget, buckets, idCol, textCol)
+    val feats = featureArrays(trainDocs, isTarget, buckets, idCol, textCol)
       .localCheckpoint()
-    val n = docs.count()
+    val n = trainDocs.count()
     try {
       var w = Map.empty[Long, Long]
       for (_ <- 1 to steps) {

@@ -79,27 +79,97 @@ object Retrieval {
     val stats = toks.agg(count(lit(1)).cast("double").as("_n"),
       (sum(size(col("_toks")).cast("long")).cast("double") /
         count(lit(1)).cast("double")).as("_avgdl"))
-    // IEEE-commutativity note: the SQL oracle writes `k1 * (...)` and
-    // `b * dl`; Column's arithmetic only takes Doubles on the right,
-    // so the factors are flipped here — multiplication is commutative
-    // in IEEE, the doubles are bit-identical
-    val termScore =
-      log(lit(1.0) + (col("_n") - col("df") + 0.5) / (col("df") + 0.5)) *
-        col("tf") * (k1 + 1.0) /
-        (col("tf") +
-          (lit(1.0 - b) + col("dl") * b / col("_avgdl")) * k1)
     val scored = tf
       .join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
       .groupBy(col("qid"), col("doc_id"))
-      .agg(round(sum(termScore), 6).as("score"))
+      .agg(round(sum(termScoreExpr(k1, b)), 6).as("score"))
+    rankTopK(scored, k)
+  }
+
+  /** BM25 term score shared by the broadcast and shuffled lowerings.
+    * IEEE-commutativity note: the SQL oracle writes `k1 * (...)` and
+    * `b * dl`; Column's arithmetic only takes Doubles on the right,
+    * so the factors are flipped here — multiplication is commutative
+    * in IEEE, the doubles are bit-identical. */
+  private def termScoreExpr(k1: Double, b: Double): Column =
+    log(lit(1.0) + (col("_n") - col("df") + 0.5) / (col("df") + 0.5)) *
+      col("tf") * (k1 + 1.0) /
+      (col("tf") +
+        (lit(1.0 - b) + col("dl") * b / col("_avgdl")) * k1)
+
+  /** Per-query bounded-heap top-k over the 6dp-rounded score relation
+    * (score desc, doc_id asc) — q × k rows out, no window sort. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("qid"))
       .agg(GraftFunctions.topK(k, -col("score"), col("doc_id")).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "nn")))
       .select(col("qid"), (col("pos") + 1).cast("long").as("rank"),
         col("nn.id").as("doc_id"), (-col("nn.dist")).as("score"))
+
+  /** `bm25TopK` for LARGE query tables — same semantics (same scores,
+    * same rank cut, same output schema; the SQL oracle of the
+    * broadcast path is this path's oracle verbatim), with NOTHING
+    * query-sized broadcast or collected: the distributed lowering a
+    * million-query BM25 job needs (the lexical analog of
+    * `AnnIvf.searchShuffledFast` — the dense tier's broadcast path
+    * likewise OOMs beyond ~10⁵ queries).
+    *
+    * Plan differences from the broadcast path, by design:
+    *  - tf is the FULL corpus (doc, term) aggregate — one map-side-
+    *    combined shuffle keyed by (doc, term). The broadcast path's
+    *    pre-aggregation prune is worthless here: a web-scale standing
+    *    query set covers most of the vocabulary anyway, and pruning
+    *    by a non-broadcastable term set would shuffle the raw
+    *    occurrence stream (strictly more rows than the tf aggregate
+    *    ships).
+    *  - df comes from the full tf relation (identical values for
+    *    every matched term — the prune kept all occurrences of query
+    *    terms, so both formulations count corpus-wide df).
+    *  - the scoring join shuffles tf and the query-term relation BY
+    *    TERM — pinned sort-merge, so a viral term (join-key skew on
+    *    both sides) is split by AQE's skew-join rule rather than
+    *    concentrating in one task.
+    *  - the (qid, doc) score aggregate and the per-query bounded-heap
+    *    top-k are the same map-side-combined shapes as the broadcast
+    *    path; q × k rows reach the output, never a window over the
+    *    candidate relation. */
+  def bm25TopKShuffled(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qidCol: String = "qid",
+      qtextCol: String = "q_text"): DataFrame = {
+    require(k > 0, s"bm25TopKShuffled: k must be positive, got $k")
+    GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
+    val qterms = queries.select(col(qidCol).cast("long").as("qid"),
+      explode(array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
+        .as("term"))
+    val tf = toks
+      .select(col("doc_id"), size(col("_toks")).cast("double").as("_dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("_dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    val stats = toks.agg(count(lit(1)).cast("double").as("_n"),
+      (sum(size(col("_toks")).cast("long")).cast("double") /
+        count(lit(1)).cast("double")).as("_avgdl"))
+    val scored = tf
+      .join(qterms.hint("merge"), "term")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(round(sum(termScoreExpr(k1, b)), 6).as("score"))
+    rankTopK(scored, k)
   }
 
   /** SIF-style IDF-WEIGHTED POOLED document embeddings (Arora et al.

@@ -77,4 +77,32 @@ class ClassifierSpec extends AnyFunSuite {
       markerGate, buckets = 256, steps = 40, lr = 0.05)
     assert(model2 == model)
   }
+
+  test("sampled training: deterministic pick set, near-full accuracy") {
+    val docs = Tables.load(spark, sf, "documents")
+    val full = Classifier.trainLogistic(docs, markerGate,
+      buckets = 256, steps = 40, lr = 0.05)
+    val sampled = Classifier.trainLogistic(docs, markerGate,
+      buckets = 256, steps = 40, lr = 0.05, sampleBudget = Some(250))
+    // determinism: the md5-rank sample must not depend on layout
+    val sampled2 = Classifier.trainLogistic(docs.repartition(7),
+      markerGate, buckets = 256, steps = 40, lr = 0.05,
+      sampleBudget = Some(250))
+    assert(sampled2 == sampled)
+    // a budget >= the corpus degenerates to full-batch exactly
+    val all = Classifier.trainLogistic(docs, markerGate,
+      buckets = 256, steps = 40, lr = 0.05,
+      sampleBudget = Some(docs.count().toInt + 10))
+    assert(all == full)
+    // accuracy delta: full-corpus scoring with the sampled model must
+    // be within 10 points of the full-batch model's accuracy (stated
+    // delta for a 256-parameter model trained on 250 docs)
+    def acc(m: Map[Long, Long]): Double = {
+      val scored = Classifier.logisticScore(docs, m, markerGate)
+      scored.filter(col("correct") === 1L).count().toDouble /
+        scored.count()
+    }
+    val (af, as) = (acc(full), acc(sampled))
+    assert(as >= af - 0.10, s"sampled acc $as vs full acc $af")
+  }
 }

@@ -81,6 +81,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(repart == base)
   }
 
+  test("bm25TopKShuffled equals the broadcast lowering bit-for-bit") {
+    val docs = Tables.load(spark, sf, "documents")
+    val qs = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ",
+          slice(TextAnalysis.whitespaceTokens(col("text")), 1, 5))
+          .as("q_text"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val broadcastPath = key(Retrieval.bm25TopK(docs, qs, k = 5))
+    assert(broadcastPath.nonEmpty)
+    assert(key(Retrieval.bm25TopKShuffled(docs, qs, k = 5)) == broadcastPath)
+    // partition independence of the shuffled lowering
+    assert(key(Retrieval.bm25TopKShuffled(docs.repartition(7),
+      qs.repartition(5), k = 5)) == broadcastPath)
+  }
+
   test("bm25ScoreFrozen: equals the batch ranker's score relation") {
     val docs = Tables.load(spark, sf, "documents")
     val qs = docs.filter(col("doc_id") % 19 === 0)
