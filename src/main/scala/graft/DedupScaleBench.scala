@@ -205,10 +205,18 @@ object DedupScaleBench {
     }
 
     if (enabled("lsh") || enabled("cc")) {
-      val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7)
+      // band-sliced candidates past 15M docs: one full-band shuffle of
+      // docs x 64 band rows exceeded this host's 79 GB shuffle disk at
+      // 20M; 4 slices bound temp space to ~1/4 at the cost of 4 passes
+      // over the cached signatures (SPARK_GRAFT_LSH_GROUPS overrides)
+      val lshGroups = sys.env.get("SPARK_GRAFT_LSH_GROUPS").map(_.toInt)
+        .getOrElse(if (n >= 15000000) 4 else 1)
+      val pairsDf = Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.7,
+        bandGroups = lshGroups)
       if (enabled("lsh")) {
         val (lshPairs, lshSec) = time { pairsDf.count() }
-        println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7): " +
+        println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7, " +
+          f"$lshGroups band groups): " +
           f"$lshSec%.1fs -> $lshPairs pairs ${n / lshSec / 1e3}%.1fK docs/s")
       }
 

@@ -73,19 +73,32 @@ object ProfileMaint {
       AnnIvf.compactIndex(spark, s"$tmp/idx")
     }
     println(s"[pmaint]   cells folded: $folded")
-    // LOCALIZED retraction first (the realistic shape — one source's
-    // docs cluster into few cells): every id of the 20 smallest cells.
-    // Cost must track the touched fraction, not the corpus.
-    val localCells = spark.read.parquet(s"$tmp/idx")
+    // LOCALIZED retraction (the realistic shape — one source's docs
+    // cluster into few cells): every id of 20 small cells, run BOTH
+    // ways on disjoint cell sets in the same window. Unhinted pays
+    // the corpus-wide (cid, id) discovery scan; the cid-hint path
+    // (the documented retraction default — streamingIndexDelete
+    // plumbs it) reads only the named cells, so its cost must track
+    // the touched fraction with no full-scan floor.
+    val smallCells = spark.read.parquet(s"$tmp/idx")
       .groupBy($"cid").count().orderBy($"count", $"cid")
-      .limit(20).collect().map(_.getInt(0))
+      .limit(40).collect().map(_.getInt(0))
+    val (cellsPlain, cellsHint) = smallCells.splitAt(20)
     val localIds = spark.read.parquet(s"$tmp/idx")
-      .filter($"cid".isin(localCells.toSeq: _*)).select($"vec_id").cache()
+      .filter($"cid".isin(cellsPlain.toSeq: _*)).select($"vec_id").cache()
     val nLocal = localIds.count()
-    val nDelL = time(f"delete localized ($nLocal ids, 20 cells)") {
+    val nDelL = time(f"delete localized unhinted ($nLocal ids, 20 cells)") {
       AnnIvf.deleteFromIndex(spark, s"$tmp/idx", localIds)
     }
-    println(s"[pmaint]   rows deleted (localized): $nDelL")
+    println(s"[pmaint]   rows deleted (localized unhinted): $nDelL")
+    val hintIds = spark.read.parquet(s"$tmp/idx")
+      .filter($"cid".isin(cellsHint.toSeq: _*))
+      .select($"cid", $"vec_id").cache()
+    val nHint = hintIds.count()
+    val nDelH = time(f"delete localized cid-hinted ($nHint ids, 20 cells)") {
+      AnnIvf.deleteFromIndex(spark, s"$tmp/idx", hintIds)
+    }
+    println(s"[pmaint]   rows deleted (localized hinted): $nDelH")
     // then the SPREAD worst case: a uniform batch touches ~every cell,
     // so the rewrite degenerates to corpus-sized — the honest bound
     val delIds = appendBatch.select($"vec_id").cache()

@@ -172,7 +172,8 @@ object Dedup {
     */
   def minhashLsh(docs: DataFrame, shingleN: Int, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      bandGroups: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     // .cache() is load-bearing: without it, CollapseProject inlines the
     // 128-hash signature expression into every band slice (64×) and the
@@ -191,7 +192,7 @@ object Dedup {
       .select(col("doc_id"),
         minhashSignature(col("sh"), numHashes).as("sig"))
       .cache()
-    bandCollapseVerify(withSh, sig, threshold, numHashes, bands)
+    bandCollapseVerify(withSh, sig, threshold, numHashes, bands, bandGroups)
   }
 
   /** The persistable (doc_id, sig) signature relation — at 100 TB this
@@ -216,14 +217,16 @@ object Dedup {
   def minhashLshFromSignatures(docs: DataFrame, sigs: DataFrame,
       shingleN: Int, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      bandGroups: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val withSh = docs.select(col(idCol).as("doc_id"),
       shinglesOf(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
     bandCollapseVerify(withSh,
-      sigs.select(col("doc_id"), col("sig")), threshold, numHashes, bands)
+      sigs.select(col("doc_id"), col("sig")), threshold, numHashes, bands,
+      bandGroups)
   }
 
   /** (rep, members) identical-signature groups — EXACT, with the hot
@@ -257,7 +260,9 @@ object Dedup {
     * collapse -> banding over representatives -> candidate expansion
     * -> diet-joined exact-jaccard verification. */
   private def bandCollapseVerify(withSh: DataFrame, sig: DataFrame,
-      threshold: Double, numHashes: Int, bands: Int): DataFrame = {
+      threshold: Double, numHashes: Int, bands: Int,
+      bandGroups: Int = 1): DataFrame = {
+    require(bandGroups >= 1, "bandGroups must be >= 1")
     // IDENTICAL-SIGNATURE COLLAPSE: docs with equal signatures band
     // identically (every band hash is a function of the signature
     // alone), so band ONE representative per signature group and
@@ -274,7 +279,9 @@ object Dedup {
       .cache() // consumed by rep selection + both expansion joins
     val reps = sig.join(
       groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
-    val repCands = candidatesOf(bandHashes(reps, numHashes, bands))
+    val repCands =
+      if (bandGroups <= 1) candidatesOf(bandHashes(reps, numHashes, bands))
+      else candidatesSliced(reps, numHashes, bands, bandGroups)
     // expansion: cross-group pairs (members_a x members_b, ordered) +
     // within-group pairs (identical sigs collide in every band)
     val cross = repCands
@@ -317,6 +324,44 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** BAND-SLICED candidate generation — the TEMP-SPACE-BOUNDED mode
+    * for corpora where one shuffle of the full banded relation
+    * (docs × bands rows) exceeds local shuffle disk (observed: 20M
+    * docs × 64 bands overflowed a 79 GB budget). Bands are processed
+    * in `groups` slices; each slice's bucket shuffle is its own JOB
+    * whose (1/groups-sized) shuffle files become unreferenced once
+    * the slice's pairs are parked in a temp parquet, so the context
+    * cleaner reclaims them before the next slice runs. The union of
+    * slice pair sets, deduped, IS the full candidate set — a pair
+    * sharing a band in slice g surfaces from slice g, and
+    * `candidatesOf`'s semantics are per-band to begin with. Cost:
+    * `groups` passes over the (cached) signature relation instead of
+    * one — the classic space-for-scans trade, chosen only when the
+    * caller asks (`bandGroups > 1`). */
+  private def candidatesSliced(reps: DataFrame, numHashes: Int,
+      bands: Int, groups: Int): DataFrame = {
+    val spark = reps.sparkSession
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_lsh_slices").toString
+    val perGroup = math.ceil(bands.toDouble / groups).toInt
+    (0 until groups).foreach { g =>
+      val lo = g * perGroup
+      val hi = math.min(bands, lo + perGroup)
+      if (lo < hi) {
+        candidatesOf(
+          bandHashes(reps, numHashes, bands)
+            .filter(col("band") >= lo && col("band") < hi))
+          .write.mode("append").parquet(tmp)
+        // let the context cleaner drop this slice's now-unreferenced
+        // shuffle files before the next slice shuffles its own
+        System.gc()
+      }
+    }
+    // cross-slice dedup: a pair colliding in several slices appears in
+    // each of their parked sets exactly once
+    spark.read.parquet(tmp).distinct()
   }
 
   /** LSH band hashes of a signature table (`doc_id`, `sig`): one

@@ -299,15 +299,41 @@ object StreamingOps {
     * `AnnIvf.deleteFromIndex`, which also maintains the IVF-PQ code
     * table). The GDPR/takedown stream of a serving system: deletions
     * become visible to `searchPersisted` at micro-batch granularity,
-    * exactly as appends do. */
+    * exactly as appends do.
+    *
+    * CID-HINT CONTRACT (the default retraction shape): a feed whose
+    * batches carry a `cid` column — or the vector column plus
+    * `centroids` here, from which the frozen quantizer re-derives the
+    * cell (cells are a pure function of the vector; `supers`/`wSuper`
+    * must match the build, `appendToIndex`'s parity contract) — lets
+    * `deleteFromIndex` read ONLY the named cells' partitions during
+    * touched-cell discovery, so a localized delete costs
+    * touched-fraction × corpus. An id-only feed still works but pays
+    * a corpus-wide (cid, id) discovery scan PER MICRO-BATCH — at
+    * serving scale that floor dominates every small batch, so plumb
+    * the cid (or vector) through the retraction feed whenever the
+    * upstream has it. */
   def streamingIndexDelete(idStream: DataFrame, indexPath: String,
-      idCol: String = "vec_id")
+      idCol: String = "vec_id",
+      centroids: Option[DataFrame] = None,
+      vecCol: String = "embedding",
+      supers: Option[DataFrame] = None, wSuper: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     idStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
+          val hinted =
+            if (batch.columns.contains("cid")) batch
+            else if (centroids.isDefined && batch.columns.contains(vecCol))
+              supers.fold(
+                graft.operators.AnnIvf.index(batch, centroids.get,
+                  idCol, vecCol))(sup =>
+                graft.operators.AnnIvf.indexTwoLevel(batch, sup,
+                  centroids.get, idCol, vecCol, wSuper))
+            else batch
           graft.operators.AnnIvf.deleteFromIndex(batch.sparkSession,
-            indexPath, batch, idCol)
+            indexPath, hinted, idCol)
+        }
         ()
       }
       .start()

@@ -25,6 +25,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("band-sliced LSH (bandGroups > 1) equals the one-pass path " +
+      "row for row") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val onePass = canon(Dedup.minhashLsh(docs, shingleN = 3,
+      threshold = 0.5))
+    assert(onePass.nonEmpty)
+    // 4 slices of 16 bands, and a ragged split (64 bands into 3
+    // groups of ceil 22 -> 22+22+20)
+    assert(canon(Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.5,
+      bandGroups = 4)) == onePass)
+    assert(canon(Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.5,
+      bandGroups = 3)) == onePass)
+  }
+
   test("persisted-signature LSH equals the one-shot path row for row") {
     // the 100-TB workflow: signatureTable -> parquet -> read back
     // (array elements come back NULLABLE — the shape the band

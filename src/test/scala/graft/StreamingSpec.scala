@@ -190,6 +190,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming retraction hint path: vector-carrying feed equals " +
+      "id-only retraction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val data = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 =!= 0 && $"label" =!= 3)
+    val queries = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q_embedding"))
+    val centroids = graft.operators.AnnIvf.train(data, 16, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shint").toString
+    graft.operators.AnnIvf.writeIndex(
+      graft.operators.AnnIvf.index(data, centroids), s"$tmp/idx")
+    val delIds = data.select($"vec_id").collect().map(_.getLong(0))
+      .filter(_ % 19 == 4)
+    assert(delIds.nonEmpty)
+    // the retraction feed carries the VECTOR (the cid-hint contract):
+    // foreachBatch re-derives the cell through the frozen quantizer
+    // and deleteFromIndex prunes discovery to the named cells
+    val delRows = data.filter($"vec_id".isin(delIds.toSeq: _*))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+    val (b1, b2) = delRows.splitAt(delRows.length / 2)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamingIndexDelete(
+      ms.toDF.toDF("vec_id", "embedding"), s"$tmp/idx",
+      centroids = Some(centroids))
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = tuples(graft.operators.AnnIvf.searchPersisted(
+      spark, s"$tmp/idx", centroids, queries, 10, nprobe = 4))
+    val survivors = data.filter(!$"vec_id".isin(delIds.toSeq: _*))
+    val rebuilt = tuples(graft.operators.AnnIvf.search(
+      graft.operators.AnnIvf.index(survivors, centroids), centroids,
+      queries, 10, nprobe = 4))
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("streaming sessionize: state carries across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
