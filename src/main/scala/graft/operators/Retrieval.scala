@@ -311,7 +311,21 @@ object Retrieval {
     * (query, doc) pair sharing at least one term — exactly the
     * batch scorer's candidate relation — with the same 6dp-rounded
     * score, so the batch BM25 SQL is the oracle for a drained
-    * stream. */
+    * stream.
+    *
+    * RESIDUAL MIDPOINT RISK (shared by every 6dp-rounding site in
+    * this engine, documented here because two sum orders meet): this
+    * fold adds term scores in canonical sorted-term order, while the
+    * batch/DuckDB scorer sums in arbitrary aggregation order — IEEE
+    * addition is not associative, so a pre-rounding sum landing
+    * within an ulp of a 0.5e-6 midpoint COULD round differently
+    * across the two orders. The alternative (integer micro-unit term
+    * scores, the minKProb discipline) would make the sum order-free
+    * but break the stronger contract this scorer actually pins:
+    * bit-equality with `bm25TopK`'s double-sum scores
+    * (RetrievalSpec), which the shared oracle also checks. Kept as
+    * double + 6dp with the risk stated; no flap observed across any
+    * recorded run. */
   def bm25ScoreFrozen(
       docs: DataFrame,
       model: Bm25Model,
