@@ -175,24 +175,43 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       bandGroups: Int = 1): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // .cache() is load-bearing: without it, CollapseProject inlines the
-    // 128-hash signature expression into every band slice (64×) and the
-    // self-join recomputes it again — observed 87s→2s at sf0.01. At
-    // 100 TB the signature table is persisted parquet for the same
-    // reason (compute once, shuffle only 8·numHashes bytes/doc).
-    val withSh = docs.select(col(idCol).as("doc_id"),
+    val shingled = docs.select(col(idCol).as("doc_id"),
       shinglesOf(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .cache()
-    // (doc_id, sig) ONLY — caching the signature next to the shingle
-    // array (withColumn) would hold the wide `sh` twice and at 10M+
-    // docs the duplicate spills past this host's disk; the verify
-    // join reads `sh` from the withSh cache
-    val sig = withSh
-      .select(col("doc_id"),
-        minhashSignature(col("sh"), numHashes).as("sig"))
-      .cache()
-    bandCollapseVerify(withSh, sig, threshold, numHashes, bands, bandGroups)
+    if (bandGroups <= 1) {
+      // .cache() is load-bearing: without it, CollapseProject inlines
+      // the 128-hash signature expression into every band slice (64×)
+      // and the self-join recomputes it again — observed 87s→2s at
+      // sf0.01. At 100 TB the signature table is persisted parquet for
+      // the same reason (compute once, shuffle only 8·numHashes
+      // bytes/doc).
+      val withSh = shingled.cache()
+      // (doc_id, sig) ONLY — caching the signature next to the shingle
+      // array (withColumn) would hold the wide `sh` twice and at 10M+
+      // docs the duplicate spills past this host's disk; the verify
+      // join reads `sh` from the withSh cache
+      val sig = withSh
+        .select(col("doc_id"),
+          minhashSignature(col("sh"), numHashes).as("sig"))
+        .cache()
+      bandCollapseVerify(withSh, sig, threshold, numHashes, bands, 1)
+    } else {
+      // LOW-DISK mode (bandGroups > 1): the corpus-wide shingle cache
+      // is the single biggest disk tenant at 10M+ docs (wide arrays,
+      // MEMORY_AND_DISK spill) and the verify step only ever reads the
+      // COLLIDING docs' arrays — so it is not built at all. The verify
+      // semi-join receives the LAZY shingle projection: candidate ids
+      // broadcast into it, shingles are recomputed narrowly per row
+      // and non-colliding docs' arrays never exist off-CPU. Only the
+      // compact signature relation is cached (and candidatesSliced
+      // drops even that once the rep relation is materialized).
+      val sig = shingled
+        .select(col("doc_id"),
+          minhashSignature(col("sh"), numHashes).as("sig"))
+        .cache()
+      bandCollapseVerify(shingled, sig, threshold, numHashes, bands,
+        bandGroups)
+    }
   }
 
   /** The persistable (doc_id, sig) signature relation — at 100 TB this
@@ -281,7 +300,7 @@ object Dedup {
       groups.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     val repCands =
       if (bandGroups <= 1) candidatesOf(bandHashes(reps, numHashes, bands))
-      else candidatesSliced(reps, numHashes, bands, bandGroups)
+      else candidatesSliced(reps, sig, numHashes, bands, bandGroups)
     // expansion: cross-group pairs (members_a x members_b, ordered) +
     // within-group pairs (identical sigs collide in every band)
     val cross = repCands
@@ -314,8 +333,19 @@ object Dedup {
     val candIds = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id")))
       .distinct()
+    // low-disk mode pins the diet's physical shape: the id list is
+    // BROADCAST (ids are 8 bytes — even 20M colliding docs are a
+    // ~160 MB build side) so the corpus-sized shingle relation is
+    // filtered in place with NO shuffle, and the dieted result is
+    // CACHED because both pair sides consume it — left to AQE at 20M,
+    // the estimator picked a sort-merge semi-join that shuffled the
+    // recomputed 20M-doc array relation TWICE and overflowed the
+    // host's disk in sort spills
+    val candIdsSide =
+      if (bandGroups > 1) broadcast(candIds) else candIds
     val shSets = withSh.select(col("doc_id"), col("sh"))
-      .join(candIds, Seq("doc_id"), "left_semi")
+      .join(candIdsSide, Seq("doc_id"), "left_semi")
+      .cache()
     candidates
       .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -340,18 +370,26 @@ object Dedup {
     * `groups` passes over the (cached) signature relation instead of
     * one — the classic space-for-scans trade, chosen only when the
     * caller asks (`bandGroups > 1`). */
-  private def candidatesSliced(reps: DataFrame, numHashes: Int,
-      bands: Int, groups: Int): DataFrame = {
+  private def candidatesSliced(reps: DataFrame, sig: DataFrame,
+      numHashes: Int, bands: Int, groups: Int): DataFrame = {
     val spark = reps.sparkSession
     val tmp = java.nio.file.Files
       .createTempDirectory("graft_lsh_slices").toString
+    // materialize the rep relation ONCE: each slice then reads cached
+    // blocks instead of re-running the sig ⋈ groups semi-join shuffle
+    // per slice, and the (equally large) upstream signature cache is
+    // dropped immediately — at any moment only ONE signature-sized
+    // store lives on disk, the low-disk invariant of this mode
+    val repsC = reps.cache()
+    repsC.count()
+    sig.unpersist(blocking = true) // reclaim before the slices shuffle
     val perGroup = math.ceil(bands.toDouble / groups).toInt
     (0 until groups).foreach { g =>
       val lo = g * perGroup
       val hi = math.min(bands, lo + perGroup)
       if (lo < hi) {
         candidatesOf(
-          bandHashes(reps, numHashes, bands)
+          bandHashes(repsC, numHashes, bands)
             .filter(col("band") >= lo && col("band") < hi))
           .write.mode("append").parquet(tmp)
         // let the context cleaner drop this slice's now-unreferenced
@@ -359,6 +397,7 @@ object Dedup {
         System.gc()
       }
     }
+    repsC.unpersist(blocking = true) // reclaim before the verify joins
     // cross-slice dedup: a pair colliding in several slices appears in
     // each of their parked sets exactly once
     spark.read.parquet(tmp).distinct()
