@@ -343,9 +343,17 @@ object Dedup {
     // host's disk in sort spills
     val candIdsSide =
       if (bandGroups > 1) broadcast(candIds) else candIds
-    val shSets = withSh.select(col("doc_id"), col("sh"))
+    val shSetsBase = withSh.select(col("doc_id"), col("sh"))
       .join(candIdsSide, Seq("doc_id"), "left_semi")
-      .cache()
+    // the cache is LOW-DISK-MODE-ONLY: wrapping the semi-join in an
+    // InMemoryRelation hides it from AQE's runtime re-plan, and in
+    // the default mode that forfeits the runtime broadcast of the
+    // candidate-id list (measured 4x on the 2M verify stage). In
+    // low-disk mode the broadcast is already pinned by hint, and the
+    // cache stops the uncached lazy shingle projection from being
+    // recomputed for both pair sides.
+    val shSets =
+      if (bandGroups > 1) shSetsBase.cache() else shSetsBase
     candidates
       .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
