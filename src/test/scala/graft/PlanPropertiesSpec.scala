@@ -74,6 +74,24 @@ class PlanPropertiesSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bm25 shuffled lowering: term-keyed sort-merge scoring join, " +
+      "nothing query-sized broadcast") {
+    val docs = Tables.load(spark, sf, "documents")
+    val qs = docs.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("qid"),
+        col("text").as("q_text"))
+    val plan = physical(graft.operators.Retrieval
+      .bm25TopKShuffled(docs, qs, k = 5))
+    // the scoring join must be the pinned SMJ (AQE-splittable under
+    // viral-term skew), never a broadcast of the query-term relation
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only broadcasts allowed are the 1-row stats frame and
+    // (possibly) the vocab-sized df relation — never enough to carry
+    // a million-query table; the qterms side must reach the join
+    // through an Exchange, which SMJ guarantees structurally
+  }
+
   test("knn_plan_node: query-side filter is pushed below KnnJoin") {
     GraftFunctions.register(spark)
     val df = graft.plans.KnnJoin.run(
