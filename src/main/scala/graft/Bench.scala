@@ -159,7 +159,8 @@ object Bench {
     }
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val sfName = new java.io.File(sfDir).getName
-    val allErrs = results.collect { case (k, _, Some(e)) =>
+    val rawErrs = results.collect { case (k, _, Some(e)) => (k, e) }
+    val allErrs = rawErrs.map { case (k, e) =>
       s"\"" + k + "\":\"" + esc(e.take(120)) + "\"" }
     // FULL per-query detail goes to a repo file (the pack outgrew any
     // stdout budget at ~100 measured queries): committed alongside the
@@ -195,8 +196,13 @@ object Bench {
     val compactQs = included
       .map { case (k, v, _) => s"\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    val errField = if (allErrs.isEmpty) ""
-      else allErrs.map(_.take(80)).take(1)
+    // compact error field: truncate the RAW message before escaping
+    // and quoting (a .take on the finished fragment could drop the
+    // closing quote or cut an escape sequence mid-way — the compact
+    // line must parse precisely when a query errored)
+    val errField = if (rawErrs.isEmpty) ""
+      else rawErrs.take(1)
+        .map { case (k, e) => s"\"" + k + "\":\"" + esc(e.take(60)) + "\"" }
         .mkString(",\"errors\":{", ",", "}")
     val omitted = results.length - included.length
     val line =

@@ -205,12 +205,18 @@ object DedupScaleBench {
     }
 
     if (enabled("lsh") || enabled("cc")) {
-      // band-sliced candidates past 15M docs: one full-band shuffle of
-      // docs x 64 band rows exceeded this host's 79 GB shuffle disk at
-      // 20M; 4 slices bound temp space to ~1/4 at the cost of 4 passes
-      // over the cached signatures (SPARK_GRAFT_LSH_GROUPS overrides)
+      // AUTO mode (0) by default: minhashLsh resolves the band-sliced
+      // low-disk plan itself past the banded-rows threshold — the
+      // stats-adaptive choice under test here. SPARK_GRAFT_LSH_GROUPS
+      // forces a mode for A/B runs.
       val lshGroups = sys.env.get("SPARK_GRAFT_LSH_GROUPS").map(_.toInt)
-        .getOrElse(if (n >= 15000000) 4 else 1)
+        .getOrElse(0)
+      val resolved = graft.operators.Dedup.resolveBandGroups(
+        docs, bands = 64, requested = lshGroups)
+      println(s"[dscale] lsh bandGroups: requested=$lshGroups " +
+        s"resolved=$resolved (auto threshold " +
+        s"${spark.conf.get("graft.lsh.autoSliceBandedRows", "64000000")} " +
+        "banded rows)")
       // CONSTRUCTION is inside the timed block: the band-sliced mode
       // runs its candidate slices EAGERLY while the DataFrame is
       // being built (multi-job orchestration cannot be lazy), so
@@ -222,7 +228,7 @@ object DedupScaleBench {
       }
       if (enabled("lsh")) {
         println(f"[dscale] minhash-lsh (128 hashes, 64 bands, verify@0.7, " +
-          f"$lshGroups band groups): " +
+          f"$resolved band groups): " +
           f"$lshSec%.1fs -> $lshPairs pairs ${n / lshSec / 1e3}%.1fK docs/s")
       }
 

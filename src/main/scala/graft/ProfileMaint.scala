@@ -65,12 +65,16 @@ object ProfileMaint {
     time(s"build + clustered write ($n rows)") {
       AnnIvf.writeIndex(assigned(base), s"$tmp/idx")
     }
-    time(f"append ($nAppend rows)") {
+    val touchedByAppend = time(f"append ($nAppend rows)") {
       AnnIvf.appendToIndex(appendBatch, centroids, s"$tmp/idx",
         supers = supers)
     }
-    val folded = time("compact (touched cells only)") {
-      AnnIvf.compactIndex(spark, s"$tmp/idx")
+    // the hinted cycle: append's returned cells feed compaction
+    // directly, so candidate discovery never walks the full tree
+    val folded = time(
+      s"compact (hinted, ${touchedByAppend.length} candidate cells)") {
+      AnnIvf.compactIndex(spark, s"$tmp/idx",
+        cells = Some(touchedByAppend.toSeq))
     }
     println(s"[pmaint]   cells folded: $folded")
     // LOCALIZED retraction (the realistic shape — one source's docs

@@ -213,7 +213,7 @@ object AnnIvf {
     * system). */
   def appendToIndex(newData: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Option[DataFrame] = None, wSuper: Int = 4): Unit =
+      supers: Option[DataFrame] = None, wSuper: Int = 4): Array[Int] = {
     // `supers` = the base index was built with indexTwoLevel: batches
     // must assign through the SAME hierarchical expression AT THE SAME
     // wSuper (parity with the persisted cells is the contract; a flat
@@ -222,10 +222,20 @@ object AnnIvf {
     // keeps the per-batch cost at O(2·sqrt(C)·dim) per row — at
     // serving-scale C the flat n×C argmin would put the build
     // asymptote this path exists to avoid back into every micro-batch.
-    supers.fold(index(newData, centroids, idCol, vecCol))(sup =>
+    val assigned = supers
+      .fold(index(newData, centroids, idCol, vecCol))(sup =>
         indexTwoLevel(newData, sup, centroids, idCol, vecCol, wSuper))
       .repartition(col("cid")) // one file per touched cell per batch
-      .write.mode("append").partitionBy("cid").parquet(path)
+      .cache() // micro-batch-sized; consumed by the write + cid list
+    try {
+      assigned.write.mode("append").partitionBy("cid").parquet(path)
+      // the touched cell ids — returned so a maintenance loop can
+      // compact exactly the cells this batch crowded (`compactIndex`'s
+      // `cells` hint), keeping the whole append→compact cycle
+      // O(touched cells) with no full-tree listing anywhere
+      assigned.select(col("cid")).distinct().collect().map(_.getInt(0))
+    } finally assigned.unpersist()
+  }
 
   /** TARGETED DELETION from the persisted clustered index — the
     * retraction / right-to-be-forgotten maintenance op, the inverse
@@ -238,13 +248,18 @@ object AnnIvf {
     * Scale design: the deletion batch is small by nature, so it
     * BROADCASTS into (1) one column-pruned (cid, id) scan that finds
     * the touched cells and (2) the anti-join over only those cells'
-    * rows. The survivors are localCheckpointed before the write —
-    * Spark refuses a plan that overwrites the path it reads — and
-    * written with DYNAMIC partition overwrite, so only touched cid
-    * directories are replaced. A cell whose every row is deleted
-    * writes no partition under dynamic overwrite; its now-stale
-    * directory is removed explicitly through the Hadoop FileSystem.
-    * Returns the number of rows deleted.
+    * rows. EVERY filesystem interaction scales with the TOUCHED
+    * cells, not the total cell count: the hinted discovery and the
+    * survivor scan are built from the touched `cid=` subdirectories
+    * directly (explicit path list + `basePath`, so planning never
+    * lists the full tree — at 10⁵–10⁶ cells a per-call full listing
+    * was the measured floor of an otherwise-localized delete), and
+    * the commit stages survivors into a dot-prefixed scratch tree
+    * beside the index (same filesystem, invisible to readers — Spark
+    * skips dot-paths) then swaps each touched directory with one
+    * FileSystem rename. A cell whose every row was deleted has no
+    * staged directory and simply stays removed. Returns the number of
+    * rows deleted.
     *
     * Layout-generic: only (cid, idCol) are touched and whole rows are
     * rewritten, so the same call maintains ANY partitionBy(cid) table
@@ -260,42 +275,74 @@ object AnnIvf {
   def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "vec_id"): Long = {
     val del = ids.select(col(idCol).cast("long").as(idCol))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val touched = (if (ids.columns.contains("cid")) {
+      // hinted discovery: read ONLY the named cells' directories —
+      // no full-tree listing anywhere on this path
       val cids = ids.select(col("cid").cast("int")).distinct()
         .collect().map(_.getInt(0))
-      spark.read.parquet(path)
-        .filter(col("cid").isin(cids.toSeq: _*)) // partition-pruned
-        .select(col("cid"), col(idCol))
+      val dirs = cids.map(c => s"$path/cid=$c")
+        .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+      if (dirs.isEmpty) return 0L
+      readCells(spark, path, dirs).select(col("cid"), col(idCol))
     } else {
+      // id-only feed: the corpus-wide (cid, id) discovery scan is the
+      // honest floor — plumb a cid hint from upstream to avoid it
       spark.read.parquet(path).select(col("cid"), col(idCol))
     })
       .join(broadcast(del), idCol)
       .groupBy(col("cid")).agg(count(lit(1)).as("n_del"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     if (touched.isEmpty) return 0L
-    val touchedCids = touched.map(_._1).toSeq
-    val survivors = spark.read.parquet(path)
-      .filter(col("cid").isin(touchedCids: _*))
-      .join(broadcast(del), Seq(idCol), "left_anti")
-      .localCheckpoint() // sever the read-path before the overwrite
-    val aliveCids = survivors.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try survivors.repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
-    val conf = spark.sparkContext.hadoopConfiguration
-    touchedCids.filterNot(aliveCids).foreach { cid =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
-      dir.getFileSystem(conf).delete(dir, true)
-    }
+    val touchedCids = touched.map(_._1)
+    val survivors =
+      readCells(spark, path, touchedCids.map(c => s"$path/cid=$c"))
+        .join(broadcast(del), Seq(idCol), "left_anti")
+    stagedCellCommit(spark, fs, path, survivors, touchedCids)
     touched.map(_._2).sum
+  }
+
+  /** Scan of an explicit list of `cid=` partition directories: the
+    * `basePath` option recovers the partition column from the
+    * directory names while planning lists ONLY the given paths —
+    * maintenance stays O(touched cells) where a naive
+    * `read.parquet(root).filter(cid.isin(…))` pays a full-tree
+    * listing before the partition filter prunes anything. */
+  private[operators] def readCells(spark: SparkSession, basePath: String,
+      dirs: Seq[String]): DataFrame =
+    spark.read.option("basePath", basePath).parquet(dirs: _*)
+
+  /** Commit a touched-cell rewrite: stage `rows` (partitioned by cid)
+    * into a dot-prefixed scratch tree INSIDE the index directory —
+    * same filesystem, so the swap is a metadata rename; invisible to
+    * concurrent readers, which skip dot-paths — then replace each
+    * touched `cid=` directory with its staged twin. A touched cell
+    * with no staged directory (every row deleted) is removed. The
+    * staging tree is always cleaned up. Listing + commit cost is
+    * O(touched cells); nothing here ever lists the full tree. */
+  private[operators] def stagedCellCommit(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      rows: DataFrame, touchedCids: Array[Int]): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(
+      path, s".graft_staging_${java.util.UUID.randomUUID.toString.take(12)}")
+    try {
+      // one shuffle by cid → one file per staged cell (writeIndex's
+      // small-files rationale); reads source dirs while they still
+      // exist, so no localCheckpoint / self-overwrite hazard
+      rows.repartition(col("cid"))
+        .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
+      touchedCids.foreach { cid =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
+        val src = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
+        fs.delete(dst, true)
+        if (fs.exists(src)) {
+          if (!fs.rename(src, dst))
+            throw new java.io.IOException(
+              s"stagedCellCommit: rename $src -> $dst failed")
+        }
+      }
+    } finally fs.delete(staging, true)
   }
 
   /** COMPACTION for the persisted clustered layout — the small-files
@@ -303,39 +350,43 @@ object AnnIvf {
     * touched cell, so a long-lived streaming refresh accumulates many
     * small files per cell directory and scan/listing cost creeps up.
     * Rewrites cells holding at least `minFiles` files back to one
-    * file each (dynamic partition overwrite — cells below the
-    * threshold keep their files byte-identical). Row content is
-    * unchanged; search results are identical by construction. Like
-    * `deleteFromIndex`, this is layout-generic over any
-    * partitionBy(cid) table (PQ code table included). Returns the
-    * number of cells compacted. */
+    * file each through the same touched-cell staged commit as
+    * `deleteFromIndex` — scan, write, and swap all scale with the
+    * compacted cells. Row content is unchanged; search results are
+    * identical by construction. Like `deleteFromIndex`, this is
+    * layout-generic over any partitionBy(cid) table (PQ code table
+    * included). Returns the number of cells compacted.
+    *
+    * `cells`: the candidate set to inspect — pass the cid list a
+    * maintenance loop already knows (`appendToIndex` RETURNS its
+    * batch's touched cells precisely for this) and the whole
+    * append→compact cycle is O(touched cells). Without the hint the
+    * candidate discovery lists every cell directory — one cheap
+    * listStatus per cell, no parquet footers, but at 10⁵–10⁶ cells
+    * that tree walk is exactly the floor the hinted path removes. */
   def compactIndex(spark: SparkSession, path: String,
-      minFiles: Int = 2): Long = {
+      minFiles: Int = 2, cells: Option[Seq[Int]] = None): Long = {
     require(minFiles >= 2)
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(path)
     val fs = base.getFileSystem(conf)
-    val crowded = fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+    val candidates = cells match {
+      case Some(cs) => cs.distinct
+        .map(c => new org.apache.hadoop.fs.Path(s"$path/cid=$c"))
+        .filter(fs.exists)
+      case None => fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+        .map(_.getPath)
+    }
+    val crowded = candidates
       .filter { d =>
-        fs.listStatus(d.getPath)
+        fs.listStatus(d)
           .count(f => f.getPath.getName.endsWith(".parquet")) >= minFiles
       }
-      .map(_.getPath.getName.stripPrefix("cid=").toInt)
+      .map(_.getName.stripPrefix("cid=").toInt)
     if (crowded.isEmpty) return 0L
-    val rows = spark.read.parquet(path)
-      .filter(col("cid").isin(crowded: _*))
-      .localCheckpoint() // sever the read-path before the overwrite
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try rows.repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
+    val rows = readCells(spark, path, crowded.map(c => s"$path/cid=$c"))
+    stagedCellCommit(spark, fs, path, rows, crowded.toArray)
     crowded.length.toLong
   }
 

@@ -173,12 +173,13 @@ object Dedup {
   def minhashLsh(docs: DataFrame, shingleN: Int, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
       idCol: String = "doc_id", textCol: String = "text",
-      bandGroups: Int = 1): DataFrame = {
+      bandGroups: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val groups = resolveBandGroups(docs, bands, bandGroups)
     val shingled = docs.select(col(idCol).as("doc_id"),
       shinglesOf(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    if (bandGroups <= 1) {
+    if (groups <= 1) {
       // .cache() is load-bearing: without it, CollapseProject inlines
       // the 128-hash signature expression into every band slice (64×)
       // and the self-join recomputes it again — observed 87s→2s at
@@ -210,7 +211,35 @@ object Dedup {
           minhashSignature(col("sh"), numHashes).as("sig"))
         .cache()
       bandCollapseVerify(shingled, sig, threshold, numHashes, bands,
-        bandGroups)
+        groups)
+    }
+  }
+
+  /** STATS-ADAPTIVE plan choice for the LSH banding (the
+    * `ngramJaccardAdaptive` pattern): `requested = 0` (the default)
+    * resolves the mode from the corpus size — one column-pruned count
+    * of the doc relation, trivial next to the LSH itself. Past
+    * `graft.lsh.autoSliceBandedRows` banded rows (docs × bands — the
+    * size of the candidate shuffle, default 64M ≈ 1M docs at 64
+    * bands) the band-sliced low-disk mode is chosen with
+    * `graft.lsh.autoSliceGroups` slices (default 4 — the measured
+    * sweet spot at both the 2M and 20M scale points: equal-or-faster
+    * wall clock and the only mode whose temp-disk peak stays inside
+    * an 80 GB budget at 20M). Below the threshold the one-pass mode
+    * (corpus-wide shingle cache, AQE-replanned verify) wins on fixed
+    * overhead. An explicit `requested >= 1` bypasses the count and
+    * forces that mode — the oracle pack pins 1 vs 3 vs 4 equal. */
+  private[graft] def resolveBandGroups(docs: DataFrame, bands: Int,
+      requested: Int): Int = {
+    require(requested >= 0, "bandGroups must be >= 0 (0 = auto)")
+    if (requested > 0) requested
+    else {
+      val conf = docs.sparkSession.conf
+      val thresholdRows =
+        conf.get("graft.lsh.autoSliceBandedRows", "64000000").toLong
+      val sliceGroups = conf.get("graft.lsh.autoSliceGroups", "4").toInt
+      val n = docs.count()
+      if (n * bands >= thresholdRows) math.max(2, sliceGroups) else 1
     }
   }
 
@@ -237,15 +266,16 @@ object Dedup {
       shingleN: Int, threshold: Double,
       numHashes: Int = 128, bands: Int = 64,
       idCol: String = "doc_id", textCol: String = "text",
-      bandGroups: Int = 1): DataFrame = {
+      bandGroups: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val groups = resolveBandGroups(docs, bands, bandGroups)
     val withSh = docs.select(col(idCol).as("doc_id"),
       shinglesOf(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
     bandCollapseVerify(withSh,
       sigs.select(col("doc_id"), col("sig")), threshold, numHashes, bands,
-      bandGroups)
+      groups)
   }
 
   /** (rep, members) identical-signature groups — EXACT, with the hot
@@ -376,13 +406,28 @@ object Dedup {
     * sharing a band in slice g surfaces from slice g, and
     * `candidatesOf`'s semantics are per-band to begin with. Cost:
     * `groups` passes over the (cached) signature relation instead of
-    * one — the classic space-for-scans trade, chosen only when the
-    * caller asks (`bandGroups > 1`). */
+    * one — the classic space-for-scans trade, chosen past the auto
+    * threshold or when the caller asks (`bandGroups > 1`).
+    *
+    * SCRATCH STORAGE: slice pair sets park under `graft.lsh.scratch`
+    * (a Spark conf), resolved through the Hadoop FileSystem — on a
+    * multi-node cluster this MUST point at shared storage (HDFS/S3):
+    * executors write their partitions there and the driver-side
+    * read-back must see all of them. The default (the JVM temp dir)
+    * is correct only in local mode, where this mode was measured. The
+    * parked sets are deleted before returning — the deduped candidate
+    * relation is localCheckpointed first, so the returned DataFrame
+    * does not depend on the scratch files. */
   private def candidatesSliced(reps: DataFrame, sig: DataFrame,
       numHashes: Int, bands: Int, groups: Int): DataFrame = {
     val spark = reps.sparkSession
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft_lsh_slices").toString
+    val scratchRoot = spark.conf.get("graft.lsh.scratch",
+      System.getProperty("java.io.tmpdir"))
+    val tmpPath = new org.apache.hadoop.fs.Path(scratchRoot,
+      s"graft_lsh_slices_${java.util.UUID.randomUUID.toString.take(12)}")
+    val fs = tmpPath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = tmpPath.toString
     // materialize the rep relation ONCE: each slice then reads cached
     // blocks instead of re-running the sig ⋈ groups semi-join shuffle
     // per slice, and the (equally large) upstream signature cache is
@@ -407,8 +452,13 @@ object Dedup {
     }
     repsC.unpersist(blocking = true) // reclaim before the verify joins
     // cross-slice dedup: a pair colliding in several slices appears in
-    // each of their parked sets exactly once
-    spark.read.parquet(tmp).distinct()
+    // each of their parked sets exactly once. localCheckpoint (eager)
+    // severs the result from the scratch files so they can be deleted
+    // NOW instead of leaking — the checkpointed pair relation (16 B a
+    // row) is orders smaller than the shingle/signature stores this
+    // mode exists to bound.
+    try spark.read.parquet(tmp).distinct().localCheckpoint()
+    finally fs.delete(tmpPath, true)
   }
 
   /** LSH band hashes of a signature table (`doc_id`, `sig`): one

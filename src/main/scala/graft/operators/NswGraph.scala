@@ -336,10 +336,13 @@ object NswGraph {
     * insert order), so the rebuilt cells are bit-identical to a full
     * rebuild from the filtered corpus; untouched cell graphs keep
     * their files. Pass the base build's (m, efConstruction, metric) —
-    * the same parity contract as `appendToGraphIndex`. A cell whose
-    * every member is deleted writes no partition under the dynamic
-    * overwrite; its stale directory is removed through the Hadoop
-    * FileSystem. Returns the number of rows deleted. */
+    * the same parity contract as `appendToGraphIndex`. Commits
+    * through `AnnIvf.stagedCellCommit`, so the survivor scan and the
+    * swap both scale with the TOUCHED cells (a cell whose every
+    * member is deleted has no staged twin and stays removed); only
+    * the id discovery scans the full graph table — adjacency
+    * membership is per-row data, not derivable from a hint. Returns
+    * the number of rows deleted. */
   def deleteFromGraphIndex(spark: SparkSession, path: String,
       ids: DataFrame, m: Int = 8, efConstruction: Int = 64,
       metric: String = "sqeuclidean",
@@ -352,28 +355,22 @@ object NswGraph {
       .groupBy(col("cid")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     if (touched.isEmpty) return 0L
-    val touchedCids = touched.map(_._1).toSeq
+    val touchedCids = touched.map(_._1)
     val delSet = del.as[Long].collect().toSet
     val bc = spark.sparkContext.broadcast(delSet)
-    val survivors = readGraphIndex(spark, path)
-      .filter(col("cid").isin(touchedCids: _*))
+    val survivors = AnnIvf
+      .readCells(spark, path, touchedCids.toSeq.map(c => s"$path/cid=$c"))
+      .select(col("cid").cast("int"), col("ids"), col("vecs"), col("adj"))
+      .as[CellGraph]
       .flatMap(g => g.ids.zip(g.vecs).collect {
         case (id, v) if !bc.value.contains(id) => (id, v, g.cid)
       })
       .toDF(idCol, "embedding", "cid")
     val rebuilt = buildIndex(survivors, m, efConstruction, metric,
-        idCol, "embedding")
-      .localCheckpoint() // sever the read-path before the overwrite
-    val alive = rebuilt.select(col("cid")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    rebuilt.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cid").parquet(path)
-    val conf = spark.sparkContext.hadoopConfiguration
-    touchedCids.filterNot(alive).foreach { cid =>
-      val dir = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
-      dir.getFileSystem(conf).delete(dir, true)
-    }
+      idCol, "embedding")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AnnIvf.stagedCellCommit(spark, fs, path, rebuilt.toDF(), touchedCids)
     touched.map(_._2).sum
   }
 

@@ -425,6 +425,52 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("hinted maintenance cycle: append returns its cells; compact " +
+      "folds only the hinted candidates") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hint").toString
+    AnnIvf.writeIndex(
+      AnnIvf.index(filtered.filter($"vec_id" % 3 =!= 0), centroids),
+      s"$tmp/idx")
+    val touched = AnnIvf.appendToIndex(
+      filtered.filter($"vec_id" % 3 === 0), centroids, s"$tmp/idx")
+    // the returned cids are exactly the batch's assignment cells
+    val expected = AnnIvf.index(filtered.filter($"vec_id" % 3 === 0),
+      centroids).select($"cid").distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.toSet == expected && touched.nonEmpty)
+    def fileCounts(): Map[Int, Int] = {
+      val base = new java.io.File(s"$tmp/idx")
+      base.listFiles().filter(_.getName.startsWith("cid="))
+        .map(d => d.getName.stripPrefix("cid=").toInt ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val pre = fileCounts()
+    val crowded = pre.filter(_._2 >= 2).keySet
+    assert(crowded.nonEmpty && crowded.subsetOf(touched.toSet))
+    // hint EXCLUDING one crowded cell: that cell must keep its files
+    val holdout = crowded.min
+    val partialHint = touched.filterNot(_ == holdout).toSeq
+    val nPartial = AnnIvf.compactIndex(spark, s"$tmp/idx",
+      cells = Some(partialHint))
+    assert(nPartial == (crowded - holdout).size)
+    val mid = fileCounts()
+    assert(mid(holdout) == pre(holdout), "unhinted cell was rewritten")
+    assert((crowded - holdout).forall(mid(_) == 1))
+    // the full hinted cycle (append's return fed straight in) finishes
+    // the job; a hint naming absent cells is a no-op, not an error
+    assert(AnnIvf.compactIndex(spark, s"$tmp/idx",
+      cells = Some(touched.toSeq :+ 999999)) == 1L)
+    assert(fileCounts().values.forall(_ == 1))
+    // serving unchanged vs a direct rebuild of the same rows
+    val served = asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 8))
+    val rebuilt = asTuples(AnnIvf.search(
+      AnnIvf.index(filtered, centroids), centroids, queries, 10,
+      nprobe = 8))
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("streaming index refresh: appended micro-batches become searchable") {
     val filtered = data.filter(SparkEntry.filterLow)
     val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)

@@ -41,6 +41,30 @@ class PipelineSpec extends AnyFunSuite {
       bandGroups = 3)) == onePass)
   }
 
+  test("bandGroups auto mode resolves from corpus size; explicit wins") {
+    // small corpus below the default threshold -> one-pass
+    assert(Dedup.resolveBandGroups(docs, bands = 64, requested = 0) == 1)
+    // explicit request bypasses the stats entirely
+    assert(Dedup.resolveBandGroups(docs, bands = 64, requested = 3) == 3)
+    // lower the threshold under the fixture size -> sliced mode, and
+    // the full operator still matches the one-pass answer
+    val prev = spark.conf.getOption("graft.lsh.autoSliceBandedRows")
+    spark.conf.set("graft.lsh.autoSliceBandedRows", "1")
+    try {
+      assert(Dedup.resolveBandGroups(docs, bands = 64, requested = 0) == 4)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select($"doc_a", $"doc_b", $"jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val auto = canon(Dedup.minhashLsh(docs, shingleN = 3, threshold = 0.5))
+      val onePass = canon(Dedup.minhashLsh(docs, shingleN = 3,
+        threshold = 0.5, bandGroups = 1))
+      assert(auto == onePass && onePass.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("graft.lsh.autoSliceBandedRows", v)
+      case None => spark.conf.unset("graft.lsh.autoSliceBandedRows")
+    }
+  }
+
   test("persisted-signature LSH equals the one-shot path row for row") {
     // the 100-TB workflow: signatureTable -> parquet -> read back
     // (array elements come back NULLABLE — the shape the band

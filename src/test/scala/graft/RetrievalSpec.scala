@@ -91,12 +91,37 @@ class RetrievalSpec extends AnyFunSuite {
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
+    // The exact pin can in principle flap on a last-ulp midpoint: a
+    // pre-rounding sum within one ulp of a 0.5e-6 rounding midpoint
+    // may round differently across the two lowerings' sum orders
+    // (documented at Retrieval.bm25ScoreFrozen). When the sets
+    // differ, classify before failing: disagreements confined to the
+    // same (qid, rank, doc) with |score delta| <= 1e-6 are a midpoint
+    // flap (report, don't fail); anything else is a real lowering bug.
+    def assertEquivalent(got: Set[(Long, Long, Long, Double)],
+        want: Set[(Long, Long, Long, Double)], label: String): Unit = {
+      if (got == want) return
+      val gotByKey = got.map(t => (t._1, t._2, t._3) -> t._4).toMap
+      val wantByKey = want.map(t => (t._1, t._2, t._3) -> t._4).toMap
+      assert(gotByKey.keySet == wantByKey.keySet,
+        s"$label: rank sets differ — a real lowering bug, not rounding: " +
+          s"only-got=${(gotByKey.keySet -- wantByKey.keySet).take(5)} " +
+          s"only-want=${(wantByKey.keySet -- gotByKey.keySet).take(5)}")
+      val maxDelta = gotByKey.map { case (k, v) =>
+        math.abs(v - wantByKey(k)) }.max
+      assert(maxDelta <= 1e-6,
+        s"$label: score deltas exceed the last-ulp midpoint band " +
+          s"(max $maxDelta > 1e-6) — a real lowering bug, not rounding")
+      info(s"$label: bit-exact pin flapped on a last-ulp rounding " +
+        s"midpoint (max score delta $maxDelta <= 1e-6); ranks identical")
+    }
     val broadcastPath = key(Retrieval.bm25TopK(docs, qs, k = 5))
     assert(broadcastPath.nonEmpty)
-    assert(key(Retrieval.bm25TopKShuffled(docs, qs, k = 5)) == broadcastPath)
+    assertEquivalent(key(Retrieval.bm25TopKShuffled(docs, qs, k = 5)),
+      broadcastPath, "shuffled vs broadcast")
     // partition independence of the shuffled lowering
-    assert(key(Retrieval.bm25TopKShuffled(docs.repartition(7),
-      qs.repartition(5), k = 5)) == broadcastPath)
+    assertEquivalent(key(Retrieval.bm25TopKShuffled(docs.repartition(7),
+      qs.repartition(5), k = 5)), broadcastPath, "repartitioned shuffled")
   }
 
   test("bm25ScoreFrozen: equals the batch ranker's score relation") {
