@@ -158,6 +158,35 @@ object ScaleBench {
         f"recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
     }
 
+    // RESIDENT serving tier: decode the graph index ONCE into
+    // deserialized per-cell kernels (flat vectors + CSR adjacency,
+    // MEMORY_ONLY object RDD) and sweep the efSearch dial — the
+    // operating shape a serving deployment actually runs, and the
+    // apples-to-apples point against the reference's in-process
+    // CPU-HNSW (results bit-identical to searchIndex; NswSpec).
+    val (servable, decodeSec) = time {
+      val s = graft.operators.NswGraph.servableIndex(graphs)
+      s.count(); s
+    }
+    println(f"[scale] servable decode (flatten + CSR): $decodeSec%.1fs")
+    Seq(24, 32, 40, 64).foreach { efs =>
+      val (_, cold) = time {
+        graft.operators.NswGraph.searchServable(servable, centroids,
+          queries, k, nprobe = 4, efSearch = efs).count()
+      }
+      val (_, warm) = time {
+        graft.operators.NswGraph.searchServable(servable, centroids,
+          queries, k, nprobe = 4, efSearch = efs).count()
+      }
+      val rec = graft.operators.NswGraph.searchServable(servable,
+        centroids, qSample, k, nprobe = 4, efSearch = efs)
+      val r = Recall.ofRanked(rec, truth).head()
+      println(f"[scale] servable nprobe=  4 efS=$efs%3d search=$warm%7.2fs " +
+        f"(cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
+        f"recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
+    }
+    servable.unpersist()
+
     // IVF-PQ compressed serving — the actual 100-TB layout: the fp32
     // corpus (256 B/vector at dim 64) stored as m-byte codes (32×
     // smaller at m=8), clustered partitionBy(cid) on disk, probed via

@@ -86,6 +86,37 @@ class NswSpec extends AnyFunSuite {
     graphs.unpersist()
   }
 
+  test("servable resident index is bit-identical to searchIndex, " +
+      "including distances, across reuse") {
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val graphs = NswGraph.buildIndex(
+      graft.operators.AnnIvf.index(data, centroids),
+      m = 8, efConstruction = 32).cache()
+    val idx = NswGraph.servableIndex(graphs)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    Seq(8, 64).foreach { efs =>
+      val base = full(NswGraph.searchIndex(graphs, centroids, queries,
+        10, nprobe = 4, efSearch = efs))
+      val served = full(NswGraph.searchServable(idx, centroids, queries,
+        10, nprobe = 4, efSearch = efs))
+      assert(served == base && base.nonEmpty, s"efSearch $efs")
+      // reuse: a second batch over the SAME resident index (epoch
+      // stamps and heaps are recycled) must stay identical
+      assert(full(NswGraph.searchServable(idx, centroids, queries,
+        10, nprobe = 4, efSearch = efs)) == base, s"reuse at ef $efs")
+    }
+    // a different query subset against the warm index
+    val sub = queries.filter(org.apache.spark.sql.functions.col("qid") % 3 === 0)
+    assert(full(NswGraph.searchServable(idx, centroids, sub, 10,
+        nprobe = 8, efSearch = 32)) ==
+      full(NswGraph.searchIndex(graphs, centroids, sub, 10,
+        nprobe = 8, efSearch = 32)))
+    idx.unpersist(); graphs.unpersist()
+  }
+
   test("hamming-metric ANN: scalar/expression agreement + recall floors") {
     // scalar branch == packed popcount(xor) (the exactHamming path)
     val a = Array(0.5f, -1f, 0f, 2f, -0.1f, 3f, -4f, 1f)
