@@ -2653,6 +2653,25 @@ object AnnQueries {
           nprobe = 2, efSearch = 128)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the RESIDENT serving lowering under the same full oracle as
+    // ann_nsw_fixed: the graph index decoded once into per-cell flat
+    // kernels (object RDD) and served via the epoch-stamped reusable
+    // beam — bit-identical results, no per-call decode (NswSpec pins
+    // distance-level equality; this entry puts it under the DuckDB
+    // oracle too)
+    "ann_nsw_serve" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 31)
+      val idx = NswGraph.servableIndex(
+        NswGraph.buildIndex(AnnIvf.index(data, centroids),
+          m = 32, efConstruction = 64))
+      try NswGraph.searchServable(idx, centroids, queriesDf(s, d), K,
+          nprobe = 2, efSearch = 128)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+        .localCheckpoint()
+      finally idx.unpersist()
+    }),
     // the fully distributed graph lowering under the same full oracle
     // as ann_nsw_fixed: probes shuffle by cell id into a cogroup with
     // the per-cell graphs (no query broadcast, nothing query-sized on
@@ -3040,6 +3059,7 @@ object AnnQueries {
     "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_ivf_serve_bigq" -> ivfFixedSql(311),
     "ann_nsw_fixed" -> ivfFixedSql(31),
+    "ann_nsw_serve" -> ivfFixedSql(31),
     "ann_nsw_bigq" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
     // same probed cells as ann_nsw_fixed; only the fine distance is

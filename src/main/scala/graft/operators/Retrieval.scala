@@ -267,7 +267,16 @@ object Retrieval {
       queries: Seq[(Long, Seq[(String, Double)])])
 
   /** Train the frozen model: one corpus stats aggregate + one df
-    * aggregate semi-joined to the distinct query terms. */
+    * aggregate semi-joined to the distinct query terms.
+    *
+    * `maxQueries` makes the STANDING-QUERY contract explicit: the
+    * model collects every query's terms to the driver (that is the
+    * point — scoring becomes expression-only and streaming-safe), so
+    * the query table must be driver-sized. The guard mirrors
+    * `Knn.adaptive`'s budget discipline — fail loudly at train time
+    * rather than OOM the driver mid-collect. For a query table past
+    * the budget this is the wrong operator: use the distributed
+    * `bm25TopKShuffled` lowering, which never collects queries. */
   def trainBm25Frozen(
       docs: DataFrame,
       queries: DataFrame,
@@ -275,7 +284,14 @@ object Retrieval {
       b: Double = 0.75,
       textCol: String = "text",
       qidCol: String = "qid",
-      qtextCol: String = "q_text"): Bm25Model = {
+      qtextCol: String = "q_text",
+      maxQueries: Long = 100000L): Bm25Model = {
+    val nQueries = queries.count()
+    require(nQueries <= maxQueries,
+      s"trainBm25Frozen collects the query table to the driver " +
+        s"($nQueries rows > maxQueries=$maxQueries). Raise maxQueries " +
+        "only if the driver can hold them; for large query tables use " +
+        "the distributed bm25TopKShuffled lowering instead.")
     val toks = docs.select(
       TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
     val Array(nDocs, sumLen) = toks

@@ -312,12 +312,27 @@ object StreamingOps {
     * a corpus-wide (cid, id) discovery scan PER MICRO-BATCH — at
     * serving scale that floor dominates every small batch, so plumb
     * the cid (or vector) through the retraction feed whenever the
-    * upstream has it. */
+    * upstream has it.
+    *
+    * SHORTFALL SAFETY: a wrong hint (centroids/supers/wSuper not
+    * matching the build, or a stale caller-provided cid) would make
+    * the hinted discovery silently SKIP rows that are still in the
+    * index — for the GDPR/takedown use case an undetected under-
+    * delete is the one unacceptable failure. So every hinted batch
+    * checks `deleteFromIndex`'s return count against the batch's id
+    * count; on shortfall, `strict = true` (the default) re-runs the
+    * batch UNHINTED — the corpus-wide discovery scan, paid only on
+    * shortfall batches — making the hint a pure optimization, never a
+    * correctness risk. Feeds where absent ids are routine (retraction
+    * requests for never-indexed rows) can set `strict = false` to
+    * keep the hint's cost profile; shortfalls are then logged
+    * ("[graft] streamingIndexDelete shortfall …") for audit. */
   def streamingIndexDelete(idStream: DataFrame, indexPath: String,
       idCol: String = "vec_id",
       centroids: Option[DataFrame] = None,
       vecCol: String = "embedding",
-      supers: Option[DataFrame] = None, wSuper: Int = 4)
+      supers: Option[DataFrame] = None, wSuper: Int = 4,
+      strict: Boolean = true)
       : org.apache.spark.sql.streaming.StreamingQuery =
     idStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -331,8 +346,31 @@ object StreamingOps {
                 graft.operators.AnnIvf.indexTwoLevel(batch, sup,
                   centroids.get, idCol, vecCol, wSuper))
             else batch
-          graft.operators.AnnIvf.deleteFromIndex(batch.sparkSession,
-            indexPath, hinted, idCol)
+          val isHinted = hinted.columns.contains("cid")
+          val deleted = graft.operators.AnnIvf.deleteFromIndex(
+            batch.sparkSession, indexPath, hinted, idCol)
+          if (isHinted) {
+            val nIds = batch.select(col(idCol)).distinct().count()
+            if (deleted < nIds) {
+              if (strict) {
+                val extra = graft.operators.AnnIvf.deleteFromIndex(
+                  batch.sparkSession, indexPath,
+                  batch.select(col(idCol)), idCol)
+                if (extra > 0)
+                  println(s"[graft] streamingIndexDelete shortfall: " +
+                    s"hinted pass deleted $deleted of $nIds ids; " +
+                    s"unhinted fallback removed $extra more — the cid " +
+                    "hint does not match the build (check centroids/" +
+                    "supers/wSuper parity)")
+              } else {
+                println(s"[graft] streamingIndexDelete shortfall: " +
+                  s"deleted $deleted of $nIds hinted ids (strict=false; " +
+                  "absent ids are expected on this feed, but a hint/" +
+                  "build mismatch would look identical — audit if " +
+                  "unexpected)")
+              }
+            }
+          }
         }
         ()
       }

@@ -144,6 +144,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(frozen == batch)
   }
 
+  test("trainBm25Frozen guards its driver-sized standing-query budget") {
+    val docs = Tables.load(spark, sf, "documents")
+    val qs = docs.filter(col("doc_id") % 19 === 0)
+      .select(col("doc_id").as("qid"), col("text").as("q_text"))
+    val nQs = qs.count()
+    assert(nQs > 2)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.trainBm25Frozen(docs, qs, maxQueries = 2)
+    }
+    assert(e.getMessage.contains("bm25TopKShuffled"),
+      "the guard must point at the distributed lowering")
+    // at the budget boundary it trains normally
+    assert(Retrieval.trainBm25Frozen(docs, qs, maxQueries = nQs)
+      .queries.nonEmpty)
+  }
+
   test("sifEmbed: local integer-pool replay and partition independence") {
     val docs = Seq((1L, "c r"), (2L, "c"), (3L, "c s s"))
       .toDF("doc_id", "text")

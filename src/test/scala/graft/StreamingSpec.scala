@@ -233,6 +233,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == rebuilt && served.nonEmpty)
   }
 
+  test("streaming retraction strict mode: a hint/build mismatch is " +
+      "caught by the shortfall fallback, never an under-delete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val data = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 =!= 0 && $"label" =!= 3)
+    val queries = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q_embedding"))
+    val centroids = graft.operators.AnnIvf.train(data, 16, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smis").toString
+    graft.operators.AnnIvf.writeIndex(
+      graft.operators.AnnIvf.index(data, centroids), s"$tmp/idx")
+    // the WRONG quantizer: different cell count over a different
+    // subset — re-derived cids will not match the build for most rows
+    val wrongCentroids = graft.operators.AnnIvf.train(
+      data.filter($"vec_id" % 2 === 0), 4, iterations = 1)
+    val delIds = data.select($"vec_id").collect().map(_.getLong(0))
+      .filter(_ % 19 == 4)
+    val delRows = data.filter($"vec_id".isin(delIds.toSeq: _*))
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+    assert(delRows.nonEmpty)
+    val ms = MemoryStream[(Long, Array[Float])]
+    val q = StreamingOps.streamingIndexDelete(
+      ms.toDF.toDF("vec_id", "embedding"), s"$tmp/idx",
+      centroids = Some(wrongCentroids)) // strict = true default
+    try {
+      ms.addData(delRows.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // despite the bad hint, no deleted id may survive
+    val remaining = spark.read.parquet(s"$tmp/idx")
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(delIds.forall(id => !remaining.contains(id)),
+      "strict shortfall fallback must remove every present id")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served = tuples(graft.operators.AnnIvf.searchPersisted(
+      spark, s"$tmp/idx", centroids, queries, 10, nprobe = 4))
+    val survivors = data.filter(!$"vec_id".isin(delIds.toSeq: _*))
+    val rebuilt = tuples(graft.operators.AnnIvf.search(
+      graft.operators.AnnIvf.index(survivors, centroids), centroids,
+      queries, 10, nprobe = 4))
+    assert(served == rebuilt && served.nonEmpty)
+    // strict=false with legitimately-absent ids: shortfall is logged,
+    // not re-scanned; the index is untouched
+    val before = spark.read.parquet(s"$tmp/idx").count()
+    val ms2 = MemoryStream[(Long, Array[Float])]
+    val q2 = StreamingOps.streamingIndexDelete(
+      ms2.toDF.toDF("vec_id", "embedding"), s"$tmp/idx",
+      centroids = Some(centroids), strict = false)
+    try {
+      ms2.addData((99999999L, delRows.head._2)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$tmp/idx").count() == before)
+  }
+
   test("streaming sessionize: state carries across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
