@@ -254,18 +254,41 @@ object StreamingOps {
     * persisted clustered index — queries served from the index see new
     * vectors one micro-batch later. Pairs with `AnnIvf.searchPersisted`
     * for the full ingest→serve loop. */
+  /** `compactEveryBatches > 0` folds the small files a long-lived
+    * append stream accumulates: every N batches the cells touched
+    * SINCE THE LAST FOLD (appendToIndex returns its batch's cell
+    * ids — accumulated here) are handed to `compactIndex` as its
+    * candidate hint, so the whole append→compact cycle stays
+    * O(touched cells) with no tree walk. The state is in-memory
+    * per query; after a restart the first fold simply re-discovers
+    * via its own batches (missed cells are caught by any later
+    * unhinted `compactIndex` run — compaction is a pure layout op). */
   def streamingIndexAppend(vectorStream: DataFrame, centroids: DataFrame,
       indexPath: String,
-      supers: Option[DataFrame] = None, wSuper: Int = 4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      supers: Option[DataFrame] = None, wSuper: Int = 4,
+      compactEveryBatches: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val pending = scala.collection.mutable.Set.empty[Int]
+    var batches = 0L
     vectorStream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.AnnIvf.appendToIndex(batch, centroids, indexPath,
-            supers = supers, wSuper = wSuper)
+        if (!batch.isEmpty) {
+          val touched = graft.operators.AnnIvf.appendToIndex(batch,
+            centroids, indexPath, supers = supers, wSuper = wSuper)
+          if (compactEveryBatches > 0) {
+            pending ++= touched
+            batches += 1
+            if (batches % compactEveryBatches == 0 && pending.nonEmpty) {
+              graft.operators.AnnIvf.compactIndex(batch.sparkSession,
+                indexPath, cells = Some(pending.toSeq))
+              pending.clear()
+            }
+          }
+        }
         ()
       }
       .start()
+  }
 
   /** Streaming IVF-PQ index refresh — `streamingIndexAppend` for the
     * COMPRESSED tier: each micro-batch is coarse-assigned (two-level

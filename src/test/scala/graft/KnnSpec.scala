@@ -482,14 +482,19 @@ class KnnSpec extends AnyFunSuite {
       .parquet(sf)
       .filter($"vec_id" % 50 =!= 0 && SparkEntry.filterLow)
       .select($"vec_id", $"embedding")
+    // compactEveryBatches=1: every appended batch's touched cells are
+    // folded right back through the hinted compaction — the resident
+    // append→compact maintenance loop
     val q = graft.streaming.StreamingOps.streamingIndexAppend(
-      vecStream, centroids, s"$tmp/idx")
+      vecStream, centroids, s"$tmp/idx", compactEveryBatches = 1)
     try q.processAllAvailable() finally q.stop()
     val served = asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
       centroids, queries, 10, nprobe = 4))
     val batch = asTuples(AnnIvf.search(
       AnnIvf.index(filtered, centroids), centroids, queries, 10, nprobe = 4))
     assert(served == batch && served.nonEmpty)
+    // the in-stream folds leave nothing crowded behind
+    assert(AnnIvf.compactIndex(spark, s"$tmp/idx") == 0L)
   }
 
   test("adaptive path: exact under the size threshold, IVF above it") {
