@@ -2474,6 +2474,22 @@ object AnnQueries {
           queriesDf(s, d), K, nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the RESIDENT flat-cell serving lowering under the same full
+    // oracle: the indexed relation decoded once into id-sorted flat
+    // per-cell kernels (object RDD) and probe-scanned in place —
+    // bit-identical to searchFast (KnnSpec pins distances); this
+    // entry puts the resident tier under the DuckDB oracle too
+    "ann_ivf_serve_resident" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      val cells = AnnIvf.servableCells(AnnIvf.index(data, centroids))
+      try AnnIvf.searchServableCells(cells, centroids, queriesDf(s, d),
+          K, nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+        .localCheckpoint()
+      finally cells.unpersist()
+    }),
     // the SHUFFLE-JOIN search lowering under the same FULL oracle as
     // ann_ivf_fixed: identical semantics (fixed mod-311 centroids,
     // 2-nearest probes, exact in-cell top-10), but the query side is
@@ -2946,6 +2962,7 @@ object AnnQueries {
 
   val oracles: Map[String, String] = Map(
     "ann_ivf_fixed" -> ivfFixedSql(311),
+    "ann_ivf_serve_resident" -> ivfFixedSql(311),
     // same semantics, distributed physical lowerings — one oracle
     "ann_ivf_bigq" -> ivfFixedSql(311),
     "ann_ivf_bigq_fast" -> ivfFixedSql(311),

@@ -118,6 +118,31 @@ object ScaleBench {
         f"(build=$buildSec%.1fs n=$nKept)")
     }
 
+    // RESIDENT flat-IVF tier: same probe-and-scan semantics as
+    // searchFast (bit-identical, KnnSpec) with the corpus decode paid
+    // once into per-cell flat kernels instead of per call
+    val (residentCells, ivfDecodeSec) = time {
+      val c = AnnIvf.servableCells(indexed); c.count(); c
+    }
+    println(f"[scale] resident ivf decode (group + flatten): $ivfDecodeSec%.1fs")
+    Seq(1, 4, 16).foreach { nprobe =>
+      val (_, cold) = time {
+        AnnIvf.searchServableCells(residentCells, centroids, queries, k,
+          nprobe).count()
+      }
+      val (_, warm) = time {
+        AnnIvf.searchServableCells(residentCells, centroids, queries, k,
+          nprobe).count()
+      }
+      val rec = AnnIvf.searchServableCells(residentCells, centroids,
+        qSample, k, nprobe)
+      val r = Recall.ofRanked(rec, truth).head()
+      println(f"[scale] resident ivf nprobe=$nprobe%3d search=$warm%7.2fs " +
+        f"(cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
+        f"recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
+    }
+    residentCells.unpersist()
+
     // HNSW-analog serving path: per-cell graphs built once, then
     // beam-searched (~efSearch·M visits per probed cell vs a full
     // cell scan)

@@ -425,6 +425,30 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("resident flat-IVF cells serve bit-identical to searchFast, " +
+      "including distances, across metrics and reuse") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 16, iterations = 2)
+    val indexed = AnnIvf.index(filtered, centroids)
+    val cells = AnnIvf.servableCells(indexed)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    for (np <- Seq(1, 4, 16); met <- Seq("sqeuclidean", "cosine")) {
+      val base = full(AnnIvf.searchFast(indexed, centroids, queries, 10,
+        np, metric = met))
+      val served = full(AnnIvf.searchServableCells(cells, centroids,
+        queries, 10, np, metric = met))
+      assert(served == base && base.nonEmpty, s"nprobe=$np metric=$met")
+    }
+    // reuse: a second batch over the same resident cells
+    val sub = queries.filter($"qid" % 3 === 0)
+    assert(full(AnnIvf.searchServableCells(cells, centroids, sub, 10, 4)) ==
+      full(AnnIvf.searchFast(indexed, centroids, sub, 10, 4)))
+    cells.unpersist()
+  }
+
   test("hinted maintenance cycle: append returns its cells; compact " +
       "folds only the hinted candidates") {
     val filtered = data.filter(SparkEntry.filterLow)
