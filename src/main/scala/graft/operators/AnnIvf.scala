@@ -543,71 +543,86 @@ object AnnIvf {
     Knn.topKFrom(partials, k, col("_dist"), col("_nnid"), col("qid"))
   }
 
-  /** DECODED-IN-RAM serving cell for the flat IVF tier: one cell's
-    * members sorted by id (so a primitive (dist, idx) heap tie-break
-    * coincides with the (dist, id) contract), vectors flattened
-    * contiguous; `rows` is the ragged/oversize fallback. The IVF twin
-    * of `NswGraph.ServableCell` — same rationale: a cached
-    * `Dataset`/`DataFrame` stores serialized rows, so every
-    * `searchFast` call re-decodes the whole relation (~1.3 GB of
-    * float arrays at 5M×64) before scanning; a serving deployment
-    * holds the decoded form resident instead. */
-  final case class FlatCell(cid: Int, ids: Array[Long], dim: Int,
+  /** DECODED-IN-RAM serving block for the flat IVF tier: one
+    * partition's rows with ids, cell ids, and vectors flattened into
+    * parallel primitive arrays (`rows` is the ragged/oversize
+    * fallback). The IVF twin of `NswGraph.ServableCell` — same
+    * rationale: a cached `Dataset`/`DataFrame` stores serialized
+    * rows, so every `searchFast` call re-decodes the whole relation
+    * (~1.3 GB of float arrays at 5M×64) before scanning; a serving
+    * deployment holds the decoded form resident instead.
+    *
+    * Deliberately a BLOCK (hash-mixed rows), not one unit per cell:
+    * probe load is skewed — popular cells draw many more queries —
+    * and cell-atomic units turn that into straggler partitions (a
+    * cell-grouped variant measured 2.7× slower than searchFast at
+    * nprobe=16, 5M/1024, entirely wall-clocked on its hottest
+    * partitions). Hash-mixed blocks split every cell's rows across
+    * all partitions, so per-partition work is balanced no matter how
+    * probes skew — exactly `searchFast`'s geometry. */
+  final case class FlatBlock(ids: Array[Long], cids: Array[Int], dim: Int,
       flat: Array[Float], rows: Array[Array[Float]])
 
-  /** Build the RESIDENT flat-IVF serving index: one shuffle groups
-    * the indexed relation by cell (paid once, like `writeIndex`'s),
-    * members sort by id, vectors flatten, and the result persists as
-    * DESERIALIZED objects (`MEMORY_ONLY` object RDD). Serve with
-    * `searchServableCells` — bit-identical to `searchFast` (KnnSpec)
-    * with no per-call decode. Eviction under memory pressure
-    * recomputes through the lineage (the groupBy shuffle), so size
-    * executors to hold the decoded corpus — that is the contract of
-    * a resident tier. */
+  /** Build the RESIDENT flat-IVF serving index: decode each partition
+    * of the indexed relation once into a FlatBlock (NARROW — no
+    * shuffle; the blocks inherit the relation's row-hash mix) and
+    * persist as DESERIALIZED objects (`MEMORY_ONLY` object RDD).
+    * Serve with `searchServableCells` — bit-identical to `searchFast`
+    * (KnnSpec) with no per-call decode. Eviction under memory
+    * pressure recomputes through the lineage, so size executors to
+    * hold the decoded corpus — that is the contract of a resident
+    * tier. */
   def servableCells(indexed: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding")
-      : org.apache.spark.rdd.RDD[FlatCell] = {
+      : org.apache.spark.rdd.RDD[FlatBlock] = {
     val spark = indexed.sparkSession
     import spark.implicits._
     indexed
       .select(col("cid").cast("int"), col(idCol).cast("long"), col(vecCol))
       .as[(Int, Long, Array[Float])]
-      .groupByKey(_._1)
-      .mapGroups { (cid, it) =>
-        val members = it.toArray.sortBy(_._2)
+      .mapPartitions { it =>
+        val members = it.toArray
         val n = members.length
-        val ids = new Array[Long](n)
-        val vecs = new Array[Array[Float]](n)
-        var i = 0
-        while (i < n) { ids(i) = members(i)._2; vecs(i) = members(i)._3; i += 1 }
-        val dim = if (n == 0) 0 else vecs(0).length
-        val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
-          vecs.forall(_.length == dim)
-        val flat =
-          if (flattenable) {
-            val f = new Array[Float](n * dim)
-            i = 0
-            while (i < n) { System.arraycopy(vecs(i), 0, f, i * dim, dim); i += 1 }
-            f
-          } else null
-        FlatCell(cid, ids, dim, flat, if (flattenable) null else vecs)
+        if (n == 0) Iterator.empty
+        else {
+          val ids = new Array[Long](n)
+          val cids = new Array[Int](n)
+          val vecs = new Array[Array[Float]](n)
+          var i = 0
+          while (i < n) {
+            cids(i) = members(i)._1; ids(i) = members(i)._2
+            vecs(i) = members(i)._3; i += 1
+          }
+          val dim = vecs(0).length
+          val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
+            vecs.forall(_.length == dim)
+          val flat =
+            if (flattenable) {
+              val f = new Array[Float](n * dim)
+              i = 0
+              while (i < n) {
+                System.arraycopy(vecs(i), 0, f, i * dim, dim); i += 1
+              }
+              f
+            } else null
+          Iterator.single(FlatBlock(ids, cids, dim, flat,
+            if (flattenable) null else vecs))
+        }
       }
       .rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
   }
 
-  /** Serve a query batch from the resident flat cells: probes are
+  /** Serve a query batch from the resident blocks: probes are
     * collected and INVERTED driver-side (cell → probing query
-    * indices), broadcast once; each partition scans its decoded cells
-    * in place with a reused primitive bounded heap per (query, cell)
-    * — early-abandoned against the heap's k-th best exactly like
-    * `searchFast`'s scan — and only q×k×nprobe partials merge through
-    * the shared `topKFrom`. Results bit-identical to `searchFast`
-    * (pinned in KnnSpec): the per-(query, cell) top-k partials and
-    * `searchFast`'s per-(query, partition) partials both contain
-    * every global top-k member, and the merge's (dist, id) tie-break
-    * is shared. */
-  def searchServableCells(idx: org.apache.spark.rdd.RDD[FlatCell],
+    * indices), broadcast once; each partition then runs exactly
+    * `searchFast`'s scan — row-major over hash-mixed rows, per-QUERY
+    * bounded heaps whose early-abandon bound is the query's k-th best
+    * so far across everything the partition has seen, (dist, id)
+    * tie-break — minus the per-call decode. Results bit-identical to
+    * `searchFast` (pinned in KnnSpec); the q×k partials merge through
+    * the shared `topKFrom`. */
+  def searchServableCells(idx: org.apache.spark.rdd.RDD[FlatBlock],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
@@ -626,56 +641,34 @@ object AnnIvf {
     val (mcode, kk) = (Knn.metricCode(metric), k)
     val partials = idx.mapPartitions { it =>
       val (qids, qvecs, byCell) = bc.value
-      val results = new NswGraph.PairHeap(kk + 1, max = true)
-      val outD = new Array[Double](kk)
-      val outI = new Array[Int](kk)
-      it.flatMap { cell =>
-        val probing = byCell.getOrElse(cell.cid, null)
-        val n = cell.ids.length
-        if (probing == null || n == 0) Iterator.empty
-        else {
-          val out = new Array[(Long, Long, Double)](probing.length * kk)
-          var written = 0
-          var p = 0
-          while (p < probing.length) {
-            val qi = probing(p)
-            val qv = qvecs(qi)
-            results.clear()
-            var i = 0
-            while (i < n) {
-              val full = results.size >= kk
-              val bound =
-                if (full) results.headDist else Double.PositiveInfinity
+      val heaps = Array.fill(qids.length)(new graft.functions.TopKBuffer(kk))
+      var touched = false
+      it.foreach { block =>
+        val n = block.ids.length
+        var i = 0
+        while (i < n) {
+          val probing = byCell.getOrElse(block.cids(i), null)
+          if (probing != null) {
+            touched = true
+            var p = 0
+            while (p < probing.length) {
+              val qi = probing(p)
+              val h = heaps(qi)
               val d =
-                if (cell.flat != null)
-                  Knn.distBoundedFlat(mcode, cell.flat, i * cell.dim,
-                    cell.dim, qv, bound)
-                else Knn.distBounded(mcode, cell.rows(i), qv, bound)
-              // ids ascend with idx, so the idx tie-break IS the id
-              // tie-break searchFast's TopKBuffer applies
-              if (!full || d < results.headDist ||
-                (d == results.headDist && i < results.headIdx)) {
-                results.push(d, i)
-                if (results.size > kk) results.pop()
-              }
-              i += 1
+                if (block.flat != null)
+                  Knn.distBoundedFlat(mcode, block.flat, i * block.dim,
+                    block.dim, qvecs(qi), h.bound)
+                else Knn.distBounded(mcode, block.rows(i), qvecs(qi), h.bound)
+              h.insert(d, block.ids(i))
+              p += 1
             }
-            var r = results.size - 1
-            val cnt = results.size
-            while (results.size > 0) {
-              outD(r) = results.headDist; outI(r) = results.headIdx
-              results.pop(); r -= 1
-            }
-            var x = 0
-            while (x < cnt) {
-              out(written) = (qids(qi), cell.ids(outI(x)), outD(x))
-              written += 1; x += 1
-            }
-            p += 1
           }
-          if (written == out.length) out.iterator
-          else out.iterator.take(written)
+          i += 1
         }
+      }
+      if (!touched) Iterator.empty
+      else heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.sorted.iterator.map { case (d, id) => (qids(qi), id, d) }
       }
     }.toDF("qid", "_nnid", "_dist")
     Knn.topKFrom(partials, kk, col("_dist"), col("_nnid"), col("qid"))
