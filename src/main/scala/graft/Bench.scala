@@ -92,7 +92,14 @@ object Bench {
       // pinning the whole training trajectory; the per-step shapes
       // (hash joins + map-side-combined aggregates) are measured by
       // the corpus_* and dedup_* queries
-      "corpus_classifier")
+      "corpus_classifier",
+      // serve_auto_mild/extreme: dispatch-branch correctness twins —
+      // mild re-measures ann_nsw_fixed's graph build plus the
+      // overfetch window, extreme re-measures knn_exact_mid plus an
+      // unused index build; serve_auto_strong stays in-pack as the
+      // dispatcher's measured representative (selectivity counts +
+      // routing + the pre-filter serve)
+      "serve_auto_mild", "serve_auto_extreme")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {
         case Some(set) => set.contains(n) // explicit ONLY wins

@@ -2474,11 +2474,13 @@ object AnnQueries {
           queriesDf(s, d), K, nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
-    // the RESIDENT flat-cell serving lowering under the same full
-    // oracle: the indexed relation decoded once into id-sorted flat
-    // per-cell kernels (object RDD) and probe-scanned in place —
-    // bit-identical to searchFast (KnnSpec pins distances); this
-    // entry puts the resident tier under the DuckDB oracle too
+    // the RESIDENT flat-IVF serving lowering under the same full
+    // oracle: each partition of the indexed relation decoded once
+    // into a hash-mixed FlatBlock (parallel primitive arrays, object
+    // RDD — blocks, not per-cell units, so probe skew can't create
+    // straggler partitions) and probe-scanned in place — bit-identical
+    // to searchFast (KnnSpec pins distances); this entry puts the
+    // resident tier under the DuckDB oracle too
     "ann_ivf_serve_resident" -> ((s, d) => {
       GraftFunctions.register(s)
       val data = dataDf(s, d).filter(filterLow)
@@ -2489,6 +2491,81 @@ object AnnQueries {
         .select(col("qid"), col("rank"), col("neighbor_id"))
         .localCheckpoint()
       finally cells.unpersist()
+    }),
+    // FILTERED serving from the SAME resident tier: the index decodes
+    // once with the label as its resident attribute, and the scan's
+    // attrPred skips non-survivors before the distance — pre-filter
+    // semantics (identical to searchFast over the filtered relation,
+    // KnnSpec) without leaving the decoded tier. Same oracle recipe
+    // as serve_auto_strong: hash-equality proves the resident filtered
+    // scan IS the pre-filter.
+    "ann_ivf_serve_resident_filtered" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      val cells = AnnIvf.servableCells(AnnIvf.index(data, centroids),
+        attrCol = Some("label"))
+      try AnnIvf.searchServableCells(cells, centroids, queriesDf(s, d),
+          K, nprobe = 2, attrPred = Some(a => a == 0.0 || a == 1.0))
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+        .localCheckpoint()
+      finally cells.unpersist()
+    }),
+    // COST-BASED FILTERED SERVING (Serving.serveFiltered): the
+    // round-11 dispatch rule measured at 5M — mild filters →
+    // graph-overfetch, strong → IVF pre-filter, extreme → exact scan
+    // — as one API over ONE shared set of unfiltered artifacts. These
+    // three entries drive each branch end to end, with the MEASURED
+    // selectivity doing the routing (a require pins which branch ran,
+    // so a dispatch regression fails loudly rather than silently
+    // passing a different branch's oracle).
+    // Strong: filterHigh keeps ~23% of the filterLow base → IVF
+    // pre-filter over the shared fixed-centroid index; same oracle
+    // recipe as ann_ivf_fixed with the survivor predicate applied.
+    "serve_auto_strong" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 311)
+      val art = Serving.Artifacts(AnnIvf.index(base, centroids), centroids)
+      val (strat, res) = Serving.serveFilteredExplained(art,
+        queriesDf(s, d), K, filterHigh, nprobe = 2)
+      require(strat == Serving.IvfPrefilter, s"dispatched $strat")
+      res.select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    // Extreme: filterMid keeps ~2% → exact scan over the survivors
+    // (recall 1.0 by construction); oracle = the exact filtered k-NN.
+    "serve_auto_extreme" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 311)
+      val art = Serving.Artifacts(AnnIvf.index(base, centroids), centroids)
+      val (strat, res) = Serving.serveFilteredExplained(art,
+        queriesDf(s, d), K, filterMid, extreme = 0.05)
+      require(strat == Serving.ExactScan, s"dispatched $strat")
+      res.select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    // Mild: label <> 4 keeps ~89% of the base → over-fetch
+    // k' = ceil-div(3·k·total, survivors) on the UNFILTERED resident
+    // graph, drop non-survivors, re-rank to k. The ann_nsw_fixed
+    // no-prune recipe (mod-31 cells ≤ 49 rows, m = 32, efSearch =
+    // 128) makes the beam provably exact in-cell, so the whole branch
+    // — including the integer k' — is SQL-reproducible.
+    "serve_auto_mild" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 31)
+      val indexed = AnnIvf.index(base, centroids)
+      val idx = NswGraph.servableIndex(
+        NswGraph.buildIndex(indexed, m = 32, efConstruction = 64))
+      val art = Serving.Artifacts(indexed, centroids, Some(idx))
+      try {
+        val (strat, res) = Serving.serveFilteredExplained(art,
+          queriesDf(s, d), K, col("label") =!= 4, nprobe = 2,
+          efSearch = 128)
+        require(strat == Serving.GraphOverfetch, s"dispatched $strat")
+        res.select(col("qid"), col("rank"), col("neighbor_id"))
+          .localCheckpoint()
+      } finally idx.unpersist()
     }),
     // the SHUFFLE-JOIN search lowering under the same FULL oracle as
     // ann_ivf_fixed: identical semantics (fixed mod-311 centroids,
@@ -2916,7 +2993,7 @@ object AnnQueries {
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  WHERE vec_id % 50 = 0
        |), d0 AS (
-       |  SELECT vec_id, embedding FROM embeddings
+       |  SELECT vec_id, embedding, label FROM embeddings
        |  WHERE vec_id % 50 <> 0 AND label <> 3
        |), c AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
@@ -3075,6 +3152,88 @@ object AnnQueries {
          |FROM assign GROUP BY cid""".stripMargin,
     "ann_ivf_serve" -> ivfFixedSql(311),
     "ann_ivf_serve_bigq" -> ivfFixedSql(311),
+    // cost-based dispatch, per branch: strong = the ann_ivf_fixed
+    // recipe restricted to the survivor predicate; extreme = exact
+    // filtered k-NN; mild = the no-prune graph recipe widened to the
+    // integer over-fetch k' then filtered + re-ranked
+    "serve_auto_strong" -> ivfFixedSql(311,
+      survivors = "label IN (0, 1)"),
+    "ann_ivf_serve_resident_filtered" -> ivfFixedSql(311,
+      survivors = "label IN (0, 1)"),
+    "serve_auto_extreme" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label = 5 AND vec_id % 11 = 0
+         |), dist AS (
+         |  SELECT q.qid, d.vec_id,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(d.embedding) AS b) z) AS dst
+         |  FROM q CROSS JOIN d
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+    "serve_auto_mild" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d0 AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d0 WHERE vec_id % 31 = 7
+         |), kf AS (
+         |  SELECT GREATEST(
+         |    (30 * (SELECT COUNT(*) FROM d0)
+         |       + (SELECT COUNT(*) FROM d0 WHERE label <> 4) - 1)
+         |      // (SELECT COUNT(*) FROM d0 WHERE label <> 4),
+         |    10) AS kf
+         |), ad AS (
+         |  SELECT d0.vec_id, d0.embedding, d0.label, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d0.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d0 CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, label, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qd AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |), probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.qid, p.qe, a.vec_id, a.embedding, a.label
+         |  FROM probes p JOIN assign a USING (cid)
+         |), fetched AS (
+         |  SELECT qid, vec_id, label,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
+         |  FROM cand
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) <= (SELECT kf FROM kf)
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM fetched
+         |WHERE label <> 4
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_serve" -> ivfFixedSql(31),
     "ann_nsw_bigq" -> ivfFixedSql(31),

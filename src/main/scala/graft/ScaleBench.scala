@@ -305,6 +305,16 @@ object ScaleBench {
     val servU = graft.operators.NswGraph.servableIndex(graphsU)
     servU.count()
     println(f"[scale] shared unfiltered servable graph: build=$gBuildU%.1fs")
+    // ONE resident flat tier with rating_m as its attribute serves
+    // every bucket's pre-filter below at resident speed (attrPred
+    // skips non-survivors before the distance — identical results to
+    // searchFast over the filtered relation, KnnSpec)
+    val (residentU, resDecU) = time {
+      val c = AnnIvf.servableCells(indexedU, attrCol = Some("rating_m"))
+      c.count(); c
+    }
+    println(f"[scale] shared resident flat tier (attr=rating_m): " +
+      f"decode=$resDecU%.1fs")
     // thresholds over the {0, 0.001, ..., 9.999} grid reproduce the
     // reference's selectivities exactly: 8363/10000 = 83.63%,
     // 1561/10000 = 15.61%, 77/10000 = 0.77%
@@ -332,6 +342,23 @@ object ScaleBench {
           println(f"[scale] filtered-serve $nm%-4s (keeps ${100.0 * nSel / n}%5.2f%%) " +
             f"ivf nprobe=$np%3d search=$warm%6.2fs (cold $cold%.2fs) " +
             f"qps=${nQ / warm}%8.1f recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
+          // same pre-filter from the shared resident tier
+          val pred: Option[Double => Boolean] = Some(_ < thr)
+          val (_, rCold) = time {
+            AnnIvf.searchServableCells(residentU, centroidsU, queries, k,
+              np, attrPred = pred).count()
+          }
+          val (_, rWarm) = time {
+            AnnIvf.searchServableCells(residentU, centroidsU, queries, k,
+              np, attrPred = pred).count()
+          }
+          val rrec = AnnIvf.searchServableCells(residentU, centroidsU,
+            qSample, k, np, attrPred = pred)
+          val rr = Recall.ofRanked(rrec, truthM).head()
+          println(f"[scale] filtered-serve $nm%-4s resident " +
+            f"ivf nprobe=$np%3d search=$rWarm%6.2fs (cold $rCold%.2fs) " +
+            f"qps=${nQ / rWarm}%8.1f " +
+            f"recall@10=${rr.getDouble(rr.fieldIndex("recall"))}%.4f")
         }
         overFetch.foreach { mult =>
           // GRAPH OVER-FETCH from the shared unfiltered servable
@@ -377,7 +404,7 @@ object ScaleBench {
         }
         truthM.unpersist()
     }
-    servU.unpersist(); graphsU.unpersist()
+    servU.unpersist(); graphsU.unpersist(); residentU.unpersist()
     spark.stop()
   }
 }

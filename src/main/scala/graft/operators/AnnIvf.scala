@@ -559,9 +559,17 @@ object AnnIvf {
     * nprobe=16, 5M/1024, entirely wall-clocked on its hottest
     * partitions). Hash-mixed blocks split every cell's rows across
     * all partitions, so per-partition work is balanced no matter how
-    * probes skew — exactly `searchFast`'s geometry. */
+    * probes skew — exactly `searchFast`'s geometry.
+    *
+    * `attrs` optionally carries ONE primitive filter attribute per
+    * row (the reference's serving filter is a rating bracket — one
+    * double column), decoded alongside the vectors so FILTERED
+    * serving never leaves the resident tier: `searchServableCells`'s
+    * `attrPred` skips non-survivors before the distance, which is
+    * pre-filter semantics at resident speed. */
   final case class FlatBlock(ids: Array[Long], cids: Array[Int], dim: Int,
-      flat: Array[Float], rows: Array[Array[Float]])
+      flat: Array[Float], rows: Array[Array[Float]],
+      attrs: Array[Double] = null)
 
   /** Build the RESIDENT flat-IVF serving index: decode each partition
     * of the indexed relation once into a FlatBlock (NARROW — no
@@ -573,13 +581,15 @@ object AnnIvf {
     * hold the decoded corpus — that is the contract of a resident
     * tier. */
   def servableCells(indexed: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCol: Option[String] = None)
       : org.apache.spark.rdd.RDD[FlatBlock] = {
     val spark = indexed.sparkSession
     import spark.implicits._
     indexed
-      .select(col("cid").cast("int"), col(idCol).cast("long"), col(vecCol))
-      .as[(Int, Long, Array[Float])]
+      .select(col("cid").cast("int"), col(idCol).cast("long"), col(vecCol),
+        attrCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)))
+      .as[(Int, Long, Array[Float], Double)]
       .mapPartitions { it =>
         val members = it.toArray
         val n = members.length
@@ -588,10 +598,11 @@ object AnnIvf {
           val ids = new Array[Long](n)
           val cids = new Array[Int](n)
           val vecs = new Array[Array[Float]](n)
+          val attrs = new Array[Double](n)
           var i = 0
           while (i < n) {
             cids(i) = members(i)._1; ids(i) = members(i)._2
-            vecs(i) = members(i)._3; i += 1
+            vecs(i) = members(i)._3; attrs(i) = members(i)._4; i += 1
           }
           val dim = vecs(0).length
           val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
@@ -606,7 +617,8 @@ object AnnIvf {
               f
             } else null
           Iterator.single(FlatBlock(ids, cids, dim, flat,
-            if (flattenable) null else vecs))
+            if (flattenable) null else vecs,
+            if (attrCol.isDefined) attrs else null))
         }
       }
       .rdd
@@ -621,11 +633,19 @@ object AnnIvf {
     * so far across everything the partition has seen, (dist, id)
     * tie-break — minus the per-call decode. Results bit-identical to
     * `searchFast` (pinned in KnnSpec); the q×k partials merge through
-    * the shared `topKFrom`. */
+    * the shared `topKFrom`.
+    *
+    * `attrPred` (requires an `attrCol`-built index) applies a
+    * per-row PRE-FILTER on the resident attribute before the
+    * distance: identical semantics to `searchFast` over
+    * `indexed.filter(pred)` — the reference's rating-bracket filtered
+    * search — without ever leaving the decoded tier or building a
+    * per-filter index. */
   def searchServableCells(idx: org.apache.spark.rdd.RDD[FlatBlock],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       metric: String = "sqeuclidean",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      attrPred: Option[Double => Boolean] = None): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
     val matrix = collectCentroids(centroids)
@@ -639,15 +659,24 @@ object AnnIvf {
     val bc = spark.sparkContext.broadcast((probed.map(_._1),
       probed.map(_._2), inv))
     val (mcode, kk) = (Knn.metricCode(metric), k)
+    // Double => Boolean is a specialized Function1: the per-row call
+    // below stays primitive (no boxing in the scan)
+    val pred: Double => Boolean = attrPred.orNull
     val partials = idx.mapPartitions { it =>
       val (qids, qvecs, byCell) = bc.value
       val heaps = Array.fill(qids.length)(new graft.functions.TopKBuffer(kk))
       var touched = false
       it.foreach { block =>
+        if (pred != null && block.attrs == null)
+          throw new IllegalArgumentException(
+            "attrPred given but the resident index was built without " +
+              "attrCol — rebuild with servableCells(..., attrCol = Some(...))")
         val n = block.ids.length
         var i = 0
         while (i < n) {
-          val probing = byCell.getOrElse(block.cids(i), null)
+          val probing =
+            if (pred != null && !pred(block.attrs(i))) null
+            else byCell.getOrElse(block.cids(i), null)
           if (probing != null) {
             touched = true
             var p = 0

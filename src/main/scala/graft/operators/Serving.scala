@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Cost-based FILTERED ANN serving: one shared set of unfiltered
+  * artifacts answers every filter predicate, with the physical
+  * strategy chosen from the filter's selectivity — the dispatch rule
+  * the round-11 scale record measured end to end at 5M
+  * (`BENCH_scale_r11.json` filtered_serving / filtered_serving_overfetch)
+  * and the reference applies by hand per bucket (its filtered-CAGRA
+  * runs over-fetch on the unfiltered index,
+  * cuvs_bench_grid_search_v3.py; its pre-filtered runs build per-filter
+  * indexes, utils_grid_search.py):
+  *
+  *  - MILD filters (most rows survive): beam k' = mult·k/sel out of
+  *    the resident unfiltered graph, drop non-survivors, keep top-k —
+  *    measured 4.5× the pre-filter qps at 84% kept. Only worth it
+  *    when expected survivors at top-k' clear k; at low selectivity
+  *    k' explodes (0.77% kept needs k'≈13K), which is exactly the
+  *    regime boundary below.
+  *  - STRONG filters: IVF pre-filter — scan the predicate's survivors
+  *    inside the probed cells of the SHARED index (the unfiltered cid
+  *    assignment stays valid for any subset; cells just have fewer
+  *    members). No per-filter index, no beam inflation.
+  *  - EXTREME filters (sub-percent): exact scan over survivors —
+  *    recall 1.0 by construction and faster than any fixed probe set
+  *    once survivors are rarer than ~1/nprobe of a cell.
+  *
+  * All three branches return the shared k-NN result contract
+  * `(qid, rank, neighbor_id, dist)` ranked by (dist, id). The
+  * dispatch is a pure function of selectivity (`chooseStrategy`) so
+  * the boundary logic is unit-testable apart from the engine.
+  *
+  * SCALE NOTE — selectivity: measuring it is one column-pruned
+  * count of the predicate's survivors. A serving deployment knows its
+  * filters (the reference's are fixed rating brackets) and passes
+  * `selectivity = Some(…)` so the dispatch costs nothing per batch;
+  * `None` pays the count once and is the honest default for ad-hoc
+  * predicates.
+  */
+object Serving {
+
+  /** The shared serving artifacts: one unfiltered cid-assigned
+    * relation + its centroids, and optionally the resident decoded
+    * tiers — the graph (`NswGraph.servableIndex`) for the mild-filter
+    * over-fetch branch, and the flat blocks
+    * (`AnnIvf.servableCells(..., attrCol = Some(…))`) for serving the
+    * strong branch's pre-filter at resident speed. Every filter is
+    * served from these — no per-filter index anywhere. */
+  final case class Artifacts(
+      indexed: DataFrame,
+      centroids: DataFrame,
+      graph: Option[org.apache.spark.rdd.RDD[NswGraph.ServableCell]] = None,
+      flat: Option[org.apache.spark.rdd.RDD[AnnIvf.FlatBlock]] = None)
+
+  sealed abstract class Strategy(val name: String)
+  /** Over-fetch k' on the unfiltered resident graph, filter, re-rank. */
+  case object GraphOverfetch extends Strategy("graph-overfetch")
+  /** `searchFast` over the predicate's survivors in the shared index. */
+  case object IvfPrefilter extends Strategy("ivf-prefilter")
+  /** `Knn.exact` over the survivors. */
+  case object ExactScan extends Strategy("exact-scan")
+
+  /** The measured dispatch rule. `mild`/`extreme` are the regime
+    * boundaries in survivor fraction; defaults sit between the 5M
+    * measurement's buckets (84% → graph wins 4.5×, 15.6% → IVF wins,
+    * 0.77% → exact wins). Without a graph tier the mild regime falls
+    * back to the always-valid IVF pre-filter. */
+  def chooseStrategy(selectivity: Double, graphAvailable: Boolean,
+      mild: Double = 0.5, extreme: Double = 0.02): Strategy = {
+    require(selectivity >= 0.0 && selectivity <= 1.0,
+      s"selectivity must be a fraction in [0,1], got $selectivity")
+    if (selectivity < extreme) ExactScan
+    else if (selectivity >= mild && graphAvailable) GraphOverfetch
+    else IvfPrefilter
+  }
+
+  /** Serve `queries` against the rows of `art.indexed` that satisfy
+    * `predicate`, choosing the strategy by selectivity. Returns
+    * `(strategy, results)`; `serveFiltered` below is the plain-result
+    * convenience. The graph branch is approximate like any beam
+    * serve (its recall is the unfiltered graph's at the widened k');
+    * the IVF branch's recall is nprobe's; the exact branch is exact. */
+  def serveFilteredExplained(art: Artifacts, queries: DataFrame, k: Int,
+      predicate: Column, nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = 0.02,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      attrPred: Option[Double => Boolean] = None)
+      : (Strategy, DataFrame) = {
+    require(overFetchMult >= 1, s"overFetchMult must be >= 1")
+    val survivors = art.indexed.filter(predicate)
+    // measured counts also give the over-fetch k' in exact integer
+    // arithmetic (ceil-div), so the graph branch's width is a pure
+    // function of the two counts — reproducible by an integer oracle,
+    // never one ulp of double division away from it
+    val (sel, kFromCounts) = selectivity match {
+      case Some(x) => (x, None)
+      case None =>
+        // both counts are column-pruned scans (no vector decode); a
+        // deployment with known filters passes the hint instead
+        val total = art.indexed.count()
+        val surv = survivors.count()
+        val s = if (total == 0L) 1.0 else surv.toDouble / total
+        (s, if (surv > 0L)
+          Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
+        else None)
+    }
+    chooseStrategy(sel, art.graph.nonEmpty, mild, extreme) match {
+      case ExactScan =>
+        (ExactScan, Knn.exact(survivors, queries, k, metric,
+          idCol, vecCol, qidCol, qvecCol))
+      case IvfPrefilter =>
+        // with a resident flat tier AND an attribute-level twin of
+        // the predicate (caller contract: attrPred must accept
+        // exactly the rows `predicate` keeps — the reference's
+        // rating-bracket filters are one double column, so the twin
+        // is the bracket itself), serve the pre-filter from the
+        // decoded blocks; otherwise scan the filtered relation
+        (IvfPrefilter, (art.flat, attrPred) match {
+          case (Some(blocks), Some(p)) =>
+            AnnIvf.searchServableCells(blocks, art.centroids, queries,
+              k, nprobe, metric, qidCol, qvecCol, attrPred = Some(p))
+          case _ =>
+            AnnIvf.searchFast(survivors, art.centroids,
+              queries, k, nprobe, idCol, vecCol, qidCol, qvecCol, metric)
+        })
+      case GraphOverfetch =>
+        // expected survivors in the top-k' are k'·sel; mult·k/sel
+        // clears k by mult×. The cap keeps a mis-hinted selectivity
+        // from beaming the corpus; past it the IVF branch is the
+        // honest plan anyway.
+        val kF = math.min(maxOverFetchK,
+          math.max(k, kFromCounts.getOrElse(
+            math.ceil(overFetchMult * k / sel).toInt)))
+        val efF = math.max(efSearch, kF)
+        val fetched = NswGraph.searchServable(art.graph.get,
+          art.centroids, queries, kF, nprobe, efF, metric,
+          qidCol, qvecCol)
+        // membership check against the survivor ids: a semi-join on
+        // the id column — the predicate may read any column of the
+        // relation, so it is evaluated once on the scan side, never
+        // re-derived from result rows. Left side is query-sized
+        // (q×k'); AQE broadcasts whichever side fits.
+        val kept = fetched.join(
+          survivors.select(col(idCol).as("_sid")),
+          fetched("neighbor_id") === col("_sid"), "leftsemi")
+        val reranked = kept
+          .withColumn("_rk", row_number().over(
+            Window.partitionBy("qid").orderBy(col("dist"), col("neighbor_id"))))
+          .filter(col("_rk") <= k)
+          .select(col("qid"), col("_rk").cast("long").as("rank"),
+            col("neighbor_id"), col("dist"))
+        (GraphOverfetch, reranked)
+    }
+  }
+
+  /** `serveFilteredExplained` without the strategy tag. */
+  def serveFiltered(art: Artifacts, queries: DataFrame, k: Int,
+      predicate: Column, nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = 0.02,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      attrPred: Option[Double => Boolean] = None): DataFrame =
+    serveFilteredExplained(art, queries, k, predicate, nprobe, efSearch,
+      overFetchMult, selectivity, mild, extreme, maxOverFetchK, metric,
+      idCol, vecCol, qidCol, qvecCol, attrPred)._2
+}

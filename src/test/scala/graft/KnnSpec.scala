@@ -449,6 +449,41 @@ class KnnSpec extends AnyFunSuite {
     cells.unpersist()
   }
 
+  test("resident filtered serving (attrPred) equals searchFast over " +
+      "the filtered relation; unbuilt attr fails loudly") {
+    val centroids = AnnIvf.train(data, numCentroids = 16, iterations = 2)
+    val indexed = AnnIvf.index(data, centroids)
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    for (np <- Seq(2, 8)) {
+      // attr pre-filter == filtering the relation before searchFast
+      val served = full(AnnIvf.searchServableCells(cells, centroids,
+        queries, 10, np, attrPred = Some(a => a == 0.0 || a == 1.0)))
+      val base = full(AnnIvf.searchFast(
+        indexed.filter(SparkEntry.filterHigh), centroids, queries, 10, np))
+      assert(served == base && base.nonEmpty, s"nprobe=$np")
+    }
+    // the same resident index still serves UNFILTERED batches
+    assert(full(AnnIvf.searchServableCells(cells, centroids, queries,
+      10, 4)) ==
+      full(AnnIvf.searchFast(indexed, centroids, queries, 10, 4)))
+    cells.unpersist()
+    // a predicate against an index built without attrCol must throw,
+    // not silently serve unfiltered results
+    val bare = AnnIvf.servableCells(indexed)
+    val ex = intercept[Exception] {
+      AnnIvf.searchServableCells(bare, centroids, queries, 10, 4,
+        attrPred = Some(_ < 1.0)).collect()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("attrCol")))
+    bare.unpersist()
+  }
+
   test("hinted maintenance cycle: append returns its cells; compact " +
       "folds only the hinted candidates") {
     val filtered = data.filter(SparkEntry.filterLow)

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIvf, Knn, NswGraph, Recall, Serving}
+
+/** Cost-based filtered serving: the dispatch rule is pure and
+  * boundary-tested apart from the engine; each branch's execution is
+  * pinned against the operator it routes to; and the strategy choice
+  * is driven end-to-end by the testdata filters whose selectivities
+  * span the three regimes (filterLow ~89% kept, filterHigh ~22%,
+  * filterMid sub-percent). */
+class ServingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  private def data = SparkEntry.dataDf(spark, sf)
+  private def queries = SparkEntry.queriesDf(spark, sf)
+
+  private def asRows(df: DataFrame) =
+    df.select($"qid", $"rank", $"neighbor_id", $"dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  private lazy val artifacts: Serving.Artifacts = {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+    Serving.Artifacts(indexed, centroids,
+      Some(NswGraph.servableIndex(graphs)))
+  }
+
+  test("chooseStrategy: regime boundaries and the no-graph fallback") {
+    import Serving._
+    assert(chooseStrategy(0.001, graphAvailable = true) == ExactScan)
+    assert(chooseStrategy(0.0199, graphAvailable = true) == ExactScan)
+    assert(chooseStrategy(0.02, graphAvailable = true) == IvfPrefilter)
+    assert(chooseStrategy(0.49, graphAvailable = true) == IvfPrefilter)
+    assert(chooseStrategy(0.5, graphAvailable = true) == GraphOverfetch)
+    assert(chooseStrategy(1.0, graphAvailable = true) == GraphOverfetch)
+    // the mild regime is only graph-servable when a graph exists
+    assert(chooseStrategy(0.9, graphAvailable = false) == IvfPrefilter)
+    assert(chooseStrategy(0.001, graphAvailable = false) == ExactScan)
+    // custom boundaries move the regimes
+    assert(chooseStrategy(0.3, graphAvailable = true, mild = 0.25) ==
+      GraphOverfetch)
+    assert(chooseStrategy(0.05, graphAvailable = true, extreme = 0.1) ==
+      ExactScan)
+    intercept[IllegalArgumentException] {
+      chooseStrategy(1.5, graphAvailable = true)
+    }
+  }
+
+  test("extreme filter routes to exact-scan and equals Knn.exact " +
+      "over the survivors") {
+    // filterMid keeps 2.04% at sf0.001 — a hair above the default 2%
+    // boundary; the boundary is a parameter, so place it where this
+    // fixture's "extreme" regime actually sits
+    val (strategy, res) = Serving.serveFilteredExplained(artifacts,
+      queries, 10, SparkEntry.filterMid, extreme = 0.05)
+    assert(strategy == Serving.ExactScan)
+    val expected = Knn.exact(
+      artifacts.indexed.filter(SparkEntry.filterMid), queries, 10)
+    assert(asRows(res) == asRows(expected) && asRows(res).nonEmpty)
+  }
+
+  test("strong filter routes to ivf-prefilter and equals searchFast " +
+      "over the survivors in the shared index") {
+    val (strategy, res) = Serving.serveFilteredExplained(artifacts,
+      queries, 10, SparkEntry.filterHigh, nprobe = 4)
+    assert(strategy == Serving.IvfPrefilter)
+    val expected = AnnIvf.searchFast(
+      artifacts.indexed.filter(SparkEntry.filterHigh),
+      artifacts.centroids, queries, 10, nprobe = 4)
+    assert(asRows(res) == asRows(expected) && asRows(res).nonEmpty)
+  }
+
+  test("mild filter routes to graph-overfetch; result equals the " +
+      "composed overfetch plan and clears a recall floor") {
+    // nprobe = all 8 cells: on 490 near-uniform rows the cells are
+    // not separable enough for a 4-of-8 probe set to hold a recall
+    // floor (that ceiling is nprobe's, not the overfetch's); probing
+    // everything isolates the beam + overfetch recall itself
+    val (strategy, res) = Serving.serveFilteredExplained(artifacts,
+      queries, 10, SparkEntry.filterLow, nprobe = 8, efSearch = 64,
+      overFetchMult = 3)
+    assert(strategy == Serving.GraphOverfetch)
+    // hand-compose the same plan: beam k' unfiltered, drop
+    // non-survivors, re-rank to k by (dist, id)
+    val survivors = artifacts.indexed.filter(SparkEntry.filterLow)
+    val total = artifacts.indexed.count()
+    val surv = survivors.count()
+    // the integer ceil-div the engine uses when it measured the counts
+    val kF = math.max(10, ((30L * total + surv - 1) / surv).toInt)
+    val fetched = NswGraph.searchServable(artifacts.graph.get,
+      artifacts.centroids, queries, kF, nprobe = 8,
+      efSearch = math.max(64, kF))
+    val expected = fetched
+      .join(survivors.select($"vec_id".as("_sid")),
+        fetched("neighbor_id") === $"_sid", "leftsemi")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy("qid").orderBy($"dist", $"neighbor_id")))
+      .filter($"_rk" <= 10)
+      .select($"qid", $"_rk".cast("long").as("rank"),
+        $"neighbor_id", $"dist")
+    assert(asRows(res) == asRows(expected) && asRows(res).nonEmpty)
+    // per-query contract: at most k rows, ranks contiguous from 1
+    val byQ = res.groupBy("qid")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .collect()
+    byQ.foreach { r =>
+      assert(r.getLong(1) <= 10 && r.getLong(2) == r.getLong(1) &&
+        r.getLong(3) == 1L)
+    }
+    // approximate branch: recall floor against the exact filtered truth
+    val truth = Knn.exact(survivors, queries, 10)
+    val rec = Recall.ofRanked(res, truth).head()
+    assert(rec.getDouble(rec.fieldIndex("recall")) >= 0.8)
+  }
+
+  test("strong branch serves from the resident flat tier when the " +
+      "attribute twin is supplied, with identical results") {
+    val flat = AnnIvf.servableCells(artifacts.indexed,
+      attrCol = Some("label"))
+    val artF = artifacts.copy(flat = Some(flat))
+    try {
+      val (strategy, res) = Serving.serveFilteredExplained(artF,
+        queries, 10, SparkEntry.filterHigh, nprobe = 4,
+        attrPred = Some(a => a == 0.0 || a == 1.0))
+      assert(strategy == Serving.IvfPrefilter)
+      val viaRelation = Serving.serveFiltered(artifacts, queries, 10,
+        SparkEntry.filterHigh, nprobe = 4)
+      assert(asRows(res) == asRows(viaRelation) && asRows(res).nonEmpty)
+    } finally flat.unpersist()
+  }
+
+  test("selectivity hint overrides the measured fraction and every " +
+      "branch stays correct under it") {
+    // mild predicate, but an extreme hint forces the exact branch —
+    // still the right answer set (the hint changes the plan, never
+    // the semantics)
+    val (s1, r1) = Serving.serveFilteredExplained(artifacts, queries, 10,
+      SparkEntry.filterLow, selectivity = Some(0.001))
+    assert(s1 == Serving.ExactScan)
+    val exact = Knn.exact(
+      artifacts.indexed.filter(SparkEntry.filterLow), queries, 10)
+    assert(asRows(r1) == asRows(exact))
+    // and a mild hint on the same predicate forces the graph branch
+    val (s2, _) = Serving.serveFilteredExplained(artifacts, queries, 10,
+      SparkEntry.filterLow, selectivity = Some(0.9))
+    assert(s2 == Serving.GraphOverfetch)
+  }
+
+  test("overfetch k' is capped: a near-zero hint on the graph branch " +
+      "cannot beam the corpus") {
+    val (s, res) = Serving.serveFilteredExplained(artifacts, queries, 10,
+      SparkEntry.filterLow, selectivity = Some(0.51), maxOverFetchK = 16)
+    assert(s == Serving.GraphOverfetch)
+    // kF = min(16, ceil(3*10/0.51)=59) = 16: the plan still executes
+    // and returns <= k ranked rows per query
+    val mx = res.groupBy("qid").agg(count(lit(1)).as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(mx <= 10 && res.count() > 0)
+  }
+}
