@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIvf, NswGraph}
+
+/** Stage triage for the resident NSW serving tier at the reference
+  * shape (5M x 64, 10K queries, k=10, nprobe=4): how much of a
+  * `searchServable` call is probe assignment, how much is the beam
+  * stage, how much is the q x k top-k merge. Drives the round-11
+  * serving-margin work (VERDICT r10 task 3).
+  *
+  * usage: runMain graft.ProfileServe [nVectors] [nQueries] [nCells]
+  */
+object ProfileServe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(5000000)
+    val nQ = args.lift(1).map(_.toInt).getOrElse(10000)
+    val nCells = args.lift(2).map(_.toInt).getOrElse(1024)
+    val dim = 64
+    val k = 10
+    val nprobe = 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pserve] $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.3fs")
+      r
+    }
+
+    val data = SynthData.mixtureVectors(spark, n, "vec_id", "embedding", dim)
+      .withColumn("rating",
+        (pmod(xxhash64(col("vec_id"), lit(777)), lit(10)) / 2.0))
+      .filter(col("rating") < 4.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val queries = SynthData.mixtureVectors(spark, nQ, "qid", "q_embedding",
+      dim).cache()
+    time("gen") { data.count(); queries.count() }
+
+    val centroids = AnnIvf.train(
+      data.sample(math.min(1.0, 200000.0 / n), 42), nCells, iterations = 2)
+    val indexed = AnnIvf.indexTwoLevel(data, AnnIvf.trainSupers(centroids),
+        centroids, wSuper = 4)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    time("train+assign") { centroids.count(); indexed.count() }
+
+    val graphs = NswGraph.buildIndex(indexed, m = 16, efConstruction = 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    time("graph build") { graphs.count() }
+    val servable = NswGraph.servableIndex(graphs)
+    time("servable decode") { servable.count() }
+    println("[pserve] servable partitions: " + servable.getNumPartitions)
+
+    Seq(24, 32).foreach { efs =>
+      // warm each shape once, then measure twice
+      var probed: Array[(Long, Array[Float], Array[Int])] = null
+      time(s"efS=$efs probeQueries (cold)") {
+        probed = NswGraph.probeQueries(centroids, queries, nprobe)
+      }
+      (1 to 2).foreach { i =>
+        time(s"efS=$efs probeQueries #$i") {
+          probed = NswGraph.probeQueries(centroids, queries, nprobe)
+        }
+      }
+      time(s"efS=$efs beam-only (cold)") {
+        NswGraph.servablePartialsProbed(servable, probed, k, efs).count()
+      }
+      (1 to 2).foreach { i =>
+        time(s"efS=$efs beam-only #$i") {
+          NswGraph.servablePartialsProbed(servable, probed, k, efs).count()
+        }
+      }
+      time(s"efS=$efs beam+merge (cold)") {
+        NswGraph.searchServableProbed(servable, probed, k, efs).count()
+      }
+      (1 to 2).foreach { i =>
+        time(s"efS=$efs beam+merge #$i") {
+          NswGraph.searchServableProbed(servable, probed, k, efs).count()
+        }
+      }
+      (1 to 2).foreach { i =>
+        time(s"efS=$efs full searchServable #$i") {
+          NswGraph.searchServable(servable, centroids, queries, k, nprobe,
+            efs).count()
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -628,6 +628,17 @@ object NswGraph {
   /** `searchServable` over precollected probe lists. */
   def searchServableProbed(idx: org.apache.spark.rdd.RDD[ServableCell],
       probed: Array[(Long, Array[Float], Array[Int])], k: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean"): DataFrame =
+    Knn.topKFrom(
+      servablePartialsProbed(idx, probed, k, efSearch, metric),
+      k, col("_dist"), col("_nnid"), col("qid"))
+
+  /** The per-cell partial results of `searchServableProbed` BEFORE the
+    * q×k top-k merge — exposed so the profiling harness can time the
+    * beam stage apart from the merge stage. */
+  private[graft] def servablePartialsProbed(
+      idx: org.apache.spark.rdd.RDD[ServableCell],
+      probed: Array[(Long, Array[Float], Array[Int])], k: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean"): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
@@ -684,7 +695,7 @@ object NswGraph {
         }
       }
     }.toDF("qid", "_nnid", "_dist")
-    Knn.topKFrom(partials, kk, col("_dist"), col("_nnid"), col("qid"))
+    partials
   }
 
   /** IVF-layered graph search — the HNSW-at-scale composition
