@@ -70,7 +70,10 @@ object Bench {
     val benchExcluded = Set("dedup_simhash_native",
       "dedup_simhash_pairs_native", "text_winnow_native",
       "corpus_dsir_native",
+      // ann_ivf_tombstone: ann_ivf_delete's side-table twin — same
+      // write + searchPersisted shape, value is the CORRECTNESS row
       "ann_ivf_persist", "ann_ivf_delete", "ann_ivf_stats",
+      "ann_ivf_tombstone",
       "ann_nsw_persist", "ann_ivf_serve",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",
       "stream_dedup",
@@ -135,6 +138,23 @@ object Bench {
       }
     }
 
+    // WINDOW CALIBRATION: this host's wall-clock drifts by large
+    // near-uniform factors between measurement windows (round 11's
+    // pack total moved 1.41x with every query, including untouched
+    // relational ones, moving by the same factor). One fixed,
+    // never-changing query — q01_pricing_summary, a pure relational
+    // scan+aggregate untouched since round 1 — is timed FIRST, best of
+    // 3, and recorded as calib_sec in both JSON outputs. Comparing
+    // calib_sec across rounds separates window drift (calib moves by
+    // the same factor as the pack) from a real regression (pack moves,
+    // calib doesn't).
+    val calibSec: Double = SparkEntry.queries.get("q01_pricing_summary")
+      .map { fn =>
+        val samples = (1 to 3).flatMap(_ => timeOnce(fn).toOption)
+        clearShared()
+        if (samples.nonEmpty) samples.min else -1.0
+      }.getOrElse(-1.0)
+
     // each pass is a full cold run of the pack (shared pack state and
     // spark caches dropped at every group boundary), so the per-query
     // min is a real end-to-end execution, not a cache readback
@@ -177,7 +197,7 @@ object Bench {
     val fullErrField =
       if (allErrs.isEmpty) "" else allErrs.mkString(",\"errors\":{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$fullQs$fullErrField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"queries":$fullQs$fullErrField,"sf":"$sfName"}"""
     try {
       val out = new java.io.PrintWriter("BENCH_full.json")
       try out.println(fullLine) finally out.close()
@@ -213,7 +233,7 @@ object Bench {
         .mkString(",\"errors\":{", ",", "}")
     val omitted = results.length - included.length
     val line =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$compactQs,"omitted":$omitted,"n_queries":${results.length}$errField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"queries":$compactQs,"omitted":$omitted,"n_queries":${results.length}$errField,"sf":"$sfName"}"""
     // stdout carries ONLY the compact line: a >2000-char full line
     // would leave a truncated JSON fragment in the tail window ahead
     // of it (the full detail lives in BENCH_full.json)
