@@ -53,13 +53,40 @@ object Serving {
       indexed: DataFrame,
       centroids: DataFrame,
       graph: Option[org.apache.spark.rdd.RDD[NswGraph.ServableCell]] = None,
-      flat: Option[org.apache.spark.rdd.RDD[AnnIvf.FlatBlock]] = None)
+      flat: Option[org.apache.spark.rdd.RDD[AnnIvf.FlatBlock]] = None) {
+    /** SELECTIVITY MEMO for the no-hint path: a deployment serving
+      * repeated ad-hoc predicates would otherwise pay two column-
+      * pruned counts PER CALL (`serveFilteredExplained`'s honest
+      * default). Keyed by the predicate's SQL rendering; scoped to
+      * this Artifacts instance, so a new index epoch (new Artifacts
+      * over the refreshed index) invalidates it for free. Stores the
+      * exact (total, survivors) counts so the over-fetch k' stays the
+      * same pure integer function on a cache hit. */
+    private[operators] val selCache =
+      scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+    /** Number of times the two-count measurement actually ran —
+      * observability for the cache (pinned in ServingSpec). */
+    @volatile private[graft] var selComputes: Int = 0
+    /** The memoized (total, survivors) for a predicate, if present. */
+    def cachedCounts(predicate: Column): Option[(Long, Long)] =
+      selCache.get(Serving.predicateKey(predicate))
+  }
+
+  /** Stable cache key for a filter predicate (its expression
+    * rendering — two Columns built the same way render identically). */
+  private[operators] def predicateKey(predicate: Column): String =
+    predicate.toString
 
   sealed abstract class Strategy(val name: String)
   /** Over-fetch k' on the unfiltered resident graph, filter, re-rank. */
   case object GraphOverfetch extends Strategy("graph-overfetch")
   /** `searchFast` over the predicate's survivors in the shared index. */
   case object IvfPrefilter extends Strategy("ivf-prefilter")
+  /** The IvfPrefilter regime served from the RESIDENT flat tier via
+    * the caller's `attrPred` twin (audit tag: a caller seeing this
+    * knows the Column `predicate` itself was NOT evaluated on the
+    * scan — the attribute twin was; see `validateAttrPred`). */
+  case object IvfPrefilterResident extends Strategy("ivf-prefilter-resident")
   /** `Knn.exact` over the survivors. */
   case object ExactScan extends Strategy("exact-scan")
 
@@ -91,7 +118,8 @@ object Serving {
       metric: String = "sqeuclidean",
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      attrPred: Option[Double => Boolean] = None)
+      attrPred: Option[Double => Boolean] = None,
+      validateAttrPred: Boolean = false)
       : (Strategy, DataFrame) = {
     require(overFetchMult >= 1, s"overFetchMult must be >= 1")
     val survivors = art.indexed.filter(predicate)
@@ -102,16 +130,24 @@ object Serving {
     val (sel, kFromCounts) = selectivity match {
       case Some(x) => (x, None)
       case None =>
-        // both counts are column-pruned scans (no vector decode); a
-        // deployment with known filters passes the hint instead
-        val total = art.indexed.count()
-        val surv = survivors.count()
+        // both counts are column-pruned scans (no vector decode) and
+        // MEMOIZED per (artifact, predicate) — a deployment serving
+        // repeated predicates pays them once per index epoch; one with
+        // known filters passes the hint and never pays them
+        val (total, surv) = art.selCache.getOrElseUpdate(
+          predicateKey(predicate), {
+            art.selComputes += 1
+            (art.indexed.count(), survivors.count())
+          })
         val s = if (total == 0L) 1.0 else surv.toDouble / total
         (s, if (surv > 0L)
           Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
         else None)
     }
     chooseStrategy(sel, art.graph.nonEmpty, mild, extreme) match {
+      case IvfPrefilterResident => // dispatch never emits the audit tag
+        throw new IllegalStateException("unreachable: chooseStrategy " +
+          "returns IvfPrefilter; the resident tag is applied below")
       case ExactScan =>
         (ExactScan, Knn.exact(survivors, queries, k, metric,
           idCol, vecCol, qidCol, qvecCol))
@@ -121,15 +157,36 @@ object Serving {
         // exactly the rows `predicate` keeps — the reference's
         // rating-bracket filters are one double column, so the twin
         // is the bracket itself), serve the pre-filter from the
-        // decoded blocks; otherwise scan the filtered relation
-        (IvfPrefilter, (art.flat, attrPred) match {
+        // decoded blocks; otherwise scan the filtered relation. The
+        // resident branch is tagged IvfPrefilterResident so callers
+        // can audit WHICH filter ran (the attr twin, not the Column).
+        (art.flat, attrPred) match {
           case (Some(blocks), Some(p)) =>
-            AnnIvf.searchServableCells(blocks, art.centroids, queries,
-              k, nprobe, metric, qidCol, qvecCol, attrPred = Some(p))
+            if (validateAttrPred) {
+              // audit the twin contract on demand: the resident
+              // attr-survivor count must equal the Column predicate's
+              // survivor count (one resident pass + one column-pruned
+              // scan — run once per epoch/predicate, not per batch)
+              val resid = blocks.map(b =>
+                if (b.attrs == null) 0L
+                else { var c = 0L; var i = 0
+                  while (i < b.attrs.length) {
+                    if (p(b.attrs(i))) c += 1; i += 1 }
+                  c }).sum().toLong
+              val colSurv = survivors.count()
+              require(resid == colSurv,
+                s"attrPred twin mismatch: the resident attribute " +
+                  s"filter keeps $resid rows but the Column predicate " +
+                  s"keeps $colSurv — the two filters disagree, the " +
+                  "resident serve would silently return wrong neighbors")
+            }
+            (IvfPrefilterResident,
+              AnnIvf.searchServableCells(blocks, art.centroids, queries,
+                k, nprobe, metric, qidCol, qvecCol, attrPred = Some(p)))
           case _ =>
-            AnnIvf.searchFast(survivors, art.centroids,
-              queries, k, nprobe, idCol, vecCol, qidCol, qvecCol, metric)
-        })
+            (IvfPrefilter, AnnIvf.searchFast(survivors, art.centroids,
+              queries, k, nprobe, idCol, vecCol, qidCol, qvecCol, metric))
+        }
       case GraphOverfetch =>
         // expected survivors in the top-k' are k'·sel; mult·k/sel
         // clears k by mult×. The cap keeps a mis-hinted selectivity
@@ -169,8 +226,9 @@ object Serving {
       metric: String = "sqeuclidean",
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      attrPred: Option[Double => Boolean] = None): DataFrame =
+      attrPred: Option[Double => Boolean] = None,
+      validateAttrPred: Boolean = false): DataFrame =
     serveFilteredExplained(art, queries, k, predicate, nprobe, efSearch,
       overFetchMult, selectivity, mild, extreme, maxOverFetchK, metric,
-      idCol, vecCol, qidCol, qvecCol, attrPred)._2
+      idCol, vecCol, qidCol, qvecCol, attrPred, validateAttrPred)._2
 }

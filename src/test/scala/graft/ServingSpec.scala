@@ -125,19 +125,68 @@ class ServingSpec extends AnyFunSuite {
   }
 
   test("strong branch serves from the resident flat tier when the " +
-      "attribute twin is supplied, with identical results") {
+      "attribute twin is supplied, with identical results and the " +
+      "resident audit tag") {
     val flat = AnnIvf.servableCells(artifacts.indexed,
       attrCol = Some("label"))
     val artF = artifacts.copy(flat = Some(flat))
     try {
       val (strategy, res) = Serving.serveFilteredExplained(artF,
         queries, 10, SparkEntry.filterHigh, nprobe = 4,
-        attrPred = Some(a => a == 0.0 || a == 1.0))
-      assert(strategy == Serving.IvfPrefilter)
+        attrPred = Some(a => a == 0.0 || a == 1.0),
+        validateAttrPred = true) // matched twin: validation passes
+      // the tag distinguishes the resident attr-twin path from the
+      // relation-scan pre-filter, so callers can audit which filter ran
+      assert(strategy == Serving.IvfPrefilterResident)
       val viaRelation = Serving.serveFiltered(artifacts, queries, 10,
         SparkEntry.filterHigh, nprobe = 4)
       assert(asRows(res) == asRows(viaRelation) && asRows(res).nonEmpty)
     } finally flat.unpersist()
+  }
+
+  test("validateAttrPred fails loudly on a mismatched attribute twin") {
+    val flat = AnnIvf.servableCells(artifacts.indexed,
+      attrCol = Some("label"))
+    val artF = artifacts.copy(flat = Some(flat))
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        Serving.serveFilteredExplained(artF, queries, 10,
+          SparkEntry.filterHigh, nprobe = 4,
+          attrPred = Some(a => a == 0.0), // keeps fewer rows than the Column
+          validateAttrPred = true)._2.count()
+      }
+      assert(ex.getMessage.contains("attrPred twin mismatch"))
+    } finally flat.unpersist()
+  }
+
+  test("selectivity counts are memoized per (artifact, predicate) and " +
+      "a cache hit skips the measurement") {
+    // fresh artifacts: the lazy shared one may have been warmed by
+    // other tests in this suite
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val art = Serving.Artifacts(AnnIvf.index(data, centroids), centroids)
+    assert(art.selComputes == 0 && art.cachedCounts(SparkEntry.filterHigh).isEmpty)
+    val (s1, r1) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 4)
+    r1.count()
+    assert(art.selComputes == 1)
+    val cached = art.cachedCounts(SparkEntry.filterHigh)
+    assert(cached.nonEmpty && cached.get._2 > 0 &&
+      cached.get._2 < cached.get._1)
+    // second serve with the same predicate: dispatch identical, no
+    // second measurement
+    val (s2, r2) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 4)
+    assert(s2 == s1 && art.selComputes == 1)
+    assert(asRows(r2) == asRows(r1))
+    // a different predicate is its own cache entry
+    Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterMid, extreme = 0.05)._2.count()
+    assert(art.selComputes == 2)
+    // an explicit hint never touches the cache
+    Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterLow, selectivity = Some(0.001))._2.count()
+    assert(art.selComputes == 2)
   }
 
   test("selectivity hint overrides the measured fraction and every " +
