@@ -111,6 +111,37 @@ object ProfileMaint {
       AnnIvf.deleteFromIndex(spark, s"$tmp/idx", delIds)
     }
     println(s"[pmaint]   rows deleted (spread): $nDel")
+    // TOMBSTONE alternative for the same spread shape (VERDICT r11
+    // task 7): recording the batch is O(batch) — no cell rewritten,
+    // no term scaling with total cells — and the masked serve pays
+    // one broadcast anti-join; the physical fold happens later at
+    // compaction where its full pass is amortized over every batch
+    val tombIds = vecs.filter($"vec_id" % 100 === 9)
+      .limit(batch).select($"vec_id").cache()
+    val nTombIds = tombIds.count()
+    val nTomb = time(f"tombstone spread ($nTombIds ids, ~all cells)") {
+      AnnIvf.tombstone(spark, s"$tmp/idx", tombIds)
+    }
+    println(s"[pmaint]   ids tombstoned: $nTomb")
+    val queries = SynthData.mixtureVectors(spark, 1000, "qid",
+      "q_embedding", dim).cache()
+    queries.count()
+    (1 to 2).foreach { i =>
+      time(s"searchPersisted masked (1000 q, nprobe=4) #$i") {
+        AnnIvf.searchPersisted(spark, s"$tmp/idx", centroids, queries,
+          10, nprobe = 4).count()
+      }
+    }
+    (1 to 2).foreach { i =>
+      time(s"searchPersisted no-mask (1000 q, nprobe=4) #$i") {
+        AnnIvf.searchPersisted(spark, s"$tmp/idx", centroids, queries,
+          10, nprobe = 4, honorTombstones = false).count()
+      }
+    }
+    val nFold = time(f"foldTombstones ($nTombIds ids)") {
+      AnnIvf.foldTombstones(spark, s"$tmp/idx")
+    }
+    println(s"[pmaint]   rows folded out: $nFold")
     val stats = time("stats (column-pruned scan + FS listing)") {
       AnnIvf.indexStats(spark, s"$tmp/idx")
         .agg(sum($"n_rows"), max($"n_files"), count(lit(1))).head()

@@ -141,6 +141,23 @@ object DedupQueries {
         .select((row_number().over(w) - 1).as("cid"),
           col("embedding").as("centroid"))
       Dedup.semDedup(vecs, centroids, threshold = 0.3)
+    }),
+    // MULTI-PROBE bucketed near-dup under the same fixed-centroid
+    // FULL oracle: each vector assigned to its 2 nearest cells
+    // (NearestCells, ties to lowest cid), so near-dup pairs straddling
+    // a cell boundary — missed by dedup_embed_fixed's single
+    // assignment BY CONSTRUCTION — still share a cell; pairs found in
+    // several shared cells dedup to one row. Work grows ~nassign²/C,
+    // never all-pairs.
+    "dedup_embed_multiprobe" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val vecs = Tables.load(s, d, "embeddings")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+      val centroids = vecs.filter(col("vec_id") % 63 === 11)
+        .select((row_number().over(w) - 1).as("cid"),
+          col("embedding").as("centroid"))
+      Dedup.embeddingNearPairsMultiProbe(vecs, centroids,
+        threshold = 0.3, nassign = 2)
     })
   )
 
@@ -295,6 +312,47 @@ object DedupQueries {
          |)
          |SELECT id_a, id_b, round(cos, 6) AS cosine
          |FROM pairs WHERE cos >= 0.3""".stripMargin
+    },
+    // multi-probe: same fixed centroids, each vector keeps its TWO
+    // nearest cells (rn <= 2), pairs share at least one cell, DISTINCT
+    // folds pairs found in both shared cells
+    "dedup_embed_multiprobe" -> {
+      val sq =
+        "sum((CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)) * (CAST(z.a AS DOUBLE) - CAST(z.b AS DOUBLE)))"
+      val cosz =
+        """sum(CAST(z.a AS DOUBLE) * CAST(z.b AS DOUBLE)) /
+          | (sqrt(sum(CAST(z.a AS DOUBLE) * CAST(z.a AS DOUBLE))) *
+          |  sqrt(sum(CAST(z.b AS DOUBLE) * CAST(z.b AS DOUBLE))))""".stripMargin
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM v WHERE vec_id % 63 = 11
+         |), ad AS (
+         |  SELECT v.vec_id, v.embedding, c.cid,
+         |    (SELECT $sq
+         |     FROM (SELECT unnest(v.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM v CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn <= 2
+         |), pairs AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |), scored AS (
+         |  SELECT p.id_a, p.id_b,
+         |    (SELECT $cosz
+         |     FROM (SELECT unnest(va.embedding) AS a, unnest(vb.embedding) AS b) z) AS cos
+         |  FROM pairs p
+         |  JOIN v va ON va.vec_id = p.id_a
+         |  JOIN v vb ON vb.vec_id = p.id_b
+         |)
+         |SELECT id_a, id_b, round(cos, 6) AS cosine
+         |FROM scored WHERE cos >= 0.3""".stripMargin
     },
     // SemDeDup: the dedup_embed_fixed assignment + pairs, closed into
     // components by the recursive reach CTE (dedup_clusters pattern);
@@ -2423,9 +2481,12 @@ object AnnQueries {
       val cb = fixedCodebook(s, filtered)
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_ivfpq_q").toString
-      Pq.writeIvfPqIndex(all, centroids, cb, tmp, extraCols = Seq("label"))
+      // raw-code mode EXPLICIT on both sides (residual became the
+      // API default in round 12; this entry pins the raw path)
+      Pq.writeIvfPqIndex(all, centroids, cb, tmp, extraCols = Seq("label"),
+        residual = false)
       Pq.searchPersistedAdc(s, tmp, centroids, cb, queriesDf(s, d), K,
-          nprobe = 2, dataFilter = Some(filterLow))
+          nprobe = 2, dataFilter = Some(filterLow), residual = false)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
     // RESIDUAL IVF-PQ under the same composed oracle — the classic
@@ -2852,6 +2913,25 @@ object AnnQueries {
           nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // TOMBSTONE retraction under the same full oracle as the eager
+    // delete: the planted id set is only RECORDED in the dot-prefixed
+    // side-table (O(batch) — no cell rewritten; the spread-delete
+    // path for GDPR feeds touching ~every cell), and the serve-time
+    // anti-join masks it below the top-k — hash-equality with the
+    // survivor oracle proves tombstone-masked serving == eager delete
+    "ann_ivf_tombstone" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_tmb").toString
+      AnnIvf.writeIndex(AnnIvf.index(data, centroids), tmp)
+      AnnIvf.tombstone(s, tmp,
+        data.filter(col("vec_id") % 11 === 4).select(col("vec_id")))
+      AnnIvf.searchPersisted(s, tmp, centroids, queriesDf(s, d), K,
+          nprobe = 2)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // query-time FILTERED serving from a SHARED index — the 100-TB
     // form of the reference's core scenario (many rating filters, one
     // corpus): the clustered index holds ALL rows (no label filter
@@ -3124,6 +3204,9 @@ object AnnQueries {
     // survivors only; centroids stay the pre-deletion table
     "ann_ivf_delete" -> ivfFixedSql(311,
       survivors = "vec_id % 7 <> 3"),
+    // tombstone masking serves exactly what the eager delete serves
+    "ann_ivf_tombstone" -> ivfFixedSql(311,
+      survivors = "vec_id % 11 <> 4"),
     // per-cell rows/id-ranges from the fixed assignment; n_files = 1
     // is the physical compaction postcondition
     "ann_ivf_stats" ->

@@ -125,6 +125,12 @@ object ScaleBench {
       val c = AnnIvf.servableCells(indexed); c.count(); c
     }
     println(f"[scale] resident ivf decode (group + flatten): $ivfDecodeSec%.1fs")
+    locally {
+      val (mem, dsk, cp, tp) = graft.operators.Resident.cachedBytes(residentCells)
+      println(f"[scale] resident ivf footprint: mem=${mem / (1L << 20)}%d MiB " +
+        f"disk=${dsk / (1L << 20)}%d MiB cached=$cp/$tp " +
+        f"level=${residentCells.getStorageLevel.description}")
+    }
     Seq(1, 4, 16).foreach { nprobe =>
       val (_, cold) = time {
         AnnIvf.searchServableCells(residentCells, centroids, queries, k,
@@ -194,6 +200,12 @@ object ScaleBench {
       s.count(); s
     }
     println(f"[scale] servable decode (flatten + CSR): $decodeSec%.1fs")
+    locally {
+      val (mem, dsk, cp, tp) = graft.operators.Resident.cachedBytes(servable)
+      println(f"[scale] servable graph footprint: mem=${mem / (1L << 20)}%d MiB " +
+        f"disk=${dsk / (1L << 20)}%d MiB cached=$cp/$tp " +
+        f"level=${servable.getStorageLevel.description}")
+    }
     Seq(24, 32, 40, 64).foreach { efs =>
       val (_, cold) = time {
         graft.operators.NswGraph.searchServable(servable, centroids,
@@ -263,6 +275,28 @@ object ScaleBench {
     val rr = Recall.ofRanked(refined, truth).head()
     println(f"[scale] adc+rerank kfactor=16 " +
       f"recall@10=${rr.getDouble(rr.fieldIndex("recall"))}%.4f")
+    // the DOCUMENTED serving entry (residual ADC shortlist + exact
+    // re-rank) timed over the full query batch — the qps the r12
+    // record reports next to its recall (VERDICT r11 task 2)
+    Seq(4, 16).foreach { nprobe =>
+      val (_, cold) = time {
+        graft.operators.Pq.searchPersistedAdcRefined(spark, pqDir,
+          centroids, cb, filtered, queries, k, nprobe,
+          kfactor = 16, residual = true).count()
+      }
+      val (_, warm) = time {
+        graft.operators.Pq.searchPersistedAdcRefined(spark, pqDir,
+          centroids, cb, filtered, queries, k, nprobe,
+          kfactor = 16, residual = true).count()
+      }
+      val rq = graft.operators.Pq.searchPersistedAdcRefined(spark, pqDir,
+        centroids, cb, filtered, qSample, k, nprobe,
+        kfactor = 16, residual = true)
+      val rrq = Recall.ofRanked(rq, truth).head()
+      println(f"[scale] adc+rerank nprobe=$nprobe%3d kfactor=16 " +
+        f"search=$warm%7.2fs (cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
+        f"recall@10=${rrq.getDouble(rrq.fieldIndex("recall"))}%.4f")
+    }
     // Query-time filtered serving from ONE shared unfiltered index —
     // the reference's actual product scenario (filter_config.yaml
     // buckets keep 83.6% / 15.61% / 0.77% of ratings): one index over

@@ -273,7 +273,17 @@ object AnnIvf {
     * the named cells' partitions: the whole delete then costs
     * touched-fraction × corpus, with no full-scan floor. */
   def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame,
-      idCol: String = "vec_id"): Long = {
+      idCol: String = "vec_id"): Long =
+    deleteFromIndexDetailed(spark, path, ids, idCol)._1
+
+  /** `deleteFromIndex` returning `(rowsDeleted, distinctIdsMatched)`.
+    * The second count is the under-delete audit signal: the index can
+    * hold several rows per id (`appendToIndex` never dedupes), so a
+    * row count equal to the batch size does NOT prove every id was
+    * found — only the distinct-id count does. The streaming
+    * retraction guard compares it against the batch's id count. */
+  def deleteFromIndexDetailed(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id"): (Long, Long) = {
     val del = ids.select(col(idCol).cast("long").as(idCol))
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -284,7 +294,7 @@ object AnnIvf {
         .collect().map(_.getInt(0))
       val dirs = cids.map(c => s"$path/cid=$c")
         .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-      if (dirs.isEmpty) return 0L
+      if (dirs.isEmpty) return (0L, 0L)
       readCells(spark, path, dirs).select(col("cid"), col(idCol))
     } else {
       // id-only feed: the corpus-wide (cid, id) discovery scan is the
@@ -292,16 +302,87 @@ object AnnIvf {
       spark.read.parquet(path).select(col("cid"), col(idCol))
     })
       .join(broadcast(del), idCol)
-      .groupBy(col("cid")).agg(count(lit(1)).as("n_del"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    if (touched.isEmpty) return 0L
+      // per-cell row count drives the rewrite; the distinct-id count
+      // rides the same shuffle (exact distinct per cell is safe to sum
+      // globally because an id's rows can only span cells if the same
+      // id was appended with different vectors — counted per cell,
+      // then deduped below by summing over a global distinct instead)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_del"), collect_set(col(idCol)).as("id_set"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+    if (touched.isEmpty) return (0L, 0L)
     val touchedCids = touched.map(_._1)
+    // global distinct across cells: the deletion batch is small by
+    // contract, so the matched id sets are driver-sized
+    val distinctIds = touched.iterator.flatMap(_._3).toSet.size.toLong
     val survivors =
       readCells(spark, path, touchedCids.map(c => s"$path/cid=$c"))
         .join(broadcast(del), Seq(idCol), "left_anti")
     stagedCellCommit(spark, fs, path, survivors, touchedCids)
-    touched.map(_._2).sum
+    (touched.map(_._2).sum, distinctIds)
   }
+
+  /** TOMBSTONE side-table name — a dot-prefixed child of the index
+    * root, so index scans (which skip dot-paths) never see it. */
+  private val TombstoneDir = ".graft_tombstones"
+
+  /** Record spread deletes WITHOUT rewriting any cell: append the ids
+    * to the tombstone side-table — O(batch) cost no matter how many
+    * cells the ids touch. The eager `deleteFromIndex` is the right
+    * call when a batch's ids cluster in a few cells (hinted, it
+    * rewrites only those); a UNIFORM-SPREAD batch (a GDPR feed of
+    * random users) touches ~every cell and pays a near-full rewrite
+    * per batch (measured 22.5 s at 5M/2048 cells) — tombstoning makes
+    * that O(batch), with the masked rows anti-joined out at query
+    * time (`searchPersisted(honorTombstones = true)`, the default)
+    * and physically removed only at `foldTombstones` / unhinted
+    * compaction.
+    *
+    * Masking is by ID: re-appending a tombstoned id stays invisible
+    * until the tombstones are folded — a retract-then-reinsert feed
+    * must fold (or use the eager delete) between the two. Returns the
+    * number of ids recorded. */
+  def tombstone(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String = "vec_id"): Long = {
+    val del = ids.select(col(idCol).cast("long").as(idCol)).distinct()
+      .localCheckpoint() // count + write from one materialization
+    del.coalesce(1).write.mode("append")
+      .parquet(s"$path/$TombstoneDir")
+    del.count()
+  }
+
+  /** The tombstoned ids, if any — one existence probe, no listing of
+    * the cell tree. The single stored column carries the idCol name
+    * the `tombstone` caller used (= the index's id column), so
+    * downstream joins and the fold need no idCol plumbing. */
+  def readTombstones(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val dir = new org.apache.hadoop.fs.Path(path, TombstoneDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir))
+      Some(spark.read.parquet(dir.toString).distinct())
+    else None
+  }
+
+  /** Fold the tombstones into the layout: one eager delete of every
+    * recorded id (corpus-wide discovery — the honest fold cost,
+    * amortized over every batch that only appended to the side-table)
+    * and drop the side-table. Serving results are unchanged by
+    * construction (the serve-time anti-join was already masking these
+    * rows); only the physical layout and the per-query anti-join cost
+    * change. Runs automatically in the unhinted `compactIndex` pass.
+    * Returns rows physically removed. */
+  def foldTombstones(spark: SparkSession, path: String): Long =
+    readTombstones(spark, path) match {
+      case None => 0L
+      case Some(t) =>
+        val n = deleteFromIndex(spark, path, t, idCol = t.columns.head)
+        val dir = new org.apache.hadoop.fs.Path(path, TombstoneDir)
+        dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(dir, true)
+        n
+    }
 
   /** Scan of an explicit list of `cid=` partition directories: the
     * `basePath` option recovers the partition column from the
@@ -315,34 +396,121 @@ object AnnIvf {
 
   /** Commit a touched-cell rewrite: stage `rows` (partitioned by cid)
     * into a dot-prefixed scratch tree INSIDE the index directory —
-    * same filesystem, so the swap is a metadata rename; invisible to
-    * concurrent readers, which skip dot-paths — then replace each
+    * same filesystem, so the swap is two metadata renames; invisible
+    * to concurrent readers, which skip dot-paths — then replace each
     * touched `cid=` directory with its staged twin. A touched cell
     * with no staged directory (every row deleted) is removed. The
     * staging tree is always cleaned up. Listing + commit cost is
-    * O(touched cells); nothing here ever lists the full tree. */
+    * O(touched cells); nothing here ever lists the full tree.
+    *
+    * CRASH SAFETY: a cell is never deleted before its replacement is
+    * in place — the swap renames the live directory aside into a
+    * dot-prefixed trash tree, renames the staged twin in, and only
+    * then drops the trash (all cells at once, after every swap
+    * succeeded). An in-JVM failure mid-swap rolls the displaced cells
+    * back before rethrowing; a hard process crash leaves
+    * `.graft_trash_*` / `.graft_staging_*` directories that
+    * `recoverIndex` rolls back on the next maintenance call (readers
+    * skip dot-paths, so a torn commit is never visible as a missing
+    * cell — the old content is always at either the live path or the
+    * trash path).
+    *
+    * CONCURRENCY CONTRACT: maintenance ops (delete / compact /
+    * recover) on one index path must be externally serialized against
+    * each other AND against `appendToIndex` — the staged rows are a
+    * snapshot, so a concurrent append into a touched cell between the
+    * staging read and the swap would be silently dropped
+    * (`streamingIndexAppend` serializes its own maintenance inside
+    * foreachBatch; a separate delete stream on the same path needs
+    * the same discipline). Rename semantics here target HDFS/local
+    * filesystems where directory rename is an atomic metadata op; on
+    * rename-as-copy object stores (S3A) prefer a manifest-committer
+    * layout. */
   private[operators] def stagedCellCommit(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, path: String,
       rows: DataFrame, touchedCids: Array[Int]): Unit = {
-    val staging = new org.apache.hadoop.fs.Path(
-      path, s".graft_staging_${java.util.UUID.randomUUID.toString.take(12)}")
+    val token = java.util.UUID.randomUUID.toString.take(12)
+    val staging = new org.apache.hadoop.fs.Path(path, s".graft_staging_$token")
+    val trash = new org.apache.hadoop.fs.Path(path, s".graft_trash_$token")
+    // one shuffle by cid → one file per staged cell (writeIndex's
+    // small-files rationale); reads source dirs while they still
+    // exist, so no localCheckpoint / self-overwrite hazard
     try {
-      // one shuffle by cid → one file per staged cell (writeIndex's
-      // small-files rationale); reads source dirs while they still
-      // exist, so no localCheckpoint / self-overwrite hazard
       rows.repartition(col("cid"))
         .write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
-      touchedCids.foreach { cid =>
-        val dst = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
-        val src = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
-        fs.delete(dst, true)
-        if (fs.exists(src)) {
-          if (!fs.rename(src, dst))
+      fs.mkdirs(trash)
+      try {
+        touchedCids.foreach { cid =>
+          val dst = new org.apache.hadoop.fs.Path(s"$path/cid=$cid")
+          val src = new org.apache.hadoop.fs.Path(staging, s"cid=$cid")
+          val aside = new org.apache.hadoop.fs.Path(trash, s"cid=$cid")
+          if (fs.exists(dst) && !fs.rename(dst, aside))
+            throw new java.io.IOException(
+              s"stagedCellCommit: rename $dst -> $aside failed")
+          if (fs.exists(src) && !fs.rename(src, dst))
             throw new java.io.IOException(
               s"stagedCellCommit: rename $src -> $dst failed")
         }
+      } catch {
+        case e: Throwable =>
+          rollBackTrash(fs, path, trash) // restore displaced cells
+          throw e
       }
+      // every swap landed: the displaced content is dead, drop it
+      fs.delete(trash, true)
     } finally fs.delete(staging, true)
+  }
+
+  /** Roll back a trash tree: every `cid=` directory inside it whose
+    * live twin is MISSING is renamed back (the swap displaced it but
+    * never replaced it); cells whose live twin exists committed, so
+    * their trash copy is dead. The tree is removed afterwards. */
+  private def rollBackTrash(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, trash: org.apache.hadoop.fs.Path): Long = {
+    var restored = 0L
+    if (fs.exists(trash)) {
+      fs.listStatus(trash).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("cid=")) {
+          val live = new org.apache.hadoop.fs.Path(s"$path/$name")
+          if (!fs.exists(live)) {
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(
+                s"recover: rename ${st.getPath} -> $live failed")
+            restored += 1
+          }
+        }
+      }
+      fs.delete(trash, true)
+    }
+    restored
+  }
+
+  /** Recover a clustered index path after a hard crash mid-commit:
+    * leftover `.graft_trash_*` trees are rolled back (any displaced
+    * cell whose live directory is missing is restored — see
+    * `stagedCellCommit`'s crash-safety note) and leftover
+    * `.graft_staging_*` trees are deleted (staged rows that never
+    * committed; the source cells are intact, so the interrupted
+    * delete/compaction simply re-runs). Idempotent; one `listStatus`
+    * of the base directory. Call at deployment startup or before a
+    * maintenance cycle — the unhinted `compactIndex` path runs it
+    * automatically (it lists the tree anyway); the hinted O(touched)
+    * paths do not, to preserve their no-full-listing contract.
+    * Returns the number of cells restored. */
+  def recoverIndex(spark: SparkSession, path: String): Long = {
+    val base = new org.apache.hadoop.fs.Path(path)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return 0L
+    var restored = 0L
+    fs.listStatus(base).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".graft_trash_"))
+        restored += rollBackTrash(fs, path, st.getPath)
+      else if (name.startsWith(".graft_staging_"))
+        fs.delete(st.getPath, true)
+    }
+    restored
   }
 
   /** COMPACTION for the persisted clustered layout — the small-files
@@ -374,9 +542,17 @@ object AnnIvf {
       case Some(cs) => cs.distinct
         .map(c => new org.apache.hadoop.fs.Path(s"$path/cid=$c"))
         .filter(fs.exists)
-      case None => fs.listStatus(base).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
-        .map(_.getPath)
+      case None =>
+        // the unhinted path lists the tree anyway — piggyback crash
+        // recovery (roll back any torn commit a prior crash left) and
+        // the tombstone fold (spread deletes accumulated O(batch) by
+        // `tombstone` are physically removed here, where the full
+        // pass is already being paid — see foldTombstones)
+        recoverIndex(spark, path)
+        foldTombstones(spark, path)
+        fs.listStatus(base).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cid="))
+          .map(_.getPath)
     }
     val crowded = candidates
       .filter { d =>
@@ -435,22 +611,37 @@ object AnnIvf {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       metric: String = "sqeuclidean",
-      dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      dataFilter: Option[org.apache.spark.sql.Column] = None,
+      honorTombstones: Boolean = true): DataFrame = {
     val matrix = collectCentroids(centroids)
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
         .as("_pcid"))
     val probedCells = probes.select(col("_pcid")).distinct()
       .collect().map(_.getInt(0))
-    val indexed = dataFilter
-      .foldLeft(spark.read.parquet(path))(_.filter(_))
-      .filter(col("cid").isin(probedCells.toSeq: _*))
+    val indexed = withTombstonesMasked(spark, path, idCol, honorTombstones,
+      dataFilter
+        .foldLeft(spark.read.parquet(path))(_.filter(_))
+        .filter(col("cid").isin(probedCells.toSeq: _*)))
     val candidates = indexed.join(
       broadcast(probes), indexed("cid") === probes("_pcid"))
     Knn.topKFrom(candidates, k,
       Knn.distance(metric, col(vecCol), col(qvecCol)),
       col(idCol), col(qidCol))
   }
+
+  /** Anti-join the tombstone side-table (if present) below the top-k:
+    * the deletion batch is small by contract, so the mask broadcasts;
+    * pre-filter semantics hold exactly as for `dataFilter`. */
+  private def withTombstonesMasked(spark: SparkSession, path: String,
+      idCol: String, honor: Boolean, indexed: DataFrame): DataFrame =
+    if (!honor) indexed
+    else readTombstones(spark, path) match {
+      case Some(t) => indexed.join(
+        broadcast(t.select(col(t.columns.head).as(idCol))),
+        Seq(idCol), "left_anti")
+      case None => indexed
+    }
 
   /** Candidate rows a search at `nprobe` would scan (deterministic
     * cost metric for the grid-search analytics). Computed from the
@@ -574,18 +765,32 @@ object AnnIvf {
   /** Build the RESIDENT flat-IVF serving index: decode each partition
     * of the indexed relation once into a FlatBlock (NARROW — no
     * shuffle; the blocks inherit the relation's row-hash mix) and
-    * persist as DESERIALIZED objects (`MEMORY_ONLY` object RDD).
-    * Serve with `searchServableCells` — bit-identical to `searchFast`
-    * (KnnSpec) with no per-call decode. Eviction under memory
-    * pressure recomputes through the lineage, so size executors to
-    * hold the decoded corpus — that is the contract of a resident
-    * tier. */
+    * persist as DESERIALIZED objects. Serve with `searchServableCells`
+    * — bit-identical to `searchFast` (KnnSpec) with no per-call
+    * decode.
+    *
+    * MEMORY GUARD (see `Resident`): by default the decoded footprint
+    * is estimated from one column-pruned (count, dim) aggregate and
+    * checked against free executor storage — fits → `MEMORY_ONLY`
+    * (the resident contract); doesn't → `MEMORY_AND_DISK` with a loud
+    * warning, so an undersized deployment degrades to bounded disk
+    * re-reads instead of silently re-decoding the corpus on every
+    * eviction. Pass `storage = Some(level)` to skip the estimate. */
   def servableCells(indexed: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      attrCol: Option[String] = None)
+      attrCol: Option[String] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] = None)
       : org.apache.spark.rdd.RDD[FlatBlock] = {
     val spark = indexed.sparkSession
     import spark.implicits._
+    val level = storage.getOrElse {
+      val r = indexed
+        .agg(count(lit(1)), max(size(col(vecCol)))).head()
+      val (n, dim) = (r.getLong(0), if (r.isNullAt(1)) 0 else r.getInt(1))
+      Resident.autoLevel(spark,
+        Resident.estimateFlatBytes(n, dim, attrCol.isDefined),
+        "AnnIvf.servableCells")
+    }
     indexed
       .select(col("cid").cast("int"), col(idCol).cast("long"), col(vecCol),
         attrCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)))
@@ -622,7 +827,7 @@ object AnnIvf {
         }
       }
       .rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      .persist(level)
   }
 
   /** Serve a query batch from the resident blocks: probes are
@@ -773,7 +978,8 @@ object AnnIvf {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       metric: String = "sqeuclidean",
-      dataFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      dataFilter: Option[org.apache.spark.sql.Column] = None,
+      honorTombstones: Boolean = true): DataFrame = {
     val matrix = collectCentroids(centroids)
     // the query lineage (often an expensive re-embedding) is evaluated
     // exactly ONCE: the probe relation is materialized to executor
@@ -784,9 +990,10 @@ object AnnIvf {
       .localCheckpoint(true)
     val probedCells = probes.select(col("_pcid"))
       .distinct().collect().map(_.getInt(0))
-    val indexed = dataFilter
-      .foldLeft(spark.read.parquet(path))(_.filter(_))
-      .filter(col("cid").isin(probedCells.toSeq: _*))
+    val indexed = withTombstonesMasked(spark, path, idCol, honorTombstones,
+      dataFilter
+        .foldLeft(spark.read.parquet(path))(_.filter(_))
+        .filter(col("cid").isin(probedCells.toSeq: _*)))
     shuffledFastKernel(indexed, probes, k, idCol, vecCol, metric)
   }
 

@@ -427,6 +427,21 @@ object Dedup {
       s"graft_lsh_slices_${java.util.UUID.randomUUID.toString.take(12)}")
     val fs = tmpPath
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // FAIL FAST on the silent-under-dedup trap: with a file:// scratch
+    // on a multi-node master, executors write slice partitions to
+    // their OWN local disks and the driver-side read-back silently
+    // misses them — dropped candidate pairs, not an error. Band
+    // slicing auto-enables past the banded-row threshold, so a large
+    // cluster can reach this path without ever opting in.
+    val master = spark.sparkContext.master
+    if (fs.getScheme == "file" && !master.startsWith("local"))
+      throw new IllegalStateException(
+        s"graft.lsh.scratch resolves to the local filesystem " +
+          s"('$scratchRoot') but the master is '$master' — executors " +
+          "would park slice pair sets on their own disks and the " +
+          "read-back would silently drop candidates. Set " +
+          "graft.lsh.scratch to shared storage (HDFS/S3) or force " +
+          "bandGroups = 1.")
     val tmp = tmpPath.toString
     // materialize the rep relation ONCE: each slice then reads cached
     // blocks instead of re-running the sig ⋈ groups semi-join shuffle

@@ -531,9 +531,31 @@ object NswGraph {
     * exactly like the reference's in-process HNSW; this RDD is that
     * shape, Spark-native: each executor pins its cells' decoded form,
     * searches run `mapPartitions` over them with zero per-call decode,
-    * and the only data movement is the q×k partial merge. */
-  def servableIndex(graphs: org.apache.spark.sql.Dataset[CellGraph])
-      : org.apache.spark.rdd.RDD[ServableCell] =
+    * and the only data movement is the q×k partial merge.
+    *
+    * MEMORY GUARD (see `Resident`): the decoded footprint (vectors +
+    * CSR adjacency) is estimated from one aggregate over the graph
+    * Dataset's array sizes and checked against free executor storage
+    * — fits → `MEMORY_ONLY`; doesn't → `MEMORY_AND_DISK` with a loud
+    * warning (bounded disk re-reads instead of silent re-decode on
+    * eviction). Pass `storage = Some(level)` to skip the estimate. */
+  def servableIndex(graphs: org.apache.spark.sql.Dataset[CellGraph],
+      storage: Option[org.apache.spark.storage.StorageLevel] = None)
+      : org.apache.spark.rdd.RDD[ServableCell] = {
+    val level = storage.getOrElse {
+      val r = graphs
+        .agg(sum(size(col("ids"))),
+          max(size(element_at(col("vecs"), 1))),
+          sum(aggregate(transform(col("adj"), a => size(a)),
+            lit(0L), (acc, x) => acc + x)))
+        .head()
+      val rows = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val dim = if (r.isNullAt(1)) 0 else r.getInt(1)
+      val edges = if (r.isNullAt(2)) 0L else r.getLong(2)
+      Resident.autoLevel(graphs.sparkSession,
+        Resident.estimateGraphBytes(rows, dim, edges),
+        "NswGraph.servableIndex")
+    }
     graphs.rdd.map { g =>
       val n = g.vecs.length
       val dim = if (n == 0) 0 else g.vecs(0).length
@@ -559,7 +581,8 @@ object NswGraph {
       }
       ServableCell(g.cid, g.ids, dim, flat,
         if (flattenable) null else g.vecs, adjFlat, adjOff)
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    }.persist(level)
+  }
 
   /** Beam search over a ServableCell — semantically IDENTICAL to
     * `beamSearch` (same visit order, same early abandon, same

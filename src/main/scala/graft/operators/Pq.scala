@@ -263,14 +263,33 @@ object Pq {
     * `extraCols` carries metadata columns (labels, ratings, …) into
     * the code table so serve-time predicates can push into the scan —
     * query-time filtered search over the compressed layout.
-    * `residual = true` encodes vec − centroid(cid) instead of the raw
-    * vector (see `residuals`); search the result with
-    * `searchPersistedAdc(..., residual = true)`. */
+    *
+    * RESIDUAL IS THE DEFAULT (`residual = true`): codes are
+    * PQ(vec − centroid(cid)), not PQ(vec) — the classic IVF-PQ
+    * (Jégou et al. 2011 §IV; FAISS IndexIVFPQ's default) and the only
+    * mode that ranks inside a cell on clustered data. Raw-vector
+    * codes collapse within a cell (every member shares the centroid
+    * the codebook then re-encodes): measured at 5M×64, raw-ADC
+    * recall@10 plateaus at ~0.23 and does NOT move from nprobe 4→16 —
+    * the user-facing knob goes dead because reconstruction error, not
+    * probe coverage, is the ceiling. Train the codebook on
+    * `residuals(indexed, centroids)` (vecCol "_resid") and search
+    * with the matching `residual` flag — all maintenance/search
+    * defaults here agree, so default-to-default composition is
+    * always consistent; pass `residual = false` everywhere explicitly
+    * if you truly want raw codes (e.g. unclustered data).
+    *
+    * THE DOCUMENTED SERVING ENTRY for this layout is
+    * `searchPersistedAdcRefined` (residual ADC shortlist + exact
+    * re-rank of q·k·kfactor rows): the two-stage serve recovers the
+    * recall PQ loses while still scanning only codes —
+    * raw-ADC-only serving is a diagnostic mode, not the product
+    * path. */
   def writeIvfPqIndex(data: DataFrame, centroids: DataFrame, cb: Codebook,
       path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       extraCols: Seq[String] = Nil,
-      residual: Boolean = false): Unit =
+      residual: Boolean = true): Unit =
     writeIvfPqIndexed(AnnIvf.index(data, centroids, idCol, vecCol),
       centroids, cb, path, idCol, vecCol, extraCols, residual)
 
@@ -282,7 +301,7 @@ object Pq {
       cb: Codebook, path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       extraCols: Seq[String] = Nil,
-      residual: Boolean = false): Unit =
+      residual: Boolean = true): Unit =
     codeTable(indexed, centroids, cb, idCol, vecCol, extraCols, residual)
       // one shuffle by cid → one file per cell, not tasks × cells
       // files (see AnnIvf.writeIndex)
@@ -321,7 +340,7 @@ object Pq {
       cb: Codebook, path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       extraCols: Seq[String] = Nil,
-      residual: Boolean = false,
+      residual: Boolean = true,
       supers: Option[DataFrame] = None, wSuper: Int = 4): Unit = {
     val indexed = supers.fold(
       AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>
@@ -347,7 +366,7 @@ object Pq {
       nprobe: Int, idCol: String = "vec_id",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = true): DataFrame = {
     import spark.implicits._
     val qRows = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
@@ -467,7 +486,7 @@ object Pq {
       idCol: String = "vec_id",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      residual: Boolean = false): DataFrame =
+      residual: Boolean = true): DataFrame =
     Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
       searchPersistedAdc(spark, path, centroids, cb, _, k, nprobe,
         idCol, qidCol, qvecCol, dataFilter, residual))
@@ -483,7 +502,7 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      residual: Boolean = false): DataFrame =
+      residual: Boolean = true): DataFrame =
     rerank(searchPersistedAdc(spark, path, centroids, cb, queries,
         k * kfactor, nprobe, idCol, qidCol, qvecCol, dataFilter, residual),
       data, queries, k, idCol, vecCol, qidCol, qvecCol)

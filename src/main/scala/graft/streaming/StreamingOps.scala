@@ -298,7 +298,7 @@ object StreamingOps {
     * append == rebuild on the code relation (PqSpec). */
   def streamingPqAppend(vectorStream: DataFrame, centroids: DataFrame,
       cb: graft.operators.Pq.Codebook, indexPath: String,
-      extraCols: Seq[String] = Nil, residual: Boolean = false,
+      extraCols: Seq[String] = Nil, residual: Boolean = true,
       supers: Option[DataFrame] = None, wSuper: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectorStream.writeStream
@@ -370,31 +370,64 @@ object StreamingOps {
                   centroids.get, idCol, vecCol, wSuper))
             else batch
           val isHinted = hinted.columns.contains("cid")
-          val deleted = graft.operators.AnnIvf.deleteFromIndex(
-            batch.sparkSession, indexPath, hinted, idCol)
+          // the guard compares DISTINCT ids matched, not rows deleted:
+          // the index can hold several rows per id (appendToIndex
+          // never dedupes), so a row count equal to the batch size
+          // does not prove every id was found — a batch where one id
+          // had 2 index rows would mask another id a bad hint missed
+          val (deleted, idsMatched) =
+            graft.operators.AnnIvf.deleteFromIndexDetailed(
+              batch.sparkSession, indexPath, hinted, idCol)
           if (isHinted) {
             val nIds = batch.select(col(idCol)).distinct().count()
-            if (deleted < nIds) {
+            if (idsMatched < nIds) {
               if (strict) {
-                val extra = graft.operators.AnnIvf.deleteFromIndex(
-                  batch.sparkSession, indexPath,
-                  batch.select(col(idCol)), idCol)
+                val (extra, extraIds) =
+                  graft.operators.AnnIvf.deleteFromIndexDetailed(
+                    batch.sparkSession, indexPath,
+                    batch.select(col(idCol)), idCol)
                 if (extra > 0)
                   println(s"[graft] streamingIndexDelete shortfall: " +
-                    s"hinted pass deleted $deleted of $nIds ids; " +
-                    s"unhinted fallback removed $extra more — the cid " +
-                    "hint does not match the build (check centroids/" +
+                    s"hinted pass matched $idsMatched of $nIds ids " +
+                    s"($deleted rows); unhinted fallback matched " +
+                    s"$extraIds more ids ($extra rows) — the cid hint " +
+                    "does not match the build (check centroids/" +
                     "supers/wSuper parity)")
               } else {
                 println(s"[graft] streamingIndexDelete shortfall: " +
-                  s"deleted $deleted of $nIds hinted ids (strict=false; " +
-                  "absent ids are expected on this feed, but a hint/" +
-                  "build mismatch would look identical — audit if " +
-                  "unexpected)")
+                  s"matched $idsMatched of $nIds hinted ids " +
+                  s"($deleted rows; strict=false — absent ids are " +
+                  "expected on this feed, but a hint/build mismatch " +
+                  "would look identical; audit if unexpected)")
               }
             }
           }
         }
+        ()
+      }
+      .start()
+
+  /** Streaming retraction, TOMBSTONE mode — for UNIFORM-SPREAD
+    * deletion feeds (GDPR requests arrive for random users, so every
+    * micro-batch touches ~all cells and the eager rewrite pays a
+    * near-full pass per batch — measured 22.5 s at 5M/2048 cells).
+    * Each batch appends its ids to the index's tombstone side-table —
+    * O(batch), independent of cell spread — and becomes invisible to
+    * `searchPersisted`/`searchPersistedShuffled` at micro-batch
+    * granularity exactly like the eager path (serve-time anti-join,
+    * `honorTombstones` default). The physical rows fold out at the
+    * next `AnnIvf.foldTombstones` / unhinted `compactIndex`, where
+    * the full pass is amortized over every batch in between. Use
+    * `streamingIndexDelete` instead when batches cluster in few cells
+    * (its hinted rewrite is O(touched) and keeps the layout clean). */
+  def streamingIndexTombstone(idStream: DataFrame, indexPath: String,
+      idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    idStream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.AnnIvf.tombstone(batch.sparkSession, indexPath,
+            batch, idCol)
         ()
       }
       .start()

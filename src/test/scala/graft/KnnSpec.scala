@@ -425,6 +425,124 @@ class KnnSpec extends AnyFunSuite {
     }
   }
 
+  test("recoverIndex rolls a torn commit back: displaced cells are " +
+      "restored, leftover staging is dropped, serving is unchanged") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmp/idx")
+    val preServe = asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 8))
+    // simulate a crash mid-swap: one live cell was renamed aside into
+    // the trash tree but its staged replacement never landed, and a
+    // staging tree was left behind
+    val base = new java.io.File(s"$tmp/idx")
+    val someCell = base.listFiles().filter(_.getName.startsWith("cid="))
+      .map(_.getName).sorted.head
+    val trash = new java.io.File(base, ".graft_trash_deadbeef0001")
+    assert(trash.mkdirs())
+    assert(new java.io.File(base, someCell)
+      .renameTo(new java.io.File(trash, someCell)))
+    val staging = new java.io.File(base, ".graft_staging_deadbeef0001")
+    assert(new java.io.File(staging, "cid=999").mkdirs())
+    // readers skip dot-paths, so the torn state shows a MISSING cell
+    // (wrong results) until recovery — which restores it
+    val restored = AnnIvf.recoverIndex(spark, s"$tmp/idx")
+    assert(restored == 1L)
+    assert(new java.io.File(base, someCell).exists())
+    assert(!trash.exists() && !staging.exists())
+    assert(asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 8)) == preServe)
+    // idempotent on a clean tree
+    assert(AnnIvf.recoverIndex(spark, s"$tmp/idx") == 0L)
+    // a trash cell whose live twin EXISTS committed — recovery must
+    // drop the trash copy, not resurrect stale rows over it
+    val trash2 = new java.io.File(base, ".graft_trash_deadbeef0002")
+    assert(new java.io.File(trash2, someCell).mkdirs())
+    assert(AnnIvf.recoverIndex(spark, s"$tmp/idx") == 0L)
+    assert(!trash2.exists())
+    assert(asTuples(AnnIvf.searchPersisted(spark, s"$tmp/idx",
+      centroids, queries, 10, nprobe = 8)) == preServe)
+  }
+
+  test("tombstones: masked serving equals the eager delete; fold " +
+      "removes the rows physically and compaction folds automatically") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmpA = java.nio.file.Files.createTempDirectory("graft_tmb_a").toString
+    val tmpB = java.nio.file.Files.createTempDirectory("graft_tmb_b").toString
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmpA/idx")
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmpB/idx")
+    import spark.implicits._
+    val delIds = filtered.filter($"vec_id" % 9 === 2).select($"vec_id")
+    // A: tombstone (no cell rewritten); B: eager delete
+    val cellMtimes = new java.io.File(s"$tmpA/idx").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .flatMap(_.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    val nT = AnnIvf.tombstone(spark, s"$tmpA/idx", delIds)
+    assert(nT == delIds.count())
+    // tombstoning is O(batch): no cell file changed
+    new java.io.File(s"$tmpA/idx").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .flatMap(_.listFiles()).foreach { f =>
+        assert(cellMtimes.get(f.getPath).contains(f.lastModified()),
+          s"tombstone rewrote ${f.getPath}") }
+    AnnIvf.deleteFromIndex(spark, s"$tmpB/idx", delIds)
+    def serve(p: String, honor: Boolean = true) =
+      asTuples(AnnIvf.searchPersisted(spark, p, centroids, queries, 10,
+        nprobe = 8, honorTombstones = honor))
+    val masked = serve(s"$tmpA/idx")
+    val eager = serve(s"$tmpB/idx")
+    assert(masked == eager && masked.nonEmpty)
+    // the shuffled serving lowering masks identically
+    assert(asTuples(AnnIvf.searchPersistedShuffled(spark, s"$tmpA/idx",
+      centroids, queries, 10, nprobe = 8)) == eager)
+    // honorTombstones = false shows the anti-join is doing the masking
+    assert(serve(s"$tmpA/idx", honor = false) != masked)
+    // a second batch accumulates; fold removes rows physically and
+    // serving is unchanged
+    AnnIvf.tombstone(spark, s"$tmpA/idx",
+      filtered.filter($"vec_id" % 9 === 5).select($"vec_id"))
+    val preFold = serve(s"$tmpA/idx")
+    val folded = AnnIvf.foldTombstones(spark, s"$tmpA/idx")
+    assert(folded > 0)
+    assert(AnnIvf.readTombstones(spark, s"$tmpA/idx").isEmpty)
+    assert(serve(s"$tmpA/idx") == preFold)
+    assert(serve(s"$tmpA/idx", honor = false) == preFold)
+    // unhinted compaction folds pending tombstones automatically
+    AnnIvf.tombstone(spark, s"$tmpA/idx",
+      filtered.filter($"vec_id" % 9 === 7).select($"vec_id"))
+    val preCompact = serve(s"$tmpA/idx")
+    AnnIvf.compactIndex(spark, s"$tmpA/idx")
+    assert(AnnIvf.readTombstones(spark, s"$tmpA/idx").isEmpty)
+    assert(serve(s"$tmpA/idx", honor = false) == preCompact)
+  }
+
+  test("deleteFromIndexDetailed: distinct-id count exposes an under-" +
+      "delete that duplicate index rows would mask") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dd").toString
+    val subset = filtered.filter($"vec_id" % 5 === 0)
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmp/idx")
+    // re-append a subset: those ids now hold TWO index rows each
+    AnnIvf.appendToIndex(subset, centroids, s"$tmp/idx")
+    val dupIds = subset.select($"vec_id").collect().map(_.getLong(0)).toSet
+    val del = dupIds.take(4).toSeq
+    import spark.implicits._
+    val (rows, ids) = AnnIvf.deleteFromIndexDetailed(spark, s"$tmp/idx",
+      del.toDF("vec_id"))
+    assert(rows == 2L * del.size, s"expected duplicate rows deleted: $rows")
+    assert(ids == del.size.toLong)
+    // the masking scenario the guard exists for: a batch of one
+    // duplicated id + one absent id deletes 2 rows — equal to the
+    // batch size — but matches only 1 distinct id
+    val batch = Seq(dupIds.drop(4).head, 99999999L)
+    val (rows2, ids2) = AnnIvf.deleteFromIndexDetailed(spark, s"$tmp/idx",
+      batch.toDF("vec_id"))
+    assert(rows2 == 2L && ids2 == 1L)
+  }
+
   test("resident flat-IVF cells serve bit-identical to searchFast, " +
       "including distances, across metrics and reuse") {
     val filtered = data.filter(SparkEntry.filterLow)

@@ -281,6 +281,40 @@ class PipelineSpec extends AnyFunSuite {
     })
   }
 
+  test("multi-probe recovers a PLANTED near-dup pair straddling a " +
+      "cell boundary that single assignment misses by construction") {
+    // two cells at (0,0,...) and (2,0,...); the planted near-dups sit
+    // just either side of the x=1 boundary: a's nearest cell is c0,
+    // b's is c1 (single-assign never pairs them), but both carry the
+    // other cell as their SECOND-nearest — and cosine(a, b) ≈ 1
+    val dim = 8
+    def v(x: Float): Seq[Float] = x +: Seq.fill(dim - 1)(0.1f)
+    val centroids = Seq((0, Seq.fill(dim)(0f).updated(0, 0f)),
+        (1, Seq.fill(dim)(0f).updated(0, 2f)))
+      .toDF("cid", "centroid")
+    val vecs = Seq(
+      (1L, v(0.9f)), (2L, v(1.1f)), // the boundary-straddling near-dups
+      (3L, v(0.1f)), (4L, v(1.9f))  // deep-in-cell fillers
+    ).toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairsOf(Dedup.embeddingNearPairsBucketed(
+      vecs, centroids, threshold = 0.99))
+    val multi = pairsOf(Dedup.embeddingNearPairsMultiProbe(
+      vecs, centroids, threshold = 0.99, nassign = 2))
+    assert(!single.contains((1L, 2L)),
+      "fixture broken: single assignment should split the planted pair")
+    assert(multi.contains((1L, 2L)),
+      s"multi-probe missed the planted boundary pair (found $multi)")
+    // and the pair appears exactly once even though both members
+    // share BOTH cells (distinct() folds the duplicate discovery)
+    val rows = Dedup.embeddingNearPairsMultiProbe(
+        vecs, centroids, threshold = 0.99, nassign = 2)
+      .filter($"id_a" === 1L && $"id_b" === 2L).count()
+    assert(rows == 1L)
+  }
+
   test("multimodal resize + frame sampling: plumbing shapes (1->1, 1->N)") {
     val media = Multimodal.mediaTable(docs)
     val resized = Multimodal.resize(media, targetLen = 32)
