@@ -92,6 +92,18 @@ object ProfileServe {
         }
       }
     }
+    // r12 negative results, kept out of the shipped operator (the
+    // numbers live in BENCH_scale_r12.json): (a) repartitioning the
+    // servable RDD wider (64/128/256) does not move beam-only and
+    // REGRESSES the full call (more tasks into the same merge);
+    // (b) replacing the distributed topKFrom merge with a driver-side
+    // merge — boxed-tuple collect AND packed-primitive-array collect
+    // variants — measured SLOWER than the aggregate in an interleaved
+    // same-session A/B (packed 1.24-1.42s vs topKFrom 0.85-1.04s at
+    // 10K queries). The beam stage itself is DRAM-latency-bound
+    // (ProfileBeam: 407 distance evals/beam at ~174ns full-width
+    // random-access = 71 of 81 us/beam single-threaded, hot-cache).
+    servable.unpersist()
     spark.stop()
   }
 }

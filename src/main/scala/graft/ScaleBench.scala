@@ -206,19 +206,26 @@ object ScaleBench {
         f"disk=${dsk / (1L << 20)}%d MiB cached=$cp/$tp " +
         f"level=${servable.getStorageLevel.description}")
     }
-    Seq(24, 32, 40, 64).foreach { efs =>
+    // (nprobe, efSearch) grid: the r11 curve (nprobe=4) plus the
+    // cheaper-probe operating points — per query the beam cost is
+    // ~nprobe beams of ~efS visits, so nprobe=2 at higher efS can
+    // reach the same recall with fewer total distance evals IF the
+    // true neighbors concentrate in the top-2 probed cells (they do
+    // on clustered data; measured here for the recall-matched margin)
+    Seq((2, 32), (2, 48), (2, 64), (4, 24), (4, 32), (4, 40), (4, 64))
+      .foreach { case (np, efs) =>
       val (_, cold) = time {
         graft.operators.NswGraph.searchServable(servable, centroids,
-          queries, k, nprobe = 4, efSearch = efs).count()
+          queries, k, nprobe = np, efSearch = efs).count()
       }
       val (_, warm) = time {
         graft.operators.NswGraph.searchServable(servable, centroids,
-          queries, k, nprobe = 4, efSearch = efs).count()
+          queries, k, nprobe = np, efSearch = efs).count()
       }
       val rec = graft.operators.NswGraph.searchServable(servable,
-        centroids, qSample, k, nprobe = 4, efSearch = efs)
+        centroids, qSample, k, nprobe = np, efSearch = efs)
       val r = Recall.ofRanked(rec, truth).head()
-      println(f"[scale] servable nprobe=  4 efS=$efs%3d search=$warm%7.2fs " +
+      println(f"[scale] servable nprobe=$np%3d efS=$efs%3d search=$warm%7.2fs " +
         f"(cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
         f"recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
     }

@@ -131,7 +131,7 @@ object NswGraph {
     * non-accepted nodes early-abandon against the current ef-th best —
     * exact, because a partial sum already > headDist can only reject,
     * regardless of the idx tie-break (which needs d == headDist). */
-  private def beamSearch(kern: CellKernel, adj: Array[Array[Int]],
+  private[graft] def beamSearch(kern: CellKernel, adj: Array[Array[Int]],
       deg: Array[Int], entry: Int, target: Array[Float],
       ef: Int): Array[(Double, Int)] = {
     val visited = new java.util.BitSet(adj.length)
@@ -218,7 +218,7 @@ object NswGraph {
     * adjacency (every metric here is symmetric, so the insert beam's
     * (dist, id) pairs are exactly the back-edge distances too), so a
     * reprune never recomputes node-to-neighbor distances. */
-  private def build(kern: CellKernel, m: Int,
+  private[graft] def build(kern: CellKernel, m: Int,
       efConstruction: Int): Array[Array[Int]] = {
     val n = kern.size
     // fixed-capacity primitive rows: a node holds at most 3m
@@ -591,7 +591,7 @@ object NswGraph {
     * epoch-stamped int array reused across queries (no BitSet per
     * beam), both heaps are reused (clear(), not reallocate), and
     * results drain straight into primitive arrays. */
-  private def beamServable(cell: ServableCell, mcode: Int,
+  private[graft] def beamServable(cell: ServableCell, mcode: Int,
       target: Array[Float], ef: Int, stamps: Array[Int], epoch: Int,
       candidates: PairHeap, results: PairHeap): Unit = {
     candidates.clear(); results.clear()

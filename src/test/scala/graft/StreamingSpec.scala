@@ -233,6 +233,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == rebuilt && served.nonEmpty)
   }
 
+  test("streaming tombstone retraction: spread micro-batches become " +
+      "invisible at batch granularity without rewriting any cell") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val data = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 =!= 0 && $"label" =!= 3)
+    val queries = Tables.load(spark, sf, "embeddings")
+      .filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("qid"), $"embedding".as("q_embedding"))
+    val centroids = graft.operators.AnnIvf.train(data, 16, iterations = 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stmb").toString
+    graft.operators.AnnIvf.writeIndex(
+      graft.operators.AnnIvf.index(data, centroids), s"$tmp/idx")
+    val cellFiles = new java.io.File(s"$tmp/idx").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .flatMap(_.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    val delIds = data.select($"vec_id").collect().map(_.getLong(0))
+      .filter(_ % 19 == 4) // uniform spread: ids land in ~every cell
+    val (b1, b2) = delIds.splitAt(delIds.length / 2)
+    val ms = MemoryStream[Long]
+    val q = StreamingOps.streamingIndexTombstone(
+      ms.toDF.toDF("vec_id"), s"$tmp/idx")
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      ms.addData(b1.toSeq: _*); q.processAllAvailable()
+      // batch-granularity visibility: after batch 1, only batch 1 is
+      // masked
+      val afterB1 = tuples(graft.operators.AnnIvf.searchPersisted(
+        spark, s"$tmp/idx", centroids, queries, 10, nprobe = 4))
+      val surv1 = data.filter(!$"vec_id".isin(b1.toSeq: _*))
+      assert(afterB1 == tuples(graft.operators.AnnIvf.search(
+        graft.operators.AnnIvf.index(surv1, centroids), centroids,
+        queries, 10, nprobe = 4)))
+      ms.addData(b2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    // no cell file was rewritten by either batch — O(batch) recording
+    new java.io.File(s"$tmp/idx").listFiles()
+      .filter(_.getName.startsWith("cid="))
+      .flatMap(_.listFiles()).foreach { f =>
+        assert(cellFiles.get(f.getPath).contains(f.lastModified()),
+          s"tombstone stream rewrote ${f.getPath}") }
+    val served = tuples(graft.operators.AnnIvf.searchPersisted(
+      spark, s"$tmp/idx", centroids, queries, 10, nprobe = 4))
+    val survivors = data.filter(!$"vec_id".isin(delIds.toSeq: _*))
+    val rebuilt = tuples(graft.operators.AnnIvf.search(
+      graft.operators.AnnIvf.index(survivors, centroids), centroids,
+      queries, 10, nprobe = 4))
+    assert(served == rebuilt && served.nonEmpty)
+  }
+
   test("streaming retraction strict mode: a hint/build mismatch is " +
       "caught by the shortfall fallback, never an under-delete") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
