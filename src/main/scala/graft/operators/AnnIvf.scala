@@ -333,11 +333,13 @@ object AnnIvf {
     * call when a batch's ids cluster in a few cells (hinted, it
     * rewrites only those); a UNIFORM-SPREAD batch (a GDPR feed of
     * random users) touches ~every cell and pays a near-full rewrite
-    * per batch (measured 22.5 s at 5M/2048 cells) — tombstoning makes
-    * that O(batch), with the masked rows anti-joined out at query
-    * time (`searchPersisted(honorTombstones = true)`, the default)
-    * and physically removed only at `foldTombstones` / unhinted
-    * compaction.
+    * per batch (measured 35.2 s at 5M/2048 cells; tombstoning the
+    * same batch: 0.61 s) — tombstoning makes that O(batch), with the
+    * masked rows anti-joined out at query time
+    * (`searchPersisted`/`searchPersistedShuffled` and the PQ tier's
+    * `Pq.searchPersistedAdc*`, all `honorTombstones = true` by
+    * default) and physically removed only at `foldTombstones` /
+    * unhinted compaction.
     *
     * Masking is by ID: re-appending a tombstoned id stays invisible
     * until the tombstones are folded — a retract-then-reinsert feed

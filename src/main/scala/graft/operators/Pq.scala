@@ -366,8 +366,20 @@ object Pq {
       nprobe: Int, idCol: String = "vec_id",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      residual: Boolean = true): DataFrame = {
+      residual: Boolean = true,
+      honorTombstones: Boolean = true): DataFrame = {
     import spark.implicits._
+    // tombstone parity with AnnIvf.searchPersisted: spread deletes
+    // recorded by AnnIvf.tombstone on this layout (layout-generic,
+    // ids only) are masked below the top-k until folded
+    val tombFilter: DataFrame => DataFrame =
+      if (!honorTombstones) identity
+      else AnnIvf.readTombstones(spark, path) match {
+        case Some(t) => df => df.join(
+          broadcast(t.select(col(t.columns.head).as(idCol))),
+          Seq(idCol), "left_anti")
+        case None => identity
+      }
     val qRows = queries
       .select(col(qidCol).cast("long"), col(qvecCol))
       .as[(Long, Array[Float])].collect()
@@ -393,9 +405,9 @@ object Pq {
     val bcCb = spark.sparkContext.broadcast(cb)
     val bcCellToQ = spark.sparkContext.broadcast(cellToQ)
     val bcCen = spark.sparkContext.broadcast(cenMap)
-    val partials = dataFilter
+    val partials = tombFilter(dataFilter
       .foldLeft(spark.read.parquet(path))(_.filter(_))
-      .filter(col("cid").isin(probedCells: _*))
+      .filter(col("cid").isin(probedCells: _*)))
       .select(col(idCol).cast("long"), col("codes"), col("cid"))
       .as[(Long, Array[Int], Int)]
       .mapPartitions { it =>
@@ -486,10 +498,11 @@ object Pq {
       idCol: String = "vec_id",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      residual: Boolean = true): DataFrame =
+      residual: Boolean = true,
+      honorTombstones: Boolean = true): DataFrame =
     Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
       searchPersistedAdc(spark, path, centroids, cb, _, k, nprobe,
-        idCol, qidCol, qvecCol, dataFilter, residual))
+        idCol, qidCol, qvecCol, dataFilter, residual, honorTombstones))
 
   /** `searchAdcRefined` over the persisted clustered layout: ADC
     * shortlist of k·kfactor from the probed cells, then an exact
@@ -502,8 +515,10 @@ object Pq {
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      residual: Boolean = true): DataFrame =
+      residual: Boolean = true,
+      honorTombstones: Boolean = true): DataFrame =
     rerank(searchPersistedAdc(spark, path, centroids, cb, queries,
-        k * kfactor, nprobe, idCol, qidCol, qvecCol, dataFilter, residual),
+        k * kfactor, nprobe, idCol, qidCol, qvecCol, dataFilter, residual,
+        honorTombstones),
       data, queries, k, idCol, vecCol, qidCol, qvecCol)
 }

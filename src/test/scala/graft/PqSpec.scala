@@ -129,6 +129,37 @@ class PqSpec extends AnyFunSuite {
     assert(served == rebuilt && served.nonEmpty)
   }
 
+  test("tombstones mask the PQ code layout exactly like an eager delete") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_tmb").toString
+    val centroids = graft.operators.AnnIvf.train(data, numCentroids = 8,
+      iterations = 2)
+    Pq.writeIvfPqIndex(data, centroids, cb, s"$tmp/idx", residual = false)
+    val delIds = data.select($"vec_id").collect().map(_.getLong(0))
+      .filter(_ % 23 == 6)
+    import spark.implicits._
+    graft.operators.AnnIvf.tombstone(spark, s"$tmp/idx",
+      delIds.toSeq.toDF("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val masked = rows(Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids,
+      cb, queries, k = 10, nprobe = 8, residual = false))
+    val survivors = data.filter(!$"vec_id".isin(delIds.toSeq: _*))
+    val rebuilt = rows(Pq.searchAdc(Pq.encode(survivors, cb), cb, queries,
+      k = 10))
+    assert(masked == rebuilt && masked.nonEmpty)
+    // honorTombstones = false exposes the mask (rows still on disk)
+    assert(rows(Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids,
+      cb, queries, k = 10, nprobe = 8, residual = false,
+      honorTombstones = false)) != masked)
+    // fold removes them physically; serving unchanged
+    assert(graft.operators.AnnIvf.foldTombstones(spark, s"$tmp/idx") ==
+      delIds.length)
+    assert(rows(Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids,
+      cb, queries, k = 10, nprobe = 8, residual = false,
+      honorTombstones = false)) == masked)
+  }
+
   test("chunked ADC search is bit-identical to the one-shot path") {
     val codes = Pq.encode(data, cb).cache()
     def tuples(df: org.apache.spark.sql.DataFrame) =
