@@ -9,13 +9,18 @@ import graft.operators.{Knn, NswGraph}
   * the 5M profile shows the beam stage is ~75% of a searchServable
   * call, so this isolates what a beam's microseconds are made of.
   *
-  * usage: runMain graft.ProfileBeam [cellRows] [m] [efSearch]
+  * usage: runMain graft.ProfileBeam [cellRows] [m] [efSearch] [nCells]
+  * `nCells > 1` replicates the 5M executor shape: one partition holds
+  * ~32 cells (~41 MB of decoded floats), so consecutive beams touch
+  * different cells and the flat arrays are NOT cache-resident — the
+  * regime where the kernel is DRAM-latency-bound.
   */
 object ProfileBeam {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(5000)
     val m = args.lift(1).map(_.toInt).getOrElse(16)
     val ef = args.lift(2).map(_.toInt).getOrElse(32)
+    val nCells = args.lift(3).map(_.toInt).getOrElse(1)
     val dim = 64
     var seed = 0x9e3779b97f4a7c15L
     def nextF(): Float = {
@@ -32,28 +37,53 @@ object ProfileBeam {
       val c = centers(i % 20)
       Array.tabulate(dim)(j => c(j) + nextF() * 0.5f)
     }
-    val kern = new NswGraph.CellKernel("sqeuclidean", vecs)
-    var t0 = System.nanoTime()
-    val adj = NswGraph.build(kern, m, 64)
-    println(f"[pbeam] build n=$n m=$m: ${(System.nanoTime() - t0) / 1e6}%.1f ms")
-    // servable form
-    val flat = new Array[Float](n * dim)
-    var i = 0
-    while (i < n) { System.arraycopy(vecs(i), 0, flat, i * dim, dim); i += 1 }
-    val adjOff = new Array[Int](n + 1)
-    i = 0
-    while (i < n) { adjOff(i + 1) = adjOff(i) + adj(i).length; i += 1 }
-    val adjFlat = new Array[Int](adjOff(n))
-    i = 0
-    while (i < n) {
-      System.arraycopy(adj(i), 0, adjFlat, adjOff(i), adj(i).length); i += 1
+    def buildCell(cid: Int, rows: Array[Array[Float]])
+        : NswGraph.ServableCell = {
+      val kern = new NswGraph.CellKernel("sqeuclidean", rows)
+      val adj = NswGraph.build(kern, m, 64)
+      val nn = rows.length
+      val flat = new Array[Float](nn * dim)
+      var i = 0
+      while (i < nn) {
+        System.arraycopy(rows(i), 0, flat, i * dim, dim); i += 1
+      }
+      val adjOff = new Array[Int](nn + 1)
+      i = 0
+      while (i < nn) { adjOff(i + 1) = adjOff(i) + adj(i).length; i += 1 }
+      val adjFlat = new Array[Int](adjOff(nn))
+      i = 0
+      while (i < nn) {
+        System.arraycopy(adj(i), 0, adjFlat, adjOff(i), adj(i).length)
+        i += 1
+      }
+      NswGraph.ServableCell(cid, Array.tabulate(nn)(_.toLong), dim,
+        flat, null, adjFlat, adjOff)
     }
-    val cell = NswGraph.ServableCell(0, Array.tabulate(n)(_.toLong), dim,
-      flat, null, adjFlat, adjOff)
+    var t0 = System.nanoTime()
+    val cells = Array.tabulate(nCells) { c =>
+      if (c == 0) buildCell(0, vecs)
+      else buildCell(c, Array.tabulate(n) { i =>
+        val base = centers((i + c) % 20)
+        Array.tabulate(dim)(j => base(j) + nextF() * 0.5f)
+      })
+    }
+    println(f"[pbeam] build $nCells cells x $n m=$m: " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+      f"(decoded ~${nCells.toLong * n * dim * 4 / (1 << 20)} MiB)")
+    val cell = cells(0)
+    val adj = Array.tabulate(n) { i =>
+      java.util.Arrays.copyOfRange(cell.adjFlat, cell.adjOff(i),
+        cell.adjOff(i + 1))
+    }
+    val flat = cell.flat
     val stamps = new Array[Int](n)
     var epoch = 0
     val cands = new NswGraph.PairHeap(ef + 1, max = false)
     val res = new NswGraph.PairHeap(ef + 1, max = true)
+    val nbuf = new Array[Int](n)
+    // beams round-robin across cells: with nCells ~32 the touched
+    // flat arrays exceed LLC, reproducing the executor's cold-cache
+    // regime per beam
     def beams(rounds: Int): Double = {
       val t = System.nanoTime()
       var r = 0
@@ -61,8 +91,8 @@ object ProfileBeam {
         var q = 0
         while (q < queries.length) {
           epoch += 1
-          NswGraph.beamServable(cell, 0, queries(q), ef, stamps, epoch,
-            cands, res)
+          NswGraph.beamServable(cells((q + r) % nCells), 0, queries(q), ef,
+            stamps, epoch, cands, res, nbuf)
           q += 1
         }
         r += 1
@@ -70,7 +100,10 @@ object ProfileBeam {
       (System.nanoTime() - t).toDouble / (rounds.toLong * queries.length)
     }
     beams(5) // warm
-    println(f"[pbeam] beamServable ef=$ef: ${beams(20)}%.0f ns/beam")
+    println(f"[pbeam] beamServable ef=$ef nCells=$nCells: " +
+      f"${beams(20)}%.0f ns/beam")
+    println(f"[pbeam] beamServable ef=$ef nCells=$nCells (rep): " +
+      f"${beams(20)}%.0f ns/beam")
 
     // counting twin: same visit order, with counters
     var evals = 0L; var pushes = 0L; var visited = 0L; var hops = 0L
@@ -114,7 +147,7 @@ object ProfileBeam {
     val nq = queries.length.toDouble
     println(f"[pbeam] per beam: hops=${hops / nq}%.1f visited=${visited / nq}%.1f " +
       f"distEvals=${evals / nq}%.1f heapPushes=${pushes / nq}%.1f " +
-      f"avgDegree=${adjFlat.length.toDouble / n}%.1f")
+      f"avgDegree=${cell.adjFlat.length.toDouble / n}%.1f")
 
     // raw distance throughput over the SAME random-access pattern:
     // walk a shuffled index sequence, full-width evals
