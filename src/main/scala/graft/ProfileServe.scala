@@ -58,37 +58,35 @@ object ProfileServe {
     time("servable decode") { servable.count() }
     println("[pserve] servable partitions: " + servable.getNumPartitions)
 
-    Seq(24, 32).foreach { efs =>
-      // warm each shape once, then measure twice
-      var probed: Array[(Long, Array[Float], Array[Int])] = null
-      time(s"efS=$efs probeQueries (cold)") {
-        probed = NswGraph.probeQueries(centroids, queries, nprobe)
-      }
-      (1 to 2).foreach { i =>
-        time(s"efS=$efs probeQueries #$i") {
-          probed = NswGraph.probeQueries(centroids, queries, nprobe)
-        }
-      }
-      time(s"efS=$efs beam-only (cold)") {
-        NswGraph.servablePartialsProbed(servable, probed, k, efs).count()
-      }
-      (1 to 2).foreach { i =>
-        time(s"efS=$efs beam-only #$i") {
-          NswGraph.servablePartialsProbed(servable, probed, k, efs).count()
-        }
-      }
-      time(s"efS=$efs beam+merge (cold)") {
-        NswGraph.searchServableProbed(servable, probed, k, efs).count()
-      }
-      (1 to 2).foreach { i =>
-        time(s"efS=$efs beam+merge #$i") {
-          NswGraph.searchServableProbed(servable, probed, k, efs).count()
-        }
-      }
-      (1 to 2).foreach { i =>
-        time(s"efS=$efs full searchServable #$i") {
-          NswGraph.searchServable(servable, centroids, queries, k, nprobe,
+    // (nprobe, efSearch) operating-point sweep, TWO interleaved
+    // rounds so a mid-run window shift (this host's noisy neighbors)
+    // is visible as round-1-vs-round-2 disagreement rather than
+    // silently biasing the later points; recalls for these points are
+    // deterministic (seeded end to end) and recorded from ScaleBench
+    val grid = Seq((2, 32), (2, 48), (2, 64), (4, 24), (4, 32), (4, 64))
+    grid.foreach { case (np, efs) => // warm every shape first
+      NswGraph.searchServable(servable, centroids, queries, k, np,
+        efs).count()
+    }
+    (1 to 2).foreach { round =>
+      grid.foreach { case (np, efs) =>
+        time(f"sweep r$round nprobe=$np%d efS=$efs%-3d full") {
+          NswGraph.searchServable(servable, centroids, queries, k, np,
             efs).count()
+        }
+      }
+    }
+    locally {
+      val probed = NswGraph.probeQueries(centroids, queries, nprobe)
+      (1 to 2).foreach { i =>
+        time(s"efS=32 probeQueries #$i") {
+          NswGraph.probeQueries(centroids, queries, nprobe)
+        }
+        time(s"efS=32 beam-only #$i") {
+          NswGraph.servablePartialsProbed(servable, probed, k, 32).count()
+        }
+        time(s"efS=32 beam+merge #$i") {
+          NswGraph.searchServableProbed(servable, probed, k, 32).count()
         }
       }
     }
