@@ -70,10 +70,13 @@ object Bench {
     val benchExcluded = Set("dedup_simhash_native",
       "dedup_simhash_pairs_native", "text_winnow_native",
       "corpus_dsir_native",
-      // ann_ivf_tombstone: ann_ivf_delete's side-table twin — same
-      // write + searchPersisted shape, value is the CORRECTNESS row
+      // ann_ivf_tombstone(_resident): ann_ivf_delete's side-table
+      // twins — same write + serve shapes as queries already measured
+      // (searchPersisted / ann_ivf_serve_resident), value is the
+      // CORRECTNESS row; the masked-serve overhead is measured in the
+      // scale record
       "ann_ivf_persist", "ann_ivf_delete", "ann_ivf_stats",
-      "ann_ivf_tombstone",
+      "ann_ivf_tombstone", "ann_ivf_tombstone_resident",
       "ann_nsw_persist", "ann_ivf_serve",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",
       "stream_dedup",
@@ -154,6 +157,27 @@ object Bench {
         clearShared()
         if (samples.nonEmpty) samples.min else -1.0
       }.getOrElse(-1.0)
+    // CROSS-ROUND NORMALIZATION: the previous round's committed
+    // calib_sec (highest-numbered BENCH_r*.json in the repo carrying
+    // the field) gives this window's drift factor directly —
+    // calib_vs_prev > 1 means THIS window is slower; dividing the
+    // pack total by it is the window-normalized comparison the
+    // round-12 record had to infer from unchanged in-sweep points.
+    val prevCalib: Double = {
+      val rx = """"calib_sec"\s*:\s*([0-9.]+)""".r
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      files.reverseIterator.flatMap { f =>
+        try {
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8)
+          rx.findFirstMatchIn(text).map(_.group(1).toDouble)
+        } catch { case _: Throwable => None }
+      }.find(_ > 0).getOrElse(-1.0)
+    }
+    val calibVsPrev: Double =
+      if (calibSec > 0 && prevCalib > 0) calibSec / prevCalib else -1.0
 
     // each pass is a full cold run of the pack (shared pack state and
     // spark caches dropped at every group boundary), so the per-query
@@ -197,7 +221,7 @@ object Bench {
     val fullErrField =
       if (allErrs.isEmpty) "" else allErrs.mkString(",\"errors\":{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"queries":$fullQs$fullErrField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"calib_vs_prev":${fmt(calibVsPrev, 3)},"queries":$fullQs$fullErrField,"sf":"$sfName"}"""
     try {
       val out = new java.io.PrintWriter("BENCH_full.json")
       try out.println(fullLine) finally out.close()
@@ -233,7 +257,7 @@ object Bench {
         .mkString(",\"errors\":{", ",", "}")
     val omitted = results.length - included.length
     val line =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"queries":$compactQs,"omitted":$omitted,"n_queries":${results.length}$errField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"calib_vs_prev":${fmt(calibVsPrev, 3)},"queries":$compactQs,"omitted":$omitted,"n_queries":${results.length}$errField,"sf":"$sfName"}"""
     // stdout carries ONLY the compact line: a >2000-char full line
     // would leave a truncated JSON fragment in the tail window ahead
     // of it (the full detail lives in BENCH_full.json)

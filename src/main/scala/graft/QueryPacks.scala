@@ -2932,6 +2932,32 @@ object AnnQueries {
           nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // TOMBSTONE-AWARE RESIDENT SERVING (r12 verdict's top item): the
+    // resident flat tier is an EPOCH SNAPSHOT — it decodes the index
+    // once and would keep serving a later-tombstoned id until rebuild.
+    // The serve-time mask argument closes that hole: the side-table's
+    // sorted id array rides into the resident kernel and is binary-
+    // searched per row BEFORE the distance (pre-filter semantics,
+    // exactly the persisted paths' anti-join). Hash-equality with the
+    // same survivor oracle as ann_ivf_tombstone proves
+    // resident-masked == persisted-masked == eager delete.
+    "ann_ivf_tombstone_resident" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf_tmbr").toString
+      AnnIvf.writeIndex(AnnIvf.index(data, centroids), tmp)
+      val cells = AnnIvf.servableCells(s.read.parquet(tmp))
+      try {
+        AnnIvf.tombstone(s, tmp,
+          data.filter(col("vec_id") % 11 === 4).select(col("vec_id")))
+        AnnIvf.searchServableCells(cells, centroids, queriesDf(s, d), K,
+            nprobe = 2, tombstones = AnnIvf.tombstoneIds(s, tmp))
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .localCheckpoint()
+      } finally cells.unpersist()
+    }),
     // query-time FILTERED serving from a SHARED index — the 100-TB
     // form of the reference's core scenario (many rating filters, one
     // corpus): the clustered index holds ALL rows (no label filter
@@ -3206,6 +3232,10 @@ object AnnQueries {
       survivors = "vec_id % 7 <> 3"),
     // tombstone masking serves exactly what the eager delete serves
     "ann_ivf_tombstone" -> ivfFixedSql(311,
+      survivors = "vec_id % 11 <> 4"),
+    // the RESIDENT tier under the same survivor oracle: the serve-time
+    // id mask == the persisted anti-join == the eager delete
+    "ann_ivf_tombstone_resident" -> ivfFixedSql(311,
       survivors = "vec_id % 11 <> 4"),
     // per-cell rows/id-ranges from the fixed assignment; n_files = 1
     // is the physical compaction postcondition

@@ -147,6 +147,25 @@ object ScaleBench {
         f"(cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
         f"recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
     }
+    // TOMBSTONE-MASKED resident serving (r13): the serve-time id mask
+    // that keeps an epoch-snapshot tier consistent with the persisted
+    // anti-join — a 50K-id spread mask (≈1% of the corpus, the GDPR
+    // batch shape) binary-searched per scanned row. Measured against
+    // the unmasked nprobe=4 point above for the overhead.
+    locally {
+      val mask = Array.tabulate(50000)(i => i.toLong * (n / 50000))
+      val (_, mCold) = time {
+        AnnIvf.searchServableCells(residentCells, centroids, queries, k,
+          nprobe = 4, tombstones = Some(mask)).count()
+      }
+      val (_, mWarm) = time {
+        AnnIvf.searchServableCells(residentCells, centroids, queries, k,
+          nprobe = 4, tombstones = Some(mask)).count()
+      }
+      println(f"[scale] resident ivf nprobe=  4 TOMBSTONE-MASKED (50K " +
+        f"spread ids) search=$mWarm%7.2fs (cold $mCold%.2fs) " +
+        f"qps=${nQ / mWarm}%9.1f")
+    }
     residentCells.unpersist()
 
     // HNSW-analog serving path: per-cell graphs built once, then
@@ -202,9 +221,21 @@ object ScaleBench {
     println(f"[scale] servable decode (flatten + CSR): $decodeSec%.1fs")
     locally {
       val (mem, dsk, cp, tp) = graft.operators.Resident.cachedBytes(servable)
+      // the estimate-vs-actual pair for the GRAPH tier too (r12
+      // carried only the flat tier's; ResidentSpec pins the safe side)
+      val gr = graphs.agg(sum(size(col("ids"))),
+        max(size(element_at(col("vecs"), 1))),
+        sum(aggregate(transform(col("adj"), a => size(a)),
+          lit(0L), (acc, x) => acc + x))).head()
+      val est = graft.operators.Resident.estimateGraphBytes(
+        if (gr.isNullAt(0)) 0L else gr.getLong(0),
+        if (gr.isNullAt(1)) 0 else gr.getInt(1),
+        if (gr.isNullAt(2)) 0L else gr.getLong(2))
       println(f"[scale] servable graph footprint: mem=${mem / (1L << 20)}%d MiB " +
         f"disk=${dsk / (1L << 20)}%d MiB cached=$cp/$tp " +
-        f"level=${servable.getStorageLevel.description}")
+        f"level=${servable.getStorageLevel.description} " +
+        f"estimate=${est / (1L << 20)}%d MiB " +
+        f"(${if (est >= mem) "safe: estimate >= actual" else "UNDER-ESTIMATE"})")
     }
     // (nprobe, efSearch) grid: the r11 curve (nprobe=4) plus the
     // cheaper-probe operating points — per query the beam cost is
@@ -228,6 +259,25 @@ object ScaleBench {
       println(f"[scale] servable nprobe=$np%3d efS=$efs%3d search=$warm%7.2fs " +
         f"(cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
         f"recall@10=${r.getDouble(r.fieldIndex("recall"))}%.4f")
+    }
+    // tombstone-masked beam drain at the headline operating point:
+    // the mask never changes the beam (masked nodes stay routing
+    // structure), only the result drain — measured for the overhead
+    locally {
+      val mask = Array.tabulate(50000)(i => i.toLong * (n / 50000))
+      val (_, mCold) = time {
+        graft.operators.NswGraph.searchServable(servable, centroids,
+          queries, k, nprobe = 2, efSearch = 32,
+          tombstones = Some(mask)).count()
+      }
+      val (_, mWarm) = time {
+        graft.operators.NswGraph.searchServable(servable, centroids,
+          queries, k, nprobe = 2, efSearch = 32,
+          tombstones = Some(mask)).count()
+      }
+      println(f"[scale] servable nprobe=  2 efS= 32 TOMBSTONE-MASKED " +
+        f"(50K spread ids) search=$mWarm%7.2fs (cold $mCold%.2fs) " +
+        f"qps=${nQ / mWarm}%9.1f")
     }
     servable.unpersist()
 
@@ -303,6 +353,53 @@ object ScaleBench {
       println(f"[scale] adc+rerank nprobe=$nprobe%3d kfactor=16 " +
         f"search=$warm%7.2fs (cold $cold%.2fs) qps=${nQ / warm}%9.1f " +
         f"recall@10=${rrq.getDouble(rrq.fieldIndex("recall"))}%.4f")
+    }
+    // r13: the PQ RECALL KNEE (r12 verdict task 2) — the two knobs a
+    // user reaches for when 0.607 refined recall is not enough:
+    // a deeper refine shortlist (kfactor 16 → 32 → 64; scan cost grows
+    // only in the q·k·kfactor exact re-rank) and a finer codebook
+    // (m 8 → 16: 4-dim subvectors, 16 B/vector — compression 16x
+    // instead of 32x, reconstruction error roughly halves). One
+    // recorded sweep at the documented nprobe=4 operating point.
+    if (!sys.env.get("SPARK_GRAFT_PQ_KNEE").contains("0")) {
+      val m16 = 16
+      val (cb16, t16) = time {
+        graft.operators.Pq.train(
+          graft.operators.Pq.residuals(indexed, centroids)
+            .sample(math.min(1.0, 200000.0 / n), 43),
+          m = m16, ksub = pqKsub, iterations = 2, vecCol = "_resid")
+      }
+      val pqDir16 = java.nio.file.Files
+        .createTempDirectory("graft_scale_ivfpq16").toString
+      val (_, w16) = time {
+        graft.operators.Pq.writeIvfPqIndexed(indexed, centroids, cb16,
+          pqDir16, residual = true)
+      }
+      println(f"[scale] pq-knee m=16 codebook: train=$t16%.1fs " +
+        f"write=$w16%.1fs (16 B/vec vs m=8's 8 B/vec)")
+      Seq((pqM, pqDir, cb), (m16, pqDir16, cb16)).foreach {
+        case (mv, dir, book) =>
+          Seq(16, 32, 64).foreach { kf =>
+            val (_, kneeCold) = time {
+              graft.operators.Pq.searchPersistedAdcRefined(spark, dir,
+                centroids, book, filtered, queries, k, nprobe = 4,
+                kfactor = kf, residual = true).count()
+            }
+            val (_, kneeWarm) = time {
+              graft.operators.Pq.searchPersistedAdcRefined(spark, dir,
+                centroids, book, filtered, queries, k, nprobe = 4,
+                kfactor = kf, residual = true).count()
+            }
+            val kq = graft.operators.Pq.searchPersistedAdcRefined(spark,
+              dir, centroids, book, filtered, qSample, k, nprobe = 4,
+              kfactor = kf, residual = true)
+            val kr = Recall.ofRanked(kq, truth).head()
+            println(f"[scale] pq-knee m=$mv%2d kfactor=$kf%3d nprobe=4 " +
+              f"search=$kneeWarm%7.2fs (cold $kneeCold%.2fs) " +
+              f"qps=${nQ / kneeWarm}%9.1f " +
+              f"recall@10=${kr.getDouble(kr.fieldIndex("recall"))}%.4f")
+          }
+      }
     }
     // Query-time filtered serving from ONE shared unfiltered index —
     // the reference's actual product scenario (filter_config.yaml

@@ -213,7 +213,26 @@ object AnnIvf {
     * system). */
   def appendToIndex(newData: DataFrame, centroids: DataFrame, path: String,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Option[DataFrame] = None, wSuper: Int = 4): Array[Int] = {
+      supers: Option[DataFrame] = None, wSuper: Int = 4,
+      clearTombstones: Boolean = false): Array[Int] = {
+    // clearTombstones: tombstone masking is BY ID, so a re-appended id
+    // would stay invisible until the next fold — a retract-then-
+    // reinsert feed passes true. Erasing the side-table entry alone
+    // would be WRONG: the retracted rows are still physically present
+    // (tombstoning never rewrites cells), so unmasking the id would
+    // serve the OLD vectors next to the new ones. The correct sequence
+    // is (1) eagerly delete the batch's ids (physically removes the
+    // retracted rows — O(cells the old rows touch), the one-off honest
+    // cost of re-ingesting a lazily-deleted id), (2) erase them from
+    // the side-table, (3) append the new rows. A crash between the
+    // steps can only under-serve the re-ingested id (rows gone /
+    // still masked), never resurrect a retracted row.
+    if (clearTombstones) {
+      val spark = newData.sparkSession
+      val batchIds = newData.select(col(idCol))
+      deleteFromIndex(spark, path, batchIds, idCol)
+      clearTombstoneIds(spark, path, batchIds, idCol)
+    }
     // `supers` = the base index was built with indexTwoLevel: batches
     // must assign through the SAME hierarchical expression AT THE SAME
     // wSuper (parity with the persisted cells is the contract; a flat
@@ -343,8 +362,21 @@ object AnnIvf {
     *
     * Masking is by ID: re-appending a tombstoned id stays invisible
     * until the tombstones are folded — a retract-then-reinsert feed
-    * must fold (or use the eager delete) between the two. Returns the
-    * number of ids recorded. */
+    * must fold (or use the eager delete) between the two, or append
+    * with `appendToIndex(..., clearTombstones = true)`, which erases
+    * the batch's ids from the side-table so the re-ingested rows are
+    * served again (KnnSpec pins both behaviors). Returns the number
+    * of ids recorded.
+    *
+    * RESIDENT TIERS are epoch snapshots: `servableCells` /
+    * `NswGraph.servableIndex` decode the index ONCE and hold it in
+    * memory, so a tombstone recorded after the decode is NOT observed
+    * by that tier automatically — pass the current mask to the serve
+    * calls (`searchServableCells(..., tombstones = tombstoneIds(…))`,
+    * `NswGraph.searchServable(..., tombstones = …)`) or refresh it on
+    * `Serving.Artifacts.refreshTombstones`. The mask is serve-time
+    * state (an id array checked per row/result), so refreshing it
+    * never re-decodes the tier. */
   def tombstone(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String = "vec_id"): Long = {
     val del = ids.select(col(idCol).cast("long").as(idCol)).distinct()
@@ -367,6 +399,39 @@ object AnnIvf {
     else None
   }
 
+  /** The tombstoned ids as a SORTED primitive array — the broadcast-
+    * able serve-time mask for the RESIDENT tiers (binary-searched per
+    * row in `searchServableCells`, per beam result in
+    * `NswGraph.searchServable*`). Driver-sized by the same contract
+    * that lets the persisted paths broadcast the anti-join side; None
+    * when no tombstones are recorded. */
+  def tombstoneIds(spark: SparkSession, path: String): Option[Array[Long]] =
+    readTombstones(spark, path).map { t =>
+      import spark.implicits._
+      val ids = t.select(col(t.columns.head).cast("long"))
+        .as[Long].collect()
+      java.util.Arrays.sort(ids)
+      ids
+    }
+
+  /** Erase `ids` from the tombstone side-table (the re-ingest hook:
+    * `appendToIndex(..., clearTombstones = true)` routes here so a
+    * retract-then-reinsert feed's re-appended rows are served again
+    * without waiting for a fold). The side-table is driver-sized by
+    * contract; the survivors are materialized (localCheckpoint)
+    * before the overwrite so the read never races its own rewrite. */
+  private[operators] def clearTombstoneIds(spark: SparkSession,
+      path: String, ids: DataFrame, idCol: String): Unit =
+    readTombstones(spark, path).foreach { t =>
+      val tidCol = t.columns.head
+      val kept = t.join(
+        broadcast(ids.select(col(idCol).cast("long").as(tidCol)).distinct()),
+        Seq(tidCol), "left_anti")
+        .localCheckpoint()
+      kept.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/$TombstoneDir")
+    }
+
   /** Fold the tombstones into the layout: one eager delete of every
     * recorded id (corpus-wide discovery — the honest fold cost,
     * amortized over every batch that only appended to the side-table)
@@ -374,17 +439,66 @@ object AnnIvf {
     * construction (the serve-time anti-join was already masking these
     * rows); only the physical layout and the per-query anti-join cost
     * change. Runs automatically in the unhinted `compactIndex` pass.
-    * Returns rows physically removed. */
-  def foldTombstones(spark: SparkSession, path: String): Long =
+    *
+    * The accumulated side-table is the UNION of every batch since the
+    * last fold — no longer "small by contract" — so past
+    * `broadcastLimit` distinct ids the fold switches from the
+    * interactive broadcast + collect_set delete to
+    * `deleteFromIndexShuffled` (shuffle join discovery, aggregate
+    * counts, no per-cell id sets on the driver): a long accumulation
+    * window can exceed the driver/broadcast budget exactly because
+    * tombstoning made accumulating cheap. Returns rows physically
+    * removed. */
+  def foldTombstones(spark: SparkSession, path: String,
+      broadcastLimit: Long = 1000000L): Long =
     readTombstones(spark, path) match {
       case None => 0L
       case Some(t) =>
-        val n = deleteFromIndex(spark, path, t, idCol = t.columns.head)
+        val idc = t.columns.head
+        val n =
+          if (t.count() <= broadcastLimit)
+            deleteFromIndex(spark, path, t, idCol = idc)
+          else
+            deleteFromIndexShuffled(spark, path, t, idCol = idc)._1
         val dir = new org.apache.hadoop.fs.Path(path, TombstoneDir)
         dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(dir, true)
         n
     }
+
+  /** `deleteFromIndexDetailed` for deletion sets past the broadcast /
+    * driver budget (the accumulated tombstone fold is the motivating
+    * caller): touched-cell discovery is a SHUFFLE join of the
+    * column-pruned (cid, id) scan against the id set, the two audit
+    * counts are aggregates over that join (count + distinct-id count —
+    * never a per-cell collect_set on the driver), and the survivor
+    * anti-join carries no broadcast hint (AQE picks the join strategy
+    * from the measured sizes). Only the touched-CELL list lands on the
+    * driver — bounded by the cell count, not the batch. Semantically
+    * identical to the broadcast path (KnnSpec pins equality). */
+  def deleteFromIndexShuffled(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String = "vec_id"): (Long, Long) = {
+    val del = ids.select(col(idCol).cast("long").as(idCol)).distinct()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = spark.read.parquet(path)
+      .select(col("cid"), col(idCol))
+      .join(del, Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val stats = matched
+        .agg(count(lit(1)), countDistinct(col(idCol))).head()
+      val (rowsDel, distinctIds) = (stats.getLong(0), stats.getLong(1))
+      if (rowsDel == 0L) return (0L, 0L)
+      val touchedCids = matched.select(col("cid").cast("int")).distinct()
+        .collect().map(_.getInt(0))
+      val survivors =
+        readCells(spark, path, touchedCids.map(c => s"$path/cid=$c"))
+          .join(del, Seq(idCol), "left_anti")
+      stagedCellCommit(spark, fs, path, survivors, touchedCids)
+      (rowsDel, distinctIds)
+    } finally matched.unpersist()
+  }
 
   /** Scan of an explicit list of `cid=` partition directories: the
     * `basePath` option recovers the partition column from the
@@ -847,12 +961,23 @@ object AnnIvf {
     * distance: identical semantics to `searchFast` over
     * `indexed.filter(pred)` — the reference's rating-bracket filtered
     * search — without ever leaving the decoded tier or building a
-    * per-filter index. */
+    * per-filter index.
+    *
+    * `tombstones` (a SORTED id array — `AnnIvf.tombstoneIds` returns
+    * it ready) is the serve-time deletion mask for this epoch
+    * snapshot: the resident tier decodes once, so ids tombstoned
+    * AFTER the decode must be masked here to keep resident serving
+    * consistent with the persisted paths' anti-join (binary-searched
+    * per row BEFORE the distance — exactly `searchFast` over the
+    * masked relation, so resident-masked == persisted-masked ==
+    * eager-delete, pinned in KnnSpec). Refreshing the mask is free:
+    * it is an argument, not tier state — no re-decode. */
   def searchServableCells(idx: org.apache.spark.rdd.RDD[FlatBlock],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      attrPred: Option[Double => Boolean] = None): DataFrame = {
+      attrPred: Option[Double => Boolean] = None,
+      tombstones: Option[Array[Long]] = None): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
     val matrix = collectCentroids(centroids)
@@ -869,6 +994,9 @@ object AnnIvf {
     // Double => Boolean is a specialized Function1: the per-row call
     // below stays primitive (no boxing in the scan)
     val pred: Double => Boolean = attrPred.orNull
+    // sorted mask rides the task closure (small by the tombstone
+    // contract); binary search keeps the per-row check allocation-free
+    val tomb: Array[Long] = tombstones.orNull
     val partials = idx.mapPartitions { it =>
       val (qids, qvecs, byCell) = bc.value
       val heaps = Array.fill(qids.length)(new graft.functions.TopKBuffer(kk))
@@ -883,6 +1011,8 @@ object AnnIvf {
         while (i < n) {
           val probing =
             if (pred != null && !pred(block.attrs(i))) null
+            else if (tomb != null &&
+              java.util.Arrays.binarySearch(tomb, block.ids(i)) >= 0) null
             else byCell.getOrElse(block.cids(i), null)
           if (probing != null) {
             touched = true

@@ -674,17 +674,33 @@ object NswGraph {
   def searchServable(idx: org.apache.spark.rdd.RDD[ServableCell],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None): DataFrame =
     searchServableProbed(idx,
       probeQueries(centroids, queries, nprobe, qidCol, qvecCol),
-      k, efSearch, metric)
+      k, efSearch, metric, tombstones)
 
-  /** `searchServable` over precollected probe lists. */
+  /** `searchServable` over precollected probe lists.
+    *
+    * `tombstones` (sorted ids — `AnnIvf.tombstoneIds`) is the
+    * serve-time deletion mask for this epoch snapshot of the decoded
+    * graph: the BEAM still walks tombstoned nodes (they are routing
+    * structure — excising them would change connectivity and recall
+    * until a rebuild), but masked ids are dropped from each beam's
+    * RESULT drain before the per-cell top-k, so no tombstoned id is
+    * ever returned — filter-at-serve, the reference's own delete
+    * semantics (utils_grid_search.py:999-1002 filters ids at serve
+    * time over an unchanged index). The drain filters BEFORE trimming
+    * to k, so surviving candidates from the full ef-deep beam fill
+    * the freed ranks (NswSpec pins: masked serve == unmasked serve
+    * with the ids post-filtered, and == the unmasked ranking when no
+    * masked id was in the beam). */
   def searchServableProbed(idx: org.apache.spark.rdd.RDD[ServableCell],
       probed: Array[(Long, Array[Float], Array[Int])], k: Int,
-      efSearch: Int = 64, metric: String = "sqeuclidean"): DataFrame =
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None): DataFrame =
     Knn.topKFrom(
-      servablePartialsProbed(idx, probed, k, efSearch, metric),
+      servablePartialsProbed(idx, probed, k, efSearch, metric, tombstones),
       k, col("_dist"), col("_nnid"), col("qid"))
 
   /** The per-cell partial results of `searchServableProbed` BEFORE the
@@ -693,7 +709,8 @@ object NswGraph {
   private[graft] def servablePartialsProbed(
       idx: org.apache.spark.rdd.RDD[ServableCell],
       probed: Array[(Long, Array[Float], Array[Int])], k: Int,
-      efSearch: Int = 64, metric: String = "sqeuclidean"): DataFrame = {
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
     val qids = probed.map(_._1)
@@ -704,6 +721,9 @@ object NswGraph {
     val bcQ = spark.sparkContext.broadcast((qids, qvecs, inv))
     val (efs, mcode, kk) =
       (math.max(k, efSearch), Knn.metricCode(metric), k)
+    // sorted serve-time deletion mask (small by the tombstone
+    // contract) — rides the task closure, binary-searched per result
+    val tomb: Array[Long] = tombstones.orNull
     val partials = idx.mapPartitions { it =>
       val (ids, vecs, byCell) = bcQ.value
       // per-partition scratch, reused across every cell and query
@@ -736,20 +756,42 @@ object NswGraph {
             epoch += 1
             beamServable(cell, mcode, vecs(qi), efs, stamps, epoch,
               candidates, results, nbuf)
-            // keep the kk smallest: pop the (size-kk) largest away,
-            // then drain the rest ascending into the primitive pair
-            var drop = results.size - kk
-            while (drop > 0) { results.pop(); drop -= 1 }
-            var r = results.size - 1
-            val cnt = results.size
-            while (results.size > 0) {
-              outD(r) = results.headDist; outI(r) = results.headIdx
-              results.pop(); r -= 1
-            }
-            var x = 0
-            while (x < cnt) {
-              out(written) = (ids(qi), cell.ids(outI(x)), outD(x))
-              written += 1; x += 1
+            if (tomb == null) {
+              // keep the kk smallest: pop the (size-kk) largest away,
+              // then drain the rest ascending into the primitive pair
+              var drop = results.size - kk
+              while (drop > 0) { results.pop(); drop -= 1 }
+              var r = results.size - 1
+              val cnt = results.size
+              while (results.size > 0) {
+                outD(r) = results.headDist; outI(r) = results.headIdx
+                results.pop(); r -= 1
+              }
+              var x = 0
+              while (x < cnt) {
+                out(written) = (ids(qi), cell.ids(outI(x)), outD(x))
+                written += 1; x += 1
+              }
+            } else {
+              // masked drain: filter BEFORE trimming to kk, so
+              // surviving candidates from the full ef-deep beam fill
+              // the ranks a masked id vacates
+              var r = results.size - 1
+              val cnt = results.size
+              while (results.size > 0) {
+                outD(r) = results.headDist; outI(r) = results.headIdx
+                results.pop(); r -= 1
+              }
+              var x = 0
+              var kept = 0
+              while (x < cnt && kept < kk) {
+                val nid = cell.ids(outI(x))
+                if (java.util.Arrays.binarySearch(tomb, nid) < 0) {
+                  out(written) = (ids(qi), nid, outD(x))
+                  written += 1; kept += 1
+                }
+                x += 1
+              }
             }
             p += 1
           }

@@ -301,12 +301,83 @@ object Pq {
       cb: Codebook, path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
       extraCols: Seq[String] = Nil,
-      residual: Boolean = true): Unit =
+      residual: Boolean = true): Unit = {
     codeTable(indexed, centroids, cb, idCol, vecCol, extraCols, residual)
       // one shuffle by cid → one file per cell, not tasks × cells
       // files (see AnnIvf.writeIndex)
       .repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
+    // the encode mode is INDEX state, not caller knowledge: a layout
+    // written residual and searched raw (or vice versa) decodes
+    // garbage with no error — FAISS serializes this flag inside the
+    // index for the same reason. The sidecar records it next to the
+    // codes; every search/append validates against it (dot-prefixed:
+    // parquet scans never see it).
+    writePqMeta(indexed.sparkSession, path,
+      PqMeta(residual, cb.m, cb.dsub, cb.codebooks(0).length))
+  }
+
+  /** The persisted layout's encode parameters — written by
+    * `writeIvfPqIndexed`, validated by `searchPersistedAdc*` and
+    * `appendToIndex`. A flag mismatch between writer and searcher is
+    * silent garbage (raw codes decoded as residuals rank noise), so
+    * it must fail loudly instead. */
+  final case class PqMeta(residual: Boolean, m: Int, dsub: Int, ksub: Int)
+
+  private val PqMetaFile = ".graft_pq_meta.json"
+
+  private def writePqMeta(spark: SparkSession, path: String,
+      meta: PqMeta): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, PqMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"residual":${meta.residual},"m":${meta.m},"dsub":${meta.dsub},"ksub":${meta.ksub}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The persisted encode parameters, if the layout carries them
+    * (layouts written before the sidecar existed return None and skip
+    * validation — the caller's flags are trusted as before). */
+  def readPqMeta(spark: SparkSession, path: String): Option[PqMeta] = {
+    val p = new org.apache.hadoop.fs.Path(path, PqMetaFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def num(key: String): Option[Int] =
+        (s""""$key"\\s*:\\s*(\\d+)""".r).findFirstMatchIn(text)
+          .map(_.group(1).toInt)
+      val res = (""""residual"\s*:\s*(true|false)""".r)
+        .findFirstMatchIn(text).map(_.group(1).toBoolean)
+      for (r <- res; m <- num("m"); d <- num("dsub"); k <- num("ksub"))
+        yield PqMeta(r, m, d, k)
+    }
+  }
+
+  /** Fail loudly when the caller's encode flags disagree with what the
+    * layout was written with — the silent-garbage hazard the sidecar
+    * exists to close. No-op when the layout predates the sidecar. */
+  private def validatePqMode(spark: SparkSession, path: String,
+      cb: Codebook, residual: Boolean, what: String): Unit =
+    readPqMeta(spark, path).foreach { meta =>
+      require(meta.residual == residual,
+        s"$what: this IVF-PQ layout was written with residual=" +
+          s"${meta.residual} but the call passed residual=$residual — " +
+          "decoding would silently rank garbage; pass residual=" +
+          s"${meta.residual} (the sidecar ${PqMetaFile} records the " +
+          "layout's encode mode)")
+      require(meta.m == cb.m && meta.dsub == cb.dsub &&
+          meta.ksub == cb.codebooks(0).length,
+        s"$what: codebook shape (m=${cb.m}, dsub=${cb.dsub}, ksub=" +
+          s"${cb.codebooks(0).length}) does not match the layout's " +
+          s"(m=${meta.m}, dsub=${meta.dsub}, ksub=${meta.ksub}) — " +
+          "the codes were written with a different codebook")
+    }
 
   /** The (id, codes, extra…, cid) relation the clustered layout stores
     * — shared by the full write and the incremental append so the two
@@ -342,12 +413,21 @@ object Pq {
       extraCols: Seq[String] = Nil,
       residual: Boolean = true,
       supers: Option[DataFrame] = None, wSuper: Int = 4): Unit = {
+    val spark = newData.sparkSession
+    // appending raw codes into a residual layout (or vice versa) is
+    // per-row silent garbage — validate against the sidecar before
+    // touching the tree; legacy layouts (no sidecar) get one written
+    // from this batch's flags so the NEXT mismatch is caught
+    validatePqMode(spark, path, cb, residual, "Pq.appendToIndex")
     val indexed = supers.fold(
       AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>
       AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol, wSuper))
     codeTable(indexed, centroids, cb, idCol, vecCol, extraCols, residual)
       .repartition(col("cid")) // one file per touched cell per batch
       .write.mode("append").partitionBy("cid").parquet(path)
+    if (readPqMeta(spark, path).isEmpty)
+      writePqMeta(spark, path,
+        PqMeta(residual, cb.m, cb.dsub, cb.codebooks(0).length))
   }
 
   /** ADC search over the persisted clustered code table: per query,
@@ -369,6 +449,10 @@ object Pq {
       residual: Boolean = true,
       honorTombstones: Boolean = true): DataFrame = {
     import spark.implicits._
+    // encode-mode guard: searching a raw layout with residual LUTs
+    // (or vice versa) silently ranks garbage — the sidecar written by
+    // writeIvfPqIndexed makes the mismatch a loud error instead
+    validatePqMode(spark, path, cb, residual, "Pq.searchPersistedAdc")
     // tombstone parity with AnnIvf.searchPersisted: spread deletes
     // recorded by AnnIvf.tombstone on this layout (layout-generic,
     // ids only) are masked below the top-k until folded

@@ -30,11 +30,37 @@ import org.apache.spark.storage.StorageLevel
   */
 object Resident {
 
-  /** Free storage memory summed across executors (in local mode: the
-    * driver's block-manager budget). */
-  def freeStorageBytes(spark: SparkSession): Long =
-    spark.sparkContext.getExecutorMemoryStatus.values
-      .map(_._2).foldLeft(0L)(_ + _)
+  /** Free storage memory summed across EXECUTORS. The raw
+    * `getExecutorMemoryStatus` map includes the driver's block
+    * manager; in cluster mode the driver caches no tier partitions,
+    * so counting its headroom would inflate the budget and let
+    * `chooseLevel` pick MEMORY_ONLY for a tier that does not fit on
+    * the executors — re-creating the silent eviction-recompute the
+    * guard exists to prevent. The driver entry is excluded whenever
+    * any other block manager is registered; in local mode the driver
+    * IS the executor and its entry is the budget. (The sum still
+    * assumes partitions spread ~evenly; a pathologically skewed tier
+    * can overfill one executor while the sum says it fits — the 0.7
+    * safety margin in `chooseLevel` absorbs moderate skew, and
+    * callers with known-skewed tiers should pass an explicit
+    * `storage` level.) */
+  def freeStorageBytes(spark: SparkSession): Long = {
+    val status = spark.sparkContext.getExecutorMemoryStatus
+    val driverKey =
+      try org.apache.spark.SparkEnv.get.blockManager.blockManagerId.hostPort
+      catch { case scala.util.control.NonFatal(_) => null }
+    executorFreeBytes(status.toMap, driverKey)
+  }
+
+  /** The pure budget fold (unit-tested apart from the engine): sum
+    * free storage over non-driver entries; if the driver is the ONLY
+    * block manager (local mode), its budget is the budget. */
+  private[graft] def executorFreeBytes(
+      status: Map[String, (Long, Long)], driverKey: String): Long = {
+    val execs = status.filter { case (k, _) => k != driverKey }
+    val useful = if (execs.nonEmpty) execs else status
+    useful.values.map(_._2).foldLeft(0L)(_ + _)
+  }
 
   /** Decoded footprint of a flat vector tier: per row one long id,
     * one int cid, dim floats, optionally one double attr; plus a

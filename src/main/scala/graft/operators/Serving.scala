@@ -70,12 +70,63 @@ object Serving {
     /** The memoized (total, survivors) for a predicate, if present. */
     def cachedCounts(predicate: Column): Option[(Long, Long)] =
       selCache.get(Serving.predicateKey(predicate))
+
+    /** TOMBSTONE MASK for this serving epoch — serve-consistency with
+      * the persisted paths' anti-join (`AnnIvf.searchPersisted*`
+      * honor the side-table by default; the resident tiers are epoch
+      * snapshots that would otherwise keep serving a tombstoned id
+      * until rebuild). `refreshTombstones` re-reads the side-table
+      * WITHOUT re-decoding any tier (the mask is serve-time state),
+      * and every refresh clears the selectivity memo: the masked
+      * relation's survivor counts are a new epoch. */
+    @volatile private var tombMask: Option[Array[Long]] = None
+    /** The current sorted tombstone mask, if any. */
+    def tombstones: Option[Array[Long]] = tombMask
+    /** Install a mask (ids are copied + sorted; empty clears). */
+    def setTombstones(ids: Array[Long]): Unit = {
+      tombMask =
+        if (ids == null || ids.isEmpty) None
+        else {
+          val s = ids.clone(); java.util.Arrays.sort(s); Some(s)
+        }
+      selCache.clear()
+    }
+    /** Re-read the index's tombstone side-table into the mask. */
+    def refreshTombstones(spark: org.apache.spark.sql.SparkSession,
+        indexPath: String): Unit =
+      setTombstones(
+        AnnIvf.tombstoneIds(spark, indexPath).getOrElse(Array.emptyLongArray))
   }
 
   /** Stable cache key for a filter predicate (its expression
     * rendering — two Columns built the same way render identically). */
-  private[operators] def predicateKey(predicate: Column): String =
+  private[graft] def predicateKey(predicate: Column): String =
     predicate.toString
+
+  /** Whether the selectivity memo may key on this predicate: two
+    * DIFFERENT anonymous Scala UDFs both render as `UDF(col)`, and a
+    * non-deterministic expression's survivor count is not a constant
+    * of the predicate — either would make a cache hit return counts
+    * measured for something else, silently mis-dispatching the
+    * strategy and mis-sizing the over-fetch k'. Such predicates skip
+    * the memo and measure every call (pass `selectivity = Some(…)` to
+    * avoid the per-call counts); unanalyzable filters conservatively
+    * skip too.
+    *
+    * Inspected on the ANALYZED plan of `relation.filter(predicate)`
+    * (the unresolved Column wraps UDF/function nodes opaquely; the
+    * resolved Filter condition carries the real `ScalaUDF` /
+    * non-deterministic expressions). */
+  private[graft] def cacheableFilter(
+      filtered: DataFrame): Boolean =
+    try {
+      import org.apache.spark.sql.catalyst.plans.logical.Filter
+      val cond = org.apache.spark.sql.graft.Shim.analyzed(filtered)
+        .collectFirst { case f: Filter => f.condition }
+      cond.exists(c => !c.exists(x =>
+        x.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]
+          || !x.deterministic))
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   sealed abstract class Strategy(val name: String)
   /** Over-fetch k' on the unfiltered resident graph, filter, re-rank. */
@@ -122,7 +173,21 @@ object Serving {
       validateAttrPred: Boolean = false)
       : (Strategy, DataFrame) = {
     require(overFetchMult >= 1, s"overFetchMult must be >= 1")
-    val survivors = art.indexed.filter(predicate)
+    // tombstone mask first (pre-filter semantics, identical to the
+    // persisted paths' anti-join): every branch below serves from the
+    // masked relation, so a tombstoned id can never be returned —
+    // resident tiers included (the mask also rides into the resident
+    // kernels as their serve-time id mask)
+    val masked = art.tombstones
+    val indexedM = masked match {
+      case None => art.indexed
+      case Some(ids) =>
+        val spark = art.indexed.sparkSession
+        import spark.implicits._
+        art.indexed.join(
+          broadcast(ids.toSeq.toDF(idCol)), Seq(idCol), "left_anti")
+    }
+    val survivors = indexedM.filter(predicate)
     // measured counts also give the over-fetch k' in exact integer
     // arithmetic (ceil-div), so the graph branch's width is a pure
     // function of the two counts — reproducible by an integer oracle,
@@ -132,13 +197,21 @@ object Serving {
       case None =>
         // both counts are column-pruned scans (no vector decode) and
         // MEMOIZED per (artifact, predicate) — a deployment serving
-        // repeated predicates pays them once per index epoch; one with
-        // known filters passes the hint and never pays them
-        val (total, surv) = art.selCache.getOrElseUpdate(
-          predicateKey(predicate), {
-            art.selComputes += 1
-            (art.indexed.count(), survivors.count())
-          })
+        // repeated predicates pays them once per index epoch (tombstone
+        // refreshes clear the memo: counts are over the masked
+        // relation); one with known filters passes the hint and never
+        // pays them. Predicates whose rendering is ambiguous (anonymous
+        // Scala UDFs all print as `UDF(...)`) or non-deterministic
+        // skip the memo and measure per call — a key collision would
+        // return counts measured for a different filter.
+        def measure(): (Long, Long) = {
+          art.selComputes += 1
+          (indexedM.count(), survivors.count())
+        }
+        val (total, surv) =
+          if (cacheableFilter(survivors))
+            art.selCache.getOrElseUpdate(predicateKey(predicate), measure())
+          else measure()
         val s = if (total == 0L) 1.0 else surv.toDouble / total
         (s, if (surv > 0L)
           Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
@@ -167,11 +240,15 @@ object Serving {
               // attr-survivor count must equal the Column predicate's
               // survivor count (one resident pass + one column-pruned
               // scan — run once per epoch/predicate, not per batch)
+              val tombV = masked.orNull
               val resid = blocks.map(b =>
                 if (b.attrs == null) 0L
                 else { var c = 0L; var i = 0
                   while (i < b.attrs.length) {
-                    if (p(b.attrs(i))) c += 1; i += 1 }
+                    if (p(b.attrs(i)) && (tombV == null ||
+                      java.util.Arrays.binarySearch(tombV, b.ids(i)) < 0))
+                      c += 1
+                    i += 1 }
                   c }).sum().toLong
               val colSurv = survivors.count()
               require(resid == colSurv,
@@ -182,7 +259,8 @@ object Serving {
             }
             (IvfPrefilterResident,
               AnnIvf.searchServableCells(blocks, art.centroids, queries,
-                k, nprobe, metric, qidCol, qvecCol, attrPred = Some(p)))
+                k, nprobe, metric, qidCol, qvecCol, attrPred = Some(p),
+                tombstones = masked))
           case _ =>
             (IvfPrefilter, AnnIvf.searchFast(survivors, art.centroids,
               queries, k, nprobe, idCol, vecCol, qidCol, qvecCol, metric))
@@ -196,9 +274,13 @@ object Serving {
           math.max(k, kFromCounts.getOrElse(
             math.ceil(overFetchMult * k / sel).toInt)))
         val efF = math.max(efSearch, kF)
+        // the semi-join below would drop tombstoned ids anyway (the
+        // survivor side is masked), but masking inside the beam drain
+        // lets surviving candidates fill the k' window instead of
+        // wasting it on rows the join will discard
         val fetched = NswGraph.searchServable(art.graph.get,
           art.centroids, queries, kF, nprobe, efF, metric,
-          qidCol, qvecCol)
+          qidCol, qvecCol, tombstones = masked)
         // membership check against the survivor ids: a semi-join on
         // the id column — the predicate may read any column of the
         // relation, so it is evaluated once on the scan side, never

@@ -37,4 +37,5 @@ object Shim {
       exp.extraOptimizations = exp.extraOptimizations :+ rule
     }
   }
+
 }

@@ -518,6 +518,115 @@ class KnnSpec extends AnyFunSuite {
     assert(serve(s"$tmpA/idx", honor = false) == preCompact)
   }
 
+  test("resident flat tier honors the tombstone mask: resident-masked " +
+      "== persisted-masked == eager delete; the unmasked epoch " +
+      "snapshot still serves the rows") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmpA = java.nio.file.Files
+      .createTempDirectory("graft_tmbr_a").toString
+    val tmpB = java.nio.file.Files
+      .createTempDirectory("graft_tmbr_b").toString
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmpA/idx")
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmpB/idx")
+    val delIds = filtered.filter($"vec_id" % 9 === 2).select($"vec_id")
+    // the resident tier decodes BEFORE the tombstone lands — the
+    // epoch-snapshot situation the mask argument exists for
+    val cells = AnnIvf.servableCells(
+      spark.read.parquet(s"$tmpA/idx"))
+    try {
+      AnnIvf.tombstone(spark, s"$tmpA/idx", delIds)
+      AnnIvf.deleteFromIndex(spark, s"$tmpB/idx", delIds)
+      val mask = AnnIvf.tombstoneIds(spark, s"$tmpA/idx")
+      assert(mask.nonEmpty && mask.get.length == delIds.count())
+      assert(mask.get.sameElements(mask.get.sorted)) // contract: sorted
+      val residentMasked = asTuples(AnnIvf.searchServableCells(cells,
+        centroids, queries, 10, nprobe = 8, tombstones = mask))
+      val persistedMasked = asTuples(AnnIvf.searchPersisted(spark,
+        s"$tmpA/idx", centroids, queries, 10, nprobe = 8))
+      val eager = asTuples(AnnIvf.searchPersisted(spark, s"$tmpB/idx",
+        centroids, queries, 10, nprobe = 8))
+      assert(residentMasked == persistedMasked && persistedMasked == eager
+        && eager.nonEmpty)
+      // without the mask the snapshot keeps serving the tombstoned
+      // rows — the serve-consistency hole the argument closes
+      val unmasked = asTuples(AnnIvf.searchServableCells(cells,
+        centroids, queries, 10, nprobe = 8))
+      assert(unmasked != residentMasked)
+    } finally cells.unpersist()
+  }
+
+  test("deleteFromIndexShuffled equals the broadcast delete, and a " +
+      "low-limit fold routes through it with serving unchanged") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmpA = java.nio.file.Files
+      .createTempDirectory("graft_shdel_a").toString
+    val tmpB = java.nio.file.Files
+      .createTempDirectory("graft_shdel_b").toString
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmpA/idx")
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmpB/idx")
+    val delIds = filtered.filter($"vec_id" % 6 === 1).select($"vec_id")
+    val (rowsA, idsA) =
+      AnnIvf.deleteFromIndexDetailed(spark, s"$tmpA/idx", delIds)
+    val (rowsB, idsB) =
+      AnnIvf.deleteFromIndexShuffled(spark, s"$tmpB/idx", delIds)
+    assert(rowsA == rowsB && idsA == idsB && rowsA > 0)
+    def serve(p: String) = asTuples(AnnIvf.searchPersisted(spark, p,
+      centroids, queries, 10, nprobe = 8))
+    assert(serve(s"$tmpA/idx") == serve(s"$tmpB/idx"))
+    // an over-limit accumulation folds through the shuffled path
+    // (broadcastLimit = 0 forces it) — same serving, side-table gone
+    AnnIvf.tombstone(spark, s"$tmpA/idx",
+      filtered.filter($"vec_id" % 6 === 2).select($"vec_id"))
+    val preFold = serve(s"$tmpA/idx")
+    val folded = AnnIvf.foldTombstones(spark, s"$tmpA/idx",
+      broadcastLimit = 0)
+    assert(folded > 0)
+    assert(AnnIvf.readTombstones(spark, s"$tmpA/idx").isEmpty)
+    assert(serve(s"$tmpA/idx") == preFold)
+    // shuffled delete of ids that match nothing is a no-op
+    assert(AnnIvf.deleteFromIndexShuffled(spark, s"$tmpA/idx",
+      Seq(-1L, -2L).toDF("vec_id")) == ((0L, 0L)))
+  }
+
+  test("appendToIndex(clearTombstones = true) re-serves a retracted " +
+      "id with its NEW row only; other tombstones stay masked") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8, iterations = 2)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_reapp").toString
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), s"$tmp/idx")
+    val x = filtered.select($"vec_id").orderBy($"vec_id").head().getLong(0)
+    val y = filtered.select($"vec_id").orderBy($"vec_id".desc)
+      .head().getLong(0)
+    AnnIvf.tombstone(spark, s"$tmp/idx",
+      Seq(x, y).toDF("vec_id"))
+    // k past the corpus size: every unmasked row appears in every
+    // query's result — membership is exactly the mask state
+    val kAll = filtered.count().toInt + 8
+    def servedIds(p: String) =
+      AnnIvf.searchPersisted(spark, p, centroids, queries, kAll,
+          nprobe = 8)
+        .select($"neighbor_id").collect().map(_.getLong(0)).toSet
+    val row = filtered.filter($"vec_id" === x)
+    // a plain re-append stays invisible: masking is by id
+    AnnIvf.appendToIndex(row, centroids, s"$tmp/idx")
+    assert(!servedIds(s"$tmp/idx").contains(x))
+    // clearTombstones: old rows physically removed, side-table entry
+    // erased, ONE fresh row appended — the id serves again
+    AnnIvf.appendToIndex(row, centroids, s"$tmp/idx",
+      clearTombstones = true)
+    val nPhys = spark.read.parquet(s"$tmp/idx")
+      .filter($"vec_id" === x).count()
+    assert(nPhys == 1L, s"expected exactly the re-appended row, got $nPhys")
+    val tombLeft = AnnIvf.tombstoneIds(spark, s"$tmp/idx")
+    assert(tombLeft.map(_.toSet).contains(Set(y)),
+      "only the re-appended id may leave the side-table")
+    val served = servedIds(s"$tmp/idx")
+    assert(served.contains(x) && !served.contains(y))
+  }
+
   test("deleteFromIndexDetailed: distinct-id count exposes an under-" +
       "delete that duplicate index rows would mask") {
     val filtered = data.filter(SparkEntry.filterLow)

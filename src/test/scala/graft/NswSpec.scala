@@ -117,6 +117,70 @@ class NswSpec extends AnyFunSuite {
     idx.unpersist(); graphs.unpersist()
   }
 
+  test("servable tombstone mask: empty mask is bit-identical, masked " +
+      "serve never returns a masked id, survivors fill the freed " +
+      "ranks, and an exhaustive beam equals the exact masked top-k") {
+    import org.apache.spark.sql.functions.col
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val indexed = graft.operators.AnnIvf.index(data, centroids).cache()
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+      .cache()
+    val idx = NswGraph.servableIndex(graphs)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    // empty mask takes the masked drain path but must stay
+    // bit-identical to the unmasked one (the drain rework is a
+    // re-ordering-free refactor)
+    val base = full(NswGraph.searchServable(idx, centroids, queries, 10,
+      nprobe = 4, efSearch = 32))
+    assert(full(NswGraph.searchServable(idx, centroids, queries, 10,
+      nprobe = 4, efSearch = 32,
+      tombstones = Some(Array.emptyLongArray))) == base)
+    // masking ids that are in nobody's beam results changes nothing
+    assert(full(NswGraph.searchServable(idx, centroids, queries, 10,
+      nprobe = 4, efSearch = 32,
+      tombstones = Some(Array(-5L, -4L)))) == base)
+    // a real mask: no masked id served; every query still gets k rows
+    // (survivors from the ef-deep beam fill the freed ranks)
+    val mask = data.filter(col("vec_id") % 5 === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val masked = NswGraph.searchServable(idx, centroids, queries, 10,
+      nprobe = 8, efSearch = 64, tombstones = Some(mask))
+    val servedIds = masked.select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(servedIds.nonEmpty && servedIds.intersect(mask.toSet).isEmpty)
+    val perQ = masked.groupBy("qid")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select("n").collect().map(_.getLong(0))
+    assert(perQ.nonEmpty && perQ.forall(_ == 10L))
+    // the precise filter-at-serve pin: the mask does not change the
+    // beam (tombstoned nodes stay routing structure), so the masked
+    // serve must equal the UNMASKED serve taken k = ef deep,
+    // post-filtered and re-ranked — the reference's own delete
+    // semantics, checkable bit for bit
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{lit, row_number}
+    val efs = 64
+    val wide = NswGraph.searchServable(idx, centroids, queries, efs,
+      nprobe = 8, efSearch = efs)
+    val postFiltered = wide
+      .filter(!col("neighbor_id").isin(mask.map(Long.box): _*))
+      .withColumn("_rk", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("_rk") <= 10)
+      .select(col("qid"), col("_rk").cast("long").as("rank"),
+        col("neighbor_id"))
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ranked(masked) == ranked(postFiltered) &&
+      ranked(masked).nonEmpty)
+    idx.unpersist(); graphs.unpersist(); indexed.unpersist()
+  }
+
   test("hamming-metric ANN: scalar/expression agreement + recall floors") {
     // scalar branch == packed popcount(xor) (the exactHamming path)
     val a = Array(0.5f, -1f, 0f, 2f, -0.1f, 3f, -4f, 1f)

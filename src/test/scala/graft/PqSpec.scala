@@ -300,6 +300,57 @@ class PqSpec extends AnyFunSuite {
     assert(viaDefaults == explicitRes && viaDefaults.nonEmpty)
   }
 
+  test("encode-mode sidecar: searching or appending with the wrong " +
+      "residual flag fails loudly; matching flags pass; legacy " +
+      "layouts skip validation") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq_meta").toString
+    val centroids = graft.operators.AnnIvf.train(data, numCentroids = 8,
+      iterations = 2)
+    Pq.writeIvfPqIndex(data, centroids, cb, s"$tmp/idx", residual = true)
+    // the sidecar records the layout's encode parameters
+    val meta = Pq.readPqMeta(spark, s"$tmp/idx")
+    assert(meta.contains(Pq.PqMeta(residual = true, m = cb.m,
+      dsub = cb.dsub, ksub = cb.codebooks(0).length)))
+    // matching search passes; a flipped flag is a loud error, not
+    // silently-garbage rankings
+    assert(Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids, cb,
+      queries, k = 10, nprobe = 8, residual = true).count() > 0)
+    val ex = intercept[IllegalArgumentException] {
+      Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids, cb,
+        queries, k = 10, nprobe = 8, residual = false).count()
+    }
+    assert(ex.getMessage.contains("residual"))
+    // append with the wrong flag is refused BEFORE touching the tree
+    val exA = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(queries.select($"qid".as("vec_id"),
+        $"q_embedding".as("embedding")), centroids, cb, s"$tmp/idx",
+        residual = false)
+    }
+    assert(exA.getMessage.contains("residual"))
+    // a codebook of a different shape is refused too
+    val cbSmall = Pq.train(data, m = 4, ksub = 16, iterations = 1)
+    val exS = intercept[IllegalArgumentException] {
+      Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids, cbSmall,
+        queries, k = 10, nprobe = 8, residual = true).count()
+    }
+    assert(exS.getMessage.contains("codebook"))
+    // legacy layout (no sidecar): validation skips, and the first
+    // append writes the sidecar from its own flags
+    val fs = new org.apache.hadoop.fs.Path(s"$tmp/idx")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$tmp/idx/.graft_pq_meta.json"),
+      false)
+    assert(Pq.readPqMeta(spark, s"$tmp/idx").isEmpty)
+    assert(Pq.searchPersistedAdc(spark, s"$tmp/idx", centroids, cb,
+      queries, k = 10, nprobe = 8, residual = true).count() > 0)
+    Pq.appendToIndex(queries.limit(1).select($"qid".as("vec_id"),
+      $"q_embedding".as("embedding")), centroids, cb, s"$tmp/idx",
+      residual = true)
+    assert(Pq.readPqMeta(spark, s"$tmp/idx").contains(
+      Pq.PqMeta(residual = true, m = cb.m, dsub = cb.dsub,
+        ksub = cb.codebooks(0).length)))
+  }
+
   test("compression accounting: 8 codes vs 64 floats per vector") {
     // the stored representation is m ints (1 byte each at ksub<=256)
     // against d floats: 32x at fp32, documented in the scaladoc

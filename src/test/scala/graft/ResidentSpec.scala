@@ -83,4 +83,43 @@ class ResidentSpec extends AnyFunSuite {
       assert(mem > 0 && cached == total)
     } finally idx.unpersist()
   }
+
+  test("executorFreeBytes excludes the driver's block manager when " +
+      "executors are registered, and falls back to it in local mode") {
+    val driver = "driver-host:7077"
+    val execs = Map("exec1:1234" -> ((0L, 100L)), "exec2:1234" -> ((0L, 200L)))
+    // cluster shape: the driver's (large, unusable-for-tiers) budget
+    // must not inflate the executor sum
+    assert(Resident.executorFreeBytes(
+      execs + (driver -> ((0L, 999L))), driver) == 300L)
+    // local mode: the driver IS the executor — its entry is the budget
+    assert(Resident.executorFreeBytes(Map(driver -> ((0L, 999L))), driver)
+      == 999L)
+    // driver key unknown (lookup failed): conservative fall-through
+    // sums what is visible
+    assert(Resident.executorFreeBytes(execs, null) == 300L)
+  }
+
+  test("graph-tier estimate stays on the safe side of the measured " +
+      "CSR footprint (estimate >= actual)") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val graphs = NswGraph.buildIndex(AnnIvf.index(data, centroids),
+      m = 8, efConstruction = 32).cache()
+    // the same (rows, dim, edges) aggregate servableIndex's guard runs
+    val agg = graphs.agg(sum(size(col("ids"))),
+      max(size(element_at(col("vecs"), 1))),
+      sum(aggregate(transform(col("adj"),
+        a => size(a)), lit(0L), (acc, x) => acc + x))).head()
+    val (rows, dim, edges) =
+      (agg.getLong(0), agg.getInt(1), agg.getLong(2))
+    val est = Resident.estimateGraphBytes(rows, dim, edges)
+    val idx = NswGraph.servableIndex(graphs)
+    try {
+      idx.count()
+      val (mem, _, _, _) = Resident.cachedBytes(idx)
+      assert(mem > 0 && est >= mem,
+        s"graph estimate $est below actual $mem — the guard would " +
+          "under-promise memory")
+    } finally { idx.unpersist(); graphs.unpersist() }
+  }
 }

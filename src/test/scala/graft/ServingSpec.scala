@@ -206,6 +206,119 @@ class ServingSpec extends AnyFunSuite {
     assert(s2 == Serving.GraphOverfetch)
   }
 
+  test("UDF / non-deterministic predicates skip the selectivity memo " +
+      "(their rendering is an ambiguous cache key)") {
+    // plain column predicates are cacheable
+    assert(Serving.cacheableFilter(data.filter(SparkEntry.filterHigh)))
+    assert(Serving.cacheableFilter(data.filter($"label" < lit(1.0))))
+    // two DIFFERENT lambdas render to the same key — the collision
+    // the guard exists to prevent
+    val u1 = udf((x: Double) => x >= 0.0)
+    val u2 = udf((x: Double) => x >= 999.0)
+    assert(Serving.predicateKey(u1($"label")) ==
+      Serving.predicateKey(u2($"label")))
+    assert(!Serving.cacheableFilter(data.filter(u1($"label"))))
+    assert(!Serving.cacheableFilter(data.filter(rand(7) < lit(0.5))))
+    // behaviorally: serving u1 then u2 measures twice (no stale hit)
+    // and each call dispatches from its OWN counts — u1 keeps all
+    // rows (mild/graph regime), u2 keeps none (extreme regime)
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(data, centroids).cache()
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+    val art = Serving.Artifacts(indexed, centroids,
+      Some(NswGraph.servableIndex(graphs)))
+    val (s1, r1) = Serving.serveFilteredExplained(art, queries, 10,
+      u1($"label"), nprobe = 8)
+    r1.count()
+    assert(s1 == Serving.GraphOverfetch && art.selComputes == 1)
+    val (s2, r2) = Serving.serveFilteredExplained(art, queries, 10,
+      u2($"label"), nprobe = 8)
+    assert(s2 == Serving.ExactScan && art.selComputes == 2)
+    assert(r2.count() == 0) // no survivors — and no stale u1 counts
+    // neither call polluted the memo
+    assert(art.cachedCounts(u1($"label")).isEmpty)
+    art.graph.foreach(_.unpersist()); indexed.unpersist()
+  }
+
+  test("artifact tombstones: every branch serves the masked relation, " +
+      "a refresh clears the selectivity memo, and clearing restores") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(data, centroids).cache()
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+    val art = Serving.Artifacts(indexed, centroids,
+      Some(NswGraph.servableIndex(graphs)))
+    val tombIds = data.filter($"vec_id" % 7 === 3)
+      .select($"vec_id").as[Long].collect()
+    assert(tombIds.nonEmpty)
+    val (_, pre) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)
+    val preRows = asRows(pre)
+    assert(art.cachedCounts(SparkEntry.filterHigh).nonEmpty)
+    art.setTombstones(tombIds)
+    // mask install = new serving epoch: the memo is cleared (masked
+    // survivor counts differ from the unmasked ones)
+    assert(art.cachedCounts(SparkEntry.filterHigh).isEmpty)
+    val survivors = indexed
+      .filter(!$"vec_id".isInCollection(tombIds))
+    // strong branch == searchFast over the masked survivors
+    val (s1, rS) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)
+    assert(s1 == Serving.IvfPrefilter)
+    assert(asRows(rS) == asRows(AnnIvf.searchFast(
+      survivors.filter(SparkEntry.filterHigh), centroids, queries, 10,
+      nprobe = 8)) && asRows(rS).nonEmpty)
+    // exact branch == Knn.exact over the masked survivors
+    val (s2, rE) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterMid, extreme = 0.05)
+    assert(s2 == Serving.ExactScan)
+    assert(asRows(rE) == asRows(Knn.exact(
+      survivors.filter(SparkEntry.filterMid), queries, 10)))
+    // graph branch never returns a tombstoned id
+    val (s3, rG) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterLow, nprobe = 8)
+    assert(s3 == Serving.GraphOverfetch)
+    val servedIds = rG.select($"neighbor_id").as[Long].collect().toSet
+    assert(servedIds.nonEmpty &&
+      servedIds.intersect(tombIds.toSet).isEmpty)
+    // clearing the mask restores the pre-tombstone serving epoch
+    art.setTombstones(Array.emptyLongArray)
+    assert(art.tombstones.isEmpty)
+    val (_, post) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)
+    assert(asRows(post) == preRows)
+    art.graph.foreach(_.unpersist()); indexed.unpersist()
+  }
+
+  test("refreshTombstones reads the index side-table into the mask") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(data, centroids)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_serv_tmb").toString
+    AnnIvf.writeIndex(indexed, s"$tmp/idx")
+    val art = Serving.Artifacts(indexed, centroids)
+    art.refreshTombstones(spark, s"$tmp/idx")
+    assert(art.tombstones.isEmpty) // no side-table yet
+    val del = data.filter($"vec_id" % 11 === 4).select($"vec_id")
+    AnnIvf.tombstone(spark, s"$tmp/idx", del)
+    art.refreshTombstones(spark, s"$tmp/idx")
+    val expected = del.as[Long].collect().sorted
+    assert(art.tombstones.map(_.toSeq).contains(expected.toSeq))
+    // serving now equals the persisted masked serve over the same tree
+    val (_, res) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)
+    val persisted = AnnIvf.searchPersisted(spark, s"$tmp/idx", centroids,
+      queries, 10, nprobe = 8,
+      dataFilter = Some(SparkEntry.filterHigh))
+    def ranked(df: DataFrame) =
+      df.select($"qid", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ranked(res) == ranked(persisted) && ranked(res).nonEmpty)
+    // folding the side-table away and refreshing empties the mask
+    AnnIvf.foldTombstones(spark, s"$tmp/idx")
+    art.refreshTombstones(spark, s"$tmp/idx")
+    assert(art.tombstones.isEmpty)
+  }
+
   test("overfetch k' is capped: a near-zero hint on the graph branch " +
       "cannot beam the corpus") {
     val (s, res) = Serving.serveFilteredExplained(artifacts, queries, 10,
