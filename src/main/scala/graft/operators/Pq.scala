@@ -284,7 +284,20 @@ object Pq {
     * re-rank of q·k·kfactor rows): the two-stage serve recovers the
     * recall PQ loses while still scanning only codes —
     * raw-ADC-only serving is a diagnostic mode, not the product
-    * path. */
+    * path.
+    *
+    * OPERATING POINT (the r13 kfactor × m sweep at 5M×64, nprobe=4,
+    * BENCH_scale_r13.json pq_knee — all points one window): the
+    * binding constraint on refined recall is BYTES PER VECTOR, not
+    * the shortlist depth. At m=8 (8 B/vec, 32× compression) recall@10
+    * saturates ~0.60/0.71/0.80 at kfactor 16/32/64 — deepening the
+    * shortlist pays linearly in re-rank cost for a flattening curve.
+    * m=16 (16 B/vec, 16× compression, 4-dim subvectors) DOMINATES the
+    * m=8 tail: 0.84 @ kfactor=16, 0.89 @ 32, 0.94 @ 64 — higher
+    * recall at comparable-or-better qps than m=8/kfactor=64. The
+    * documented knee for recall ≥ 0.8 serving is therefore
+    * m=16 / kfactor=16–32; reach for kfactor before m only below the
+    * 0.8 line where m=8's 32× compression is the point of the tier. */
   def writeIvfPqIndex(data: DataFrame, centroids: DataFrame, cb: Codebook,
       path: String, idCol: String = "vec_id",
       vecCol: String = "embedding",
