@@ -142,6 +142,35 @@ object ProfileMaint {
       AnnIvf.foldTombstones(spark, s"$tmp/idx")
     }
     println(s"[pmaint]   rows folded out: $nFold")
+    // r13: the LARGE-ACCUMULATION fold. The side-table is the union
+    // of every batch since the last fold — past `broadcastLimit`
+    // (default 1M ids) foldTombstones routes through
+    // deleteFromIndexShuffled: shuffle-join discovery + aggregate
+    // counts, nothing id-set-sized broadcast or collected per cell.
+    // A/B on DISJOINT 1.2M-id accumulations in one window: the auto
+    // (shuffled) route vs the broadcast+collect_set fast-path forced
+    // past its contract.
+    val bigA = vecs.filter($"vec_id" % 4 === 1).limit(1200000)
+      .select($"vec_id").cache()
+    val nBigA = bigA.count()
+    time(f"tombstone $nBigA ids (accumulation A)") {
+      AnnIvf.tombstone(spark, s"$tmp/idx", bigA)
+    }
+    val nFoldA = time("foldTombstones 1.2M (auto -> shuffled)") {
+      AnnIvf.foldTombstones(spark, s"$tmp/idx")
+    }
+    println(s"[pmaint]   rows folded (shuffled route): $nFoldA")
+    val bigB = vecs.filter($"vec_id" % 4 === 2).limit(1200000)
+      .select($"vec_id").cache()
+    val nBigB = bigB.count()
+    time(f"tombstone $nBigB ids (accumulation B)") {
+      AnnIvf.tombstone(spark, s"$tmp/idx", bigB)
+    }
+    val nFoldB = time("foldTombstones 1.2M (forced broadcast)") {
+      AnnIvf.foldTombstones(spark, s"$tmp/idx",
+        broadcastLimit = Long.MaxValue)
+    }
+    println(s"[pmaint]   rows folded (broadcast route): $nFoldB")
     val stats = time("stats (column-pruned scan + FS listing)") {
       AnnIvf.indexStats(spark, s"$tmp/idx")
         .agg(sum($"n_rows"), max($"n_files"), count(lit(1))).head()
