@@ -105,7 +105,12 @@ object Bench {
       // unused index build; serve_auto_strong stays in-pack as the
       // dispatcher's measured representative (selectivity counts +
       // routing + the pre-filter serve)
-      "serve_auto_mild", "serve_auto_extreme")
+      "serve_auto_mild", "serve_auto_extreme",
+      // serve_auto_tombstone: serve_auto_strong's dispatch shape plus
+      // temp-dir index IO + the mask refresh — its value is the
+      // CORRECTNESS row; the masked-serve cost is measured in the
+      // scale record
+      "serve_auto_tombstone")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only match {
         case Some(set) => set.contains(n) // explicit ONLY wins

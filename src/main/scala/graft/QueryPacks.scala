@@ -2593,6 +2593,30 @@ object AnnQueries {
       require(strat == Serving.IvfPrefilter, s"dispatched $strat")
       res.select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the tombstone mask through the DISPATCHER end to end: the
+    // side-table written on the persisted layout is refreshed into the
+    // shared serving artifacts (Artifacts.refreshTombstones — zero
+    // re-decode, selectivity memo cleared) and every dispatch branch
+    // serves the masked relation. Oracle = serve_auto_strong's recipe
+    // with the tombstoned ids removed from the survivor set — i.e. the
+    // dispatcher's masked serve must hash-equal a search over an index
+    // that never held those rows.
+    "serve_auto_tombstone" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_serve_tmb").toString
+      AnnIvf.writeIndex(AnnIvf.index(base, centroids), tmp)
+      AnnIvf.tombstone(s, tmp,
+        base.filter(col("vec_id") % 11 === 4).select(col("vec_id")))
+      val art = Serving.Artifacts(AnnIvf.index(base, centroids), centroids)
+      art.refreshTombstones(s, tmp)
+      val (strat, res) = Serving.serveFilteredExplained(art,
+        queriesDf(s, d), K, filterHigh, nprobe = 2)
+      require(strat == Serving.IvfPrefilter, s"dispatched $strat")
+      res.select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // Extreme: filterMid keeps ~2% → exact scan over the survivors
     // (recall 1.0 by construction); oracle = the exact filtered k-NN.
     "serve_auto_extreme" -> ((s, d) => {
@@ -3271,6 +3295,9 @@ object AnnQueries {
     // integer over-fetch k' then filtered + re-ranked
     "serve_auto_strong" -> ivfFixedSql(311,
       survivors = "label IN (0, 1)"),
+    // dispatcher-masked serve == search over an index without the rows
+    "serve_auto_tombstone" -> ivfFixedSql(311,
+      survivors = "label IN (0, 1) AND vec_id % 11 <> 4"),
     "ann_ivf_serve_resident_filtered" -> ivfFixedSql(311,
       survivors = "label IN (0, 1)"),
     "serve_auto_extreme" ->

@@ -404,7 +404,10 @@ object AnnIvf {
     * row in `searchServableCells`, per beam result in
     * `NswGraph.searchServable*`). Driver-sized by the same contract
     * that lets the persisted paths broadcast the anti-join side; None
-    * when no tombstones are recorded. */
+    * when no tombstones are recorded. An accumulation past
+    * `foldTombstones`'s `broadcastLimit` has outgrown an in-task mask
+    * too — fold first (the shuffled route never materializes the id
+    * set), then refresh the (now empty) mask. */
   def tombstoneIds(spark: SparkSession, path: String): Option[Array[Long]] =
     readTombstones(spark, path).map { t =>
       import spark.implicits._
