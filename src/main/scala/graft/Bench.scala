@@ -78,6 +78,9 @@ object Bench {
       "ann_ivf_persist", "ann_ivf_delete", "ann_ivf_stats",
       "ann_ivf_tombstone", "ann_ivf_tombstone_resident",
       "ann_nsw_persist", "ann_ivf_serve",
+      // ann_nsw_tombstone: ann_nsw_serve's resident shape plus
+      // temp-dir IO + the mask read — value is the CORRECTNESS row
+      "ann_nsw_tombstone",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",
       "stream_dedup",
       "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors",

@@ -2850,6 +2850,34 @@ object AnnQueries {
         .localCheckpoint()
       finally idx.unpersist()
     }),
+    // the GRAPH tier's tombstone mask under a FULL oracle: the
+    // side-table written on the base clustered layout is read into
+    // the serve-time mask; the beam still walks masked nodes (routing
+    // structure) and the RESULT drain filters them, survivors filling
+    // the freed ranks (filter-at-serve). At this fixture ef (128) ≥
+    // every cell size the beam ranks each probed cell exhaustively,
+    // so the masked drain IS the exact top-k over the surviving rows
+    // — the same survivor SQL as the IVF tombstone oracles checks the
+    // graph path's deletion semantics exactly.
+    "ann_nsw_tombstone" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 31)
+      val indexed = AnnIvf.index(data, centroids)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_nsw_tmb").toString
+      AnnIvf.writeIndex(indexed, tmp)
+      AnnIvf.tombstone(s, tmp,
+        data.filter(col("vec_id") % 11 === 4).select(col("vec_id")))
+      val idx = NswGraph.servableIndex(
+        NswGraph.buildIndex(indexed, m = 32, efConstruction = 64))
+      try NswGraph.searchServable(idx, centroids, queriesDf(s, d), K,
+          nprobe = 2, efSearch = 128,
+          tombstones = AnnIvf.tombstoneIds(s, tmp))
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+        .localCheckpoint()
+      finally idx.unpersist()
+    }),
     // the fully distributed graph lowering under the same full oracle
     // as ann_nsw_fixed: probes shuffle by cell id into a cogroup with
     // the per-cell graphs (no query broadcast, nothing query-sized on
@@ -3376,6 +3404,10 @@ object AnnQueries {
          |ORDER BY qid, rank""".stripMargin,
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_serve" -> ivfFixedSql(31),
+    // graph-tier deletion semantics: masked exhaustive beam == exact
+    // top-k over the surviving rows of the probed cells
+    "ann_nsw_tombstone" -> ivfFixedSql(31,
+      survivors = "vec_id % 11 <> 4"),
     "ann_nsw_bigq" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
     // same probed cells as ann_nsw_fixed; only the fine distance is

@@ -414,10 +414,11 @@ object NswGraph {
   def searchIndex(graphs: org.apache.spark.sql.Dataset[CellGraph],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None): DataFrame =
     searchIndexProbed(graphs,
       probeQueries(centroids, queries, nprobe, qidCol, qvecCol),
-      k, efSearch, metric)
+      k, efSearch, metric, tombstones)
 
   /** `searchIndex` for query tables past the broadcast/collect budget:
     * the query-chunked lowering (see `Knn.chunkedByQuery`) bounds the
@@ -429,10 +430,11 @@ object NswGraph {
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, maxQueriesPerChunk: Int = 65536,
       metric: String = "sqeuclidean",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None): DataFrame =
     Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
       searchIndex(graphs, centroids, _, k, nprobe, efSearch, metric,
-        qidCol, qvecCol))
+        qidCol, qvecCol, tombstones))
 
   /** Fully distributed graph search for LARGE query tables — the NSW
     * analog of `AnnIvf.searchShuffledFast`: the probe relation
@@ -451,7 +453,9 @@ object NswGraph {
   def searchIndexShuffled(graphs: org.apache.spark.sql.Dataset[CellGraph],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None): DataFrame = {
+    val tomb: Array[Long] = tombstones.orNull
     val spark = graphs.sparkSession
     import spark.implicits._
     val matrix = AnnIvf.collectCentroids(centroids)
@@ -470,6 +474,12 @@ object NswGraph {
         val deg = g.adj.map(_.length)
         qs.iterator.flatMap { case (qid, qv, _) =>
           beamSearch(kern, g.adj, deg, 0, qv, efs)
+            .iterator
+            // mask BEFORE the take: survivors from the ef-deep beam
+            // fill the ranks a tombstoned id vacates (filter-at-serve,
+            // same drain contract as the resident tier)
+            .filter(r => tomb == null ||
+              java.util.Arrays.binarySearch(tomb, g.ids(r._2)) < 0)
             .take(kk)
             .map { case (d, idx) => (qid, g.ids(idx), d) }
         }
@@ -481,7 +491,9 @@ object NswGraph {
   /** `searchIndex` over precollected probe lists. */
   def searchIndexProbed(graphs: org.apache.spark.sql.Dataset[CellGraph],
       probed: Array[(Long, Array[Float], Array[Int])], k: Int,
-      efSearch: Int = 64, metric: String = "sqeuclidean"): DataFrame = {
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None): DataFrame = {
+    val tomb: Array[Long] = tombstones.orNull
     val spark = graphs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(probed)
@@ -501,6 +513,10 @@ object NswGraph {
             .filter(_._3.contains(g.cid))
             .flatMap { case (qid, qv, _) =>
               beamSearch(kern, g.adj, deg, 0, qv, efs)
+                .iterator
+                // mask BEFORE the take — see searchIndexShuffled
+                .filter(r => tomb == null ||
+                  java.util.Arrays.binarySearch(tomb, g.ids(r._2)) < 0)
                 .take(kk)
                 .map { case (d, idx) => (qid, g.ids(idx), d) }
             }

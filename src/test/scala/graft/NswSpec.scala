@@ -178,6 +178,14 @@ class NswSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(ranked(masked) == ranked(postFiltered) &&
       ranked(masked).nonEmpty)
+    // the NON-resident graph serves carry the same mask with the same
+    // drain contract — bit-equal to the resident masked serve
+    assert(full(NswGraph.searchIndex(graphs, centroids, queries, 10,
+      nprobe = 8, efSearch = 64, tombstones = Some(mask))) ==
+      full(masked))
+    assert(full(NswGraph.searchIndexShuffled(graphs, centroids, queries,
+      10, nprobe = 8, efSearch = 64, tombstones = Some(mask))) ==
+      full(masked))
     idx.unpersist(); graphs.unpersist(); indexed.unpersist()
   }
 
