@@ -719,6 +719,62 @@ object NswGraph {
       servablePartialsProbed(idx, probed, k, efSearch, metric, tombstones),
       k, col("_dist"), col("_nnid"), col("qid"))
 
+  /** Beam-stage isolation for ProfileFloor: run exactly the beams
+    * `servablePartialsProbed` runs (same inversion, same scratch reuse,
+    * same drains) but return only the total result COUNT — no tuple
+    * materialization, no DataFrame encoding, no merge. The gap between
+    * this and the partials stage is the row-encoding cost; the gap
+    * between this and an empty job is the true beam compute. */
+  private[graft] def servableBeamCount(
+      idx: org.apache.spark.rdd.RDD[ServableCell],
+      probed: Array[(Long, Array[Float], Array[Int])], k: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean"): Long = {
+    val spark = SparkSession.active
+    val qvecs = probed.map(_._2)
+    val inv: Map[Int, Array[Int]] = probed.iterator.zipWithIndex
+      .flatMap { case ((_, _, cells), qi) => cells.iterator.map(_ -> qi) }
+      .toArray.groupBy(_._1).map { case (c, qs) => c -> qs.map(_._2) }
+    val bcQ = spark.sparkContext.broadcast((qvecs, inv))
+    val (efs, mcode, kk) =
+      (math.max(k, efSearch), Knn.metricCode(metric), k)
+    idx.mapPartitions { it =>
+      val (vecs, byCell) = bcQ.value
+      var stamps = new Array[Int](0)
+      var nbuf = new Array[Int](64)
+      var epoch = 0
+      val candidates = new PairHeap(efs + 1, max = false)
+      val results = new PairHeap(efs + 1, max = true)
+      var total = 0L
+      it.foreach { cell =>
+        val probing = byCell.getOrElse(cell.cid, null)
+        val nn = cell.ids.length
+        if (probing != null && nn > 0) {
+          if (stamps.length < nn) { stamps = new Array[Int](nn); epoch = 0 }
+          var maxDeg = 0
+          var di = 0
+          while (di < nn) {
+            val dg = cell.adjOff(di + 1) - cell.adjOff(di)
+            if (dg > maxDeg) maxDeg = dg
+            di += 1
+          }
+          if (nbuf.length < maxDeg) nbuf = new Array[Int](maxDeg)
+          var p = 0
+          while (p < probing.length) {
+            epoch += 1
+            beamServable(cell, mcode, vecs(probing(p)), efs, stamps,
+              epoch, candidates, results, nbuf)
+            var drop = results.size - kk
+            while (drop > 0) { results.pop(); drop -= 1 }
+            total += results.size
+            while (results.size > 0) results.pop()
+            p += 1
+          }
+        }
+      }
+      Iterator.single(total)
+    }.sum().toLong
+  }
+
   /** The per-cell partial results of `searchServableProbed` BEFORE the
     * q×k top-k merge — exposed so the profiling harness can time the
     * beam stage apart from the merge stage. */
