@@ -686,7 +686,17 @@ object NswGraph {
     * over the same graphs (pinned in NswSpec); only the constant
     * factors differ — no per-call index decode, no per-beam
     * allocation. The merge is the same q×k `topKFrom` as every k-NN
-    * path. */
+    * path.
+    *
+    * BATCH SIZE IS THE THROUGHPUT DIAL (ProfileFloor, 5M×64,
+    * BENCH_scale_r13.json): every call pays a ~0.5 s fixed floor on a
+    * 32-thread local session (the probe job, the merge stage, task
+    * scheduling) plus ~26 µs/query marginal — a 10K-query batch is
+    * floor-DOMINATED (~12–15K qps) while a 100K-query batch amortizes
+    * it (31.7K qps measured at np2/efS32, recall 0.9205). Serve
+    * batches as large as latency budgets allow; per-query results are
+    * batch-independent by construction (KnnSpec pin), so batching is
+    * free semantically. */
   def searchServable(idx: org.apache.spark.rdd.RDD[ServableCell],
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",

@@ -419,7 +419,14 @@ object StreamingOps {
     * next `AnnIvf.foldTombstones` / unhinted `compactIndex`, where
     * the full pass is amortized over every batch in between. Use
     * `streamingIndexDelete` instead when batches cluster in few cells
-    * (its hinted rewrite is O(touched) and keeps the layout clean). */
+    * (its hinted rewrite is O(touched) and keeps the layout clean).
+    *
+    * RESIDENT tiers are epoch snapshots and do NOT observe the
+    * side-table automatically: a serving loop alongside this feed
+    * must refresh its mask between batches
+    * (`Serving.Artifacts.refreshTombstones` or
+    * `AnnIvf.tombstoneIds` into the serve calls' `tombstones`
+    * argument) — zero re-decode, one side-table read. */
   def streamingIndexTombstone(idStream: DataFrame, indexPath: String,
       idCol: String = "vec_id")
       : org.apache.spark.sql.streaming.StreamingQuery =
