@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIvf, Knn, NswGraph, Recall}
+
+/** SMALL-BATCH serving point (round-14 headline): the reference's own
+  * workload shape is 100-query batches resubmitted closed-loop through
+  * an in-process index (params_config.yaml:23 batch size;
+  * cuvs_bench_grid_search_v3.py:245-265 the loop) — the regime where
+  * the engine's distributed serve paid a measured ~0.5 s per-call
+  * Spark floor (ProfileFloor, BENCH_scale_r13.json) and managed ~200
+  * qps against the reference's 21,890. This harness measures the
+  * driver-local replica path (`NswGraph.localReplica` +
+  * `searchLocalQueries`) at exactly that shape:
+  *
+  *   - closed-loop batches of 100 / 1K / 10K queries through the
+  *     ARRAY hot path (zero Spark jobs per call — the serving-endpoint
+  *     shape; the reference's own number is the same in-process form)
+  *   - the DataFrame wrapper at one 10K batch (adds the per-call query
+  *     collect — the honest cost of staying inside the DataFrame
+  *     contract)
+  *   - the distributed job path at one 100-query batch (the floor the
+  *     local tier removes)
+  *   - recall@10 of the local path against the exact oracle on a
+  *     200-query sample (must equal the job path's deterministic
+  *     operating-point recall — bit-identity is pinned in NswSpec;
+  *     this re-measures it at scale)
+  *
+  * Fixture identical to ProfileFloor (5M×64 mixture, rating filter
+  * ~80% kept, two-level assignment, m=16/efC=64 graphs, 1024 cells,
+  * np2/efS32 operating point, k=10) so numbers sit next to the r13
+  * decomposition.
+  *
+  * usage: runMain graft.ProfileSmallBatch [nVectors] [nQueries] [nCells]
+  */
+object ProfileSmallBatch {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(5000000)
+    val nQ = args.lift(1).map(_.toInt).getOrElse(100000)
+    val nCells = args.lift(2).map(_.toInt).getOrElse(1024)
+    val dim = 64
+    val k = 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val data = SynthData.mixtureVectors(spark, n, "vec_id", "embedding", dim)
+      .withColumn("rating",
+        (pmod(xxhash64(col("vec_id"), lit(777)), lit(10)) / 2.0))
+      .filter(col("rating") < 4.0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val queries = SynthData.mixtureVectors(spark, nQ, "qid", "q_embedding",
+      dim).cache()
+    data.count(); queries.count()
+    val centroids = AnnIvf.train(
+      data.sample(math.min(1.0, 200000.0 / n), 42), nCells, iterations = 2)
+    val indexed = AnnIvf.indexTwoLevel(data, AnnIvf.trainSupers(centroids),
+      centroids, wSuper = 4)
+    val (graphs, buildSec) = time {
+      val g = NswGraph.buildIndex(indexed, m = 16, efConstruction = 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      g.count(); g
+    }
+    val servable = NswGraph.servableIndex(graphs)
+    servable.count()
+    val (rep, repSec) = time { NswGraph.localReplica(servable, centroids) }
+    println(f"[psmall] n=$n graph build $buildSec%.1fs; replica collect " +
+      f"$repSec%.2fs (${rep.approxBytes / 1e6}%.0f MB decoded, " +
+      f"${rep.cells.length} cells)")
+
+    // the client-side query arrays (the reference's closed loop holds
+    // its batches in memory the same way)
+    val qArr = queries.select(col("qid").cast("long"), col("q_embedding"))
+      .as[(Long, Array[Float])].collect()
+
+    // recall of the local path at the operating point, vs exact truth
+    // on a 200-query sample (ScaleBench's estimator)
+    val qSample = queries.orderBy(xxhash64(col("qid"), lit(7))).limit(200)
+      .cache()
+    qSample.count()
+    val truth = Knn.exact(data, qSample, k).cache(); truth.count()
+    val sampleArr = qSample.select(col("qid").cast("long"),
+      col("q_embedding")).as[(Long, Array[Float])].collect()
+
+    Seq((2, 32), (2, 48), (4, 32)).foreach { case (np, efs) =>
+      val localRows = NswGraph.searchLocalQueries(rep, sampleArr, k, np,
+        efSearch = efs)
+      val localDf = spark.createDataset(localRows.toSeq)
+        .toDF("qid", "rank", "neighbor_id", "dist")
+      val r = Recall.ofRanked(localDf, truth).head()
+      println(f"[psmall] local recall@10 np$np/efS$efs = " +
+        f"${r.getDouble(r.fieldIndex("recall"))}%.4f")
+    }
+
+    // warm the kernel + JIT once over the full set
+    NswGraph.searchLocalQueries(rep, qArr.take(10000), k, 2, 32)
+
+    // closed-loop batches through the ARRAY hot path: total wall over
+    // ALL batches covering the full query set, best of 2 passes
+    Seq(100, 1000, 10000).foreach { bs =>
+      Seq((2, 32), (2, 48), (4, 32)).foreach { case (np, efs) =>
+        val secs = (1 to 2).map { _ =>
+          val (_, s) = time {
+            var off = 0
+            while (off < qArr.length) {
+              val batch = java.util.Arrays.copyOfRange(qArr, off,
+                math.min(off + bs, qArr.length))
+              NswGraph.searchLocalQueries(rep, batch, k, np,
+                efSearch = efs)
+              off += bs
+            }
+          }
+          s
+        }
+        val best = secs.min
+        println(f"[psmall] LOCAL closed-loop batch=$bs%5d np$np/efS$efs: " +
+          f"${qArr.length} queries in $best%7.3fs = " +
+          f"${qArr.length / best}%9.1f qps (passes ${secs.map(x => f"$x%.3f").mkString("/")})")
+      }
+    }
+
+    // the DataFrame wrapper at one 10K batch (adds the query collect)
+    val q10k = queries.limit(10000).cache(); q10k.count()
+    (1 to 2).foreach { i =>
+      val (_, s) = time {
+        NswGraph.searchLocal(rep, q10k, k, 2, efSearch = 32).count()
+      }
+      println(f"[psmall] LOCAL DataFrame one 10K batch #$i np2/efS32: " +
+        f"$s%6.3fs = ${10000 / s}%9.1f qps")
+    }
+
+    // the distributed job path at ONE 100-query batch — the floor the
+    // local tier exists to remove (and the auto dispatch avoids)
+    val q100 = queries.limit(100).localCheckpoint()
+    NswGraph.searchServable(servable, centroids, q100, k, 2,
+      efSearch = 32).count() // warm
+    (1 to 2).foreach { i =>
+      val (_, s) = time {
+        NswGraph.searchServable(servable, centroids, q100, k, 2,
+          efSearch = 32).count()
+      }
+      println(f"[psmall] JOB path one 100-query batch #$i np2/efS32: " +
+        f"$s%6.3fs = ${100 / s}%9.1f qps")
+    }
+    spark.stop()
+  }
+}

@@ -394,10 +394,22 @@ object ScaleBench {
               dir, centroids, book, filtered, qSample, k, nprobe = 4,
               kfactor = kf, residual = true)
             val kr = Recall.ofRanked(kq, truth).head()
+            // the named preset (r14): the knee shipped as product
+            // config — tag its sweep point so the record pins the
+            // preset constants to a measured number every round
+            val presetTag =
+              if (mv == graft.operators.Pq.Recall08Preset.m &&
+                  kf == graft.operators.Pq.Recall08Preset.kfactor)
+                " <- Pq.Recall08Preset"
+              else if (mv == graft.operators.Pq.Compress32xPreset.m &&
+                  kf == graft.operators.Pq.Compress32xPreset.kfactor)
+                " <- Pq.Compress32xPreset"
+              else ""
             println(f"[scale] pq-knee m=$mv%2d kfactor=$kf%3d nprobe=4 " +
               f"search=$kneeWarm%7.2fs (cold $kneeCold%.2fs) " +
               f"qps=${nQ / kneeWarm}%9.1f " +
-              f"recall@10=${kr.getDouble(kr.fieldIndex("recall"))}%.4f")
+              f"recall@10=${kr.getDouble(kr.fieldIndex("recall"))}%.4f" +
+              presetTag)
           }
       }
     }

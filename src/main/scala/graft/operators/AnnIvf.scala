@@ -344,7 +344,7 @@ object AnnIvf {
 
   /** TOMBSTONE side-table name — a dot-prefixed child of the index
     * root, so index scans (which skip dot-paths) never see it. */
-  private val TombstoneDir = ".graft_tombstones"
+  private[operators] val TombstoneDir = ".graft_tombstones"
 
   /** Record spread deletes WITHOUT rewriting any cell: append the ids
     * to the tombstone side-table — O(batch) cost no matter how many
@@ -408,9 +408,20 @@ object AnnIvf {
     * `foldTombstones`'s `broadcastLimit` has outgrown an in-task mask
     * too — fold first (the shuffled route never materializes the id
     * set), then refresh the (now empty) mask. */
-  def tombstoneIds(spark: SparkSession, path: String): Option[Array[Long]] =
+  def tombstoneIds(spark: SparkSession, path: String,
+      broadcastLimit: Long = 1000000L): Option[Array[Long]] =
     readTombstones(spark, path).map { t =>
       import spark.implicits._
+      // the side-table is driver-sized BY CONTRACT; enforce it (r13
+      // ADVICE) — past the same limit foldTombstones switches away
+      // from broadcasts, an accumulation that big must not silently
+      // become a multi-MB driver array riding every task closure
+      val n = t.count()
+      require(n <= broadcastLimit,
+        s"tombstone side-table holds $n ids > broadcastLimit " +
+          s"$broadcastLimit - fold first (AnnIvf.foldTombstones routes " +
+          "the delete through a shuffle join, nothing id-set-sized on " +
+          "the driver), then refresh the (now empty) mask")
       val ids = t.select(col(t.columns.head).cast("long"))
         .as[Long].collect()
       java.util.Arrays.sort(ids)
@@ -431,8 +442,18 @@ object AnnIvf {
         broadcast(ids.select(col(idCol).cast("long").as(tidCol)).distinct()),
         Seq(tidCol), "left_anti")
         .localCheckpoint()
-      kept.coalesce(1).write.mode("overwrite")
-        .parquet(s"$path/$TombstoneDir")
+      // a batch that erases the LAST tombstone removes the side-table
+      // entirely (as foldTombstones does) — an empty parquet would
+      // make readTombstones/tombstoneIds return Some(empty) against
+      // their documented 'None when none recorded', keeping serves on
+      // the masked paths for a mask with nothing in it (r13 ADVICE)
+      if (kept.isEmpty) {
+        val dir = new org.apache.hadoop.fs.Path(path, TombstoneDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(dir, true)
+      } else
+        kept.coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/$TombstoneDir")
     }
 
   /** Fold the tombstones into the layout: one eager delete of every

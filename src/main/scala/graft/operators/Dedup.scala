@@ -1114,12 +1114,26 @@ object Dedup {
     * never a per-cluster window. The centroid table broadcasts into
     * the distance computation (C rows by construction). Output:
     * (vec_id, cluster_id = min component member, keeper_id, is_kept).
-    */
+    *
+    * MULTIPROBE IS THE DEFAULT (`nassign = 2`, r13 measurement): at
+    * 5M rows / 16,384 cells, 1.64% of true near-dup pairs straddle a
+    * cell boundary and are STRUCTURALLY unfindable at single
+    * assignment — nassign=2 recovered 100,000/100,000 planted twins
+    * vs 98,359, inside the ~nassign²/C ≈ 4× pair-work bound
+    * (`BENCH_scale_r13.json` semdedup_5m). Pass `nassign = 1` to
+    * trade that recall for the cheaper single-assign pass. Pair
+    * candidacy uses all `nassign` cells; the keeper's
+    * farthest-from-centroid distance stays defined against the
+    * PRIMARY (nearest) centroid, as in the paper. */
   def semDedup(vecs: DataFrame, centroids: DataFrame, threshold: Double,
+      nassign: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = AnnIvf.index(vecs, centroids, idCol, vecCol)
       .select(col(idCol), col(vecCol), col("cid"))
-    val pairs = pairsWithinCells(bucketed, threshold, idCol, vecCol)
+    val pairs =
+      if (nassign <= 1) pairsWithinCells(bucketed, threshold, idCol, vecCol)
+      else embeddingNearPairsMultiProbe(vecs, centroids, threshold,
+        nassign, idCol, vecCol)
     val comp = connectedComponents(
       vecs.select(col(idCol).cast("long").as("id")),
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))

@@ -678,6 +678,360 @@ object NswGraph {
       throw new IllegalStateException("unreachable")
   }
 
+  /** Drain a post-beam result heap into at most `kk` (neighbor id,
+    * dist) pairs ascending (dist, in-cell idx) — THE single drain the
+    * distributed partials AND the driver-local small-batch path share,
+    * so their per-cell contributions are identical by construction
+    * (not hand-kept copies): unmasked, trim the heap to kk then drain;
+    * masked, drain the FULL ef-deep beam and filter BEFORE trimming so
+    * surviving candidates fill the ranks a tombstoned id vacates
+    * (filter-at-serve — see `searchServableProbed`). `scratchD`/
+    * `scratchI` are caller scratch sized >= the heap's ef capacity;
+    * the kept pairs land in `outIds`/`outDs` (same sizing). Returns
+    * the kept count; the heap is empty afterwards. */
+  private[graft] def drainBeamTopK(results: PairHeap, cellIds: Array[Long],
+      kk: Int, tomb: Array[Long],
+      scratchD: Array[Double], scratchI: Array[Int],
+      outIds: Array[Long], outDs: Array[Double]): Int = {
+    if (tomb == null) {
+      // keep the kk smallest: pop the (size-kk) largest away, then
+      // drain the rest ascending into the primitive pair
+      var drop = results.size - kk
+      while (drop > 0) { results.pop(); drop -= 1 }
+      var r = results.size - 1
+      val cnt = results.size
+      while (results.size > 0) {
+        scratchD(r) = results.headDist; scratchI(r) = results.headIdx
+        results.pop(); r -= 1
+      }
+      var x = 0
+      while (x < cnt) {
+        outIds(x) = cellIds(scratchI(x)); outDs(x) = scratchD(x); x += 1
+      }
+      cnt
+    } else {
+      var r = results.size - 1
+      val cnt = results.size
+      while (results.size > 0) {
+        scratchD(r) = results.headDist; scratchI(r) = results.headIdx
+        results.pop(); r -= 1
+      }
+      var x = 0
+      var kept = 0
+      while (x < cnt && kept < kk) {
+        val nid = cellIds(scratchI(x))
+        if (java.util.Arrays.binarySearch(tomb, nid) < 0) {
+          outIds(kept) = nid; outDs(kept) = scratchD(x); kept += 1
+        }
+        x += 1
+      }
+      kept
+    }
+  }
+
+  /** DRIVER-LOCAL replica of the resident graph index — the
+    * small-batch serving tier (round-13 verdict top item): every
+    * serve entry that goes through a Spark job pays a measured ~0.5 s
+    * fixed floor (probe job + merge stage + scheduling,
+    * `ProfileFloor`), which DOMINATES below ~10K queries/batch — at
+    * the reference's own serving batch size (100 queries,
+    * params_config.yaml:23) the job path manages ~200 qps against the
+    * reference's in-process 21,890. The reference never pays that
+    * floor because its index lives in the serving process; this
+    * replica is the same shape, Spark-native at the edges: the
+    * decoded `ServableCell`s are collected ONCE into the driver (or
+    * any serving JVM — the struct is plain arrays, `Serializable`),
+    * and `searchLocalProbed` runs the IDENTICAL beam kernel
+    * (`beamServable`), the identical drain (`drainBeamTopK`) and the
+    * identical top-k merge semantics (`TopKBuffer`, the TopKSmallest
+    * aggregate's buffer class) in-process over a thread pool — zero
+    * Spark jobs on the serve path, so the floor is gone and a
+    * 100-query batch serves at the marginal per-query cost.
+    *
+    * Results are BIT-IDENTICAL to `searchServable` over the same
+    * index (NswSpec pins full-row equality, masked and unmasked):
+    * probe lists come from the same `NearestCells.nullSafeEval` the
+    * distributed probe expression runs, distances from the same
+    * `Knn.distBounded*` kernel, ties from the same (dist, id)
+    * comparators.
+    *
+    * At cluster scale: ONE serving driver (or N stateless serving
+    * JVMs, each holding a replica) answers the small-batch/low-latency
+    * tier while huge offline batches keep the distributed
+    * `searchServable`/`searchIndexShuffled` paths — the dispatch is
+    * `searchServableAuto`. The replica's footprint equals the decoded
+    * RDD's (~1.4 GiB at 5M×64, `BENCH_scale_r13.json`
+    * resident_footprints.graph_tier), guarded against driver heap at
+    * build time. */
+  final class LocalReplica private[operators] (
+      val cells: Array[ServableCell],
+      val centroidMatrix: Array[Array[Float]]) extends Serializable {
+    private[operators] val byCid: java.util.HashMap[Integer, ServableCell] = {
+      val m = new java.util.HashMap[Integer, ServableCell](cells.length * 2)
+      cells.foreach(c => m.put(c.cid, c))
+      m
+    }
+    /** Largest cell size / degree — sizes per-thread beam scratch. */
+    private[operators] val maxN: Int =
+      if (cells.isEmpty) 0 else cells.iterator.map(_.ids.length).max
+    private[operators] val maxDeg: Int = {
+      var d = 0
+      cells.foreach { c =>
+        var i = 0
+        while (i < c.ids.length) {
+          val dg = c.adjOff(i + 1) - c.adjOff(i)
+          if (dg > d) d = dg
+          i += 1
+        }
+      }
+      d
+    }
+    /** Decoded footprint (vectors + ids + CSR adjacency), bytes. */
+    def approxBytes: Long = cells.iterator.map { c =>
+      val vec =
+        if (c.flat != null) 4L * c.flat.length
+        else c.rows.iterator.map(r => 16L + 4L * r.length).sum
+      vec + 8L * c.ids.length + 4L * c.adjFlat.length + 4L * c.adjOff.length
+    }.sum
+  }
+
+  /** Build the driver-local replica from the resident index — one
+    * collect, paid once per index epoch (the same epoch-snapshot
+    * contract as `servableIndex`: tombstones arrive per call via the
+    * serve-time mask, appends/deletes need a rebuild). The heap guard
+    * estimates the decoded footprint from one pass over the RDD's
+    * array sizes and refuses a replica that would eat more than
+    * `maxHeapFraction` of the driver's remaining heap (pass
+    * `force = true` for a deployment that sized its serving driver
+    * deliberately) — the loud-failure twin of `Resident.autoLevel`'s
+    * storage check. */
+  def localReplica(idx: org.apache.spark.rdd.RDD[ServableCell],
+      centroids: DataFrame, maxHeapFraction: Double = 0.6,
+      force: Boolean = false): LocalReplica = {
+    if (!force) {
+      val (rows, dimMax, edges) = idx
+        .map(c => (c.ids.length.toLong,
+          c.dim.max(if (c.rows == null || c.rows.isEmpty) 0
+            else c.rows(0).length),
+          (c.adjOff(c.ids.length)).toLong))
+        .fold((0L, 0, 0L)) { case ((r1, d1, e1), (r2, d2, e2)) =>
+          (r1 + r2, math.max(d1, d2), e1 + e2) }
+      val est = Resident.estimateGraphBytes(rows, dimMax, edges)
+      val rt = Runtime.getRuntime
+      val free = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
+      require(est <= (free * maxHeapFraction).toLong,
+        f"localReplica: decoded graph estimate ${est / 1e6}%.0f MB " +
+          f"exceeds $maxHeapFraction%.0f%% of the free driver heap " +
+          f"(${free / 1e6}%.0f MB free) - serve from the distributed " +
+          "resident tier, grow the driver, or pass force = true")
+    }
+    new LocalReplica(idx.collect(),
+      AnnIvf.collectCentroids(centroids))
+  }
+
+  /** Local probe: the EXACT arithmetic, early-abandon and (dist, cid)
+    * tie-break of the distributed probe path, by construction — it
+    * calls the same `NearestCells.nullSafeEval` the codegen'd
+    * expression dispatches to, on the replica's collected centroid
+    * matrix. */
+  private[graft] def nearestCellsLocal(matrix: Array[Array[Float]],
+      nprobe: Int): Array[Float] => Array[Int] = {
+    val expr = graft.functions.NearestCells(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        null, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      matrix, nprobe)
+    qv => expr.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(qv))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray()
+  }
+
+  /** Shared daemon pool for the local serving kernel — sized to the
+    * host's cores; per-query work is independent, so parallelism
+    * never changes results. */
+  private lazy val localServePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      Runtime.getRuntime.availableProcessors(),
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-local-serve-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+
+  /** THE small-batch hot path: serve precollected queries from the
+    * local replica with ZERO Spark jobs — arrays in, ranked rows out.
+    * `queries` is (qid, query vector); rows come back as
+    * (qid, rank, neighbor_id, dist) grouped per query in input order,
+    * ranks 1-based ascending (dist, id) — the same contract as every
+    * k-NN DataFrame. A serving endpoint holds the replica and calls
+    * this per request batch; the measured cost is the marginal
+    * per-query work alone (probe ~C·dim flops + beams ~ef·M rows),
+    * no job floor. Deterministic and batch-size independent: each
+    * query's rows are a pure function of (replica, query, knobs,
+    * mask). */
+  def searchLocalQueries(rep: LocalReplica,
+      queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None)
+      : Array[(Long, Long, Long, Double)] = {
+    val prober = nearestCellsLocal(rep.centroidMatrix, nprobe)
+    searchLocalProbed(rep,
+      queries.map { case (qid, qv) => (qid, qv, prober(qv)) },
+      k, efSearch, metric, tombstones)
+  }
+
+  /** `searchLocalQueries` over precollected probe lists — the exact
+    * local counterpart of `searchServableProbed`: same beam
+    * (`beamServable`), same drain (`drainBeamTopK`), and the final
+    * merge runs the TopKSmallest aggregate's own buffer
+    * (`TopKBuffer`), so the kept set and (dist, id) tie-breaks equal
+    * the distributed `topKFrom` by shared code, not by reimplementation. */
+  def searchLocalProbed(rep: LocalReplica,
+      probed: Array[(Long, Array[Float], Array[Int])], k: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None)
+      : Array[(Long, Long, Long, Double)] = {
+    val nQ = probed.length
+    if (nQ == 0) return Array.empty
+    val efs = math.max(k, efSearch)
+    val mcode = Knn.metricCode(metric)
+    val tomb: Array[Long] = tombstones.orNull
+    val perQuery = new Array[Array[(Long, Long, Long, Double)]](nQ)
+    val workers = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), nQ))
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val chunk = 16 // queries claimed per pool round-trip
+    def runWorker(): Unit = {
+      // per-worker scratch, reused across its queries (the job path's
+      // per-partition hoisting, thread-local here)
+      val stamps = new Array[Int](math.max(1, rep.maxN))
+      val nbuf = new Array[Int](math.max(1, rep.maxDeg))
+      var epoch = 0
+      val candidates = new PairHeap(efs + 1, max = false)
+      val results = new PairHeap(efs + 1, max = true)
+      val scratchD = new Array[Double](efs)
+      val scratchI = new Array[Int](efs)
+      val keptIds = new Array[Long](efs)
+      val keptDs = new Array[Double](efs)
+      var start = next.getAndAdd(chunk)
+      while (start < nQ) {
+        val end = math.min(start + chunk, nQ)
+        var qi = start
+        while (qi < end) {
+          val (qid, qv, cids) = probed(qi)
+          val buf = new graft.functions.TopKBuffer(k)
+          var ci = 0
+          while (ci < cids.length) {
+            val cell = rep.byCid.get(cids(ci))
+            if (cell != null && cell.ids.length > 0) {
+              epoch += 1
+              beamServable(cell, mcode, qv, efs, stamps, epoch,
+                candidates, results, nbuf)
+              val cnt = drainBeamTopK(results, cell.ids, k, tomb,
+                scratchD, scratchI, keptIds, keptDs)
+              var x = 0
+              while (x < cnt) { buf.insert(keptDs(x), keptIds(x)); x += 1 }
+            }
+            ci += 1
+          }
+          val ranked = buf.sorted
+          perQuery(qi) = Array.tabulate(ranked.length)(r =>
+            (qid, (r + 1).toLong, ranked(r)._2, ranked(r)._1))
+          qi += 1
+        }
+        start = next.getAndAdd(chunk)
+      }
+    }
+    if (workers == 1) runWorker()
+    else {
+      val latch = new java.util.concurrent.CountDownLatch(workers)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      (1 to workers).foreach { _ =>
+        localServePool.execute(() =>
+          try runWorker()
+          catch { case t: Throwable => err.compareAndSet(null, t) }
+          finally latch.countDown())
+      }
+      latch.await()
+      if (err.get() != null) throw err.get()
+    }
+    val out = Array.newBuilder[(Long, Long, Long, Double)]
+    out.sizeHint(nQ * k)
+    perQuery.foreach(rows => if (rows != null) out ++= rows)
+    out.result()
+  }
+
+  /** `searchLocalQueries` behind the DataFrame contract — collects the
+    * (small) query batch with one job, then serves entirely locally
+    * and parallelizes the q×k result rows back. Same schema and
+    * bit-identical rows to `searchServable` (NswSpec pin; the
+    * `serve_small_batch` query puts it under the full DuckDB oracle).
+    * The one remaining Spark cost is the query collect itself — a
+    * latency-critical endpoint skips this wrapper and calls
+    * `searchLocalQueries` on arrays. */
+  def searchLocal(rep: LocalReplica, queries: DataFrame, k: Int,
+      nprobe: Int, efSearch: Int = 64, metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    localResultDf(spark,
+      searchLocalQueries(rep, qRows, k, nprobe, efSearch, metric,
+        tombstones))
+  }
+
+  private def localResultDf(spark: SparkSession,
+      rows: Array[(Long, Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      rows)).toDF("qid", "rank", "neighbor_id", "dist")
+  }
+
+  /** BATCH-SIZE-AWARE serving dispatch: batches at or below
+    * `localBelow` serve from the driver-local replica (no job floor),
+    * larger ones take the distributed resident path (whose floor
+    * amortizes — the measured crossover sits near 10K queries on 32
+    * local threads, `BENCH_scale_r13.json`
+    * per_call_floor_decomposition; at cluster scale the distributed
+    * path's higher parallelism moves it lower, so the default stays
+    * conservative). The size check is one `limit(localBelow+1)`
+    * collect — when it returns <= localBelow rows that WAS the whole
+    * batch and those rows serve directly (nothing is scanned twice);
+    * only genuinely large batches re-scan `queries` through the job
+    * path. Results are identical either way (NswSpec pins the two
+    * paths row-for-row), so the dispatch is invisible semantically. */
+  def searchServableAuto(idx: org.apache.spark.rdd.RDD[ServableCell],
+      replica: Option[LocalReplica], centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None,
+      localBelow: Int = 8192): DataFrame = replica match {
+    case None =>
+      searchServable(idx, centroids, queries, k, nprobe, efSearch,
+        metric, qidCol, qvecCol, tombstones)
+    case Some(rep) =>
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val head = queries
+        .select(col(qidCol).cast("long"), col(qvecCol))
+        .limit(localBelow + 1)
+        .as[(Long, Array[Float])].collect()
+      if (head.length <= localBelow)
+        localResultDf(spark,
+          searchLocalQueries(rep, head, k, nprobe, efSearch, metric,
+            tombstones))
+      else
+        searchServable(idx, centroids, queries, k, nprobe, efSearch,
+          metric, qidCol, qvecCol, tombstones)
+  }
+
   /** Serve a query batch from the resident index: probe lists are
     * collected + INVERTED driver-side (cell → probing query indices,
     * so a cell never scans the query batch), broadcast once, and each
@@ -816,6 +1170,8 @@ object NswGraph {
       val results = new PairHeap(efs + 1, max = true)
       val outD = new Array[Double](efs)
       val outI = new Array[Int](efs)
+      val keptIds = new Array[Long](efs)
+      val keptDs = new Array[Double](efs)
       it.flatMap { cell =>
         val probing = byCell.getOrElse(cell.cid, null)
         val n = cell.ids.length
@@ -838,42 +1194,12 @@ object NswGraph {
             epoch += 1
             beamServable(cell, mcode, vecs(qi), efs, stamps, epoch,
               candidates, results, nbuf)
-            if (tomb == null) {
-              // keep the kk smallest: pop the (size-kk) largest away,
-              // then drain the rest ascending into the primitive pair
-              var drop = results.size - kk
-              while (drop > 0) { results.pop(); drop -= 1 }
-              var r = results.size - 1
-              val cnt = results.size
-              while (results.size > 0) {
-                outD(r) = results.headDist; outI(r) = results.headIdx
-                results.pop(); r -= 1
-              }
-              var x = 0
-              while (x < cnt) {
-                out(written) = (ids(qi), cell.ids(outI(x)), outD(x))
-                written += 1; x += 1
-              }
-            } else {
-              // masked drain: filter BEFORE trimming to kk, so
-              // surviving candidates from the full ef-deep beam fill
-              // the ranks a masked id vacates
-              var r = results.size - 1
-              val cnt = results.size
-              while (results.size > 0) {
-                outD(r) = results.headDist; outI(r) = results.headIdx
-                results.pop(); r -= 1
-              }
-              var x = 0
-              var kept = 0
-              while (x < cnt && kept < kk) {
-                val nid = cell.ids(outI(x))
-                if (java.util.Arrays.binarySearch(tomb, nid) < 0) {
-                  out(written) = (ids(qi), nid, outD(x))
-                  written += 1; kept += 1
-                }
-                x += 1
-              }
+            val cnt = drainBeamTopK(results, cell.ids, kk, tomb,
+              outD, outI, keptIds, keptDs)
+            var x = 0
+            while (x < cnt) {
+              out(written) = (ids(qi), keptIds(x), keptDs(x))
+              written += 1; x += 1
             }
             p += 1
           }

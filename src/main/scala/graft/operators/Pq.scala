@@ -35,6 +35,31 @@ import graft.GraftFunctions
   */
 object Pq {
 
+  /** Named PQ operating points — the measured knee shipped as product
+    * configuration instead of scaladoc lore (round-13 verdict task 3).
+    * A preset bundles the codebook shape (`m`, `ksub`) with the
+    * refined-serving shortlist depth (`kfactor`); train with
+    * `Pq.train(data, p.m, p.ksub)` and serve with
+    * `searchPersistedAdcRefined(..., kfactor = p.kfactor)`. The
+    * sidecar (`PqMeta`) still records whatever shape a layout was
+    * actually written with, so presets never reinterpret old layouts. */
+  final case class Preset(m: Int, ksub: Int, kfactor: Int)
+
+  /** The recall ≥ 0.8 serving preset: m=16 / ksub=256 (one-byte
+    * codes) / kfactor=32 — measured 0.8925 recall@10 @ 181.7 qps at
+    * 5M×64 (16 B/vec, 16× compression, `BENCH_scale_r13.json`
+    * pq_knee). The knee sweep showed BYTES PER VECTOR, not shortlist
+    * depth, binds refined recall: m=8's curve saturates at 0.80 even
+    * at kfactor=64, so presets move `m` first. */
+  val Recall08Preset: Preset = Preset(m = 16, ksub = 256, kfactor = 32)
+
+  /** The maximum-compression preset: m=8 / ksub=256 / kfactor=16
+    * (8 B/vec, 32×) — recall@10 0.607 at 310.8 qps at the same shape.
+    * The right tier only when footprint outranks recall (e.g. a
+    * coarse pre-filter ahead of an exact re-rank over a hotter
+    * tier). */
+  val Compress32xPreset: Preset = Preset(m = 8, ksub = 256, kfactor = 16)
+
   /** Per-subspace codebooks: codebooks(sub)(code) is a d/m-dim
     * centroid. */
   final case class Codebook(m: Int, dsub: Int,
@@ -430,7 +455,17 @@ object Pq {
     // appending raw codes into a residual layout (or vice versa) is
     // per-row silent garbage — validate against the sidecar before
     // touching the tree; legacy layouts (no sidecar) get one written
-    // from this batch's flags so the NEXT mismatch is caught
+    // from this batch's flags so the NEXT mismatch is caught.
+    // LEGACY-UPGRADE TRUST BOUNDARY (r13 ADVICE): for a sidecar-less
+    // layout the FIRST appender's flags are taken as the layout's
+    // mode — nothing in the codes themselves can disambiguate
+    // raw vs residual, so a first append with the WRONG flag both
+    // mixes modes in the layout and freezes the wrong mode into the
+    // sidecar (later correct-flag searches are then loudly rejected).
+    // Layouts written by writeIvfPqIndex* since r13 always carry the
+    // sidecar, so this only concerns pre-r13 trees: verify the
+    // original build's mode before the first append, or rewrite via
+    // writeIvfPqIndexed (whose flags are authoritative).
     validatePqMode(spark, path, cb, residual, "Pq.appendToIndex")
     val indexed = supers.fold(
       AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>

@@ -53,7 +53,8 @@ object Serving {
       indexed: DataFrame,
       centroids: DataFrame,
       graph: Option[org.apache.spark.rdd.RDD[NswGraph.ServableCell]] = None,
-      flat: Option[org.apache.spark.rdd.RDD[AnnIvf.FlatBlock]] = None) {
+      flat: Option[org.apache.spark.rdd.RDD[AnnIvf.FlatBlock]] = None,
+      local: Option[NswGraph.LocalReplica] = None) {
     /** SELECTIVITY MEMO for the no-hint path: a deployment serving
       * repeated ad-hoc predicates would otherwise pay two column-
       * pruned counts PER CALL (`serveFilteredExplained`'s honest
@@ -96,6 +97,55 @@ object Serving {
         indexPath: String): Unit =
       setTombstones(
         AnnIvf.tombstoneIds(spark, indexPath).getOrElse(Array.emptyLongArray))
+
+    /** OPT-IN STALENESS PROBE (round-13 verdict watch item): the mask
+      * refresh above is manual, so a deployment that forgets it keeps
+      * serving tombstoned ids until the next epoch. Armed, every
+      * `everyNCalls`-th `serveFiltered*` call stats the side-table
+      * directory (one driver-side filesystem call, no job, no scan)
+      * and auto-refreshes the mask when its modification time moved —
+      * covering new tombstone batches, folds (directory gone → mask
+      * cleared), and `clearTombstones` rewrites alike. Costs one
+      * `getFileStatus` per probed call; mtime granularity is the
+      * filesystem's (1 s on some), so two writes inside the same
+      * second need a manual refresh — the probe is a safety net for
+      * forgotten epochs, not a consistency protocol. Returns this
+      * Artifacts for chaining; the initial arm performs one refresh so
+      * the mask starts synchronized. */
+    def withTombstoneProbe(spark: org.apache.spark.sql.SparkSession,
+        indexPath: String, everyNCalls: Int = 1): this.type = {
+      require(everyNCalls >= 1, s"everyNCalls must be >= 1")
+      probeConf = Some((spark, indexPath, everyNCalls))
+      refreshTombstones(spark, indexPath)
+      probeStamp = tombstoneStamp(spark, indexPath)
+      this
+    }
+    @volatile private var probeConf
+      : Option[(org.apache.spark.sql.SparkSession, String, Int)] = None
+    @volatile private var probeStamp: Long = -1L
+    private val probeCalls = new java.util.concurrent.atomic.AtomicLong()
+    /** Number of times the probe actually refreshed the mask —
+      * observability (pinned in ServingSpec). */
+    @volatile private[graft] var probeRefreshes: Int = 0
+    private def tombstoneStamp(
+        spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+      val dir = new org.apache.hadoop.fs.Path(path, AnnIvf.TombstoneDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dir)) fs.getFileStatus(dir).getModificationTime else -1L
+    }
+    /** Run the staleness probe if armed and due — called by every
+      * serve entry before it reads `tombstones`. */
+    private[operators] def maybeRefreshTombstones(): Unit =
+      probeConf.foreach { case (spark, path, n) =>
+        if (probeCalls.incrementAndGet() % n == 0) {
+          val stamp = tombstoneStamp(spark, path)
+          if (stamp != probeStamp) {
+            refreshTombstones(spark, path)
+            probeStamp = stamp
+            probeRefreshes += 1
+          }
+        }
+      }
   }
 
   /** Stable cache key for a filter predicate (its expression
@@ -173,6 +223,9 @@ object Serving {
       validateAttrPred: Boolean = false)
       : (Strategy, DataFrame) = {
     require(overFetchMult >= 1, s"overFetchMult must be >= 1")
+    // staleness probe first (no-op unless armed via
+    // withTombstoneProbe): the mask below must be this call's epoch
+    art.maybeRefreshTombstones()
     // tombstone mask first (pre-filter semantics, identical to the
     // persisted paths' anti-join): every branch below serves from the
     // masked relation, so a tombstoned id can never be returned —
@@ -277,9 +330,11 @@ object Serving {
         // the semi-join below would drop tombstoned ids anyway (the
         // survivor side is masked), but masking inside the beam drain
         // lets surviving candidates fill the k' window instead of
-        // wasting it on rows the join will discard
-        val fetched = NswGraph.searchServable(art.graph.get,
-          art.centroids, queries, kF, nprobe, efF, metric,
+        // wasting it on rows the join will discard. With a local
+        // replica in the artifacts, small batches beam in-process
+        // (searchServableAuto) — identical rows, no per-call job floor
+        val fetched = NswGraph.searchServableAuto(art.graph.get,
+          art.local, art.centroids, queries, kF, nprobe, efF, metric,
           qidCol, qvecCol, tombstones = masked)
         // membership check against the survivor ids: a semi-join on
         // the id column — the predicate may read any column of the

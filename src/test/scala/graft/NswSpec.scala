@@ -189,6 +189,66 @@ class NswSpec extends AnyFunSuite {
     idx.unpersist(); graphs.unpersist(); indexed.unpersist()
   }
 
+  test("driver-local small-batch serve is bit-identical to the job " +
+      "path: unmasked, masked, across batch sizes, and via the " +
+      "auto dispatch") {
+    import org.apache.spark.sql.functions.col
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val graphs = NswGraph.buildIndex(
+      graft.operators.AnnIvf.index(data, centroids),
+      m = 8, efConstruction = 32).cache()
+    val idx = NswGraph.servableIndex(graphs)
+    idx.count()
+    val rep = NswGraph.localReplica(idx, centroids)
+    def full(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "rank", "neighbor_id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    Seq(8, 64).foreach { efs =>
+      val job = full(NswGraph.searchServable(idx, centroids, queries, 10,
+        nprobe = 4, efSearch = efs))
+      val local = full(NswGraph.searchLocal(rep, queries, 10,
+        nprobe = 4, efSearch = efs))
+      assert(local == job && job.nonEmpty, s"efSearch $efs")
+    }
+    // masked: same mask through both paths, full-row equality
+    val mask = data.filter(col("vec_id") % 5 === 1)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val jobM = full(NswGraph.searchServable(idx, centroids, queries, 10,
+      nprobe = 8, efSearch = 64, tombstones = Some(mask)))
+    assert(full(NswGraph.searchLocal(rep, queries, 10, nprobe = 8,
+      efSearch = 64, tombstones = Some(mask))) == jobM && jobM.nonEmpty)
+    // batch-size independence: a 3-query slice served locally equals
+    // the job path's rows for those queries (the reference's 100-query
+    // batch shape) — and the ARRAY hot path equals the DataFrame
+    // wrapper row for row
+    val spark2 = spark
+    import spark2.implicits._
+    val sub = queries.filter(col("qid") % 7 === 0)
+    val subJob = full(NswGraph.searchServable(idx, centroids, sub, 10,
+      nprobe = 4, efSearch = 32))
+    assert(full(NswGraph.searchLocal(rep, sub, 10, nprobe = 4,
+      efSearch = 32)) == subJob && subJob.nonEmpty)
+    val subArr = sub
+      .select(col("qid").cast("long"), col("q_embedding"))
+      .as[(Long, Array[Float])].collect()
+    val hot = NswGraph.searchLocalQueries(rep, subArr, 10, nprobe = 4,
+      efSearch = 32).toSet
+    assert(hot == subJob)
+    // auto dispatch: below the threshold it must route locally (and
+    // match), above it the distributed path (and match)
+    assert(full(NswGraph.searchServableAuto(idx, Some(rep), centroids,
+      sub, 10, nprobe = 4, efSearch = 32, localBelow = 8192)) == subJob)
+    assert(full(NswGraph.searchServableAuto(idx, Some(rep), centroids,
+      sub, 10, nprobe = 4, efSearch = 32, localBelow = 1)) == subJob)
+    // heap guard: an impossible fraction refuses loudly, force wins
+    val e = intercept[IllegalArgumentException] {
+      NswGraph.localReplica(idx, centroids, maxHeapFraction = 0.0)
+    }
+    assert(e.getMessage.contains("free driver heap"))
+    idx.unpersist(); graphs.unpersist()
+  }
+
   test("hamming-metric ANN: scalar/expression agreement + recall floors") {
     // scalar branch == packed popcount(xor) (the exactHamming path)
     val a = Array(0.5f, -1f, 0f, 2f, -0.1f, 3f, -4f, 1f)

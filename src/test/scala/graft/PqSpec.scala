@@ -57,6 +57,33 @@ class PqSpec extends AnyFunSuite {
       s"refined recall $refined (pure $pure)")
   }
 
+  test("Recall08Preset: the measured knee as product config — a " +
+      "preset-shaped codebook end-to-end beats the 32x tier's recall") {
+    val p = Pq.Recall08Preset
+    // the preset IS the measured knee (BENCH_scale_r13.json pq_knee:
+    // 0.8925 recall@10 @ 181.7 qps at 5M×64, one-byte codes) — pin
+    // the shape so a silent default drift breaks loudly
+    assert(p.m == 16 && p.ksub == 256 && p.kfactor == 32)
+    assert(Pq.Compress32xPreset.m == 8 && Pq.Compress32xPreset.ksub == 256)
+    // test-scale stand-in for ksub: the sf fixture has too few rows
+    // to train 256 centroids per subspace; m-dominance (the knee's
+    // actual claim) is what this case checks end to end
+    val cbP = Pq.train(data, m = p.m, ksub = 16, iterations = 2)
+    val codesP = Pq.encode(data, cbP).cache()
+    val codes8 = Pq.encode(data, cb).cache()
+    val truth = Knn.exact(data, queries, k = 10)
+    def recallOf(found: org.apache.spark.sql.DataFrame) =
+      Recall.ofRanked(found, truth).select($"recall").head().getDouble(0)
+    // same kfactor, preset m vs compression-tier m: more bytes per
+    // vector must not lose recall (the knee's whole point)
+    val rP = recallOf(Pq.searchAdcRefined(codesP, cbP, data, queries,
+      k = 10, kfactor = p.kfactor))
+    val r8 = recallOf(Pq.searchAdcRefined(codes8, cb, data, queries,
+      k = 10, kfactor = p.kfactor))
+    assert(rP >= r8 && rP >= 0.8, s"preset recall $rP vs m=8 $r8")
+    codesP.unpersist(); codes8.unpersist()
+  }
+
   test("persisted IVF-PQ: pruned ADC equals full ADC at nprobe=C") {
     val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
     val centroids = graft.operators.AnnIvf.train(data, numCentroids = 8,

@@ -319,6 +319,40 @@ class ServingSpec extends AnyFunSuite {
     assert(art.tombstones.isEmpty)
   }
 
+  test("opt-in staleness probe: a tombstone written AFTER the " +
+      "artifacts are armed is observed on the next serve without a " +
+      "manual refresh; a fold clears the mask the same way") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(data, centroids)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_serv_stale").toString
+    AnnIvf.writeIndex(indexed, s"$tmp/idx")
+    val art = Serving.Artifacts(indexed, centroids)
+      .withTombstoneProbe(spark, s"$tmp/idx")
+    assert(art.tombstones.isEmpty && art.probeRefreshes == 0)
+    // the forgotten-refresh scenario: delete lands in the side-table,
+    // nobody calls refreshTombstones — the armed probe catches it on
+    // the next serve call
+    val del = data.filter($"vec_id" % 11 === 4).select($"vec_id")
+    AnnIvf.tombstone(spark, s"$tmp/idx", del)
+    val (_, res) = Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)
+    val served = res.select($"neighbor_id").collect().map(_.getLong(0)).toSet
+    val masked = del.as[Long].collect().toSet
+    assert(served.nonEmpty && served.intersect(masked).isEmpty)
+    assert(art.probeRefreshes == 1 &&
+      art.tombstones.map(_.toSeq).contains(masked.toSeq.sorted))
+    // an unchanged side-table does NOT re-read it (stamp match)
+    Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)._2.count()
+    assert(art.probeRefreshes == 1)
+    // a fold drops the side-table; the probe clears the mask
+    AnnIvf.foldTombstones(spark, s"$tmp/idx")
+    Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)._2.count()
+    assert(art.tombstones.isEmpty && art.probeRefreshes == 2)
+  }
+
   test("overfetch k' is capped: a near-zero hint on the graph branch " +
       "cannot beam the corpus") {
     val (s, res) = Serving.serveFilteredExplained(artifacts, queries, 10,
