@@ -796,15 +796,18 @@ object NswGraph {
   }
 
   /** Build the driver-local replica from the resident index — one
-    * collect, paid once per index epoch (the same epoch-snapshot
-    * contract as `servableIndex`: tombstones arrive per call via the
-    * serve-time mask, appends/deletes need a rebuild). The heap guard
-    * estimates the decoded footprint from one pass over the RDD's
-    * array sizes and refuses a replica that would eat more than
-    * `maxHeapFraction` of the driver's remaining heap (pass
-    * `force = true` for a deployment that sized its serving driver
-    * deliberately) — the loud-failure twin of `Resident.autoLevel`'s
-    * storage check. */
+    * partition-streamed collection (`toLocalIterator`: one small job
+    * per partition, so `spark.driver.maxResultSize` sees one
+    * partition's cells at a time, not the whole index — a 1.4 GiB
+    * replica builds under the 1 GiB default), paid once per index
+    * epoch (the same epoch-snapshot contract as `servableIndex`:
+    * tombstones arrive per call via the serve-time mask,
+    * appends/deletes need a rebuild). The heap guard estimates the
+    * decoded footprint from one pass over the RDD's array sizes and
+    * refuses a replica that would eat more than `maxHeapFraction` of
+    * the driver's remaining heap (pass `force = true` for a
+    * deployment that sized its serving driver deliberately) — the
+    * loud-failure twin of `Resident.autoLevel`'s storage check. */
   def localReplica(idx: org.apache.spark.rdd.RDD[ServableCell],
       centroids: DataFrame, maxHeapFraction: Double = 0.6,
       force: Boolean = false): LocalReplica = {
@@ -825,7 +828,7 @@ object NswGraph {
           f"(${free / 1e6}%.0f MB free) - serve from the distributed " +
           "resident tier, grow the driver, or pass force = true")
     }
-    new LocalReplica(idx.collect(),
+    new LocalReplica(idx.toLocalIterator.toArray,
       AnnIvf.collectCentroids(centroids))
   }
 
@@ -876,12 +879,9 @@ object NswGraph {
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None)
-      : Array[(Long, Long, Long, Double)] = {
-    val prober = nearestCellsLocal(rep.centroidMatrix, nprobe)
-    searchLocalProbed(rep,
-      queries.map { case (qid, qv) => (qid, qv, prober(qv)) },
-      k, efSearch, metric, tombstones)
-  }
+      : Array[(Long, Long, Long, Double)] =
+    searchLocalCore(rep, queries.map(_._1), queries.map(_._2), null,
+      nprobe, k, efSearch, metric, tombstones)
 
   /** `searchLocalQueries` over precollected probe lists — the exact
     * local counterpart of `searchServableProbed`: same beam
@@ -893,17 +893,40 @@ object NswGraph {
       probed: Array[(Long, Array[Float], Array[Int])], k: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None)
+      : Array[(Long, Long, Long, Double)] =
+    searchLocalCore(rep, probed.map(_._1), probed.map(_._2),
+      probed.map(_._3), 0, k, efSearch, metric, tombstones)
+
+  /** The local serving core. Probe lists compute INSIDE the worker
+    * loop when not supplied (`probes == null`) — the probe's C·dim
+    * argmin is the dominant per-query cost at serving cell counts
+    * (measured ~2× the np2/efS32 beam cost at 1024 cells), so
+    * serializing it on the calling thread would cap small-batch
+    * throughput at roughly a third of the hardware's rate. Probing
+    * in-worker uses the same thread-safe `NearestCells.nullSafeEval`
+    * as the precollected path, so supplied-vs-computed probes are
+    * identical per query. */
+  private def searchLocalCore(rep: LocalReplica, qids: Array[Long],
+      qvecs: Array[Array[Float]], probes: Array[Array[Int]],
+      nprobe: Int, k: Int, efSearch: Int, metric: String,
+      tombstones: Option[Array[Long]])
       : Array[(Long, Long, Long, Double)] = {
-    val nQ = probed.length
+    val nQ = qids.length
     if (nQ == 0) return Array.empty
     val efs = math.max(k, efSearch)
     val mcode = Knn.metricCode(metric)
     val tomb: Array[Long] = tombstones.orNull
+    val prober: Array[Float] => Array[Int] =
+      if (probes != null) null
+      else nearestCellsLocal(rep.centroidMatrix, nprobe)
     val perQuery = new Array[Array[(Long, Long, Long, Double)]](nQ)
+    // one worker per ~4 queries up to the core count: a 100-query
+    // batch fans to 25 workers; a 4-query batch skips most of the
+    // pool wakeup cost
     val workers = math.max(1, math.min(
-      Runtime.getRuntime.availableProcessors(), nQ))
+      Runtime.getRuntime.availableProcessors(), (nQ + 3) / 4))
     val next = new java.util.concurrent.atomic.AtomicInteger(0)
-    val chunk = 16 // queries claimed per pool round-trip
+    val chunk = math.max(1, math.min(16, nQ / (workers * 2))) max 1
     def runWorker(): Unit = {
       // per-worker scratch, reused across its queries (the job path's
       // per-partition hoisting, thread-local here)
@@ -921,7 +944,8 @@ object NswGraph {
         val end = math.min(start + chunk, nQ)
         var qi = start
         while (qi < end) {
-          val (qid, qv, cids) = probed(qi)
+          val qid = qids(qi); val qv = qvecs(qi)
+          val cids = if (probes != null) probes(qi) else prober(qv)
           val buf = new graft.functions.TopKBuffer(k)
           var ci = 0
           while (ci < cids.length) {

@@ -319,6 +319,20 @@ class ServingSpec extends AnyFunSuite {
     assert(art.tombstones.isEmpty)
   }
 
+  test("artifacts with a local replica: the mild branch serves the " +
+      "small batch in-process and stays row-identical to the job " +
+      "dispatch") {
+    val rep = NswGraph.localReplica(artifacts.graph.get,
+      artifacts.centroids)
+    val withLocal = artifacts.copy(local = Some(rep))
+    val (s1, r1) = Serving.serveFilteredExplained(artifacts, queries, 10,
+      SparkEntry.filterLow, nprobe = 8, efSearch = 64)
+    val (s2, r2) = Serving.serveFilteredExplained(withLocal, queries, 10,
+      SparkEntry.filterLow, nprobe = 8, efSearch = 64)
+    assert(s1 == Serving.GraphOverfetch && s2 == Serving.GraphOverfetch)
+    assert(asRows(r2) == asRows(r1) && asRows(r1).nonEmpty)
+  }
+
   test("opt-in staleness probe: a tombstone written AFTER the " +
       "artifacts are armed is observed on the next serve without a " +
       "manual refresh; a fold clears the mask the same way") {
