@@ -86,6 +86,10 @@ object Bench {
       // row would re-measure the graph build; the local tier's
       // throughput is measured in the scale record (ProfileSmallBatch)
       "serve_small_batch",
+      // serve_local_filtered: serve_auto_strong's fixture through the
+      // in-process dispatcher — same exclusion rationale; the local
+      // filtered throughput is measured in the scale record
+      "serve_local_filtered",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",
       "stream_dedup",
       "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors",

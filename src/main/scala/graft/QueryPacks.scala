@@ -2608,6 +2608,29 @@ object AnnQueries {
       require(strat == Serving.IvfPrefilter, s"dispatched $strat")
       res.select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // FULLY LOCAL filtered serving (r14) under serve_auto_strong's
+    // oracle: the same fixture served through serveFilteredLocalDf —
+    // selectivity counted from the replica's resident attrs, strong
+    // branch dispatched, the pre-filter probe-scan run entirely
+    // in-process (zero Spark jobs past the query collect). The local
+    // branches are row-identical to the distributed dispatcher
+    // (ServingSpec); hash-equality here puts the in-process kernel
+    // under the DuckDB oracle too.
+    "serve_local_filtered" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 311)
+      val cells = AnnIvf.servableCells(AnnIvf.index(base, centroids),
+        attrCol = Some("label"))
+      try {
+        val rep = AnnIvf.localCellReplica(cells, centroids)
+        val (strat, res) = Serving.serveFilteredLocalDf(rep, None,
+          queriesDf(s, d), K, a => a == 0.0 || a == 1.0, nprobe = 2)
+        require(strat == Serving.IvfPrefilterResident,
+          s"dispatched $strat")
+        res.select(col("qid"), col("rank"), col("neighbor_id"))
+      } finally cells.unpersist()
+    }),
     // the tombstone mask through the DISPATCHER end to end: the
     // side-table written on the persisted layout is refreshed into the
     // shared serving artifacts (Artifacts.refreshTombstones — zero
@@ -3362,6 +3385,10 @@ object AnnQueries {
     // filtered k-NN; mild = the no-prune graph recipe widened to the
     // integer over-fetch k' then filtered + re-ranked
     "serve_auto_strong" -> ivfFixedSql(311,
+      survivors = "label IN (0, 1)"),
+    // the r14 in-process dispatcher is row-identical to the strong
+    // branch (ServingSpec), so it shares the oracle
+    "serve_local_filtered" -> ivfFixedSql(311,
       survivors = "label IN (0, 1)"),
     // dispatcher-masked serve == search over an index without the rows
     "serve_auto_tombstone" -> ivfFixedSql(311,

@@ -1064,6 +1064,291 @@ object AnnIvf {
     Knn.topKFrom(partials, kk, col("_dist"), col("_nnid"), col("qid"))
   }
 
+  /** DRIVER-LOCAL replica of the flat-IVF tier — the small-batch
+    * serving shape for the pre-filter/exact branches (the graph
+    * tier's twin is `NswGraph.LocalReplica`; same motivation: every
+    * distributed serve pays a ~0.3–0.5 s per-call job floor that
+    * dominates below ~10K queries/batch). Unlike the hash-mixed
+    * `FlatBlock`s — whose whole-corpus row-major scan is the right
+    * geometry when a BATCH of probes amortizes it — the local replica
+    * regroups rows BY CELL (CSR offsets into contiguous arrays), so
+    * one query's probed cells scan exactly their members: per-query
+    * cost ~nprobe·(n/C)·dim flops with no batch to amortize against.
+    * Carries the resident attribute column when the source tier was
+    * built with `attrCol` (the reference's rating/label brackets), so
+    * filtered serving stays in-process too; `attrOf` answers the
+    * mild branch's survivor-membership lookups from a globally
+    * id-sorted view. Regrouping is semantics-free: per-row distances
+    * are pure functions and the top-k merge's (dist, id) total order
+    * is scan-order independent, so results stay bit-identical to
+    * `searchServableCells` (KnnSpec pin). */
+  final class LocalCellReplica private[operators] (
+      private[operators] val byCid: java.util.HashMap[Integer, Integer],
+      val cellOff: Array[Int],
+      val ids: Array[Long],
+      val attrs: Array[Double], // null when built without attrCol
+      val dim: Int,
+      val flat: Array[Float], // null when ragged -> rows
+      val rows: Array[Array[Float]],
+      val centroidMatrix: Array[Array[Float]]) extends Serializable {
+    def size: Int = ids.length
+    def nCells: Int = cellOff.length - 1
+    // globally id-sorted view for the mild branch's membership/attr
+    // lookups (built once; ids are unique by the index contract)
+    private[operators] val (sortedIds, attrsBySorted)
+        : (Array[Long], Array[Double]) =
+      if (attrs == null) (null, null)
+      else {
+        val order = Array.range(0, ids.length)
+          .sortBy(ids(_))
+        (order.map(ids(_)), order.map(attrs(_)))
+      }
+    /** The resident attribute of `id`, NaN when the id is absent (an
+      * absent id can never satisfy a predicate — NaN compares false
+      * under every bracket). Requires an attr-built replica. */
+    def attrOf(id: Long): Double = {
+      val p = java.util.Arrays.binarySearch(sortedIds, id)
+      if (p >= 0) attrsBySorted(p) else Double.NaN
+    }
+    /** (maskedTotal, maskedSurvivors) under `pred` and an optional
+      * sorted tombstone mask — the local twin of the dispatcher's two
+      * column-pruned counts (one pass over the resident attrs). */
+    private[graft] def selectivityCounts(pred: Double => Boolean,
+        tomb: Array[Long]): (Long, Long) = {
+      require(attrs != null,
+        "selectivityCounts needs an attr-built replica")
+      var total = 0L; var surv = 0L; var i = 0
+      while (i < ids.length) {
+        if (tomb == null ||
+          java.util.Arrays.binarySearch(tomb, ids(i)) < 0) {
+          total += 1
+          if (pred(attrs(i))) surv += 1
+        }
+        i += 1
+      }
+      (total, surv)
+    }
+  }
+
+  /** Build the local flat replica from the resident blocks —
+    * partition-streamed like `NswGraph.localReplica` (one small job
+    * per partition; `spark.driver.maxResultSize` never sees the whole
+    * corpus), heap-guarded the same way. One-time regroup: count per
+    * cell, prefix-sum offsets, fill. */
+  def localCellReplica(idx: org.apache.spark.rdd.RDD[FlatBlock],
+      centroids: DataFrame, maxHeapFraction: Double = 0.6,
+      force: Boolean = false): LocalCellReplica = {
+    if (!force) {
+      val (n, dim, withAttrs) = idx
+        .map(b => (b.ids.length.toLong, b.dim, b.attrs != null))
+        .fold((0L, 0, false)) { case ((n1, d1, a1), (n2, d2, a2)) =>
+          (n1 + n2, math.max(d1, d2), a1 || a2) }
+      val est = Resident.estimateFlatBytes(n, dim, withAttrs)
+      val rt = Runtime.getRuntime
+      val free = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
+      require(est <= (free * maxHeapFraction).toLong,
+        f"localCellReplica: decoded estimate ${est / 1e6}%.0f MB " +
+          f"exceeds $maxHeapFraction%.0f%% of the free driver heap " +
+          f"(${free / 1e6}%.0f MB free) - serve from the distributed " +
+          "resident tier, grow the driver, or pass force = true")
+    }
+    val blocks = idx.toLocalIterator.toArray
+    val n = blocks.iterator.map(_.ids.length).sum
+    val withAttrs = blocks.exists(_.attrs != null)
+    val dim = blocks.iterator.map(_.dim).maxOption.getOrElse(0)
+    val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
+      blocks.forall(b => b.flat != null && b.dim == dim)
+    // pass 1: members per cell
+    val counts = new java.util.HashMap[Integer, Integer]()
+    blocks.foreach(b => b.cids.foreach(c =>
+      counts.merge(c, 1, (x, y) => x + y)))
+    val cellIds = {
+      val a = new Array[Int](counts.size())
+      val it = counts.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(a); a
+    }
+    val byCid = new java.util.HashMap[Integer, Integer](cellIds.length * 2)
+    val cellOff = new Array[Int](cellIds.length + 1)
+    var c = 0
+    while (c < cellIds.length) {
+      byCid.put(cellIds(c), c)
+      cellOff(c + 1) = cellOff(c) + counts.get(cellIds(c))
+      c += 1
+    }
+    // pass 2: fill at each cell's cursor
+    val cursor = java.util.Arrays.copyOf(cellOff, cellOff.length)
+    val ids = new Array[Long](n)
+    val attrs = if (withAttrs) new Array[Double](n) else null
+    val flat = if (flattenable) new Array[Float](n * dim) else null
+    val rows = if (flattenable) null else new Array[Array[Float]](n)
+    blocks.foreach { b =>
+      var i = 0
+      val bn = b.ids.length
+      while (i < bn) {
+        val cell = byCid.get(b.cids(i))
+        val at = cursor(cell); cursor(cell) = at + 1
+        ids(at) = b.ids(i)
+        if (attrs != null) attrs(at) = if (b.attrs != null) b.attrs(i) else 0.0
+        if (flat != null)
+          System.arraycopy(b.flat, i * b.dim, flat, at * dim, dim)
+        else
+          rows(at) = if (b.rows != null) b.rows(i)
+            else java.util.Arrays.copyOfRange(b.flat, i * b.dim,
+              (i + 1) * b.dim)
+        i += 1
+      }
+    }
+    new LocalCellReplica(byCid, cellOff, ids, attrs, dim, flat, rows,
+      collectCentroids(centroids))
+  }
+
+  /** THE small-batch flat-tier hot path: pre-filter probe-and-scan
+    * over the local replica with ZERO Spark jobs — the in-process
+    * twin of `searchServableCells` (bit-identical rows, KnnSpec pin):
+    * per query, scan the `nprobe` probed cells' members, applying the
+    * attr pre-filter and tombstone mask per row BEFORE the distance,
+    * exact top-k by (dist, id). Probe lists share the distributed
+    * path's `NearestCells` evaluation. */
+  def searchLocalCellsQueries(rep: LocalCellReplica,
+      queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      metric: String = "sqeuclidean",
+      attrPred: Option[Double => Boolean] = None,
+      tombstones: Option[Array[Long]] = None)
+      : Array[(Long, Long, Long, Double)] =
+    localCellCore(rep, queries, k, nprobe, metric, attrPred, tombstones,
+      exhaustive = false)
+
+  /** Exact filtered top-k over the WHOLE local replica (every cell —
+    * no probe approximation): the in-process twin of `Knn.exact` over
+    * the masked, attr-filtered relation. The dispatcher's extreme
+    * branch; recall 1.0 by construction. */
+  def searchLocalExactQueries(rep: LocalCellReplica,
+      queries: Array[(Long, Array[Float])], k: Int,
+      metric: String = "sqeuclidean",
+      attrPred: Option[Double => Boolean] = None,
+      tombstones: Option[Array[Long]] = None)
+      : Array[(Long, Long, Long, Double)] =
+    localCellCore(rep, queries, k, 0, metric, attrPred, tombstones,
+      exhaustive = true)
+
+  private def localCellCore(rep: LocalCellReplica,
+      queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      metric: String, attrPred: Option[Double => Boolean],
+      tombstones: Option[Array[Long]], exhaustive: Boolean)
+      : Array[(Long, Long, Long, Double)] = {
+    val nQ = queries.length
+    if (nQ == 0) return Array.empty
+    val mcode = Knn.metricCode(metric)
+    val tomb: Array[Long] = tombstones.orNull
+    val pred: Double => Boolean = attrPred.orNull
+    if (pred != null && rep.attrs == null)
+      throw new IllegalArgumentException(
+        "attrPred given but the local replica was built without " +
+          "attrCol — rebuild servableCells(..., attrCol = Some(...))")
+    val prober: Array[Float] => Array[Int] =
+      if (exhaustive) null
+      else NswGraph.nearestCellsLocal(rep.centroidMatrix, nprobe)
+    // EXHAUSTIVE path: resolve the attr + tombstone checks ONCE per
+    // call into a survivor index list (the local twin of Knn.exact
+    // scanning an already-filtered relation) — every query in the
+    // batch then touches survivors only, instead of re-evaluating the
+    // predicate corpus-wide per query. The resolve pass itself runs
+    // PARALLEL over pool workers (range-chunked, concatenated in
+    // range order): serial it cost ~30 ms per call at 5M and
+    // dominated small extreme-filter batches. Same rows by
+    // construction (the per-row keep test is query-independent, and
+    // the top-k merge is scan-order independent anyway).
+    val survIdx: Array[Int] =
+      if (!exhaustive || (pred == null && tomb == null)) null
+      else {
+        val nRows = rep.ids.length
+        val scanWorkers = math.max(1, math.min(
+          Runtime.getRuntime.availableProcessors(), nRows / 65536))
+        val chunkSz = (nRows + scanWorkers - 1) / scanWorkers
+        val parts = new Array[Array[Int]](scanWorkers)
+        val wNext = new java.util.concurrent.atomic.AtomicInteger(0)
+        NswGraph.runOnLocalPool(scanWorkers) { () =>
+          var w = wNext.getAndIncrement()
+          while (w < scanWorkers) {
+            val from = w * chunkSz
+            val until = math.min(from + chunkSz, nRows)
+            val b = Array.newBuilder[Int]
+            var i = from
+            while (i < until) {
+              if ((pred == null || pred(rep.attrs(i))) &&
+                (tomb == null ||
+                  java.util.Arrays.binarySearch(tomb, rep.ids(i)) < 0))
+                b += i
+              i += 1
+            }
+            parts(w) = b.result()
+            w = wNext.getAndIncrement()
+          }
+        }
+        val out = Array.newBuilder[Int]
+        parts.foreach(p => if (p != null) out ++= p)
+        out.result()
+      }
+    val perQuery = new Array[Array[(Long, Long, Long, Double)]](nQ)
+    val workers = math.max(1, math.min(
+      Runtime.getRuntime.availableProcessors(), (nQ + 3) / 4))
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    def distTo(h: graft.functions.TopKBuffer, qv: Array[Float],
+        i: Int): Unit = {
+      val d =
+        if (rep.flat != null)
+          Knn.distBoundedFlat(mcode, rep.flat, i * rep.dim, rep.dim,
+            qv, h.bound)
+        else Knn.distBounded(mcode, rep.rows(i), qv, h.bound)
+      h.insert(d, rep.ids(i))
+    }
+    def scanCell(h: graft.functions.TopKBuffer, qv: Array[Float],
+        from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
+        val keep = (pred == null || pred(rep.attrs(i))) &&
+          (tomb == null ||
+            java.util.Arrays.binarySearch(tomb, rep.ids(i)) < 0)
+        if (keep) distTo(h, qv, i)
+        i += 1
+      }
+    }
+    def runWorker(): Unit = {
+      var qi = next.getAndIncrement()
+      while (qi < nQ) {
+        val (qid, qv) = queries(qi)
+        val h = new graft.functions.TopKBuffer(k)
+        if (exhaustive) {
+          if (survIdx == null) scanCell(h, qv, 0, rep.ids.length)
+          else {
+            var s = 0
+            while (s < survIdx.length) { distTo(h, qv, survIdx(s)); s += 1 }
+          }
+        } else {
+          val cids = prober(qv)
+          var ci = 0
+          while (ci < cids.length) {
+            val cell = rep.byCid.get(cids(ci))
+            if (cell != null)
+              scanCell(h, qv, rep.cellOff(cell), rep.cellOff(cell + 1))
+            ci += 1
+          }
+        }
+        val ranked = h.sorted
+        perQuery(qi) = Array.tabulate(ranked.length)(r =>
+          (qid, (r + 1).toLong, ranked(r)._2, ranked(r)._1))
+        qi = next.getAndIncrement()
+      }
+    }
+    NswGraph.runOnLocalPool(workers)(runWorker _)
+    val out = Array.newBuilder[(Long, Long, Long, Double)]
+    out.sizeHint(nQ * k)
+    perQuery.foreach(rws => if (rws != null) out ++= rws)
+    out.result()
+  }
+
   /** Probe-and-scan search, declarative lowering: exact top-k within
     * the nprobe nearest cells per query. Output
     * (qid, rank, neighbor_id, dist). */

@@ -850,6 +850,28 @@ object NswGraph {
       .toIntArray()
   }
 
+  /** Run `work` on `workers` shared-pool threads and await them all;
+    * the first worker failure rethrows on the caller. The local
+    * serving kernels (this object's and `AnnIvf.localCellCore`) share
+    * it — per-query work is independent, so parallelism never changes
+    * results. */
+  private[operators] def runOnLocalPool(workers: Int)(work: () => Unit)
+      : Unit = {
+    if (workers <= 1) work()
+    else {
+      val latch = new java.util.concurrent.CountDownLatch(workers)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      (1 to workers).foreach { _ =>
+        localServePool.execute(() =>
+          try work()
+          catch { case t: Throwable => err.compareAndSet(null, t) }
+          finally latch.countDown())
+      }
+      latch.await()
+      if (err.get() != null) throw err.get()
+    }
+  }
+
   /** Shared daemon pool for the local serving kernel — sized to the
     * host's cores; per-query work is independent, so parallelism
     * never changes results. */
@@ -969,19 +991,7 @@ object NswGraph {
         start = next.getAndAdd(chunk)
       }
     }
-    if (workers == 1) runWorker()
-    else {
-      val latch = new java.util.concurrent.CountDownLatch(workers)
-      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      (1 to workers).foreach { _ =>
-        localServePool.execute(() =>
-          try runWorker()
-          catch { case t: Throwable => err.compareAndSet(null, t) }
-          finally latch.countDown())
-      }
-      latch.await()
-      if (err.get() != null) throw err.get()
-    }
+    runOnLocalPool(workers)(runWorker _)
     val out = Array.newBuilder[(Long, Long, Long, Double)]
     out.sizeHint(nQ * k)
     perQuery.foreach(rows => if (rows != null) out ++= rows)

@@ -354,6 +354,125 @@ object Serving {
     }
   }
 
+  /** FULLY IN-PROCESS filtered serving for small batches — the
+    * reference's actual product scenario (filtered 100-query
+    * closed-loop batches, filter_config.yaml × params_config.yaml:23)
+    * with ZERO Spark jobs per call. Same measured dispatch rule and
+    * integer over-fetch arithmetic as `serveFilteredExplained`; the
+    * filter arrives as its attribute twin (`attrPred` over the
+    * replica's resident attr column — the reference's filters are
+    * one-column rating/label brackets) because a Column predicate
+    * cannot evaluate without an executor. Branches:
+    *
+    *  - EXTREME → `AnnIvf.searchLocalExactQueries` (exact scan over
+    *    the masked survivors; recall 1.0)
+    *  - STRONG → `AnnIvf.searchLocalCellsQueries` (pre-filter scan of
+    *    the probed cells — tagged `IvfPrefilterResident`, it IS the
+    *    resident branch in-process)
+    *  - MILD → beam k' on the local GRAPH replica, drop non-survivors
+    *    by the attr of each fetched id, re-rank to k — the
+    *    over-fetch branch with the semi-join replaced by an id-sorted
+    *    attr lookup
+    *
+    * Each branch is row-identical to its distributed twin given the
+    * same counts (ServingSpec pins all three, masked and unmasked).
+    * Selectivity: pass the hint, or the counts come from ONE pass
+    * over the replica's attrs (`selectivityCounts`, milliseconds at
+    * 5M — the local twin of the two column-pruned counts). */
+  def serveFilteredLocalExplained(flat: AnnIvf.LocalCellReplica,
+      graph: Option[NswGraph.LocalReplica],
+      queries: Array[(Long, Array[Float])], k: Int,
+      attrPred: Double => Boolean,
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = 0.02,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None)
+      : (Strategy, Array[(Long, Long, Long, Double)]) = {
+    require(overFetchMult >= 1, s"overFetchMult must be >= 1")
+    require(flat.attrs != null,
+      "serveFilteredLocal needs an attr-built replica - build the " +
+        "resident tier with servableCells(..., attrCol = Some(...))")
+    val tomb: Array[Long] = tombstones.orNull
+    val (sel, kFromCounts) = selectivity match {
+      case Some(x) => (x, None)
+      case None =>
+        val (total, surv) = flat.selectivityCounts(attrPred, tomb)
+        val s = if (total == 0L) 1.0 else surv.toDouble / total
+        (s, if (surv > 0L)
+          Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
+        else None)
+    }
+    chooseStrategy(sel, graph.nonEmpty, mild, extreme) match {
+      case IvfPrefilterResident =>
+        throw new IllegalStateException("unreachable: chooseStrategy " +
+          "returns IvfPrefilter; the resident tag is applied below")
+      case ExactScan =>
+        (ExactScan, AnnIvf.searchLocalExactQueries(flat, queries, k,
+          metric, Some(attrPred), tombstones))
+      case IvfPrefilter =>
+        (IvfPrefilterResident, AnnIvf.searchLocalCellsQueries(flat,
+          queries, k, nprobe, metric, Some(attrPred), tombstones))
+      case GraphOverfetch =>
+        val kF = math.min(maxOverFetchK,
+          math.max(k, kFromCounts.getOrElse(
+            math.ceil(overFetchMult * k / sel).toInt)))
+        val efF = math.max(efSearch, kF)
+        val fetched = NswGraph.searchLocalQueries(graph.get, queries,
+          kF, nprobe, efF, metric, tombstones)
+        // fetched rows arrive grouped per query, (dist, id)-ascending
+        // (the local drain's order == the window's (dist, neighbor_id)
+        // sort) — keep attr survivors, take k, renumber ranks
+        val out = Array.newBuilder[(Long, Long, Long, Double)]
+        out.sizeHint(queries.length * k)
+        var i = 0
+        while (i < fetched.length) {
+          val qid = fetched(i)._1
+          var kept = 0L
+          while (i < fetched.length && fetched(i)._1 == qid) {
+            val row = fetched(i)
+            if (kept < k && attrPred(flat.attrOf(row._3))) {
+              kept += 1
+              out += ((qid, kept, row._3, row._4))
+            }
+            i += 1
+          }
+        }
+        (GraphOverfetch, out.result())
+    }
+  }
+
+  /** `serveFilteredLocalExplained` behind the DataFrame contract —
+    * collects the (small) query batch with one job, serves entirely
+    * in-process, parallelizes the q×k rows back. The oracle entry
+    * (`serve_local_filtered`) checks it against the same SQL as the
+    * distributed dispatcher's branch. */
+  def serveFilteredLocalDf(flat: AnnIvf.LocalCellReplica,
+      graph: Option[NswGraph.LocalReplica], queries: DataFrame, k: Int,
+      attrPred: Double => Boolean,
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = 0.02,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None)
+      : (Strategy, DataFrame) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(org.apache.spark.sql.functions.col(qidCol).cast("long"),
+        org.apache.spark.sql.functions.col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val (strategy, rows) = serveFilteredLocalExplained(flat, graph,
+      qRows, k, attrPred, nprobe, efSearch, overFetchMult, selectivity,
+      mild, extreme, maxOverFetchK, metric, tombstones)
+    (strategy, spark.createDataset(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
+      .toDF("qid", "rank", "neighbor_id", "dist"))
+  }
+
   /** `serveFilteredExplained` without the strategy tag. */
   def serveFiltered(art: Artifacts, queries: DataFrame, k: Int,
       predicate: Column, nprobe: Int = 4, efSearch: Int = 64,

@@ -556,6 +556,54 @@ class KnnSpec extends AnyFunSuite {
     } finally cells.unpersist()
   }
 
+  test("local flat replica: probe-scan and exact kernels are bit-" +
+      "identical to the distributed resident tier, with attrs, " +
+      "tombstones, and both combined") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8,
+      iterations = 2)
+    val indexed = AnnIvf.index(filtered, centroids).cache()
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    cells.count()
+    val rep = AnnIvf.localCellReplica(cells, centroids)
+    def full(df: DataFrame) =
+      df.select($"qid", $"rank", $"neighbor_id", $"dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    def localRows(rows: Array[(Long, Long, Long, Double)]) = rows.toSet
+    val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+      .as[(Long, Array[Float])].collect()
+    val pred: Double => Boolean = a => a == 0.0 || a == 1.0
+    val mask = filtered.filter($"vec_id" % 5 === 1)
+      .select($"vec_id").collect().map(_.getLong(0)).sorted
+    // plain probe-scan, attr-filtered, masked, and attr+masked — each
+    // against the distributed twin at the same knobs
+    Seq[(Option[Double => Boolean], Option[Array[Long]])](
+      (None, None), (Some(pred), None), (None, Some(mask)),
+      (Some(pred), Some(mask))).foreach { case (p, t) =>
+      val job = full(AnnIvf.searchServableCells(cells, centroids,
+        queries, 10, nprobe = 4, attrPred = p, tombstones = t))
+      val local = localRows(AnnIvf.searchLocalCellsQueries(rep, qArr,
+        10, nprobe = 4, attrPred = p, tombstones = t))
+      assert(local == job && job.nonEmpty, s"attr=$p mask=${t.isDefined}")
+    }
+    // the exhaustive kernel == Knn.exact over the masked survivors
+    val survivors = filtered.filter($"label".isin(0, 1))
+      .filter(!$"vec_id".isin(mask.map(Long.box): _*))
+    val exactJob = full(Knn.exact(survivors, queries, 10))
+    val exactLocal = localRows(AnnIvf.searchLocalExactQueries(rep, qArr,
+      10, attrPred = Some(pred), tombstones = Some(mask)))
+    assert(exactLocal == exactJob && exactJob.nonEmpty)
+    // attr asked of an attr-less replica fails loudly
+    val bare = AnnIvf.localCellReplica(
+      AnnIvf.servableCells(indexed), centroids)
+    intercept[IllegalArgumentException] {
+      AnnIvf.searchLocalCellsQueries(bare, qArr, 10, nprobe = 4,
+        attrPred = Some(pred))
+    }
+    cells.unpersist(); indexed.unpersist()
+  }
+
   test("deleteFromIndexShuffled equals the broadcast delete, and a " +
       "low-limit fold routes through it with serving unchanged") {
     val filtered = data.filter(SparkEntry.filterLow)

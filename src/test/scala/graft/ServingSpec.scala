@@ -333,6 +333,74 @@ class ServingSpec extends AnyFunSuite {
     assert(asRows(r2) == asRows(r1) && asRows(r1).nonEmpty)
   }
 
+  test("fully local filtered serving: each dispatch branch is row-" +
+      "identical to the distributed dispatcher given the attr twin") {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+    val graphIdx = NswGraph.servableIndex(graphs)
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    cells.count()
+    val flatRep = AnnIvf.localCellReplica(cells, centroids)
+    val graphRep = NswGraph.localReplica(graphIdx, centroids)
+    val art = Serving.Artifacts(indexed, centroids, Some(graphIdx),
+      Some(cells))
+    val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+      .as[(Long, Array[Float])].collect()
+    def check(predCol: org.apache.spark.sql.Column,
+        attrTwin: Double => Boolean,
+        expect: Serving.Strategy, nprobe: Int = 8,
+        extreme: Double = 0.02): Unit = {
+      val (s1, r1) = Serving.serveFilteredExplained(art, queries, 10,
+        predCol, nprobe = nprobe, efSearch = 64, extreme = extreme,
+        attrPred = Some(attrTwin))
+      val (s2, r2) = Serving.serveFilteredLocalExplained(flatRep,
+        Some(graphRep), qArr, 10, attrTwin, nprobe = nprobe,
+        efSearch = 64, extreme = extreme)
+      assert(s1 == expect && s2 == expect, s"dispatched $s1 / $s2")
+      assert(r2.toSet == asRows(r1) && r2.nonEmpty, s"branch $expect")
+    }
+    // STRONG: label in (0,1) keeps ~31% -> resident pre-filter
+    check($"label".isin(0, 1), a => a == 0.0 || a == 1.0,
+      Serving.IvfPrefilterResident)
+    // MILD: label <> 4 keeps ~90% -> graph over-fetch
+    check($"label" =!= 4, a => a != 4.0, Serving.GraphOverfetch)
+    // EXTREME: label === 7 (~10%) under a raised boundary -> exact
+    check($"label" === 7, a => a == 7.0, Serving.ExactScan,
+      extreme = 0.15)
+    // masked: the strong branch with a tombstone mask on both sides
+    val mask = d.filter($"vec_id" % 7 === 2)
+      .select($"vec_id").collect().map(_.getLong(0)).sorted
+    art.setTombstones(mask)
+    val (s3, r3) = Serving.serveFilteredExplained(art, queries, 10,
+      $"label".isin(0, 1), nprobe = 8, efSearch = 64,
+      attrPred = Some(a => a == 0.0 || a == 1.0))
+    val (s4, r4) = Serving.serveFilteredLocalExplained(flatRep,
+      Some(graphRep), qArr, 10, a => a == 0.0 || a == 1.0,
+      nprobe = 8, efSearch = 64, tombstones = Some(mask))
+    assert(s3 == Serving.IvfPrefilterResident && s4 == s3)
+    assert(r4.toSet == asRows(r3) && r4.nonEmpty)
+    art.setTombstones(Array.emptyLongArray)
+    // the DataFrame wrapper matches the array hot path
+    val (s5, r5) = Serving.serveFilteredLocalDf(flatRep, Some(graphRep),
+      queries, 10, a => a == 0.0 || a == 1.0, nprobe = 8, efSearch = 64)
+    assert(s5 == Serving.IvfPrefilterResident)
+    val (_, r6) = Serving.serveFilteredLocalExplained(flatRep,
+      Some(graphRep), qArr, 10, a => a == 0.0 || a == 1.0, nprobe = 8,
+      efSearch = 64)
+    assert(asRows(r5) == r6.toSet)
+    // attr-less replica refused loudly
+    val bare = AnnIvf.localCellReplica(AnnIvf.servableCells(indexed),
+      centroids)
+    intercept[IllegalArgumentException] {
+      Serving.serveFilteredLocalExplained(bare, Some(graphRep), qArr,
+        10, a => a > 0)
+    }
+    graphIdx.unpersist(); cells.unpersist(); indexed.unpersist()
+  }
+
   test("opt-in staleness probe: a tombstone written AFTER the " +
       "artifacts are armed is observed on the next serve without a " +
       "manual refresh; a fold clears the mask the same way") {
