@@ -1349,6 +1349,45 @@ object AnnIvf {
     out.result()
   }
 
+  /** BATCH-SIZE-AWARE flat-tier dispatch — `NswGraph.searchServableAuto`'s
+    * twin for the pre-filter scan: batches at or below `localBelow`
+    * serve from the local cell-grouped replica (no job floor), larger
+    * ones take the distributed block scan (whose whole-corpus
+    * row-major geometry is the right one once a batch of probes
+    * amortizes it). The size check is one `limit(localBelow+1)`
+    * collect — when it returns <= localBelow rows that WAS the whole
+    * batch and those rows serve directly. Results are identical
+    * either way (KnnSpec pins the kernels row-for-row, attr-filtered
+    * and masked included). */
+  def searchServableCellsAuto(idx: org.apache.spark.rdd.RDD[FlatBlock],
+      replica: Option[LocalCellReplica], centroids: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int,
+      metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      attrPred: Option[Double => Boolean] = None,
+      tombstones: Option[Array[Long]] = None,
+      localBelow: Int = 8192): DataFrame = replica match {
+    case None =>
+      searchServableCells(idx, centroids, queries, k, nprobe, metric,
+        qidCol, qvecCol, attrPred, tombstones)
+    case Some(rep) =>
+      val spark = queries.sparkSession
+      import spark.implicits._
+      val head = queries
+        .select(col(qidCol).cast("long"), col(qvecCol))
+        .limit(localBelow + 1)
+        .as[(Long, Array[Float])].collect()
+      if (head.length <= localBelow)
+        spark.createDataset(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(
+            searchLocalCellsQueries(rep, head, k, nprobe, metric,
+              attrPred, tombstones)))
+          .toDF("qid", "rank", "neighbor_id", "dist")
+      else
+        searchServableCells(idx, centroids, queries, k, nprobe, metric,
+          qidCol, qvecCol, attrPred, tombstones)
+  }
+
   /** Probe-and-scan search, declarative lowering: exact top-k within
     * the nprobe nearest cells per query. Output
     * (qid, rank, neighbor_id, dist). */

@@ -54,7 +54,8 @@ object Serving {
       centroids: DataFrame,
       graph: Option[org.apache.spark.rdd.RDD[NswGraph.ServableCell]] = None,
       flat: Option[org.apache.spark.rdd.RDD[AnnIvf.FlatBlock]] = None,
-      local: Option[NswGraph.LocalReplica] = None) {
+      local: Option[NswGraph.LocalReplica] = None,
+      flatLocal: Option[AnnIvf.LocalCellReplica] = None) {
     /** SELECTIVITY MEMO for the no-hint path: a deployment serving
       * repeated ad-hoc predicates would otherwise pay two column-
       * pruned counts PER CALL (`serveFilteredExplained`'s honest
@@ -310,10 +311,21 @@ object Serving {
                   s"keeps $colSurv — the two filters disagree, the " +
                   "resident serve would silently return wrong neighbors")
             }
-            (IvfPrefilterResident,
-              AnnIvf.searchServableCells(blocks, art.centroids, queries,
-                k, nprobe, metric, qidCol, qvecCol, attrPred = Some(p),
-                tombstones = masked))
+            // with a LOCAL flat replica too, small batches run the
+            // pre-filter scan in-process (AnnIvf.searchLocalCells
+            // kernels — bit-identical to the block scan, KnnSpec);
+            // the same limit-collect dispatch as searchServableAuto
+            (IvfPrefilterResident, art.flatLocal match {
+              case Some(rep) =>
+                AnnIvf.searchServableCellsAuto(blocks, Some(rep),
+                  art.centroids, queries, k, nprobe, metric,
+                  qidCol, qvecCol, attrPred = Some(p),
+                  tombstones = masked)
+              case None =>
+                AnnIvf.searchServableCells(blocks, art.centroids,
+                  queries, k, nprobe, metric, qidCol, qvecCol,
+                  attrPred = Some(p), tombstones = masked)
+            })
           case _ =>
             (IvfPrefilter, AnnIvf.searchFast(survivors, art.centroids,
               queries, k, nprobe, idCol, vecCol, qidCol, qvecCol, metric))

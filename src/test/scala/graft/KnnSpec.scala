@@ -601,6 +601,16 @@ class KnnSpec extends AnyFunSuite {
       AnnIvf.searchLocalCellsQueries(bare, qArr, 10, nprobe = 4,
         attrPred = Some(pred))
     }
+    // the batch-size-aware dispatch: both routes identical
+    val jobAuto = full(AnnIvf.searchServableCells(cells, centroids,
+      queries, 10, nprobe = 4, attrPred = Some(pred),
+      tombstones = Some(mask)))
+    Seq(8192, 1).foreach { below =>
+      assert(full(AnnIvf.searchServableCellsAuto(cells, Some(rep),
+        centroids, queries, 10, nprobe = 4, attrPred = Some(pred),
+        tombstones = Some(mask), localBelow = below)) == jobAuto,
+        s"localBelow $below")
+    }
     cells.unpersist(); indexed.unpersist()
   }
 

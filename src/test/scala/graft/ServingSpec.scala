@@ -398,6 +398,17 @@ class ServingSpec extends AnyFunSuite {
       Serving.serveFilteredLocalExplained(bare, Some(graphRep), qArr,
         10, a => a > 0)
     }
+    // Artifacts.flatLocal: the DataFrame dispatcher's strong branch
+    // serves the small batch in-process — rows identical, same tag
+    val withFlatLocal = art.copy(flatLocal = Some(flatRep))
+    val (s7, r7) = Serving.serveFilteredExplained(art, queries, 10,
+      $"label".isin(0, 1), nprobe = 8, efSearch = 64,
+      attrPred = Some(a => a == 0.0 || a == 1.0))
+    val (s8, r8) = Serving.serveFilteredExplained(withFlatLocal,
+      queries, 10, $"label".isin(0, 1), nprobe = 8, efSearch = 64,
+      attrPred = Some(a => a == 0.0 || a == 1.0))
+    assert(s7 == Serving.IvfPrefilterResident && s8 == s7)
+    assert(asRows(r8) == asRows(r7) && asRows(r7).nonEmpty)
     graphIdx.unpersist(); cells.unpersist(); indexed.unpersist()
   }
 
