@@ -86,10 +86,11 @@ object Bench {
       // row would re-measure the graph build; the local tier's
       // throughput is measured in the scale record (ProfileSmallBatch)
       "serve_small_batch",
-      // serve_local_filtered: serve_auto_strong's fixture through the
+      // serve_local_filtered / serve_local_mild / serve_local_tombstone:
+      // the serve_auto_* / ann_nsw_tombstone fixtures through the
       // in-process dispatcher — same exclusion rationale; the local
-      // filtered throughput is measured in the scale record
-      "serve_local_filtered",
+      // tiers' throughput is measured in the scale record
+      "serve_local_filtered", "serve_local_mild", "serve_local_tombstone",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",
       "stream_dedup",
       "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors",

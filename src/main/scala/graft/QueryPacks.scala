@@ -2608,6 +2608,58 @@ object AnnQueries {
       require(strat == Serving.IvfPrefilter, s"dispatched $strat")
       res.select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the LOCAL tier's tombstone consistency under a FULL oracle:
+    // ann_nsw_tombstone's exact fixture (side-table on the clustered
+    // layout, exhaustive-beam parameters) served through the
+    // driver-local replica with the same serve-time mask — the local
+    // drain shares drainBeamTopK with the job path, and this entry
+    // puts that shared masked drain under the DuckDB survivor oracle.
+    "serve_local_tombstone" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 31)
+      val indexed = AnnIvf.index(data, centroids)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_local_tmb").toString
+      AnnIvf.writeIndex(indexed, tmp)
+      AnnIvf.tombstone(s, tmp,
+        data.filter(col("vec_id") % 11 === 4).select(col("vec_id")))
+      val idx = NswGraph.servableIndex(
+        NswGraph.buildIndex(indexed, m = 32, efConstruction = 64))
+      try {
+        val rep = NswGraph.localReplica(idx, centroids)
+        NswGraph.searchLocal(rep, queriesDf(s, d), K,
+            nprobe = 2, efSearch = 128,
+            tombstones = AnnIvf.tombstoneIds(s, tmp))
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+          .localCheckpoint()
+      } finally idx.unpersist()
+    }),
+    // the LOCAL dispatcher's MILD branch under serve_auto_mild's full
+    // oracle: same fixture, the selectivity counted from the flat
+    // replica's resident attrs (the local twin of the dispatcher's
+    // two column-pruned counts — identical integers, so the exact
+    // ceil-div k' the SQL replays), the over-fetch beamed on the
+    // local graph replica, survivors kept by the attr lookup.
+    "serve_local_mild" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 31)
+      val indexed = AnnIvf.index(base, centroids)
+      val idx = NswGraph.servableIndex(
+        NswGraph.buildIndex(indexed, m = 32, efConstruction = 64))
+      val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+      try {
+        val graphRep = NswGraph.localReplica(idx, centroids)
+        val flatRep = AnnIvf.localCellReplica(cells, centroids)
+        val (strat, res) = Serving.serveFilteredLocalDf(flatRep,
+          Some(graphRep), queriesDf(s, d), K, a => a != 4.0,
+          nprobe = 2, efSearch = 128)
+        require(strat == Serving.GraphOverfetch, s"dispatched $strat")
+        res.select(col("qid"), col("rank"), col("neighbor_id"))
+          .localCheckpoint()
+      } finally { idx.unpersist(); cells.unpersist() }
+    }),
     // FULLY LOCAL filtered serving (r14) under serve_auto_strong's
     // oracle: the same fixture served through serveFilteredLocalDf —
     // selectivity counted from the replica's resident attrs, strong
@@ -3258,6 +3310,66 @@ object AnnQueries {
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin
 
+  /** serve_auto_mild's full-branch SQL (integer over-fetch k',
+    * no-prune beam, survivor filter, re-rank) — shared with the
+    * r14 local dispatcher's mild entry, whose counts come from the
+    * replica attrs but equal the column-pruned ones integer-for-
+    * integer. */
+  private lazy val mildBranchSql: String = s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d0 AS (
+         |  SELECT vec_id, embedding, label FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d0 WHERE vec_id % 31 = 7
+         |), kf AS (
+         |  SELECT GREATEST(
+         |    (30 * (SELECT COUNT(*) FROM d0)
+         |       + (SELECT COUNT(*) FROM d0 WHERE label <> 4) - 1)
+         |      // (SELECT COUNT(*) FROM d0 WHERE label <> 4),
+         |    10) AS kf
+         |), ad AS (
+         |  SELECT d0.vec_id, d0.embedding, d0.label, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d0.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d0 CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, label, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qd AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q CROSS JOIN c
+         |), probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.qid, p.qe, a.vec_id, a.embedding, a.label
+         |  FROM probes p JOIN assign a USING (cid)
+         |), fetched AS (
+         |  SELECT qid, vec_id, label,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
+         |  FROM cand
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) <= (SELECT kf FROM kf)
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM fetched
+         |WHERE label <> 4
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_ivf_fixed" -> ivfFixedSql(311),
     "ann_ivf_serve_resident" -> ivfFixedSql(311),
@@ -3390,6 +3502,9 @@ object AnnQueries {
     // branch (ServingSpec), so it shares the oracle
     "serve_local_filtered" -> ivfFixedSql(311,
       survivors = "label IN (0, 1)"),
+    // the local masked drain == the job path's (shared drainBeamTopK)
+    "serve_local_tombstone" -> ivfFixedSql(31,
+      survivors = "vec_id % 11 <> 4"),
     // dispatcher-masked serve == search over an index without the rows
     "serve_auto_tombstone" -> ivfFixedSql(311,
       survivors = "label IN (0, 1) AND vec_id % 11 <> 4"),
@@ -3414,61 +3529,8 @@ object AnnQueries {
          |FROM dist
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
-    "serve_auto_mild" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |  WHERE vec_id % 50 = 0
-         |), d0 AS (
-         |  SELECT vec_id, embedding, label FROM embeddings
-         |  WHERE vec_id % 50 <> 0 AND label <> 3
-         |), c AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         |    embedding AS ce
-         |  FROM d0 WHERE vec_id % 31 = 7
-         |), kf AS (
-         |  SELECT GREATEST(
-         |    (30 * (SELECT COUNT(*) FROM d0)
-         |       + (SELECT COUNT(*) FROM d0 WHERE label <> 4) - 1)
-         |      // (SELECT COUNT(*) FROM d0 WHERE label <> 4),
-         |    10) AS kf
-         |), ad AS (
-         |  SELECT d0.vec_id, d0.embedding, d0.label, c.cid,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(d0.embedding) AS a, unnest(c.ce) AS b) z) AS dst
-         |  FROM d0 CROSS JOIN c
-         |), assign AS (
-         |  SELECT vec_id, embedding, label, cid FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
-         |  WHERE rn = 1
-         |), qd AS (
-         |  SELECT q.qid, q.qe, c.cid,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
-         |  FROM q CROSS JOIN c
-         |), probes AS (
-         |  SELECT qid, qe, cid FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qd)
-         |  WHERE rn <= 2
-         |), cand AS (
-         |  SELECT p.qid, p.qe, a.vec_id, a.embedding, a.label
-         |  FROM probes p JOIN assign a USING (cid)
-         |), fetched AS (
-         |  SELECT qid, vec_id, label,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
-         |  FROM cand
-         |  QUALIFY row_number() OVER (
-         |    PARTITION BY qid ORDER BY dst, vec_id) <= (SELECT kf FROM kf)
-         |)
-         |SELECT qid, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
-         |  vec_id AS neighbor_id
-         |FROM fetched
-         |WHERE label <> 4
-         |QUALIFY rank <= 10
-         |ORDER BY qid, rank""".stripMargin,
+    "serve_auto_mild" -> mildBranchSql,
+
     "ann_nsw_fixed" -> ivfFixedSql(31),
     "ann_nsw_serve" -> ivfFixedSql(31),
     // the driver-local small-batch serve is bit-identical to
@@ -3478,6 +3540,9 @@ object AnnQueries {
     // top-k over the surviving rows of the probed cells
     "ann_nsw_tombstone" -> ivfFixedSql(31,
       survivors = "vec_id % 11 <> 4"),
+    // the local mild branch replays serve_auto_mild's exact integers
+    // (counts from the replica attrs == the column-pruned counts)
+    "serve_local_mild" -> mildBranchSql,
     "ann_nsw_bigq" -> ivfFixedSql(31),
     "ann_nsw_persist" -> ivfFixedSql(31),
     // same probed cells as ann_nsw_fixed; only the fine distance is
