@@ -1103,12 +1103,22 @@ object AnnIvf {
           .sortBy(ids(_))
         (order.map(ids(_)), order.map(attrs(_)))
       }
-    /** The resident attribute of `id`, NaN when the id is absent (an
-      * absent id can never satisfy a predicate — NaN compares false
-      * under every bracket). Requires an attr-built replica. */
+    /** The resident attribute of `id`, NaN when the id is absent.
+      * CAUTION: NaN does NOT fail every predicate (`a != 4.0` is true
+      * for NaN) — membership must be checked explicitly; use
+      * `attrSatisfies` for filtering. Requires an attr-built replica. */
     def attrOf(id: Long): Double = {
       val p = java.util.Arrays.binarySearch(sortedIds, id)
       if (p >= 0) attrsBySorted(p) else Double.NaN
+    }
+    /** Whether `id` is present in the replica AND its attr passes
+      * `pred` — the survivor-membership test the mild over-fetch
+      * branch runs per fetched id (an id absent from the replica —
+      * e.g. a graph/flat replica epoch mismatch — is never a
+      * survivor, whatever the predicate's polarity). */
+    def attrSatisfies(id: Long, pred: Double => Boolean): Boolean = {
+      val p = java.util.Arrays.binarySearch(sortedIds, id)
+      p >= 0 && pred(attrsBySorted(p))
     }
     /** (maskedTotal, maskedSurvivors) under `pred` and an optional
       * sorted tombstone mask — the local twin of the dispatcher's two

@@ -857,7 +857,14 @@ object NswGraph {
     * results. */
   private[operators] def runOnLocalPool(workers: Int)(work: () => Unit)
       : Unit = {
-    if (workers <= 1) work()
+    // re-entrancy guard: a caller ALREADY on a pool thread (a serving
+    // handler that nests a local search inside another) must not
+    // enqueue-and-await — with every pool thread a waiting caller
+    // that deadlocks. Run the work inline instead: serial, correct
+    // (per-query results never depend on parallelism).
+    if (workers <= 1 ||
+        Thread.currentThread().getName.startsWith("graft-local-serve"))
+      work()
     else {
       val latch = new java.util.concurrent.CountDownLatch(workers)
       val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()

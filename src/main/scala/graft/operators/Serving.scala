@@ -444,7 +444,7 @@ object Serving {
           var kept = 0L
           while (i < fetched.length && fetched(i)._1 == qid) {
             val row = fetched(i)
-            if (kept < k && attrPred(flat.attrOf(row._3))) {
+            if (kept < k && flat.attrSatisfies(row._3, attrPred)) {
               kept += 1
               out += ((qid, kept, row._3, row._4))
             }
