@@ -446,6 +446,44 @@ class ServingSpec extends AnyFunSuite {
     assert(art.tombstones.isEmpty && art.probeRefreshes == 2)
   }
 
+  test("staleness probe feeds the LOCAL dispatch: a mid-stream " +
+      "tombstone reaches the in-process strong branch without a " +
+      "manual refresh") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(data, centroids).cache()
+    indexed.count()
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    cells.count()
+    val flatRep = AnnIvf.localCellReplica(cells, centroids)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_serv_lstale").toString
+    AnnIvf.writeIndex(indexed, s"$tmp/idx")
+    val art = Serving.Artifacts(indexed, centroids, flat = Some(cells),
+        flatLocal = Some(flatRep))
+      .withTombstoneProbe(spark, s"$tmp/idx")
+    val twin: Double => Boolean = a => a == 0.0 || a == 1.0
+    // tombstone written AFTER arming; nobody calls refreshTombstones
+    val del = data.filter($"vec_id" % 9 === 2).select($"vec_id")
+    AnnIvf.tombstone(spark, s"$tmp/idx", del)
+    val (strat, res) = Serving.serveFilteredExplained(art, queries, 10,
+      $"label".isin(0, 1), nprobe = 8, attrPred = Some(twin))
+    // the strong branch ran in-process (flatLocal present, small
+    // batch) AND served the refreshed mask
+    assert(strat == Serving.IvfPrefilterResident)
+    val served = res.select($"neighbor_id").collect().map(_.getLong(0)).toSet
+    val masked = del.as[Long].collect().toSet
+    assert(served.nonEmpty && served.intersect(masked).isEmpty)
+    assert(art.probeRefreshes == 1)
+    // row-identity with the eager truth: exact pre-filter over the
+    // surviving rows at full probes == the masked local serve
+    val survivors = indexed.filter($"label".isin(0, 1))
+      .filter(!$"vec_id".isin(masked.toSeq.map(Long.box): _*))
+    val truth = AnnIvf.searchFast(survivors, centroids, queries, 10,
+      nprobe = 8)
+    assert(asRows(res) == asRows(truth))
+    cells.unpersist(); indexed.unpersist()
+  }
+
   test("overfetch k' is capped: a near-zero hint on the graph branch " +
       "cannot beam the corpus") {
     val (s, res) = Serving.serveFilteredExplained(artifacts, queries, 10,
