@@ -256,7 +256,12 @@ object Bench {
         .collect { case (c, p) if c > 0 && p > 0 => c / p }
       if (ratios.nonEmpty) {
         val s = ratios.sorted
-        s(s.length / 2) // median (odd-length by construction when full)
+        // true median: even length (a probe failed, or the prior
+        // round's vector is partial) averages the middle pair —
+        // taking the upper-middle would bias the drift factor high
+        // (r14 ADVICE)
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
       } else if (calibSec > 0 && prevCalib > 0) calibSec / prevCalib
       else -1.0
     }

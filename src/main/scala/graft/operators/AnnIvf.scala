@@ -1165,6 +1165,18 @@ object AnnIvf {
     val blocks = idx.toLocalIterator.toArray
     val n = blocks.iterator.map(_.ids.length).sum
     val withAttrs = blocks.exists(_.attrs != null)
+    // all-or-none (r14 ADVICE): a mixed-block index would otherwise
+    // fill 0.0 for the attr-less blocks' rows, and a predicate like
+    // `a == 0.0` would wrongly ACCEPT them — diverging from the
+    // distributed scan's treatment. servableCells builds uniformly,
+    // so a mix means the caller unioned incompatible tiers.
+    require(!withAttrs || blocks.forall(b =>
+        b.attrs == null || b.attrs.length == b.ids.length), // sanity
+      "localCellReplica: a block carries a short attrs array")
+    require(!withAttrs || blocks.forall(_.attrs != null),
+      "localCellReplica: blocks mix attr-built and attr-less tiers - " +
+        "a 0.0 fill would satisfy predicates the distributed scan " +
+        "rejects; rebuild every block with the same attrCol")
     val dim = blocks.iterator.map(_.dim).maxOption.getOrElse(0)
     val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
       blocks.forall(b => b.flat != null && b.dim == dim)
@@ -1200,7 +1212,7 @@ object AnnIvf {
         val cell = byCid.get(b.cids(i))
         val at = cursor(cell); cursor(cell) = at + 1
         ids(at) = b.ids(i)
-        if (attrs != null) attrs(at) = if (b.attrs != null) b.attrs(i) else 0.0
+        if (attrs != null) attrs(at) = b.attrs(i) // non-null by the guard
         if (flat != null)
           System.arraycopy(b.flat, i * b.dim, flat, at * dim, dim)
         else

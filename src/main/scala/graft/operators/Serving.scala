@@ -117,8 +117,13 @@ object Serving {
         indexPath: String, everyNCalls: Int = 1): this.type = {
       require(everyNCalls >= 1, s"everyNCalls must be >= 1")
       probeConf = Some((spark, indexPath, everyNCalls))
-      refreshTombstones(spark, indexPath)
+      // stamp BEFORE the refresh (maybeRefreshTombstones' order): a
+      // tombstone write landing between the two then looks NEWER than
+      // the stamp and triggers a spurious-but-safe extra refresh —
+      // the reverse order would stamp past the write and silently
+      // serve the stale mask until the NEXT side-table write
       probeStamp = tombstoneStamp(spark, indexPath)
+      refreshTombstones(spark, indexPath)
       this
     }
     @volatile private var probeConf
@@ -126,8 +131,11 @@ object Serving {
     @volatile private var probeStamp: Long = -1L
     private val probeCalls = new java.util.concurrent.atomic.AtomicLong()
     /** Number of times the probe actually refreshed the mask —
-      * observability (pinned in ServingSpec). */
-    @volatile private[graft] var probeRefreshes: Int = 0
+      * observability (pinned in ServingSpec); atomic because serves
+      * may probe concurrently. */
+    private val probeRefreshCount =
+      new java.util.concurrent.atomic.AtomicInteger()
+    private[graft] def probeRefreshes: Int = probeRefreshCount.get()
     private def tombstoneStamp(
         spark: org.apache.spark.sql.SparkSession, path: String): Long = {
       val dir = new org.apache.hadoop.fs.Path(path, AnnIvf.TombstoneDir)
@@ -143,7 +151,7 @@ object Serving {
           if (stamp != probeStamp) {
             refreshTombstones(spark, path)
             probeStamp = stamp
-            probeRefreshes += 1
+            probeRefreshCount.incrementAndGet()
           }
         }
       }
@@ -435,20 +443,27 @@ object Serving {
           kF, nprobe, efF, metric, tombstones)
         // fetched rows arrive grouped per query, (dist, id)-ascending
         // (the local drain's order == the window's (dist, neighbor_id)
-        // sort) — keep attr survivors, take k, renumber ranks
+        // sort) — keep attr survivors, take k, renumber ranks. Group
+        // boundaries come from the RANK column restarting at 1 (each
+        // query's rows start there), NOT from qid run-lengths: a batch
+        // holding the same qid twice in adjacent slots would otherwise
+        // collapse into one k-capped group and silently drop the
+        // second query's results (r14 ADVICE).
         val out = Array.newBuilder[(Long, Long, Long, Double)]
         out.sizeHint(queries.length * k)
         var i = 0
         while (i < fetched.length) {
           val qid = fetched(i)._1
           var kept = 0L
-          while (i < fetched.length && fetched(i)._1 == qid) {
+          var inGroup = true
+          while (i < fetched.length && inGroup) {
             val row = fetched(i)
             if (kept < k && flat.attrSatisfies(row._3, attrPred)) {
               kept += 1
               out += ((qid, kept, row._3, row._4))
             }
             i += 1
+            inGroup = i < fetched.length && fetched(i)._2 != 1L
           }
         }
         (GraphOverfetch, out.result())
