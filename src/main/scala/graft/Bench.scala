@@ -29,6 +29,26 @@ import org.apache.spark.sql.SparkSession
   * leaks don't accumulate across the 60-query pack.
   */
 object Bench {
+
+  /** The cross-round drift factor: MEDIAN of the per-component
+    * current/prior calibration-probe ratios (components where either
+    * side is missing or failed, <= 0, are dropped), falling back to
+    * the scalar calib ratio when no component pairs survive, and to
+    * -1 when neither is available. A true median — even length
+    * averages the middle pair; taking the upper-middle would bias the
+    * drift factor high (r14 ADVICE; pinned in BenchSpec). */
+  private[graft] def calibDrift(cur: Seq[Double], prev: Seq[Double],
+      curScalar: Double, prevScalar: Double): Double = {
+    val ratios = cur.zip(prev)
+      .collect { case (c, p) if c > 0 && p > 0 => c / p }
+    if (ratios.nonEmpty) {
+      val s = ratios.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
+    } else if (curScalar > 0 && prevScalar > 0) curScalar / prevScalar
+    else -1.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -251,20 +271,8 @@ object Bench {
         } catch { case _: Throwable => None }
       }.find(_._1 > 0).getOrElse((-1.0, Seq.empty[Double]))
     }
-    val calibVsPrev: Double = {
-      val ratios = calibVec.zip(prevVec)
-        .collect { case (c, p) if c > 0 && p > 0 => c / p }
-      if (ratios.nonEmpty) {
-        val s = ratios.sorted
-        // true median: even length (a probe failed, or the prior
-        // round's vector is partial) averages the middle pair —
-        // taking the upper-middle would bias the drift factor high
-        // (r14 ADVICE)
-        if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
-      } else if (calibSec > 0 && prevCalib > 0) calibSec / prevCalib
-      else -1.0
-    }
+    val calibVsPrev: Double =
+      calibDrift(calibVec, prevVec, calibSec, prevCalib)
 
     // each pass is a full cold run of the pack (shared pack state and
     // spark caches dropped at every group boundary), so the per-query

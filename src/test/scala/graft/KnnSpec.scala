@@ -614,6 +614,29 @@ class KnnSpec extends AnyFunSuite {
     cells.unpersist(); indexed.unpersist()
   }
 
+  test("localCellReplica refuses blocks that mix attr-built and " +
+      "attr-less tiers (r15 fix pin — a 0.0 fill would satisfy " +
+      "predicates the distributed scan rejects)") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 4,
+      iterations = 1)
+    val indexed = AnnIvf.index(filtered, centroids).cache()
+    val withAttrs = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    val attrLess = AnnIvf.servableCells(indexed)
+    try {
+      val mixed = withAttrs.union(attrLess)
+      val ex = intercept[IllegalArgumentException] {
+        AnnIvf.localCellReplica(mixed, centroids)
+      }
+      assert(ex.getMessage.contains("mix attr-built and attr-less"))
+      // each tier alone still builds
+      assert(AnnIvf.localCellReplica(withAttrs, centroids).size > 0)
+      assert(AnnIvf.localCellReplica(attrLess, centroids).attrs == null)
+    } finally {
+      withAttrs.unpersist(); attrLess.unpersist(); indexed.unpersist()
+    }
+  }
+
   test("deleteFromIndexShuffled equals the broadcast delete, and a " +
       "low-limit fold routes through it with serving unchanged") {
     val filtered = data.filter(SparkEntry.filterLow)

@@ -412,6 +412,44 @@ class ServingSpec extends AnyFunSuite {
     graphIdx.unpersist(); cells.unpersist(); indexed.unpersist()
   }
 
+  test("duplicate qids in one local batch: the mild over-fetch branch " +
+      "emits an independent rank-1..k group per occurrence (r15 fix " +
+      "pin — rank-restart grouping, not qid run-lengths)") {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+    val graphIdx = NswGraph.servableIndex(graphs)
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    try {
+      val flatRep = AnnIvf.localCellReplica(cells, centroids)
+      val graphRep = NswGraph.localReplica(graphIdx, centroids)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val twin: Double => Boolean = a => a != 4.0 // mild regime
+      // single-occurrence truth for the two probe queries
+      val (s0, one0) = Serving.serveFilteredLocalExplained(flatRep,
+        Some(graphRep), Array(qArr(0)), 10, twin, nprobe = 8,
+        efSearch = 64)
+      val (_, one1) = Serving.serveFilteredLocalExplained(flatRep,
+        Some(graphRep), Array(qArr(1)), 10, twin, nprobe = 8,
+        efSearch = 64)
+      assert(s0 == Serving.GraphOverfetch && one0.nonEmpty)
+      // the same qid twice in ADJACENT slots: before the r15 fix the
+      // drain collapsed both into one k-capped group, silently
+      // dropping the second occurrence's results
+      val (s, rows) = Serving.serveFilteredLocalExplained(flatRep,
+        Some(graphRep), Array(qArr(0), qArr(0), qArr(1)), 10, twin,
+        nprobe = 8, efSearch = 64)
+      assert(s == Serving.GraphOverfetch)
+      // output order is positional: group(q0), group(q0), group(q1) —
+      // each occurrence ranked 1..k independently
+      assert(rows.toSeq == (one0.toSeq ++ one0.toSeq ++ one1.toSeq))
+      assert(rows.count(_._1 == qArr(0)._1) == 2 * one0.length)
+    } finally { graphIdx.unpersist(); cells.unpersist(); indexed.unpersist() }
+  }
+
   test("opt-in staleness probe: a tombstone written AFTER the " +
       "artifacts are armed is observed on the next serve without a " +
       "manual refresh; a fold clears the mask the same way") {
@@ -444,6 +482,43 @@ class ServingSpec extends AnyFunSuite {
     Serving.serveFilteredExplained(art, queries, 10,
       SparkEntry.filterHigh, nprobe = 8)._2.count()
     assert(art.tombstones.isEmpty && art.probeRefreshes == 2)
+  }
+
+  test("staleness probe epoch file: back-to-back tombstone writes " +
+      "(same filesystem second) are each observed — the monotonic " +
+      "epoch closes the mtime-granularity window") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(data, centroids)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_serv_epoch").toString
+    AnnIvf.writeIndex(indexed, s"$tmp/idx")
+    assert(AnnIvf.tombstoneEpoch(spark, s"$tmp/idx") == -1L)
+    val art = Serving.Artifacts(indexed, centroids)
+      .withTombstoneProbe(spark, s"$tmp/idx")
+    val batchA = data.filter($"vec_id" % 11 === 4).select($"vec_id")
+    val batchB = data.filter($"vec_id" % 11 === 5).select($"vec_id")
+    AnnIvf.tombstone(spark, s"$tmp/idx", batchA)
+    assert(AnnIvf.tombstoneEpoch(spark, s"$tmp/idx") == 0L)
+    Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)._2.count()
+    assert(art.probeRefreshes == 1)
+    // the second write lands within the same wall-clock second as the
+    // first on this host — under the old mtime stamp the next serve
+    // could silently miss it; the epoch is 1 now, so it cannot
+    AnnIvf.tombstone(spark, s"$tmp/idx", batchB)
+    assert(AnnIvf.tombstoneEpoch(spark, s"$tmp/idx") == 1L)
+    Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)._2.count()
+    assert(art.probeRefreshes == 2)
+    val expected = (batchA.as[Long].collect() ++
+      batchB.as[Long].collect()).sorted.toSeq
+    assert(art.tombstones.map(_.toSeq).contains(expected))
+    // fold bumps too (epoch 2) and the probe clears the mask
+    AnnIvf.foldTombstones(spark, s"$tmp/idx")
+    assert(AnnIvf.tombstoneEpoch(spark, s"$tmp/idx") == 2L)
+    Serving.serveFilteredExplained(art, queries, 10,
+      SparkEntry.filterHigh, nprobe = 8)._2.count()
+    assert(art.tombstones.isEmpty && art.probeRefreshes == 3)
   }
 
   test("staleness probe feeds the LOCAL dispatch: a mid-stream " +
