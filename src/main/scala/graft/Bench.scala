@@ -111,6 +111,10 @@ object Bench {
       // in-process dispatcher — same exclusion rationale; the local
       // tiers' throughput is measured in the scale record
       "serve_local_filtered", "serve_local_mild", "serve_local_tombstone",
+      // serve_local_bitset: serve_local_filtered's id-set twin (same
+      // fixture + one distributed id collect) — the id-set route's
+      // throughput is measured in the scale record (ProfileLocalFiltered)
+      "serve_local_bitset",
       "ann_ivfpq_fixed", "ann_ivfpq_residual", "ann_hamming_fixed",
       "stream_dedup",
       "config_grid", "csv_roundtrip", "ingest_categories", "grid_errors",

@@ -2683,6 +2683,33 @@ object AnnQueries {
         res.select(col("qid"), col("rank"), col("neighbor_id"))
       } finally cells.unpersist()
     }),
+    // BITSET (id-set) filtered serving (r16): the filter is a
+    // TWO-COLUMN predicate — no single-attr twin exists — reduced to
+    // its sorted survivor id-set by ONE distributed filter
+    // (Serving.survivorIdSet, the reference's own bitset filter form)
+    // and served fully in-process through the strong branch, the
+    // per-row keep test a binary-search membership check. Needs no
+    // attr-built replica. Oracle = the ann_ivf_fixed recipe
+    // restricted to the same two-column survivor predicate —
+    // hash-equality proves the id-set route IS the pre-filter the
+    // distributed dispatcher would evaluate from the Column itself.
+    "serve_local_bitset" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 311)
+      val indexed = AnnIvf.index(base, centroids)
+      val cells = AnnIvf.servableCells(indexed)
+      try {
+        val rep = AnnIvf.localCellReplica(cells, centroids)
+        val ids = Serving.survivorIdSet(indexed,
+          col("label").isin(0, 1) && col("vec_id") % 3 =!= 1)
+        val (strat, res) = Serving.serveFilteredLocalIdSetDf(rep, None,
+          queriesDf(s, d), K, ids, nprobe = 2)
+        require(strat == Serving.IvfPrefilterResident,
+          s"dispatched $strat")
+        res.select(col("qid"), col("rank"), col("neighbor_id"))
+      } finally cells.unpersist()
+    }),
     // the tombstone mask through the DISPATCHER end to end: the
     // side-table written on the persisted layout is refreshed into the
     // shared serving artifacts (Artifacts.refreshTombstones — zero
@@ -3502,6 +3529,10 @@ object AnnQueries {
     // branch (ServingSpec), so it shares the oracle
     "serve_local_filtered" -> ivfFixedSql(311,
       survivors = "label IN (0, 1)"),
+    // the id-set route serves the SAME pre-filter the Column
+    // predicate defines — two-column survivors, one bitset epoch
+    "serve_local_bitset" -> ivfFixedSql(311,
+      survivors = "label IN (0, 1) AND vec_id % 3 <> 1"),
     // the local masked drain == the job path's (shared drainBeamTopK)
     "serve_local_tombstone" -> ivfFixedSql(31,
       survivors = "vec_id % 11 <> 4"),

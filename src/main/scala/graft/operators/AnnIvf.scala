@@ -1289,10 +1289,11 @@ object AnnIvf {
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       metric: String = "sqeuclidean",
       attrPred: Option[Double => Boolean] = None,
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      idSet: Option[Array[Long]] = None)
       : Array[(Long, Long, Long, Double)] =
-    localCellCore(rep, queries, k, nprobe, metric, attrPred, tombstones,
-      exhaustive = false)
+    localCellCore(rep, queries, k, nprobe, metric, attrPred, idSet,
+      tombstones, exhaustive = false)
 
   /** Exact filtered top-k over the WHOLE local replica (every cell —
     * no probe approximation): the in-process twin of `Knn.exact` over
@@ -1302,14 +1303,24 @@ object AnnIvf {
       queries: Array[(Long, Array[Float])], k: Int,
       metric: String = "sqeuclidean",
       attrPred: Option[Double => Boolean] = None,
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      idSet: Option[Array[Long]] = None)
       : Array[(Long, Long, Long, Double)] =
-    localCellCore(rep, queries, k, 0, metric, attrPred, tombstones,
-      exhaustive = true)
+    localCellCore(rep, queries, k, 0, metric, attrPred, idSet,
+      tombstones, exhaustive = true)
 
+  /** The per-row keep tests compose: `attrPred` filters on the
+    * resident attribute (the reference's one-column rating bracket),
+    * `idSet` is a precomputed SORTED survivor id-set (the reference's
+    * own bitset filter form, utils_grid_search.py:238-247 — any
+    * multi-column/string predicate reduces to one by a single
+    * distributed filter per epoch, `Serving.survivorIdSet`), and the
+    * tombstone mask is the sorted EXCLUSION twin of the same
+    * machinery. A row is scanned iff it passes all supplied tests. */
   private def localCellCore(rep: LocalCellReplica,
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       metric: String, attrPred: Option[Double => Boolean],
+      idSetOpt: Option[Array[Long]],
       tombstones: Option[Array[Long]], exhaustive: Boolean)
       : Array[(Long, Long, Long, Double)] = {
     val nQ = queries.length
@@ -1317,6 +1328,7 @@ object AnnIvf {
     val mcode = Knn.metricCode(metric)
     val tomb: Array[Long] = tombstones.orNull
     val pred: Double => Boolean = attrPred.orNull
+    val idSet: Array[Long] = idSetOpt.orNull
     if (pred != null && rep.attrs == null)
       throw new IllegalArgumentException(
         "attrPred given but the local replica was built without " +
@@ -1335,7 +1347,8 @@ object AnnIvf {
     // construction (the per-row keep test is query-independent, and
     // the top-k merge is scan-order independent anyway).
     val survIdx: Array[Int] =
-      if (!exhaustive || (pred == null && tomb == null)) null
+      if (!exhaustive || (pred == null && tomb == null && idSet == null))
+        null
       else {
         val nRows = rep.ids.length
         val scanWorkers = math.max(1, math.min(
@@ -1352,6 +1365,8 @@ object AnnIvf {
             var i = from
             while (i < until) {
               if ((pred == null || pred(rep.attrs(i))) &&
+                (idSet == null ||
+                  java.util.Arrays.binarySearch(idSet, rep.ids(i)) >= 0) &&
                 (tomb == null ||
                   java.util.Arrays.binarySearch(tomb, rep.ids(i)) < 0))
                 b += i
@@ -1383,6 +1398,8 @@ object AnnIvf {
       var i = from
       while (i < until) {
         val keep = (pred == null || pred(rep.attrs(i))) &&
+          (idSet == null ||
+            java.util.Arrays.binarySearch(idSet, rep.ids(i)) >= 0) &&
           (tomb == null ||
             java.util.Arrays.binarySearch(tomb, rep.ids(i)) < 0)
         if (keep) distTo(h, qv, i)

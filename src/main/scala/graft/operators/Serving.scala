@@ -73,6 +73,35 @@ object Serving {
     def cachedCounts(predicate: Column): Option[(Long, Long)] =
       selCache.get(Serving.predicateKey(predicate))
 
+    /** SURVIVOR ID-SET MEMO — the bitset filter form for the local
+      * serving tier (`serveFilteredLocalIdSet*`): the sorted ids of
+      * `indexed.filter(predicate)`, computed by ONE distributed
+      * filter per (artifact, predicate) and cached like the
+      * selectivity memo (same `cacheableFilter` guard: ambiguous/
+      * non-deterministic predicates recompute per call). NOT cleared
+      * by tombstone refreshes — the id-set is over the UNMASKED
+      * relation; the serve-time mask composes with it inside the
+      * kernels, so one id-set epoch outlives any number of mask
+      * epochs. */
+    private[operators] val idSetCache =
+      scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+    /** Number of times an id-set was actually collected —
+      * observability for the memo (pinned in ServingSpec). */
+    @volatile private[graft] var idSetComputes: Int = 0
+    /** The sorted survivor id-set of `predicate` over this artifact's
+      * indexed relation — memoized per predicate rendering. */
+    def survivorIds(predicate: Column, idCol: String = "vec_id",
+        maxIds: Long = 50000000L): Array[Long] = {
+      def compute(): Array[Long] = {
+        idSetComputes += 1
+        Serving.survivorIdSet(indexed, predicate, idCol, maxIds)
+      }
+      if (Serving.cacheableFilter(indexed.filter(predicate)))
+        idSetCache.getOrElseUpdate(Serving.predicateKey(predicate),
+          compute())
+      else compute()
+    }
+
     /** TOMBSTONE MASK for this serving epoch — serve-consistency with
       * the persisted paths' anti-join (`AnnIvf.searchPersisted*`
       * honor the side-table by default; the resident tiers are epoch
@@ -180,6 +209,35 @@ object Serving {
     * rendering — two Columns built the same way render identically). */
   private[graft] def predicateKey(predicate: Column): String =
     predicate.toString
+
+  /** Materialize a filter as its SORTED survivor id-set — the input
+    * contract of `serveFilteredLocalIdSet*` (the reference's bitset
+    * filter form, utils_grid_search.py:238-247): ANY `Column`
+    * predicate — multi-column, string, UDF — evaluated by ONE
+    * column-pruned distributed filter, collected as ids only. Pay it
+    * once per filter epoch (or memoize via `Artifacts.survivorIds`),
+    * then every serve call tests membership by binary search.
+    *
+    * `maxIds` bounds the driver/serving-JVM heap the collect may
+    * claim (8 bytes/id): the count job runs first and the collect is
+    * refused loudly past the budget — a filter keeping that many rows
+    * belongs on the attr route (one resident column) or the
+    * distributed dispatcher, not in an in-process id list. */
+  def survivorIdSet(relation: DataFrame, predicate: Column,
+      idCol: String = "vec_id", maxIds: Long = 50000000L): Array[Long] = {
+    val spark = relation.sparkSession
+    import spark.implicits._
+    val survivors = relation.filter(predicate)
+      .select(col(idCol).cast("long"))
+    val n = survivors.count()
+    require(n <= maxIds,
+      s"survivorIdSet: the predicate keeps $n rows > maxIds $maxIds " +
+        s"(${8L * n / 1000000} MB of ids) - serve this filter through " +
+        "the resident attr route or the distributed dispatcher instead")
+    val ids = survivors.as[Long].collect()
+    java.util.Arrays.sort(ids)
+    ids
+  }
 
   /** Whether the selectivity memo may key on this predicate: two
     * DIFFERENT anonymous Scala UDFs both render as `UDF(col)`, and a
@@ -439,15 +497,84 @@ object Serving {
       metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None)
       : (Strategy, Array[(Long, Long, Long, Double)]) = {
-    require(overFetchMult >= 1, s"overFetchMult must be >= 1")
     require(flat.attrs != null,
       "serveFilteredLocal needs an attr-built replica - build the " +
-        "resident tier with servableCells(..., attrCol = Some(...))")
+        "resident tier with servableCells(..., attrCol = Some(...)), " +
+        "or serve the filter as an id-set (serveFilteredLocalIdSet*)")
+    serveFilteredLocalCore(flat, graph, queries, k, attrPred, null,
+      nprobe, efSearch, overFetchMult, selectivity, mild, extreme,
+      maxOverFetchK, metric, tombstones)
+  }
+
+  /** `serveFilteredLocalExplained` for ANY filter, not just a
+    * one-column numeric bracket: the filter arrives as a precomputed
+    * SORTED survivor id-set — the reference's own bitset filter form
+    * (utils_grid_search.py:238-247 precomputes a per-filter id mask
+    * the same way) — produced ONCE per filter epoch by running an
+    * arbitrary distributed `Column` predicate (`survivorIdSet` /
+    * `Artifacts.survivorIds`, which memoizes per predicate like the
+    * selectivity cache). Every dispatch branch then serves from the
+    * same machinery as the attr route with the per-row keep test
+    * swapped for a binary-search membership check — the tombstone
+    * mask's mechanism with the polarity flipped:
+    *
+    *  - EXTREME → exact scan over the id-set's members
+    *  - STRONG → pre-filter probe-scan, id-set-checked per row
+    *    (tagged `IvfPrefilterResident` — it IS the resident branch)
+    *  - MILD → beam k' on the local graph replica, survivors kept by
+    *    id-set membership, re-rank to k
+    *
+    * Row-identical to the distributed dispatcher evaluating the
+    * Column predicate itself (ServingSpec pins a two-column
+    * predicate; `serve_local_bitset` puts it under the full DuckDB
+    * oracle). Needs NO attr-built replica. Selectivity: pass the
+    * hint, or one pass over the replica's ids computes the same
+    * integers as the dispatcher's two column-pruned counts.
+    *
+    * SCALE NOTE — id-set size: 8 bytes/survivor on the serving heap
+    * (the same budget class as the replica itself). The shape is
+    * meant for the strong/extreme regimes where survivors are a
+    * fraction of the corpus; a MILD filter's id-set approaches corpus
+    * size — there the one-column attr route or the distributed
+    * dispatcher is the right tier, and `survivorIdSet`'s `maxIds`
+    * guard refuses a collect past its budget loudly. */
+  def serveFilteredLocalIdSetExplained(flat: AnnIvf.LocalCellReplica,
+      graph: Option[NswGraph.LocalReplica],
+      queries: Array[(Long, Array[Float])], k: Int,
+      idSet: Array[Long],
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = 0.02,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None)
+      : (Strategy, Array[(Long, Long, Long, Double)]) = {
+    require(idSet != null, "idSet must be non-null (empty = no survivors)")
+    serveFilteredLocalCore(flat, graph, queries, k, null, idSet,
+      nprobe, efSearch, overFetchMult, selectivity, mild, extreme,
+      maxOverFetchK, metric, tombstones)
+  }
+
+  /** The shared local dispatch: exactly one of `attrPred` / `idSet`
+    * is non-null (the two public entries enforce it). */
+  private def serveFilteredLocalCore(flat: AnnIvf.LocalCellReplica,
+      graph: Option[NswGraph.LocalReplica],
+      queries: Array[(Long, Array[Float])], k: Int,
+      attrPred: Double => Boolean, idSet: Array[Long],
+      nprobe: Int, efSearch: Int,
+      overFetchMult: Int, selectivity: Option[Double],
+      mild: Double, extreme: Double,
+      maxOverFetchK: Int, metric: String,
+      tombstones: Option[Array[Long]])
+      : (Strategy, Array[(Long, Long, Long, Double)]) = {
+    require(overFetchMult >= 1, s"overFetchMult must be >= 1")
     val tomb: Array[Long] = tombstones.orNull
     val (sel, kFromCounts) = selectivity match {
       case Some(x) => (x, None)
       case None =>
-        val (total, surv) = flat.selectivityCounts(attrPred, tomb)
+        val (total, surv) =
+          if (idSet != null) flat.selectivityCountsIdSet(idSet, tomb)
+          else flat.selectivityCounts(attrPred, tomb)
         val s = if (total == 0L) 1.0 else surv.toDouble / total
         (s, if (surv > 0L)
           Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
@@ -459,10 +586,11 @@ object Serving {
           "returns IvfPrefilter; the resident tag is applied below")
       case ExactScan =>
         (ExactScan, AnnIvf.searchLocalExactQueries(flat, queries, k,
-          metric, Some(attrPred), tombstones))
+          metric, Option(attrPred), tombstones, Option(idSet)))
       case IvfPrefilter =>
         (IvfPrefilterResident, AnnIvf.searchLocalCellsQueries(flat,
-          queries, k, nprobe, metric, Some(attrPred), tombstones))
+          queries, k, nprobe, metric, Option(attrPred), tombstones,
+          Option(idSet)))
       case GraphOverfetch =>
         val kF = math.min(maxOverFetchK,
           math.max(k, kFromCounts.getOrElse(
@@ -472,12 +600,15 @@ object Serving {
           kF, nprobe, efF, metric, tombstones)
         // fetched rows arrive grouped per query, (dist, id)-ascending
         // (the local drain's order == the window's (dist, neighbor_id)
-        // sort) — keep attr survivors, take k, renumber ranks. Group
-        // boundaries come from the RANK column restarting at 1 (each
-        // query's rows start there), NOT from qid run-lengths: a batch
-        // holding the same qid twice in adjacent slots would otherwise
-        // collapse into one k-capped group and silently drop the
-        // second query's results (r14 ADVICE).
+        // sort) — keep survivors, take k, renumber ranks. The keep
+        // test is the attr lookup or the id-set membership search —
+        // same sorted-array machinery as the tombstone mask, polarity
+        // flipped. Group boundaries come from the RANK column
+        // restarting at 1 (each query's rows start there), NOT from
+        // qid run-lengths: a batch holding the same qid twice in
+        // adjacent slots would otherwise collapse into one k-capped
+        // group and silently drop the second query's results (r14
+        // ADVICE; duplicate-qid contract in the entry scaladoc).
         val out = Array.newBuilder[(Long, Long, Long, Double)]
         out.sizeHint(queries.length * k)
         var i = 0
@@ -487,7 +618,10 @@ object Serving {
           var inGroup = true
           while (i < fetched.length && inGroup) {
             val row = fetched(i)
-            if (kept < k && flat.attrSatisfies(row._3, attrPred)) {
+            val keep =
+              if (attrPred != null) flat.attrSatisfies(row._3, attrPred)
+              else java.util.Arrays.binarySearch(idSet, row._3) >= 0
+            if (kept < k && keep) {
               kept += 1
               out += ((qid, kept, row._3, row._4))
             }
@@ -523,6 +657,35 @@ object Serving {
       .as[(Long, Array[Float])].collect()
     val (strategy, rows) = serveFilteredLocalExplained(flat, graph,
       qRows, k, attrPred, nprobe, efSearch, overFetchMult, selectivity,
+      mild, extreme, maxOverFetchK, metric, tombstones)
+    (strategy, spark.createDataset(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
+      .toDF("qid", "rank", "neighbor_id", "dist"))
+  }
+
+  /** `serveFilteredLocalIdSetExplained` behind the DataFrame contract
+    * — the id-set twin of `serveFilteredLocalDf`. The oracle entry
+    * (`serve_local_bitset`) checks a two-column predicate served this
+    * way against the same SQL as the distributed dispatcher's branch. */
+  def serveFilteredLocalIdSetDf(flat: AnnIvf.LocalCellReplica,
+      graph: Option[NswGraph.LocalReplica], queries: DataFrame, k: Int,
+      idSet: Array[Long],
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = 0.02,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None)
+      : (Strategy, DataFrame) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(org.apache.spark.sql.functions.col(qidCol).cast("long"),
+        org.apache.spark.sql.functions.col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val (strategy, rows) = serveFilteredLocalIdSetExplained(flat, graph,
+      qRows, k, idSet, nprobe, efSearch, overFetchMult, selectivity,
       mild, extreme, maxOverFetchK, metric, tombstones)
     (strategy, spark.createDataset(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))

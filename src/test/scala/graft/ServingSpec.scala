@@ -412,6 +412,101 @@ class ServingSpec extends AnyFunSuite {
     graphIdx.unpersist(); cells.unpersist(); indexed.unpersist()
   }
 
+  test("id-set (bitset) local serving: a TWO-COLUMN predicate reduced " +
+      "to its survivor id-set serves every branch in-process, row-" +
+      "identical to the distributed dispatcher evaluating the Column") {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val graphs = NswGraph.buildIndex(indexed, m = 8, efConstruction = 32)
+    val graphIdx = NswGraph.servableIndex(graphs)
+    // NO attrCol: the id-set route needs no resident attribute
+    val cells = AnnIvf.servableCells(indexed)
+    try {
+      val flatRep = AnnIvf.localCellReplica(cells, centroids)
+      val graphRep = NswGraph.localReplica(graphIdx, centroids)
+      val art = Serving.Artifacts(indexed, centroids, Some(graphIdx))
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val twoCol = $"label".isin(0, 1) && $"vec_id" % 3 =!= 1
+      val ids = Serving.survivorIdSet(indexed, twoCol)
+      assert(ids.nonEmpty && ids.toSeq == ids.toSeq.sorted)
+      // STRONG (~14% kept): distributed Column dispatch vs local id-set
+      val (s1, r1) = Serving.serveFilteredExplained(art, queries, 10,
+        twoCol, nprobe = 8, efSearch = 64)
+      val (s2, r2) = Serving.serveFilteredLocalIdSetExplained(flatRep,
+        Some(graphRep), qArr, 10, ids, nprobe = 8, efSearch = 64)
+      assert(s1 == Serving.IvfPrefilter &&
+        s2 == Serving.IvfPrefilterResident)
+      assert(r2.toSet == asRows(r1) && r2.nonEmpty)
+      // MILD (~90% kept): the over-fetch branch keeps survivors by
+      // id-set membership — same integers, same rows as the window
+      val mildCol = $"label" =!= 4
+      val mildIds = Serving.survivorIdSet(indexed, mildCol)
+      val (s3, r3) = Serving.serveFilteredExplained(art, queries, 10,
+        mildCol, nprobe = 8, efSearch = 64)
+      val (s4, r4) = Serving.serveFilteredLocalIdSetExplained(flatRep,
+        Some(graphRep), qArr, 10, mildIds, nprobe = 8, efSearch = 64)
+      assert(s3 == Serving.GraphOverfetch && s4 == Serving.GraphOverfetch)
+      assert(r4.toSet == asRows(r3) && r4.nonEmpty)
+      // EXTREME (raised boundary): exact over the id-set's members
+      val (s5, r5) = Serving.serveFilteredLocalIdSetExplained(flatRep,
+        Some(graphRep), qArr, 10, ids, extreme = 0.2)
+      assert(s5 == Serving.ExactScan)
+      assert(r5.toSet == asRows(Knn.exact(indexed.filter(twoCol),
+        queries, 10)))
+      // tombstones COMPOSE with the id-set (strong branch, both sides)
+      val mask = d.filter($"vec_id" % 7 === 2)
+        .select($"vec_id").collect().map(_.getLong(0)).sorted
+      art.setTombstones(mask)
+      val (s6, r6) = Serving.serveFilteredExplained(art, queries, 10,
+        twoCol, nprobe = 8, efSearch = 64)
+      val (s7, r7) = Serving.serveFilteredLocalIdSetExplained(flatRep,
+        Some(graphRep), qArr, 10, ids, nprobe = 8, efSearch = 64,
+        tombstones = Some(mask))
+      assert(s6 == Serving.IvfPrefilter &&
+        s7 == Serving.IvfPrefilterResident)
+      assert(r7.toSet == asRows(r6) && r7.nonEmpty)
+      art.setTombstones(Array.emptyLongArray)
+      // empty id-set: no survivors, every branch returns nothing
+      val (_, r8) = Serving.serveFilteredLocalIdSetExplained(flatRep,
+        Some(graphRep), qArr, 10, Array.emptyLongArray)
+      assert(r8.isEmpty)
+      // the DataFrame wrapper matches the array hot path
+      val (s9, r9) = Serving.serveFilteredLocalIdSetDf(flatRep,
+        Some(graphRep), queries, 10, ids, nprobe = 8, efSearch = 64)
+      assert(s9 == Serving.IvfPrefilterResident &&
+        asRows(r9) == r2.toSet)
+    } finally { graphIdx.unpersist(); cells.unpersist(); indexed.unpersist() }
+  }
+
+  test("survivorIdSet: memoized per (artifact, predicate), UDF " +
+      "predicates skip the memo, and the maxIds budget refuses " +
+      "oversized collects loudly") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val art = Serving.Artifacts(AnnIvf.index(data, centroids), centroids)
+    val twoCol = $"label".isin(0, 1) && $"vec_id" % 3 =!= 1
+    assert(art.idSetComputes == 0)
+    val a = art.survivorIds(twoCol)
+    assert(art.idSetComputes == 1 && a.nonEmpty)
+    val b = art.survivorIds(twoCol)
+    assert(art.idSetComputes == 1 && (b sameElements a)) // cache hit
+    // a different predicate is its own entry
+    art.survivorIds($"label" =!= 4)
+    assert(art.idSetComputes == 2)
+    // ambiguous rendering (anonymous UDF) recomputes per call
+    val u = udf((x: Double) => x >= 0.0)
+    art.survivorIds(u($"label"))
+    art.survivorIds(u($"label"))
+    assert(art.idSetComputes == 4)
+    // the heap budget: a mild filter's id-set is refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Serving.survivorIdSet(art.indexed, $"label" =!= 4, maxIds = 10L)
+    }
+    assert(ex.getMessage.contains("maxIds"))
+  }
+
   test("duplicate qids in one local batch: the mild over-fetch branch " +
       "emits an independent rank-1..k group per occurrence (r15 fix " +
       "pin — rank-restart grouping, not qid run-lengths)") {
