@@ -2603,8 +2603,13 @@ object AnnQueries {
       val base = dataDf(s, d).filter(filterLow)
       val centroids = fixedCentroids(base, 311)
       val art = Serving.Artifacts(AnnIvf.index(base, centroids), centroids)
+      // extreme pinned to the fixed 0.02: this entry exists to drive
+      // the PREFILTER branch under the oracle; at sf-fixture geometry
+      // (2 mod-311 cells at sf0.01 — 2 probes cover both) the
+      // cost-based default would honestly route to the equal-result
+      // exact scan
       val (strat, res) = Serving.serveFilteredExplained(art,
-        queriesDf(s, d), K, filterHigh, nprobe = 2)
+        queriesDf(s, d), K, filterHigh, nprobe = 2, extreme = 0.02)
       require(strat == Serving.IvfPrefilter, s"dispatched $strat")
       res.select(col("qid"), col("rank"), col("neighbor_id"))
     }),
@@ -2676,8 +2681,10 @@ object AnnQueries {
         attrCol = Some("label"))
       try {
         val rep = AnnIvf.localCellReplica(cells, centroids)
+        // extreme pinned (branch-driving entry; see serve_auto_strong)
         val (strat, res) = Serving.serveFilteredLocalDf(rep, None,
-          queriesDf(s, d), K, a => a == 0.0 || a == 1.0, nprobe = 2)
+          queriesDf(s, d), K, a => a == 0.0 || a == 1.0, nprobe = 2,
+          extreme = 0.02)
         require(strat == Serving.IvfPrefilterResident,
           s"dispatched $strat")
         res.select(col("qid"), col("rank"), col("neighbor_id"))
@@ -2703,8 +2710,9 @@ object AnnQueries {
         val rep = AnnIvf.localCellReplica(cells, centroids)
         val ids = Serving.survivorIdSet(indexed,
           col("label").isin(0, 1) && col("vec_id") % 3 =!= 1)
+        // extreme pinned (branch-driving entry; see serve_auto_strong)
         val (strat, res) = Serving.serveFilteredLocalIdSetDf(rep, None,
-          queriesDf(s, d), K, ids, nprobe = 2)
+          queriesDf(s, d), K, ids, nprobe = 2, extreme = 0.02)
         require(strat == Serving.IvfPrefilterResident,
           s"dispatched $strat")
         res.select(col("qid"), col("rank"), col("neighbor_id"))
@@ -2729,8 +2737,13 @@ object AnnQueries {
         base.filter(col("vec_id") % 11 === 4).select(col("vec_id")))
       val art = Serving.Artifacts(AnnIvf.index(base, centroids), centroids)
       art.refreshTombstones(s, tmp)
+      // extreme pinned to the fixed 0.02: this entry exists to drive
+      // the PREFILTER branch under the oracle; at sf-fixture geometry
+      // (2 mod-311 cells at sf0.01 — 2 probes cover both) the
+      // cost-based default would honestly route to the equal-result
+      // exact scan
       val (strat, res) = Serving.serveFilteredExplained(art,
-        queriesDf(s, d), K, filterHigh, nprobe = 2)
+        queriesDf(s, d), K, filterHigh, nprobe = 2, extreme = 0.02)
       require(strat == Serving.IvfPrefilter, s"dispatched $strat")
       res.select(col("qid"), col("rank"), col("neighbor_id"))
     }),

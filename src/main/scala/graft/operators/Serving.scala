@@ -73,6 +73,11 @@ object Serving {
     def cachedCounts(predicate: Column): Option[(Long, Long)] =
       selCache.get(Serving.predicateKey(predicate))
 
+    /** Cell count for the cost-based `extreme` boundary — one tiny
+      * count over the (driver-sized) centroid table, paid once per
+      * Artifacts epoch. */
+    private[operators] lazy val numCells: Long = centroids.count()
+
     /** SURVIVOR ID-SET MEMO — the bitset filter form for the local
       * serving tier (`serveFilteredLocalIdSet*`): the sorted ids of
       * `indexed.filter(predicate)`, computed by ONE distributed
@@ -264,6 +269,38 @@ object Serving {
           || !x.deterministic))
     } catch { case scala.util.control.NonFatal(_) => false }
 
+  /** Sentinel for the `extreme` boundary: compute it from the index
+    * geometry at dispatch time (`costExtreme`) instead of a fixed
+    * fraction. THE DEFAULT since r16 — the r14 scale record showed the
+    * fixed 0.02 routing the reference's mid bucket (0.77% kept) to the
+    * exact scan at ~2.5K qps when the same engine's pre-filter branch
+    * measured 11–12.7K qps at recall 0.9995. */
+  val CostBased: Double = -1.0
+
+  /** The flop-count crossover between the exact scan and the IVF
+    * pre-filter, as a selectivity boundary: per query the exact scan
+    * costs ~survivors·dim distance flops (= sel·total·dim), the
+    * pre-filter ~nprobe·avgCell·dim (it touches the probed cells'
+    * members; early-abandon and the per-row keep test are comparable
+    * constant factors on both sides). With avgCell = total/nCells the
+    * totals and dims cancel: exact is cheaper iff sel < nprobe/nCells
+    * — and at equal cost exact strictly wins (recall 1.0 by
+    * construction), so the boundary is the honest tie-break. The
+    * dispatchers cap it at `mild` (probing nprobe >= nCells cells
+    * means the pre-filter scans everything the exact scan would — the
+    * exact scan is then never worse at ANY selectivity below the
+    * graph regime). Pinned in ServingSpec at the reference's three 5M
+    * selectivities. */
+  def costExtreme(nprobe: Int, nCells: Int): Double =
+    nprobe.toDouble / math.max(1, nCells)
+
+  private def effectiveExtreme(extreme: Double, mild: Double,
+      nprobe: Int, nCells: Long): Double =
+    if (extreme == CostBased)
+      math.min(mild, costExtreme(nprobe,
+        math.min(nCells, Int.MaxValue.toLong).toInt))
+    else extreme
+
   sealed abstract class Strategy(val name: String)
   /** Over-fetch k' on the unfiltered resident graph, filter, re-rank. */
   case object GraphOverfetch extends Strategy("graph-overfetch")
@@ -277,11 +314,20 @@ object Serving {
   /** `Knn.exact` over the survivors. */
   case object ExactScan extends Strategy("exact-scan")
 
-  /** The measured dispatch rule. `mild`/`extreme` are the regime
-    * boundaries in survivor fraction; defaults sit between the 5M
-    * measurement's buckets (84% → graph wins 4.5×, 15.6% → IVF wins,
-    * 0.77% → exact wins). Without a graph tier the mild regime falls
-    * back to the always-valid IVF pre-filter. */
+  /** The dispatch rule as a pure function: `mild`/`extreme` are the
+    * regime boundaries in survivor fraction. The DISPATCHERS default
+    * `extreme` to `CostBased` — the `costExtreme` flop crossover
+    * computed from the index geometry at dispatch time — because no
+    * fixed fraction is right across geometries: at 5M/1024 cells the
+    * old fixed 0.02 routed the reference's 0.77% bucket to the exact
+    * scan (~2.5K qps) when the pre-filter branch measured 11–12.7K
+    * qps at recall 0.9995 (BENCH_scale_r14); the honest boundary
+    * there is 4/1024 ≈ 0.4%. `mild` stays the 5M measurement's fixed
+    * 0.5 (84% kept → graph over-fetch wins 4.5×). Without a graph
+    * tier the mild regime falls back to the always-valid IVF
+    * pre-filter. This function keeps explicit numeric defaults (the
+    * sentinel resolution needs the geometry, which the dispatchers
+    * hold). */
   def chooseStrategy(selectivity: Double, graphAvailable: Boolean,
       mild: Double = 0.5, extreme: Double = 0.02): Strategy = {
     require(selectivity >= 0.0 && selectivity <= 1.0,
@@ -300,7 +346,7 @@ object Serving {
   def serveFilteredExplained(art: Artifacts, queries: DataFrame, k: Int,
       predicate: Column, nprobe: Int = 4, efSearch: Int = 64,
       overFetchMult: Int = 3, selectivity: Option[Double] = None,
-      mild: Double = 0.5, extreme: Double = 0.02,
+      mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       idCol: String = "vec_id", vecCol: String = "embedding",
@@ -356,7 +402,8 @@ object Serving {
           Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
         else None)
     }
-    chooseStrategy(sel, art.graph.nonEmpty, mild, extreme) match {
+    chooseStrategy(sel, art.graph.nonEmpty, mild,
+      effectiveExtreme(extreme, mild, nprobe, art.numCells)) match {
       case IvfPrefilterResident => // dispatch never emits the audit tag
         throw new IllegalStateException("unreachable: chooseStrategy " +
           "returns IvfPrefilter; the resident tag is applied below")
@@ -492,7 +539,7 @@ object Serving {
       attrPred: Double => Boolean,
       nprobe: Int = 4, efSearch: Int = 64,
       overFetchMult: Int = 3, selectivity: Option[Double] = None,
-      mild: Double = 0.5, extreme: Double = 0.02,
+      mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None)
@@ -544,7 +591,7 @@ object Serving {
       idSet: Array[Long],
       nprobe: Int = 4, efSearch: Int = 64,
       overFetchMult: Int = 3, selectivity: Option[Double] = None,
-      mild: Double = 0.5, extreme: Double = 0.02,
+      mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None)
@@ -580,7 +627,8 @@ object Serving {
           Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
         else None)
     }
-    chooseStrategy(sel, graph.nonEmpty, mild, extreme) match {
+    chooseStrategy(sel, graph.nonEmpty, mild,
+      effectiveExtreme(extreme, mild, nprobe, flat.nCells.toLong)) match {
       case IvfPrefilterResident =>
         throw new IllegalStateException("unreachable: chooseStrategy " +
           "returns IvfPrefilter; the resident tag is applied below")
@@ -643,7 +691,7 @@ object Serving {
       attrPred: Double => Boolean,
       nprobe: Int = 4, efSearch: Int = 64,
       overFetchMult: Int = 3, selectivity: Option[Double] = None,
-      mild: Double = 0.5, extreme: Double = 0.02,
+      mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
@@ -672,7 +720,7 @@ object Serving {
       idSet: Array[Long],
       nprobe: Int = 4, efSearch: Int = 64,
       overFetchMult: Int = 3, selectivity: Option[Double] = None,
-      mild: Double = 0.5, extreme: Double = 0.02,
+      mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
@@ -696,7 +744,7 @@ object Serving {
   def serveFiltered(art: Artifacts, queries: DataFrame, k: Int,
       predicate: Column, nprobe: Int = 4, efSearch: Int = 64,
       overFetchMult: Int = 3, selectivity: Option[Double] = None,
-      mild: Double = 0.5, extreme: Double = 0.02,
+      mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       idCol: String = "vec_id", vecCol: String = "embedding",

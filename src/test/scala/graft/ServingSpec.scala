@@ -57,6 +57,35 @@ class ServingSpec extends AnyFunSuite {
     }
   }
 
+  test("cost-based extreme boundary (the r16 dispatch default): the " +
+      "flop-count crossover routes the reference's three 5M " +
+      "selectivities, prefiltering the mid bucket the fixed 0.02 " +
+      "mis-routed to the exact scan") {
+    import Serving._
+    // 5M / 1024-cell geometry, nprobe = 4: exact is cheaper only
+    // below sel = nprobe / nCells (survivors < the probed row count)
+    val x = math.min(0.5, costExtreme(4, 1024))
+    assert(math.abs(x - 0.00390625) < 1e-12)
+    // the reference's three filter buckets (BASELINE.md geometry):
+    assert(chooseStrategy(0.8363, graphAvailable = true,
+      extreme = x) == GraphOverfetch)
+    assert(chooseStrategy(0.1561, graphAvailable = true,
+      extreme = x) == IvfPrefilter)
+    // mid bucket (0.77% kept): 38.5K survivors >> 4x~4.9K probed rows
+    // -> PREFILTER, the branch the r14 record measured at 11-12.7K
+    // qps vs the exact scan's ~2.5K (the fixed 0.02 sent it there)
+    assert(chooseStrategy(0.0077, graphAvailable = true,
+      extreme = x) == IvfPrefilter)
+    // genuinely extreme filters still exact-scan (recall 1.0, fewer
+    // distance evals than the probed cells hold)
+    assert(chooseStrategy(0.001, graphAvailable = true,
+      extreme = x) == ExactScan)
+    // nprobe >= nCells probes everything: the prefilter would touch
+    // every row the exact scan would, so the crossover caps at mild
+    // and the whole sub-mild regime exact-scans (never worse, exact)
+    assert(math.min(0.5, costExtreme(8, 8)) == 0.5)
+  }
+
   test("extreme filter routes to exact-scan and equals Knn.exact " +
       "over the survivors") {
     // filterMid keeps 2.04% at sf0.001 — a hair above the default 2%
@@ -73,7 +102,7 @@ class ServingSpec extends AnyFunSuite {
   test("strong filter routes to ivf-prefilter and equals searchFast " +
       "over the survivors in the shared index") {
     val (strategy, res) = Serving.serveFilteredExplained(artifacts,
-      queries, 10, SparkEntry.filterHigh, nprobe = 4)
+      queries, 10, SparkEntry.filterHigh, nprobe = 4, extreme = 0.02)
     assert(strategy == Serving.IvfPrefilter)
     val expected = AnnIvf.searchFast(
       artifacts.indexed.filter(SparkEntry.filterHigh),
@@ -132,14 +161,14 @@ class ServingSpec extends AnyFunSuite {
     val artF = artifacts.copy(flat = Some(flat))
     try {
       val (strategy, res) = Serving.serveFilteredExplained(artF,
-        queries, 10, SparkEntry.filterHigh, nprobe = 4,
+        queries, 10, SparkEntry.filterHigh, nprobe = 4, extreme = 0.02,
         attrPred = Some(a => a == 0.0 || a == 1.0),
         validateAttrPred = true) // matched twin: validation passes
       // the tag distinguishes the resident attr-twin path from the
       // relation-scan pre-filter, so callers can audit which filter ran
       assert(strategy == Serving.IvfPrefilterResident)
       val viaRelation = Serving.serveFiltered(artifacts, queries, 10,
-        SparkEntry.filterHigh, nprobe = 4)
+        SparkEntry.filterHigh, nprobe = 4, extreme = 0.02)
       assert(asRows(res) == asRows(viaRelation) && asRows(res).nonEmpty)
     } finally flat.unpersist()
   }
@@ -151,7 +180,7 @@ class ServingSpec extends AnyFunSuite {
     try {
       val ex = intercept[IllegalArgumentException] {
         Serving.serveFilteredExplained(artF, queries, 10,
-          SparkEntry.filterHigh, nprobe = 4,
+          SparkEntry.filterHigh, nprobe = 4, extreme = 0.02,
           attrPred = Some(a => a == 0.0), // keeps fewer rows than the Column
           validateAttrPred = true)._2.count()
       }
@@ -262,7 +291,7 @@ class ServingSpec extends AnyFunSuite {
       .filter(!$"vec_id".isInCollection(tombIds))
     // strong branch == searchFast over the masked survivors
     val (s1, rS) = Serving.serveFilteredExplained(art, queries, 10,
-      SparkEntry.filterHigh, nprobe = 8)
+      SparkEntry.filterHigh, nprobe = 8, extreme = 0.02)
     assert(s1 == Serving.IvfPrefilter)
     assert(asRows(rS) == asRows(AnnIvf.searchFast(
       survivors.filter(SparkEntry.filterHigh), centroids, queries, 10,
@@ -375,21 +404,23 @@ class ServingSpec extends AnyFunSuite {
       .select($"vec_id").collect().map(_.getLong(0)).sorted
     art.setTombstones(mask)
     val (s3, r3) = Serving.serveFilteredExplained(art, queries, 10,
-      $"label".isin(0, 1), nprobe = 8, efSearch = 64,
+      $"label".isin(0, 1), nprobe = 8, efSearch = 64, extreme = 0.02,
       attrPred = Some(a => a == 0.0 || a == 1.0))
     val (s4, r4) = Serving.serveFilteredLocalExplained(flatRep,
       Some(graphRep), qArr, 10, a => a == 0.0 || a == 1.0,
-      nprobe = 8, efSearch = 64, tombstones = Some(mask))
+      nprobe = 8, efSearch = 64, extreme = 0.02,
+      tombstones = Some(mask))
     assert(s3 == Serving.IvfPrefilterResident && s4 == s3)
     assert(r4.toSet == asRows(r3) && r4.nonEmpty)
     art.setTombstones(Array.emptyLongArray)
     // the DataFrame wrapper matches the array hot path
     val (s5, r5) = Serving.serveFilteredLocalDf(flatRep, Some(graphRep),
-      queries, 10, a => a == 0.0 || a == 1.0, nprobe = 8, efSearch = 64)
+      queries, 10, a => a == 0.0 || a == 1.0, nprobe = 8, efSearch = 64,
+      extreme = 0.02)
     assert(s5 == Serving.IvfPrefilterResident)
     val (_, r6) = Serving.serveFilteredLocalExplained(flatRep,
       Some(graphRep), qArr, 10, a => a == 0.0 || a == 1.0, nprobe = 8,
-      efSearch = 64)
+      efSearch = 64, extreme = 0.02)
     assert(asRows(r5) == r6.toSet)
     // attr-less replica refused loudly
     val bare = AnnIvf.localCellReplica(AnnIvf.servableCells(indexed),
@@ -402,11 +433,11 @@ class ServingSpec extends AnyFunSuite {
     // serves the small batch in-process — rows identical, same tag
     val withFlatLocal = art.copy(flatLocal = Some(flatRep))
     val (s7, r7) = Serving.serveFilteredExplained(art, queries, 10,
-      $"label".isin(0, 1), nprobe = 8, efSearch = 64,
+      $"label".isin(0, 1), nprobe = 8, efSearch = 64, extreme = 0.02,
       attrPred = Some(a => a == 0.0 || a == 1.0))
     val (s8, r8) = Serving.serveFilteredExplained(withFlatLocal,
       queries, 10, $"label".isin(0, 1), nprobe = 8, efSearch = 64,
-      attrPred = Some(a => a == 0.0 || a == 1.0))
+      extreme = 0.02, attrPred = Some(a => a == 0.0 || a == 1.0))
     assert(s7 == Serving.IvfPrefilterResident && s8 == s7)
     assert(asRows(r8) == asRows(r7) && asRows(r7).nonEmpty)
     graphIdx.unpersist(); cells.unpersist(); indexed.unpersist()
@@ -434,9 +465,10 @@ class ServingSpec extends AnyFunSuite {
       assert(ids.nonEmpty && ids.toSeq == ids.toSeq.sorted)
       // STRONG (~14% kept): distributed Column dispatch vs local id-set
       val (s1, r1) = Serving.serveFilteredExplained(art, queries, 10,
-        twoCol, nprobe = 8, efSearch = 64)
+        twoCol, nprobe = 8, efSearch = 64, extreme = 0.02)
       val (s2, r2) = Serving.serveFilteredLocalIdSetExplained(flatRep,
-        Some(graphRep), qArr, 10, ids, nprobe = 8, efSearch = 64)
+        Some(graphRep), qArr, 10, ids, nprobe = 8, efSearch = 64,
+        extreme = 0.02)
       assert(s1 == Serving.IvfPrefilter &&
         s2 == Serving.IvfPrefilterResident)
       assert(r2.toSet == asRows(r1) && r2.nonEmpty)
@@ -461,10 +493,10 @@ class ServingSpec extends AnyFunSuite {
         .select($"vec_id").collect().map(_.getLong(0)).sorted
       art.setTombstones(mask)
       val (s6, r6) = Serving.serveFilteredExplained(art, queries, 10,
-        twoCol, nprobe = 8, efSearch = 64)
+        twoCol, nprobe = 8, efSearch = 64, extreme = 0.02)
       val (s7, r7) = Serving.serveFilteredLocalIdSetExplained(flatRep,
         Some(graphRep), qArr, 10, ids, nprobe = 8, efSearch = 64,
-        tombstones = Some(mask))
+        extreme = 0.02, tombstones = Some(mask))
       assert(s6 == Serving.IvfPrefilter &&
         s7 == Serving.IvfPrefilterResident)
       assert(r7.toSet == asRows(r6) && r7.nonEmpty)
@@ -475,9 +507,17 @@ class ServingSpec extends AnyFunSuite {
       assert(r8.isEmpty)
       // the DataFrame wrapper matches the array hot path
       val (s9, r9) = Serving.serveFilteredLocalIdSetDf(flatRep,
-        Some(graphRep), queries, 10, ids, nprobe = 8, efSearch = 64)
+        Some(graphRep), queries, 10, ids, nprobe = 8, efSearch = 64,
+        extreme = 0.02)
       assert(s9 == Serving.IvfPrefilterResident &&
         asRows(r9) == r2.toSet)
+      // under the cost-based DEFAULT this toy geometry (8 cells,
+      // nprobe = 8 probes every one) honestly routes the same filter
+      // to the exact scan — cheaper, recall 1.0, and the same rows
+      // here because the probe set covers every cell
+      val (sC, rC) = Serving.serveFilteredLocalIdSetExplained(flatRep,
+        Some(graphRep), qArr, 10, ids, nprobe = 8, efSearch = 64)
+      assert(sC == Serving.ExactScan && rC.toSet == r2.toSet)
     } finally { graphIdx.unpersist(); cells.unpersist(); indexed.unpersist() }
   }
 
@@ -636,7 +676,8 @@ class ServingSpec extends AnyFunSuite {
     val del = data.filter($"vec_id" % 9 === 2).select($"vec_id")
     AnnIvf.tombstone(spark, s"$tmp/idx", del)
     val (strat, res) = Serving.serveFilteredExplained(art, queries, 10,
-      $"label".isin(0, 1), nprobe = 8, attrPred = Some(twin))
+      $"label".isin(0, 1), nprobe = 8, extreme = 0.02,
+      attrPred = Some(twin))
     // the strong branch ran in-process (flatLocal present, small
     // batch) AND served the refreshed mask
     assert(strat == Serving.IvfPrefilterResident)
