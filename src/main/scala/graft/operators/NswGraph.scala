@@ -304,7 +304,7 @@ object NswGraph {
       path: String, m: Int = 8, efConstruction: Int = 64,
       metric: String = "sqeuclidean",
       idCol: String = "vec_id", vecCol: String = "embedding",
-      supers: Option[DataFrame] = None, wSuper: Int = 4): Unit = {
+      supers: Option[DataFrame] = None, wSuper: Int = 4): Array[Int] = {
     val spark = newData.sparkSession
     import spark.implicits._
     // same assignment-parity contract as AnnIvf.appendToIndex: a base
@@ -316,9 +316,12 @@ object NswGraph {
       .fold(AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>
         AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol, wSuper))
       .select(col(idCol).cast("long").as(idCol), col(vecCol), col("cid"))
+    // the touched cell ids — returned (r16, mirroring
+    // AnnIvf.appendToIndex) so a serving refresh can re-read ONLY
+    // these cells instead of rebuilding its replica from the corpus
     val touched = newIndexed.select(col("cid")).distinct()
       .collect().map(_.getInt(0))
-    if (touched.isEmpty) return
+    if (touched.isEmpty) return Array.emptyIntArray
     val oldRows = readGraphIndex(spark, path)
       .filter(col("cid").isin(touched.toSeq: _*))
       .flatMap(g => g.ids.zip(g.vecs).map { case (id, v) => (id, v, g.cid) })
@@ -328,6 +331,7 @@ object NswGraph {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cid").parquet(path)
+    touched
   }
 
   /** Deletion parity for the GRAPH tier (`AnnIvf.deleteFromIndex`'s
@@ -572,32 +576,39 @@ object NswGraph {
         Resident.estimateGraphBytes(rows, dim, edges),
         "NswGraph.servableIndex")
     }
-    graphs.rdd.map { g =>
-      val n = g.vecs.length
-      val dim = if (n == 0) 0 else g.vecs(0).length
-      val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
-        g.vecs.forall(_.length == dim)
-      val flat =
-        if (flattenable) {
-          val f = new Array[Float](n * dim)
-          var i = 0
-          while (i < n) {
-            System.arraycopy(g.vecs(i), 0, f, i * dim, dim); i += 1
-          }
-          f
-        } else null
-      val adjOff = new Array[Int](n + 1)
-      var i = 0
-      while (i < n) { adjOff(i + 1) = adjOff(i) + g.adj(i).length; i += 1 }
-      val adjFlat = new Array[Int](adjOff(n))
-      i = 0
-      while (i < n) {
-        System.arraycopy(g.adj(i), 0, adjFlat, adjOff(i), g.adj(i).length)
-        i += 1
-      }
-      ServableCell(g.cid, g.ids, dim, flat,
-        if (flattenable) null else g.vecs, adjFlat, adjOff)
-    }.persist(level)
+    graphs.rdd.map(decodeCell).persist(level)
+  }
+
+  /** Decode one CellGraph into its resident serving form — flatten
+    * vectors, CSR the adjacency. The single decode shared by the
+    * distributed resident tier (`servableIndex`) and the incremental
+    * local-replica refresh (`refreshLocalReplica`), so the two can
+    * never diverge. */
+  private[operators] def decodeCell(g: CellGraph): ServableCell = {
+    val n = g.vecs.length
+    val dim = if (n == 0) 0 else g.vecs(0).length
+    val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
+      g.vecs.forall(_.length == dim)
+    val flat =
+      if (flattenable) {
+        val f = new Array[Float](n * dim)
+        var i = 0
+        while (i < n) {
+          System.arraycopy(g.vecs(i), 0, f, i * dim, dim); i += 1
+        }
+        f
+      } else null
+    val adjOff = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { adjOff(i + 1) = adjOff(i) + g.adj(i).length; i += 1 }
+    val adjFlat = new Array[Int](adjOff(n))
+    i = 0
+    while (i < n) {
+      System.arraycopy(g.adj(i), 0, adjFlat, adjOff(i), g.adj(i).length)
+      i += 1
+    }
+    ServableCell(g.cid, g.ids, dim, flat,
+      if (flattenable) null else g.vecs, adjFlat, adjOff)
   }
 
   /** Beam search over a ServableCell — semantically IDENTICAL to
@@ -830,6 +841,53 @@ object NswGraph {
     }
     new LocalReplica(idx.toLocalIterator.toArray,
       AnnIvf.collectCentroids(centroids))
+  }
+
+  /** INCREMENTAL replica refresh (r16 — the carried r14 item): after
+    * an `appendToGraphIndex` / `deleteFromGraphIndex` touched a few
+    * cells of the persisted graph index, re-read and re-decode ONLY
+    * those cells' partition directories (the `cid=` pruned read
+    * `AnnIvf.readCells` — nothing else is listed, read, or decoded)
+    * and return a NEW replica sharing every untouched cell's decoded
+    * arrays with the old one. Double-buffered by construction: the
+    * old replica is immutable and keeps serving until the caller
+    * swaps the reference, so a serving loop refreshes with zero
+    * downtime. Cost is O(touched cells) end to end — the full
+    * `localReplica` rebuild re-collects the corpus (12.5–14.7 s at
+    * 5M, BENCH_scale_r14/16) where a single-cell append refreshes in
+    * milliseconds.
+    *
+    * BIT-IDENTICAL to a fresh replica over the same tree (NswSpec
+    * pin): per-cell decode is `decodeCell` — the exact function the
+    * resident tier runs — and per-cell graphs are pure functions of
+    * their row sets (id-sorted insert order), so sharing untouched
+    * cells changes nothing. A touched cell whose directory no longer
+    * exists (every member deleted) simply leaves the replica. No heap
+    * guard here: the replica grows only by the appended rows — the
+    * build-time guard ran at `localReplica`; a deployment compacting
+    * its way into a much larger corpus rebuilds through that guarded
+    * path. */
+  def refreshLocalReplica(spark: SparkSession, path: String,
+      rep: LocalReplica, touchedCids: Array[Int]): LocalReplica = {
+    if (touchedCids.isEmpty) return rep
+    import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = touchedCids.distinct.sorted.toSeq
+      .map(c => s"$path/cid=$c")
+      .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+    val fresh: Array[ServableCell] =
+      if (dirs.isEmpty) Array.empty
+      else AnnIvf.readCells(spark, path, dirs)
+        .select(col("cid").cast("int"), col("ids"), col("vecs"),
+          col("adj"))
+        .as[CellGraph]
+        .collect()
+        .map(decodeCell)
+    val touched = touchedCids.toSet
+    new LocalReplica(
+      rep.cells.filterNot(c => touched.contains(c.cid)) ++ fresh,
+      rep.centroidMatrix)
   }
 
   /** Local probe: the EXACT arithmetic, early-abandon and (dist, cid)

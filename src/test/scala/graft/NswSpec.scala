@@ -316,6 +316,71 @@ class NswSpec extends AnyFunSuite {
     assert(appended == rebuilt && appended.nonEmpty)
   }
 
+  test("incremental local-replica refresh: only touched cells are " +
+      "re-read, untouched decoded arrays are shared, and the result " +
+      "is bit-identical to a fresh replica (double-buffered)") {
+    import spark.implicits._
+    val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
+    val first = data.filter($"vec_id" % 3 =!= 0)
+    val second = data.filter($"vec_id" % 3 === 0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_grefresh").toString
+    NswGraph.writeGraphIndex(
+      NswGraph.buildIndex(graft.operators.AnnIvf.index(first, centroids),
+        m = 8, efConstruction = 32), s"$tmp/idx")
+    def replicaFromPath(): NswGraph.LocalReplica = {
+      val idx = NswGraph.servableIndex(
+        NswGraph.readGraphIndex(spark, s"$tmp/idx"))
+      try NswGraph.localReplica(idx, centroids) finally idx.unpersist()
+    }
+    val old = replicaFromPath()
+    val touched = NswGraph.appendToGraphIndex(second, centroids,
+      s"$tmp/idx", m = 8, efConstruction = 32)
+    assert(touched.nonEmpty)
+    val refreshed =
+      NswGraph.refreshLocalReplica(spark, s"$tmp/idx", old, touched)
+    val fresh = replicaFromPath()
+    def canon(r: NswGraph.LocalReplica) =
+      r.cells.sortBy(_.cid).map(c => (c.cid, c.ids.toSeq,
+        (if (c.flat != null) c.flat.toSeq
+         else c.rows.flatten[Float].toSeq),
+        c.adjFlat.toSeq, c.adjOff.toSeq)).toSeq
+    assert(canon(refreshed) == canon(fresh) && refreshed.cells.nonEmpty)
+    // untouched cells SHARE the old replica's decoded arrays — the
+    // refresh never re-read or re-decoded them (reference identity)
+    val touchedSet = touched.toSet
+    val untouched = refreshed.cells.filterNot(c =>
+      touchedSet.contains(c.cid))
+    untouched.foreach(c => assert(old.cells.exists(_ eq c)))
+    // double-buffered: the OLD replica still serves the pre-append
+    // row set untouched
+    val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+      .as[(Long, Array[Float])].collect().take(20)
+    val secondIds = second.select($"vec_id").as[Long].collect().toSet
+    val oldServed = NswGraph.searchLocalQueries(old, qArr, 5,
+      nprobe = 8, efSearch = 64).map(_._3).toSet
+    assert(oldServed.nonEmpty && oldServed.intersect(secondIds).isEmpty)
+    // the refreshed replica serves row-identically to the fresh one
+    val a = NswGraph.searchLocalQueries(refreshed, qArr, 5, nprobe = 8,
+      efSearch = 64)
+    val b = NswGraph.searchLocalQueries(fresh, qArr, 5, nprobe = 8,
+      efSearch = 64)
+    assert(a.toSeq == b.toSeq && a.nonEmpty)
+    assert(a.map(_._3).exists(secondIds.contains)) // appends served
+    // a no-op refresh returns the same instance
+    assert(NswGraph.refreshLocalReplica(spark, s"$tmp/idx", refreshed,
+      Array.emptyIntArray) eq refreshed)
+    // deletion that empties a whole cell: the refreshed replica drops
+    // it (directory gone) and still bit-equals the fresh rebuild
+    val doomed = refreshed.cells.minBy(c => (c.ids.length, c.cid))
+    NswGraph.deleteFromGraphIndex(spark, s"$tmp/idx",
+      doomed.ids.toSeq.toDF("vec_id"), m = 8, efConstruction = 32)
+    val afterDel = NswGraph.refreshLocalReplica(spark, s"$tmp/idx",
+      refreshed, Array(doomed.cid))
+    assert(!afterDel.cells.exists(_.cid == doomed.cid))
+    assert(canon(afterDel) == canon(replicaFromPath()))
+  }
+
   test("graph deletion: touched cells rebuild bit-equal, empties vanish") {
     import spark.implicits._
     val centroids = graft.operators.AnnIvf.train(data, 8, iterations = 2)
