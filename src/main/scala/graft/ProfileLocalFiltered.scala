@@ -91,6 +91,32 @@ object ProfileLocalFiltered {
     val sampleArr = qSample.select(col("qid").cast("long"),
       col("q_embedding")).as[(Long, Array[Float])].collect()
 
+    // closed loop over the full query set at batch size `bs`, best of
+    // 2 passes; reports (qps, avg batch ms, p99 batch ms) — the
+    // latency columns mirror the reference's published avg/p99 per
+    // batch (BASELINE.md)
+    def measureLoop(bs: Int)(call: Array[(Long, Array[Float])] => Unit)
+        : (Double, Double, Double) = {
+      val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
+        var off = 0
+        while (off < qArr.length) {
+          val batch = java.util.Arrays.copyOfRange(qArr, off,
+            math.min(off + bs, qArr.length))
+          timeBatch { call(batch) }
+          off += bs
+        }
+      }
+      val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
+      (qArr.length / best, avgMs, p99Ms)
+    }
+    def recallOf(rows: Array[(Long, Long, Long, Double)],
+        truth: org.apache.spark.sql.DataFrame): Double = {
+      val df = spark.createDataset(rows.toSeq)
+        .toDF("qid", "rank", "neighbor_id", "dist")
+      val r = Recall.ofRanked(df, truth).head()
+      r.getDouble(r.fieldIndex("recall"))
+    }
+
     // warm the kernels + JIT
     Serving.serveFilteredLocalExplained(flatRep, Some(graphRep),
       qArr.take(5000), k, _ < 8.363, selectivity = Some(0.8363))
@@ -104,33 +130,24 @@ object ProfileLocalFiltered {
         k).cache()
       truth.count()
       // recall + dispatched branch on the sample
+      // the CostBased default (r16): no `extreme` override — the
+      // dispatcher resolves the boundary from the replica's geometry
+      // (nprobe/nCells = 4/1024 ≈ 0.39%), which routes even the mid
+      // bucket (0.77% kept) to the pre-filter instead of the old
+      // fixed 0.02's exact scan
       val (strat, sRows) = Serving.serveFilteredLocalExplained(flatRep,
         Some(graphRep), sampleArr, k, pred, nprobe = 4, efSearch = 32,
         selectivity = Some(sel))
-      val sDf = spark.createDataset(sRows.toSeq)
-        .toDF("qid", "rank", "neighbor_id", "dist")
-      val r = Recall.ofRanked(sDf, truth).head()
-      val recall = r.getDouble(r.fieldIndex("recall"))
+      val recall = recallOf(sRows, truth)
       Seq(100, 1000).foreach { bs =>
-        val secs = (1 to 2).map { _ =>
-          val (_, s) = time {
-            var off = 0
-            while (off < qArr.length) {
-              val batch = java.util.Arrays.copyOfRange(qArr, off,
-                math.min(off + bs, qArr.length))
-              Serving.serveFilteredLocalExplained(flatRep, Some(graphRep),
-                batch, k, pred, nprobe = 4, efSearch = 32,
-                selectivity = Some(sel))
-              off += bs
-            }
-          }
-          s
+        val (qps, avgMs, p99Ms) = measureLoop(bs) { batch =>
+          Serving.serveFilteredLocalExplained(flatRep, Some(graphRep),
+            batch, k, pred, nprobe = 4, efSearch = 32,
+            selectivity = Some(sel))
         }
-        val best = secs.min
         println(f"[plf] LOCAL filtered $nm%-4s (${strat.name}%-22s) " +
-          f"batch=$bs%5d: ${qArr.length} queries in $best%7.3fs = " +
-          f"${qArr.length / best}%9.1f qps recall@10=$recall%.4f " +
-          f"(passes ${secs.map(x => f"$x%.3f").mkString("/")})")
+          f"batch=$bs%5d: $qps%9.1f qps recall@10=$recall%.4f " +
+          f"lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
       }
       // the no-hint cost: one call at batch=100 measuring the per-call
       // selectivity counting pass (deployments with known brackets
@@ -141,43 +158,108 @@ object ProfileLocalFiltered {
       }
       println(f"[plf]   $nm%-4s no-hint single 100-query call: " +
         f"$noHint%6.3fs (includes the one-pass attr count)")
-      // the mid bucket's dial: lowering `extreme` routes the same
-      // predicate to the resident PREFILTER at a wider probe set —
-      // recall 1.0 is then empirical (the survivors concentrate in
-      // the probed cells) instead of constructive, for ~5-10x the
-      // exact scan's throughput; the measured crossover a deployment
-      // chooses per bucket
+      // the mid bucket's dials — both sides of the CostBased
+      // crossover, for the record:
+      //  - np=16 pre-filter (extreme lowered): the r14 headline point
+      //    (recall ~0.9995 — survivors concentrate in the probed cells)
+      //  - exact scan (extreme raised back to the old fixed 0.02):
+      //    recall 1.0 by construction, the branch the old default ran
       if (nm == "mid") {
-        val (pStrat, pRows) = Serving.serveFilteredLocalExplained(
-          flatRep, Some(graphRep), sampleArr, k, pred, nprobe = 16,
-          efSearch = 32, selectivity = Some(sel), extreme = 0.001)
-        val pDf = spark.createDataset(pRows.toSeq)
-          .toDF("qid", "rank", "neighbor_id", "dist")
-        val pr = Recall.ofRanked(pDf, truth).head()
-        val pRecall = pr.getDouble(pr.fieldIndex("recall"))
-        Seq(100, 1000).foreach { bs =>
-          val secs = (1 to 2).map { _ =>
-            val (_, s) = time {
-              var off = 0
-              while (off < qArr.length) {
-                val batch = java.util.Arrays.copyOfRange(qArr, off,
-                  math.min(off + bs, qArr.length))
-                Serving.serveFilteredLocalExplained(flatRep,
-                  Some(graphRep), batch, k, pred, nprobe = 16,
-                  efSearch = 32, selectivity = Some(sel),
-                  extreme = 0.001)
-                off += bs
-              }
+        Seq((16, Some(0.001), "np=16"), (4, Some(0.02), "exact-dial"))
+          .foreach { case (np, ext, tag) =>
+          val (pStrat, pRows) = Serving.serveFilteredLocalExplained(
+            flatRep, Some(graphRep), sampleArr, k, pred, nprobe = np,
+            efSearch = 32, selectivity = Some(sel), extreme = ext.get)
+          val pRecall = recallOf(pRows, truth)
+          Seq(100, 1000).foreach { bs =>
+            val (qps, avgMs, p99Ms) = measureLoop(bs) { batch =>
+              Serving.serveFilteredLocalExplained(flatRep,
+                Some(graphRep), batch, k, pred, nprobe = np,
+                efSearch = 32, selectivity = Some(sel),
+                extreme = ext.get)
             }
-            s
+            println(f"[plf] LOCAL filtered $nm%-4s (${pStrat.name}%-22s) " +
+              f"$tag%-10s batch=$bs%5d: $qps%9.1f qps " +
+              f"recall@10=$pRecall%.4f " +
+              f"lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
           }
-          val best = secs.min
-          println(f"[plf] LOCAL filtered $nm%-4s (${pStrat.name}%-22s) " +
-            f"np=16 batch=$bs%5d: ${qArr.length} queries in $best%7.3fs " +
-            f"= ${qArr.length / best}%9.1f qps recall@10=$pRecall%.4f " +
-            f"(passes ${secs.map(x => f"$x%.3f").mkString("/")})")
         }
       }
+      truth.unpersist()
+    }
+
+    // ID-SET (bitset) route vs the attr route — the r16
+    // generalization's cost check: the same rating predicate served
+    // through `serveFilteredLocalIdSetExplained` (survivor ids
+    // precomputed ONCE by a distributed Column filter — the form any
+    // multi-column/string predicate arrives in) must match the attr
+    // route's qps, since the only per-row difference is a binary
+    // search against the id array vs an attr comparison. Row-identity
+    // is pinned in ServingSpec; here both routes are measured on the
+    // same replica in the same window.
+    Seq(("high", 1.561, 0.1561), ("mid", 0.077, 0.0077)).foreach {
+      case (nm, thr, sel) =>
+        val pred: Double => Boolean = _ < thr
+        val (idSet, idSec) = time {
+          Serving.survivorIdSet(data, col("rating_m") < thr)
+        }
+        // sanity: both routes return identical rows on the sample
+        val (aStrat, aRows) = Serving.serveFilteredLocalExplained(
+          flatRep, Some(graphRep), sampleArr, k, pred, nprobe = 4,
+          efSearch = 32, selectivity = Some(sel))
+        val (iStrat, iRows) = Serving.serveFilteredLocalIdSetExplained(
+          flatRep, Some(graphRep), sampleArr, k, idSet, nprobe = 4,
+          efSearch = 32, selectivity = Some(sel))
+        require(aStrat == iStrat && aRows.toSeq == iRows.toSeq,
+          s"id-set route diverged from the attr route on $nm")
+        Seq(100, 1000).foreach { bs =>
+          val (aQps, _, _) = measureLoop(bs) { batch =>
+            Serving.serveFilteredLocalExplained(flatRep, Some(graphRep),
+              batch, k, pred, nprobe = 4, efSearch = 32,
+              selectivity = Some(sel))
+          }
+          val (iQps, iAvg, iP99) = measureLoop(bs) { batch =>
+            Serving.serveFilteredLocalIdSetExplained(flatRep,
+              Some(graphRep), batch, k, idSet, nprobe = 4,
+              efSearch = 32, selectivity = Some(sel))
+          }
+          println(f"[plf] ID-SET $nm%-4s (${iStrat.name}%-22s) " +
+            f"batch=$bs%5d: idset $iQps%9.1f qps vs attr $aQps%9.1f " +
+            f"qps (ratio ${iQps / aQps}%.3f) " +
+            f"lat(avg/p99)=$iAvg%.2f/$iP99%.2f ms " +
+            f"[${idSet.length} ids, collect $idSec%.2fs]")
+        }
+    }
+
+    // MATCHED-RECALL low-bucket point (r14 verdict item 4): the
+    // reference's CPU-HNSW low-bucket operating point is 21,890 qps @
+    // recall 0.914 at batch=100 (BASELINE.md) — the tier's default
+    // dial (mult=3, efS=32) lands at 0.9475, above it, so no
+    // apples-to-apples qps ratio existed. Narrow the over-fetch
+    // (mult=1 → k' = ceil(k/sel) = 12) and sweep efSearch down until
+    // recall lands ≈0.92; each point reports qps + latency at
+    // batch=100 so ONE row is directly comparable to the reference's.
+    {
+      val pred: Double => Boolean = _ < 8.363
+      val truth = Knn.exact(data.filter(col("rating_m") < 8.363),
+        qSample, k).cache()
+      truth.count()
+      Seq((1, 12), (1, 16), (1, 20), (1, 24), (2, 24), (3, 32))
+        .foreach { case (mult, efs) =>
+          val (strat, sRows) = Serving.serveFilteredLocalExplained(
+            flatRep, Some(graphRep), sampleArr, k, pred, nprobe = 4,
+            efSearch = efs, overFetchMult = mult,
+            selectivity = Some(0.8363))
+          val recall = recallOf(sRows, truth)
+          val (qps, avgMs, p99Ms) = measureLoop(100) { batch =>
+            Serving.serveFilteredLocalExplained(flatRep, Some(graphRep),
+              batch, k, pred, nprobe = 4, efSearch = efs,
+              overFetchMult = mult, selectivity = Some(0.8363))
+          }
+          println(f"[plf] LOW matched-recall sweep mult=$mult efS=$efs " +
+            f"(${strat.name}%-15s) batch=100: $qps%9.1f qps " +
+            f"recall@10=$recall%.4f lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
+        }
       truth.unpersist()
     }
     spark.stop()

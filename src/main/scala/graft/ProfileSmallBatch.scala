@@ -108,26 +108,29 @@ object ProfileSmallBatch {
     NswGraph.searchLocalQueries(rep, qArr.take(10000), k, 2, 32)
 
     // closed-loop batches through the ARRAY hot path: total wall over
-    // ALL batches covering the full query set, best of 2 passes
+    // ALL batches covering the full query set, best of 2 passes; the
+    // best pass also reports per-batch avg/p99 latency — the
+    // reference's two published latency columns (BASELINE.md
+    // "HNSW sample latency (avg / p99 per 100-query batch)")
     Seq(100, 1000, 10000).foreach { bs =>
       Seq((2, 32), (2, 48), (4, 32)).foreach { case (np, efs) =>
-        val secs = (1 to 2).map { _ =>
-          val (_, s) = time {
-            var off = 0
-            while (off < qArr.length) {
-              val batch = java.util.Arrays.copyOfRange(qArr, off,
-                math.min(off + bs, qArr.length))
+        val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
+          var off = 0
+          while (off < qArr.length) {
+            val batch = java.util.Arrays.copyOfRange(qArr, off,
+              math.min(off + bs, qArr.length))
+            timeBatch {
               NswGraph.searchLocalQueries(rep, batch, k, np,
                 efSearch = efs)
-              off += bs
             }
+            off += bs
           }
-          s
         }
-        val best = secs.min
+        val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
         println(f"[psmall] LOCAL closed-loop batch=$bs%5d np$np/efS$efs: " +
           f"${qArr.length} queries in $best%7.3fs = " +
-          f"${qArr.length / best}%9.1f qps (passes ${secs.map(x => f"$x%.3f").mkString("/")})")
+          f"${qArr.length / best}%9.1f qps lat(avg/p99)=" +
+          f"$avgMs%.2f/$p99Ms%.2f ms")
       }
     }
 

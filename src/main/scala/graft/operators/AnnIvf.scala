@@ -1176,20 +1176,75 @@ object AnnIvf {
     }
     /** `selectivityCounts` for a precomputed SORTED survivor id-set
       * (the bitset filter form — needs no resident attrs): one pass
-      * over the replica's ids, membership by binary search. */
+      * over the positional mask (below), membership per row a bit
+      * probe. */
     private[graft] def selectivityCountsIdSet(idSet: Array[Long],
         tomb: Array[Long]): (Long, Long) = {
+      val bits = positionalMask(idSet)
       var total = 0L; var surv = 0L; var i = 0
       while (i < ids.length) {
         if (tomb == null ||
           java.util.Arrays.binarySearch(tomb, ids(i)) < 0) {
           total += 1
-          if (java.util.Arrays.binarySearch(idSet, ids(i)) >= 0) surv += 1
+          if ((bits(i >> 6) >>> (i & 63) & 1L) != 0L) surv += 1
         }
         i += 1
       }
       (total, surv)
     }
+
+    /** POSITIONAL survivor mask of an id-set — the form the scan
+      * kernels actually test: one bit per replica ROW POSITION
+      * (n/8 bytes — 625 KB at 5M), so the per-row keep test is a
+      * single bit probe instead of a ~log₂|idSet| binary search whose
+      * cache misses measured 4× slower than the attr route at the
+      * pre-filter scan's row rate (this IS the reference's bitset
+      * filter: a positional mask over the corpus,
+      * utils_grid_search.py:238-247). Built in ONE parallel pass
+      * (n binary searches, range-chunked over the pool) and memoized
+      * per id-set ARRAY INSTANCE — `Artifacts.survivorIds` hands the
+      * same array back per (predicate, epoch), so a filter pays the
+      * build once; fresh arrays (ad-hoc callers) rebuild. Identity
+      * keying is sound because the mask is a pure function of the
+      * array's contents and an aliased key can only rebuild, never
+      * return a stale mask; the cache clears past 16 masks (filters a
+      * serving JVM alternates between are few). Tombstones stay a
+      * separate compose-at-scan test — one id-set mask epoch outlives
+      * any number of tombstone epochs. */
+    private val posMaskCache =
+      scala.collection.concurrent.TrieMap.empty[Array[Long], Array[Long]]
+    /** Number of mask builds actually run — observability (pinned in
+      * KnnSpec: the memo must make repeat serves free). */
+    @volatile private[graft] var posMaskBuilds: Int = 0
+    private[operators] def positionalMask(idSet: Array[Long])
+        : Array[Long] = posMaskCache.getOrElseUpdate(idSet, {
+      posMaskBuilds += 1
+      if (posMaskCache.size > 16) posMaskCache.clear()
+      val n = ids.length
+      val bits = new Array[Long]((n + 63) >> 6)
+      if (idSet.length > 0 && n > 0) {
+        // word-aligned chunks: two workers never write the same long
+        val nWords = bits.length
+        val workers = math.max(1, math.min(
+          Runtime.getRuntime.availableProcessors(), nWords / 1024))
+        val wordsPer = (nWords + workers - 1) / workers
+        val wNext = new java.util.concurrent.atomic.AtomicInteger(0)
+        NswGraph.runOnLocalPool(workers) { () =>
+          var w = wNext.getAndIncrement()
+          while (w < workers) {
+            var i = w * wordsPer * 64
+            val until = math.min((w * wordsPer + wordsPer) * 64L, n).toInt
+            while (i < until) {
+              if (java.util.Arrays.binarySearch(idSet, ids(i)) >= 0)
+                bits(i >> 6) |= 1L << (i & 63)
+              i += 1
+            }
+            w = wNext.getAndIncrement()
+          }
+        }
+      }
+      bits
+    })
   }
 
   /** Build the local flat replica from the resident blocks —
@@ -1329,6 +1384,11 @@ object AnnIvf {
     val tomb: Array[Long] = tombstones.orNull
     val pred: Double => Boolean = attrPred.orNull
     val idSet: Array[Long] = idSetOpt.orNull
+    // the id-set's positional form (bit per row, memoized per id-set
+    // instance): the scan kernels below test a bit, not a binary
+    // search — attr-route-class per-row cost
+    val idBits: Array[Long] =
+      if (idSet == null) null else rep.positionalMask(idSet)
     if (pred != null && rep.attrs == null)
       throw new IllegalArgumentException(
         "attrPred given but the local replica was built without " +
@@ -1365,8 +1425,8 @@ object AnnIvf {
             var i = from
             while (i < until) {
               if ((pred == null || pred(rep.attrs(i))) &&
-                (idSet == null ||
-                  java.util.Arrays.binarySearch(idSet, rep.ids(i)) >= 0) &&
+                (idBits == null ||
+                  (idBits(i >> 6) >>> (i & 63) & 1L) != 0L) &&
                 (tomb == null ||
                   java.util.Arrays.binarySearch(tomb, rep.ids(i)) < 0))
                 b += i
@@ -1398,8 +1458,8 @@ object AnnIvf {
       var i = from
       while (i < until) {
         val keep = (pred == null || pred(rep.attrs(i))) &&
-          (idSet == null ||
-            java.util.Arrays.binarySearch(idSet, rep.ids(i)) >= 0) &&
+          (idBits == null ||
+            (idBits(i >> 6) >>> (i & 63) & 1L) != 0L) &&
           (tomb == null ||
             java.util.Arrays.binarySearch(tomb, rep.ids(i)) < 0)
         if (keep) distTo(h, qv, i)

@@ -614,6 +614,56 @@ class KnnSpec extends AnyFunSuite {
     cells.unpersist(); indexed.unpersist()
   }
 
+  test("positional id-set mask: memoized per id-set instance, rows " +
+      "identical to the attr route and to the mask-free contract " +
+      "(r16 — the bit-probe keep test must be pure representation)") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val centroids = AnnIvf.train(filtered, numCentroids = 8,
+      iterations = 2)
+    val indexed = AnnIvf.index(filtered, centroids).cache()
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    try {
+      val rep = AnnIvf.localCellReplica(cells, centroids)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val pred: Double => Boolean = a => a == 0.0 || a == 1.0
+      val idSet = filtered.filter($"label".isin(0, 1))
+        .select($"vec_id").as[Long].collect().sorted
+      // id-set route == attr route on BOTH kernels (the mask is a
+      // representation of membership, never a semantics change)
+      val viaAttr = AnnIvf.searchLocalCellsQueries(rep, qArr, 10,
+        nprobe = 4, attrPred = Some(pred)).toSeq
+      val viaIds = AnnIvf.searchLocalCellsQueries(rep, qArr, 10,
+        nprobe = 4, idSet = Some(idSet)).toSeq
+      assert(viaIds == viaAttr && viaIds.nonEmpty)
+      val builds0 = rep.posMaskBuilds
+      assert(builds0 >= 1) // the serve above built the mask
+      // the SAME array instance: memo hit, no rebuild — and the
+      // exhaustive kernel + the selectivity counts share it
+      val exA = AnnIvf.searchLocalExactQueries(rep, qArr, 10,
+        idSet = Some(idSet)).toSeq
+      val (tot, surv) = rep.selectivityCountsIdSet(idSet, null)
+      assert(rep.posMaskBuilds == builds0)
+      assert(tot == rep.size.toLong && surv == idSet.length.toLong)
+      // a FRESH array with the same contents rebuilds (identity
+      // keying) but serves the same rows
+      val exB = AnnIvf.searchLocalExactQueries(rep, qArr, 10,
+        idSet = Some(idSet.clone())).toSeq
+      assert(rep.posMaskBuilds == builds0 + 1 && exA == exB)
+      // empty id-set: no survivors, no rows (its all-zero mask is a
+      // build of its own — a distinct array instance)
+      assert(AnnIvf.searchLocalExactQueries(rep, qArr, 10,
+        idSet = Some(Array.emptyLongArray)).isEmpty)
+      // tombstones compose at scan (mask unchanged): a masked id
+      // never serves even when the id-set keeps it
+      val doomed = Array(idSet.head)
+      val masked = AnnIvf.searchLocalCellsQueries(rep, qArr, 10,
+        nprobe = 4, idSet = Some(idSet), tombstones = Some(doomed))
+      assert(!masked.exists(_._3 == doomed.head))
+      assert(rep.posMaskBuilds == builds0 + 2) // no rebuild past those
+    } finally { cells.unpersist(); indexed.unpersist() }
+  }
+
   test("localCellReplica refuses blocks that mix attr-built and " +
       "attr-less tiers (r15 fix pin — a 0.0 fill would satisfy " +
       "predicates the distributed scan rejects)") {
