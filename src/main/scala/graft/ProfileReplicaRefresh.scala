@@ -85,8 +85,12 @@ object ProfileReplicaRefresh {
       f"(${rep0.approxBytes / 1e6}%.0f MB decoded, " +
       f"${rep0.cells.length} cells)")
 
-    // SINGLE-CELL append: the pool rows that assign to one cid
-    val assigned = AnnIvf.assign(pool, centroids).cache()
+    // SINGLE-CELL append: the pool rows that assign to one cid —
+    // under the TWO-LEVEL quantizer, the same expression
+    // appendToGraphIndex routes the batch through (flat assignment
+    // disagrees on boundary rows and would smear the batch)
+    val assigned = AnnIvf.assignTwoLevel(pool, supers, centroids,
+      wSuper = 4).cache()
     val oneCid = assigned.groupBy("cid").count()
       .orderBy(desc("count"), asc("cid")).head().getInt(0)
     val oneCell = pool.join(assigned.filter($"cid" === oneCid)

@@ -853,9 +853,14 @@ object NswGraph {
     * old replica is immutable and keeps serving until the caller
     * swaps the reference, so a serving loop refreshes with zero
     * downtime. Cost is O(touched cells) end to end — the full
-    * `localReplica` rebuild re-collects the corpus (12.5–14.7 s at
+    * `localReplica` rebuild re-collects the corpus (12.5–16.9 s at
     * 5M, BENCH_scale_r14/16) where a single-cell append refreshes in
-    * milliseconds.
+    * ~0.5 s (33× — BENCH_scale_r16). The per-touched-cell constant is
+    * ~3× the rebuild's bulk path (991 pruned directory reads streamed
+    * serially measured 53 s vs the 16.9 s rebuild at 5M/1022 cells),
+    * so past roughly a THIRD of the cells touched — a compaction, not
+    * a serving-loop append — rebuild through the heap-guarded
+    * `localReplica` instead.
     *
     * BIT-IDENTICAL to a fresh replica over the same tree (NswSpec
     * pin): per-cell decode is `decodeCell` — the exact function the
@@ -878,12 +883,23 @@ object NswGraph {
       .filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
     val fresh: Array[ServableCell] =
       if (dirs.isEmpty) Array.empty
-      else AnnIvf.readCells(spark, path, dirs)
-        .select(col("cid").cast("int"), col("ids"), col("vecs"),
-          col("adj"))
-        .as[CellGraph]
-        .collect()
-        .map(decodeCell)
+      else {
+        // partition-streamed like the full rebuild (localReplica's
+        // toLocalIterator): a SPREAD batch can touch most cells, and
+        // a plain collect of their raw rows then exceeds
+        // spark.driver.maxResultSize (measured: 1.05 GiB > the 1 GiB
+        // default at a 5M all-cells refresh) — the iterator fetches
+        // one partition at a time, so the limit sees per-partition
+        // sizes, exactly like the guarded build path
+        val it = AnnIvf.readCells(spark, path, dirs)
+          .select(col("cid").cast("int"), col("ids"), col("vecs"),
+            col("adj"))
+          .as[CellGraph]
+          .toLocalIterator()
+        val b = Array.newBuilder[ServableCell]
+        while (it.hasNext) b += decodeCell(it.next())
+        b.result()
+      }
     val touched = touchedCids.toSet
     new LocalReplica(
       rep.cells.filterNot(c => touched.contains(c.cid)) ++ fresh,
