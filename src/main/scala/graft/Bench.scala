@@ -233,6 +233,42 @@ object Bench {
         .select(sum(sqrt(abs(sin(col("id") * lit(1e-7)))))).head()
     }
     val calibVec = Seq(calibSec, calibShuffle, calibCpu)
+    // LONG CALIBRATION VECTOR (r16): the A/B experiment
+    // (BENCH_scale_r16.json pack_calibration) showed the sub-second
+    // probes above swing ±13-22% between BACK-TO-BACK runs of an
+    // identical engine — spread as large as the drift they measure,
+    // which is how r15's calib_vs_prev read 0.79 against a per-query
+    // pack median of 1.02. These probes run SECONDS each (8-20× the
+    // rows; best-of-2 — at this duration a second sample is
+    // confirmation, not noise-hunting), so their spread amortizes the
+    // scheduler floor the short probes sit on. Emitted alongside the
+    // legacy vector (whose cross-round continuity reaches back to
+    // r12); `calib_long_vs_prev` becomes load-bearing once a prior
+    // round carries the long vector (-1 until then — r16 is first).
+    def bestOf2(f: => Unit): Double = {
+      val samples = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { f; (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }.filter(_ > 0)
+      if (samples.nonEmpty) samples.min else -1.0
+    }
+    val calibScanLong = bestOf2 { // 3 back-to-back q01 executions
+      SparkEntry.queries.get("q01_pricing_summary").foreach { fn =>
+        (1 to 3).foreach(_ => fn(spark, sfDir).count())
+      }
+    }
+    clearShared()
+    val calibShuffleLong = bestOf2 {
+      spark.range(32000000L)
+        .select(pmod(xxhash64(col("id")), lit(800000)).as("k"), col("id"))
+        .groupBy("k").agg(sum("id"), count(lit(1))).count()
+    }
+    val calibCpuLong = bestOf2 {
+      spark.range(400000000L)
+        .select(sum(sqrt(abs(sin(col("id") * lit(1e-7)))))).head()
+    }
+    val calibVecLong = Seq(calibScanLong, calibShuffleLong, calibCpuLong)
     // CROSS-ROUND NORMALIZATION: the newest PRIOR round's committed
     // calibration (BENCH_r*.json) gives this window's drift factor —
     // calib_vs_prev > 1 means THIS window is slower; dividing the
@@ -253,9 +289,11 @@ object Bench {
         } else Int.MaxValue
       } catch { case _: Throwable => Int.MaxValue }
     }
-    val (prevCalib: Double, prevVec: Seq[Double]) = {
+    val (prevCalib: Double, prevVec: Seq[Double],
+         prevVecLong: Seq[Double]) = {
       val rxScalar = """"calib_sec"\s*:\s*([0-9.]+)""".r
       val rxVec = """"calib_vec"\s*:\s*\[([^\]]*)\]""".r
+      val rxVecLong = """"calib_vec_long"\s*:\s*\[([^\]]*)\]""".r
       val files = Option(new java.io.File(".").listFiles()).getOrElse(Array())
         .filter { f =>
           f.getName.matches("BENCH_r\\d+\\.json") &&
@@ -266,17 +304,23 @@ object Bench {
         try {
           val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
-          rxScalar.findFirstMatchIn(text).map(_.group(1).toDouble).map { s =>
-            val vec = rxVec.findFirstMatchIn(text)
+          def vecOf(rx: scala.util.matching.Regex): Seq[Double] =
+            rx.findFirstMatchIn(text)
               .map(_.group(1).split(',').toSeq
                 .map(_.trim.toDouble)).getOrElse(Seq.empty)
-            (s, vec)
-          }
+          rxScalar.findFirstMatchIn(text).map(_.group(1).toDouble).map(
+            s => (s, vecOf(rxVec), vecOf(rxVecLong)))
         } catch { case _: Throwable => None }
-      }.find(_._1 > 0).getOrElse((-1.0, Seq.empty[Double]))
+      }.find(_._1 > 0)
+        .getOrElse((-1.0, Seq.empty[Double], Seq.empty[Double]))
     }
     val calibVsPrev: Double =
       calibDrift(calibVec, prevVec, calibSec, prevCalib)
+    // no scalar fallback: the long drift either comes from a prior
+    // long vector or reads -1 (mixing in the short-probe scalar would
+    // reintroduce the noise this vector exists to escape)
+    val calibLongVsPrev: Double =
+      calibDrift(calibVecLong, prevVecLong, -1.0, -1.0)
 
     // each pass is a full cold run of the pack (shared pack state and
     // spark caches dropped at every group boundary), so the per-query
@@ -320,8 +364,12 @@ object Bench {
     val fullErrField =
       if (allErrs.isEmpty) "" else allErrs.mkString(",\"errors\":{", ",", "}")
     val calibVecJson = calibVec.map(fmt(_, 3)).mkString("[", ",", "]")
+    val calibVecLongJson =
+      calibVecLong.map(fmt(_, 3)).mkString("[", ",", "]")
+    val calibFields =
+      s""""calib_sec":${fmt(calibSec, 3)},"calib_vec":$calibVecJson,"calib_vs_prev":${fmt(calibVsPrev, 3)},"calib_vec_long":$calibVecLongJson,"calib_long_vs_prev":${fmt(calibLongVsPrev, 3)}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"calib_vec":$calibVecJson,"calib_vs_prev":${fmt(calibVsPrev, 3)},"queries":$fullQs$fullErrField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$calibFields,"queries":$fullQs$fullErrField,"sf":"$sfName"}"""
     try {
       val out = new java.io.PrintWriter("BENCH_full.json")
       try out.println(fullLine) finally out.close()
@@ -335,7 +383,8 @@ object Bench {
     // digest GUARANTEED to fit: totals + the most expensive queries
     // (time desc) greedily up to a hard budget, the rest summarized
     // in an "omitted" count. The total always covers every query.
-    val budget = 1500 // chars for the queries map — leaves ample slack
+    val budget = 1400 // chars for the queries map — leaves ample slack
+                      // (r16: trimmed 100 for the long-calib fields)
     val byCost = results.sortBy { case (_, v, _) => -v }
     val included = {
       var used = 2 // braces
@@ -357,7 +406,7 @@ object Bench {
         .mkString(",\"errors\":{", ",", "}")
     val omitted = results.length - included.length
     val line =
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","calib_sec":${fmt(calibSec, 3)},"calib_vec":$calibVecJson,"calib_vs_prev":${fmt(calibVsPrev, 3)},"queries":$compactQs,"omitted":$omitted,"n_queries":${results.length}$errField,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",$calibFields,"queries":$compactQs,"omitted":$omitted,"n_queries":${results.length}$errField,"sf":"$sfName"}"""
     // stdout carries ONLY the compact line: a >2000-char full line
     // would leave a truncated JSON fragment in the tail window ahead
     // of it (the full detail lives in BENCH_full.json)

@@ -244,20 +244,26 @@ object ProfileLocalFiltered {
       val truth = Knn.exact(data.filter(col("rating_m") < 8.363),
         qSample, k).cache()
       truth.count()
-      Seq((1, 12), (1, 16), (1, 20), (1, 24), (2, 24), (3, 32))
-        .foreach { case (mult, efs) =>
+      // nprobe is a sweep dimension too: the unfiltered tier's
+      // headline operating point is np2 (not the dispatch default's
+      // np4), and the over-fetch branch inherits the same
+      // probe-count/recall trade — the np2 rows are the candidates
+      // that close the matched-recall gap
+      Seq((4, 1, 12), (4, 1, 16), (4, 1, 20), (4, 1, 24), (4, 2, 24),
+          (4, 3, 32), (2, 1, 24), (2, 2, 24), (2, 2, 32), (2, 3, 32))
+        .foreach { case (np, mult, efs) =>
           val (strat, sRows) = Serving.serveFilteredLocalExplained(
-            flatRep, Some(graphRep), sampleArr, k, pred, nprobe = 4,
+            flatRep, Some(graphRep), sampleArr, k, pred, nprobe = np,
             efSearch = efs, overFetchMult = mult,
             selectivity = Some(0.8363))
           val recall = recallOf(sRows, truth)
           val (qps, avgMs, p99Ms) = measureLoop(100) { batch =>
             Serving.serveFilteredLocalExplained(flatRep, Some(graphRep),
-              batch, k, pred, nprobe = 4, efSearch = efs,
+              batch, k, pred, nprobe = np, efSearch = efs,
               overFetchMult = mult, selectivity = Some(0.8363))
           }
-          println(f"[plf] LOW matched-recall sweep mult=$mult efS=$efs " +
-            f"(${strat.name}%-15s) batch=100: $qps%9.1f qps " +
+          println(f"[plf] LOW matched-recall sweep np=$np mult=$mult " +
+            f"efS=$efs (${strat.name}%-15s) batch=100: $qps%9.1f qps " +
             f"recall@10=$recall%.4f lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
         }
       truth.unpersist()

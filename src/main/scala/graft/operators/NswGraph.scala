@@ -906,6 +906,33 @@ object NswGraph {
       rep.centroidMatrix)
   }
 
+  /** `refreshLocalReplica` with the measured crossover applied for
+    * the caller: the pruned per-cell re-read costs ~3× the bulk
+    * rebuild PER CELL (53 s for a 991/1022-cell refresh vs the 16.9 s
+    * corpus rebuild at 5M — BENCH_scale_r16), so past
+    * `rebuildFraction` of the replica's cells touched this entry
+    * rebuilds through the heap-guarded `localReplica` path instead of
+    * refreshing. Result is bit-identical either way (both paths
+    * decode via `decodeCell` over the same tree — NswSpec pins the
+    * rebuild branch against the refresh branch); only the sharing
+    * differs (refresh aliases untouched cells, rebuild is all fresh).
+    * A serving-loop append (a handful of cells) always refreshes; a
+    * compaction-scale touch set rebuilds. */
+  def refreshLocalReplicaAuto(spark: SparkSession, path: String,
+      rep: LocalReplica, touchedCids: Array[Int], centroids: DataFrame,
+      rebuildFraction: Double = 0.34): LocalReplica = {
+    require(rebuildFraction >= 0.0,
+      s"rebuildFraction must be >= 0, got $rebuildFraction")
+    if (touchedCids.isEmpty) return rep
+    val nTouched = touchedCids.distinct.length
+    if (nTouched <= rebuildFraction * math.max(1, rep.cells.length))
+      refreshLocalReplica(spark, path, rep, touchedCids)
+    else {
+      val idx = servableIndex(readGraphIndex(spark, path))
+      try localReplica(idx, centroids) finally idx.unpersist()
+    }
+  }
+
   /** Local probe: the EXACT arithmetic, early-abandon and (dist, cid)
     * tie-break of the distributed probe path, by construction — it
     * calls the same `NearestCells.nullSafeEval` the codegen'd

@@ -379,6 +379,22 @@ class NswSpec extends AnyFunSuite {
       refreshed, Array(doomed.cid))
     assert(!afterDel.cells.exists(_.cid == doomed.cid))
     assert(canon(afterDel) == canon(replicaFromPath()))
+    // the AUTO crossover entry: a small touch set refreshes (all but
+    // the touched cell aliased from the input replica); forcing the
+    // rebuild branch (rebuildFraction = 0) aliases NOTHING — the two
+    // branches are bit-equal, only the sharing differs
+    val someCid = afterDel.cells.head.cid
+    val autoR = NswGraph.refreshLocalReplicaAuto(spark, s"$tmp/idx",
+      afterDel, Array(someCid), centroids)
+    assert(canon(autoR) == canon(afterDel))
+    assert(autoR.cells.count(c => afterDel.cells.exists(_ eq c)) ==
+      afterDel.cells.length - 1)
+    val autoB = NswGraph.refreshLocalReplicaAuto(spark, s"$tmp/idx",
+      afterDel, Array(someCid), centroids, rebuildFraction = 0.0)
+    assert(canon(autoB) == canon(afterDel))
+    assert(!autoB.cells.exists(c => afterDel.cells.exists(_ eq c)))
+    assert(NswGraph.refreshLocalReplicaAuto(spark, s"$tmp/idx",
+      afterDel, Array.emptyIntArray, centroids) eq afterDel)
   }
 
   test("graph deletion: touched cells rebuild bit-equal, empties vanish") {
