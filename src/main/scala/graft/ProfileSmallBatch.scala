@@ -34,12 +34,23 @@ import graft.operators.{AnnIvf, Knn, NswGraph, Recall}
   * decomposition.
   *
   * usage: runMain graft.ProfileSmallBatch [nVectors] [nQueries] [nCells]
+  *          [dials]
+  * `dials` is an optional comma list of nprobe:efSearch pairs (e.g.
+  * "8:32,8:48") overriding the default operating points — recall at a
+  * fixed dial is governed by the PROBED CORPUS FRACTION, so iso-recall
+  * at a larger corpus needs proportionally wider nprobe (measured at
+  * 20M: np2 covers half the 5M fraction and recall drops 0.92→0.82).
   */
 object ProfileSmallBatch {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(5000000)
     val nQ = args.lift(1).map(_.toInt).getOrElse(100000)
     val nCells = args.lift(2).map(_.toInt).getOrElse(1024)
+    val dials: Seq[(Int, Int)] = args.lift(3)
+      .map(_.split(',').toSeq.map { s =>
+        val Array(np, efs) = s.split(':'); (np.toInt, efs.toInt)
+      })
+      .getOrElse(Seq((2, 32), (2, 48), (4, 32)))
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -94,7 +105,7 @@ object ProfileSmallBatch {
     val sampleArr = qSample.select(col("qid").cast("long"),
       col("q_embedding")).as[(Long, Array[Float])].collect()
 
-    Seq((2, 32), (2, 48), (4, 32)).foreach { case (np, efs) =>
+    dials.foreach { case (np, efs) =>
       val localRows = NswGraph.searchLocalQueries(rep, sampleArr, k, np,
         efSearch = efs)
       val localDf = spark.createDataset(localRows.toSeq)
@@ -113,7 +124,7 @@ object ProfileSmallBatch {
     // reference's two published latency columns (BASELINE.md
     // "HNSW sample latency (avg / p99 per 100-query batch)")
     Seq(100, 1000, 10000).foreach { bs =>
-      Seq((2, 32), (2, 48), (4, 32)).foreach { case (np, efs) =>
+      dials.foreach { case (np, efs) =>
         val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
           var off = 0
           while (off < qArr.length) {

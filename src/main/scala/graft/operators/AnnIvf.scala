@@ -1261,13 +1261,13 @@ object AnnIvf {
         .fold((0L, 0, false)) { case ((n1, d1, a1), (n2, d2, a2)) =>
           (n1 + n2, math.max(d1, d2), a1 || a2) }
       val est = Resident.estimateFlatBytes(n, dim, withAttrs)
-      val rt = Runtime.getRuntime
-      val free = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
+      val free = Resident.freeHeapAfterGc()
       require(est <= (free * maxHeapFraction).toLong,
         f"localCellReplica: decoded estimate ${est / 1e6}%.0f MB " +
-          f"exceeds $maxHeapFraction%.0f%% of the free driver heap " +
-          f"(${free / 1e6}%.0f MB free) - serve from the distributed " +
-          "resident tier, grow the driver, or pass force = true")
+          f"exceeds ${maxHeapFraction * 100}%.0f%% of the free driver " +
+          f"heap (${free / 1e6}%.0f MB free) - serve from the " +
+          "distributed resident tier, grow the driver, or pass " +
+          "force = true")
     }
     val blocks = idx.toLocalIterator.toArray
     val n = blocks.iterator.map(_.ids.length).sum

@@ -831,13 +831,13 @@ object NswGraph {
         .fold((0L, 0, 0L)) { case ((r1, d1, e1), (r2, d2, e2)) =>
           (r1 + r2, math.max(d1, d2), e1 + e2) }
       val est = Resident.estimateGraphBytes(rows, dimMax, edges)
-      val rt = Runtime.getRuntime
-      val free = rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
+      val free = Resident.freeHeapAfterGc()
       require(est <= (free * maxHeapFraction).toLong,
         f"localReplica: decoded graph estimate ${est / 1e6}%.0f MB " +
-          f"exceeds $maxHeapFraction%.0f%% of the free driver heap " +
-          f"(${free / 1e6}%.0f MB free) - serve from the distributed " +
-          "resident tier, grow the driver, or pass force = true")
+          f"exceeds ${maxHeapFraction * 100}%.0f%% of the free driver " +
+          f"heap (${free / 1e6}%.0f MB free) - serve from the " +
+          "distributed resident tier, grow the driver, or pass " +
+          "force = true")
     }
     new LocalReplica(idx.toLocalIterator.toArray,
       AnnIvf.collectCentroids(centroids))

@@ -30,6 +30,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Resident {
 
+  /** Free driver-heap bytes for the local-replica build guards,
+    * measured AFTER a GC hint: right after an index build's Spark
+    * jobs the heap is full of uncollected garbage and the
+    * instantaneous reading under-reports free memory by whole
+    * gigabytes (measured: a 48 GB driver read 8.5 GB free and
+    * spuriously refused a 6.4 GB replica an identical session had
+    * just built with headroom). One System.gc() is cheap relative to
+    * the once-per-build collect it guards, and a guard that can fail
+    * on garbage is not a guard on occupancy. */
+  private[operators] def freeHeapAfterGc(): Long = {
+    System.gc()
+    val rt = Runtime.getRuntime
+    rt.maxMemory() - (rt.totalMemory() - rt.freeMemory())
+  }
+
   /** Free storage memory summed across EXECUTORS. The raw
     * `getExecutorMemoryStatus` map includes the driver's block
     * manager; in cluster mode the driver caches no tier partitions,
