@@ -253,11 +253,17 @@ object Bench {
       }.filter(_ > 0)
       if (samples.nonEmpty) samples.min else -1.0
     }
-    val calibScanLong = bestOf2 { // 3 back-to-back q01 executions
-      SparkEntry.queries.get("q01_pricing_summary").foreach { fn =>
-        (1 to 3).foreach(_ => fn(spark, sfDir).count())
+    // -1 when the query key is absent (r16 ADVICE): a foreach over a
+    // missing key would time a no-op and record a near-zero but
+    // POSITIVE wall as a valid component, silently poisoning
+    // calib_long_vs_prev medians in later rounds — calibDrift's c>0
+    // guard filters -1 correctly
+    val calibScanLong = // 3 back-to-back q01 executions
+      SparkEntry.queries.get("q01_pricing_summary") match {
+        case None => -1.0
+        case Some(fn) =>
+          bestOf2 { (1 to 3).foreach(_ => fn(spark, sfDir).count()) }
       }
-    }
     clearShared()
     val calibShuffleLong = bestOf2 {
       spark.range(32000000L)

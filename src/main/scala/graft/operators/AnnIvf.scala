@@ -1207,19 +1207,30 @@ object AnnIvf {
       * build once; fresh arrays (ad-hoc callers) rebuild. Identity
       * keying is sound because the mask is a pure function of the
       * array's contents and an aliased key can only rebuild, never
-      * return a stale mask; the cache clears past 16 masks (filters a
-      * serving JVM alternates between are few). Tombstones stay a
+      * return a stale mask; the cache evicts one mask at a time past 16
+      * entries (filters a serving JVM alternates between are few, and
+      * single-entry eviction never thrashes every hot mask the way a
+      * clear-all would). Tombstones stay a
       * separate compose-at-scan test — one id-set mask epoch outlives
       * any number of tombstone epochs. */
     private val posMaskCache =
       scala.collection.concurrent.TrieMap.empty[Array[Long], Array[Long]]
     /** Number of mask builds actually run — observability (pinned in
-      * KnnSpec: the memo must make repeat serves free). */
-    @volatile private[graft] var posMaskBuilds: Int = 0
+      * KnnSpec: the memo must make repeat serves free). Atomic: the
+      * memo's op may evaluate concurrently (distinct keys, or the
+      * same key under contention), and a plain volatile increment
+      * would lose counts (r16 ADVICE). */
+    private val posMaskBuildCount =
+      new java.util.concurrent.atomic.AtomicInteger()
+    private[graft] def posMaskBuilds: Int = posMaskBuildCount.get()
     private[operators] def positionalMask(idSet: Array[Long])
         : Array[Long] = posMaskCache.getOrElseUpdate(idSet, {
-      posMaskBuilds += 1
-      if (posMaskCache.size > 16) posMaskCache.clear()
+      posMaskBuildCount.incrementAndGet()
+      // evict ONE entry past the cap, not clear-all: a workload
+      // alternating >16 distinct id-sets would otherwise rebuild
+      // every hot mask after each clear (r16 ADVICE)
+      while (posMaskCache.size > 16)
+        posMaskCache.headOption.foreach(e => posMaskCache.remove(e._1))
       val n = ids.length
       val bits = new Array[Long]((n + 63) >> 6)
       if (idSet.length > 0 && n > 0) {
@@ -1378,6 +1389,25 @@ object AnnIvf {
       idSetOpt: Option[Array[Long]],
       tombstones: Option[Array[Long]], exhaustive: Boolean)
       : Array[(Long, Long, Long, Double)] = {
+    val perQuery = localCellCoreSlots(rep, queries, k, nprobe, metric,
+      attrPred, idSetOpt, tombstones, exhaustive)
+    val out = Array.newBuilder[(Long, Long, Long, Double)]
+    out.sizeHint(queries.length * k)
+    perQuery.foreach(rows => if (rows != null) out ++= rows)
+    out.result()
+  }
+
+  /** `localCellCore` with PER-SLOT outputs (element i = slot i's
+    * ranked rows, possibly empty) — the form the sharded merge
+    * consumes (`Sharded`): the flattened contract cannot distinguish
+    * an empty group from an absent one, so slot alignment across K
+    * shard replicas needs this shape. */
+  private[operators] def localCellCoreSlots(rep: LocalCellReplica,
+      queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      metric: String, attrPred: Option[Double => Boolean],
+      idSetOpt: Option[Array[Long]],
+      tombstones: Option[Array[Long]], exhaustive: Boolean)
+      : Array[Array[(Long, Long, Long, Double)]] = {
     val nQ = queries.length
     if (nQ == 0) return Array.empty
     val mcode = Knn.metricCode(metric)
@@ -1494,10 +1524,12 @@ object AnnIvf {
       }
     }
     NswGraph.runOnLocalPool(workers)(runWorker _)
-    val out = Array.newBuilder[(Long, Long, Long, Double)]
-    out.sizeHint(nQ * k)
-    perQuery.foreach(rws => if (rws != null) out ++= rws)
-    out.result()
+    var qi = 0
+    while (qi < nQ) {
+      if (perQuery(qi) == null) perQuery(qi) = Array.empty
+      qi += 1
+    }
+    perQuery
   }
 
   /** BATCH-SIZE-AWARE flat-tier dispatch — `NswGraph.searchServableAuto`'s

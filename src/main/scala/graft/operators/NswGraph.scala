@@ -917,10 +917,20 @@ object NswGraph {
     * rebuild branch against the refresh branch); only the sharing
     * differs (refresh aliases untouched cells, rebuild is all fresh).
     * A serving-loop append (a handful of cells) always refreshes; a
-    * compaction-scale touch set rebuilds. */
+    * compaction-scale touch set rebuilds.
+    *
+    * `maxHeapFraction`/`force` forward to the rebuild branch's
+    * `localReplica` heap guard (r16 ADVICE): the old replica stays
+    * live through the swap (double-buffering needs ~2× footprint), so
+    * a compaction-scale refresh mid serving-loop can trip the default
+    * guard where the unguarded refresh path would have succeeded — a
+    * deployment that sized its driver for the double-buffer passes
+    * `force = true` (or a higher fraction) to make the crossover
+    * infallible. */
   def refreshLocalReplicaAuto(spark: SparkSession, path: String,
       rep: LocalReplica, touchedCids: Array[Int], centroids: DataFrame,
-      rebuildFraction: Double = 0.34): LocalReplica = {
+      rebuildFraction: Double = 0.34, maxHeapFraction: Double = 0.6,
+      force: Boolean = false): LocalReplica = {
     require(rebuildFraction >= 0.0,
       s"rebuildFraction must be >= 0, got $rebuildFraction")
     if (touchedCids.isEmpty) return rep
@@ -929,7 +939,8 @@ object NswGraph {
       refreshLocalReplica(spark, path, rep, touchedCids)
     else {
       val idx = servableIndex(readGraphIndex(spark, path))
-      try localReplica(idx, centroids) finally idx.unpersist()
+      try localReplica(idx, centroids, maxHeapFraction, force)
+      finally idx.unpersist()
     }
   }
 
@@ -1041,6 +1052,34 @@ object NswGraph {
       nprobe: Int, k: Int, efSearch: Int, metric: String,
       tombstones: Option[Array[Long]])
       : Array[(Long, Long, Long, Double)] = {
+    val perQuery = searchLocalCoreSlots(rep, qids, qvecs, probes,
+      nprobe, k, efSearch, metric, tombstones)
+    val out = Array.newBuilder[(Long, Long, Long, Double)]
+    out.sizeHint(qids.length * k)
+    perQuery.foreach(rows => if (rows != null) out ++= rows)
+    out.result()
+  }
+
+  /** The local serving core with PER-SLOT outputs: element i is query
+    * slot i's ranked rows (possibly empty — a slot whose beams
+    * drained nothing under the mask). The flattened public contract
+    * cannot distinguish an empty group from an absent one, which is
+    * exactly what the sharded merge needs to align slots across K
+    * shard replicas (`Sharded`) — so the sharded paths consume this
+    * form and the single-replica paths flatten it. */
+  private[operators] def searchLocalQueriesSlots(rep: LocalReplica,
+      queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None)
+      : Array[Array[(Long, Long, Long, Double)]] =
+    searchLocalCoreSlots(rep, queries.map(_._1), queries.map(_._2),
+      null, nprobe, k, efSearch, metric, tombstones)
+
+  private def searchLocalCoreSlots(rep: LocalReplica, qids: Array[Long],
+      qvecs: Array[Array[Float]], probes: Array[Array[Int]],
+      nprobe: Int, k: Int, efSearch: Int, metric: String,
+      tombstones: Option[Array[Long]])
+      : Array[Array[(Long, Long, Long, Double)]] = {
     val nQ = qids.length
     if (nQ == 0) return Array.empty
     val efs = math.max(k, efSearch)
@@ -1100,10 +1139,12 @@ object NswGraph {
       }
     }
     runOnLocalPool(workers)(runWorker _)
-    val out = Array.newBuilder[(Long, Long, Long, Double)]
-    out.sizeHint(nQ * k)
-    perQuery.foreach(rows => if (rows != null) out ++= rows)
-    out.result()
+    var i = 0
+    while (i < nQ) {
+      if (perQuery(i) == null) perQuery(i) = Array.empty
+      i += 1
+    }
+    perQuery
   }
 
   /** `searchLocalQueries` behind the DataFrame contract — collects the

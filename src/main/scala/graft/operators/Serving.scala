@@ -87,24 +87,54 @@ object Serving {
       * by tombstone refreshes — the id-set is over the UNMASKED
       * relation; the serve-time mask composes with it inside the
       * kernels, so one id-set epoch outlives any number of mask
-      * epochs. */
+      * epochs. BOUNDED (r17): entries vary 0.3–400 MB (8 bytes/id up
+      * to `maxIds`), so the bound is by BYTES, not count —
+      * `idSetCacheMaxBytes` (default 512 MB) caps the memo's total
+      * heap; inserting past it evicts existing entries until the new
+      * set fits (evicted predicates recompute on their next serve —
+      * pinned in ServingSpec). A long-lived serving JVM cycling
+      * ad-hoc predicates can no longer accumulate id-sets without
+      * bound. */
     private[operators] val idSetCache =
       scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+    /** Byte budget for the id-set memo (spec-tunable). */
+    @volatile private[graft] var idSetCacheMaxBytes: Long =
+      512L * 1024 * 1024
+    /** Current memo entry count — observability for the bound pin. */
+    private[graft] def idSetCacheEntries: Int = idSetCache.size
     /** Number of times an id-set was actually collected —
       * observability for the memo (pinned in ServingSpec). */
     @volatile private[graft] var idSetComputes: Int = 0
     /** The sorted survivor id-set of `predicate` over this artifact's
-      * indexed relation — memoized per predicate rendering. */
+      * indexed relation — memoized per predicate rendering, the memo
+      * byte-bounded by `idSetCacheMaxBytes`. */
     def survivorIds(predicate: Column, idCol: String = "vec_id",
         maxIds: Long = 50000000L): Array[Long] = {
       def compute(): Array[Long] = {
         idSetComputes += 1
         Serving.survivorIdSet(indexed, predicate, idCol, maxIds)
       }
-      if (Serving.cacheableFilter(indexed.filter(predicate)))
-        idSetCache.getOrElseUpdate(Serving.predicateKey(predicate),
-          compute())
-      else compute()
+      if (!Serving.cacheableFilter(indexed.filter(predicate))) compute()
+      else {
+        val key = Serving.predicateKey(predicate)
+        idSetCache.get(key) match {
+          case Some(ids) => ids
+          case None =>
+            val ids = compute()
+            val need = 8L * ids.length
+            var total = need +
+              idSetCache.values.iterator.map(8L * _.length).sum
+            val it = idSetCache.iterator
+            while (total > idSetCacheMaxBytes && it.hasNext) {
+              val (k, v) = it.next()
+              if (idSetCache.remove(k).isDefined) total -= 8L * v.length
+            }
+            // a concurrent compute of the same key may have landed
+            // first — keep whichever won (both are the same pure
+            // function of (relation, predicate))
+            idSetCache.putIfAbsent(key, ids).getOrElse(ids)
+        }
+      }
     }
 
     /** TOMBSTONE MASK for this serving epoch — serve-consistency with
@@ -294,7 +324,7 @@ object Serving {
   def costExtreme(nprobe: Int, nCells: Int): Double =
     nprobe.toDouble / math.max(1, nCells)
 
-  private def effectiveExtreme(extreme: Double, mild: Double,
+  private[operators] def effectiveExtreme(extreme: Double, mild: Double,
       nprobe: Int, nCells: Long): Double =
     if (extreme == CostBased)
       math.min(mild, costExtreme(nprobe,
@@ -315,24 +345,28 @@ object Serving {
   case object ExactScan extends Strategy("exact-scan")
 
   /** The dispatch rule as a pure function: `mild`/`extreme` are the
-    * regime boundaries in survivor fraction. The DISPATCHERS default
-    * `extreme` to `CostBased` — the `costExtreme` flop crossover
-    * computed from the index geometry at dispatch time — because no
+    * regime boundaries in survivor fraction. `extreme` defaults to
+    * the `CostBased` sentinel EVERYWHERE since r17 — resolved here
+    * from the `nprobe`/`nCells` geometry via the `costExtreme` flop
+    * crossover, exactly as the dispatchers resolve it — because no
     * fixed fraction is right across geometries: at 5M/1024 cells the
     * old fixed 0.02 routed the reference's 0.77% bucket to the exact
     * scan (~2.5K qps) when the pre-filter branch measured 11–12.7K
     * qps at recall 0.9995 (BENCH_scale_r14); the honest boundary
-    * there is 4/1024 ≈ 0.4%. `mild` stays the 5M measurement's fixed
-    * 0.5 (84% kept → graph over-fetch wins 4.5×). Without a graph
-    * tier the mild regime falls back to the always-valid IVF
-    * pre-filter. This function keeps explicit numeric defaults (the
-    * sentinel resolution needs the geometry, which the dispatchers
-    * hold). */
+    * there is 4/1024 ≈ 0.4%. Callers off the standard geometry pass
+    * their own `nprobe`/`nCells` (or a resolved numeric `extreme`);
+    * the previous fixed-0.02 default is retired — it silently cost
+    * 8.9× at the reference's mid bucket. `mild` stays the 5M
+    * measurement's fixed 0.5 (84% kept → graph over-fetch wins
+    * 4.5×). Without a graph tier the mild regime falls back to the
+    * always-valid IVF pre-filter. */
   def chooseStrategy(selectivity: Double, graphAvailable: Boolean,
-      mild: Double = 0.5, extreme: Double = 0.02): Strategy = {
+      mild: Double = 0.5, extreme: Double = CostBased,
+      nprobe: Int = 4, nCells: Long = 1024L): Strategy = {
     require(selectivity >= 0.0 && selectivity <= 1.0,
       s"selectivity must be a fraction in [0,1], got $selectivity")
-    if (selectivity < extreme) ExactScan
+    val ex = effectiveExtreme(extreme, mild, nprobe, nCells)
+    if (selectivity < ex) ExactScan
     else if (selectivity >= mild && graphAvailable) GraphOverfetch
     else IvfPrefilter
   }

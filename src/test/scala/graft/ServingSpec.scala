@@ -36,22 +36,37 @@ class ServingSpec extends AnyFunSuite {
       Some(NswGraph.servableIndex(graphs)))
   }
 
-  test("chooseStrategy: regime boundaries and the no-graph fallback") {
+  test("chooseStrategy: regime boundaries and the no-graph fallback " +
+      "(r17: the bare default is the CostBased sentinel at the " +
+      "standard np4/1024-cell geometry, not the retired fixed 0.02)") {
     import Serving._
+    // default geometry boundary = min(mild, 4/1024) = 0.00390625
     assert(chooseStrategy(0.001, graphAvailable = true) == ExactScan)
-    assert(chooseStrategy(0.0199, graphAvailable = true) == ExactScan)
-    assert(chooseStrategy(0.02, graphAvailable = true) == IvfPrefilter)
+    assert(chooseStrategy(0.0038, graphAvailable = true) == ExactScan)
+    assert(chooseStrategy(0.0040, graphAvailable = true) == IvfPrefilter)
+    // the old fixed default's mis-route is GONE: 0.77%-kept (the
+    // reference's mid bucket) pre-filters under the bare default too
+    assert(chooseStrategy(0.0077, graphAvailable = true) == IvfPrefilter)
+    assert(chooseStrategy(0.0199, graphAvailable = true) == IvfPrefilter)
     assert(chooseStrategy(0.49, graphAvailable = true) == IvfPrefilter)
     assert(chooseStrategy(0.5, graphAvailable = true) == GraphOverfetch)
     assert(chooseStrategy(1.0, graphAvailable = true) == GraphOverfetch)
+    // explicit geometry moves the sentinel's boundary: np16 probes
+    // 16/1024 = 1.56% of the cells, so a 0.77%-kept filter's
+    // survivors are fewer rows than the probe set touches -> exact
+    assert(chooseStrategy(0.0077, graphAvailable = true,
+      nprobe = 16, nCells = 1024L) == ExactScan)
     // the mild regime is only graph-servable when a graph exists
     assert(chooseStrategy(0.9, graphAvailable = false) == IvfPrefilter)
     assert(chooseStrategy(0.001, graphAvailable = false) == ExactScan)
-    // custom boundaries move the regimes
+    // custom boundaries move the regimes; a numeric extreme overrides
+    // the sentinel entirely
     assert(chooseStrategy(0.3, graphAvailable = true, mild = 0.25) ==
       GraphOverfetch)
     assert(chooseStrategy(0.05, graphAvailable = true, extreme = 0.1) ==
       ExactScan)
+    assert(chooseStrategy(0.0199, graphAvailable = true,
+      extreme = 0.02) == ExactScan)
     intercept[IllegalArgumentException] {
       chooseStrategy(1.5, graphAvailable = true)
     }
@@ -545,6 +560,28 @@ class ServingSpec extends AnyFunSuite {
       Serving.survivorIdSet(art.indexed, $"label" =!= 4, maxIds = 10L)
     }
     assert(ex.getMessage.contains("maxIds"))
+  }
+
+  test("idSetCache is BYTE-BOUNDED (r17): inserting past " +
+      "idSetCacheMaxBytes evicts existing entries, and an evicted " +
+      "predicate recomputes on its next serve") {
+    val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
+    val art = Serving.Artifacts(AnnIvf.index(data, centroids), centroids)
+    val pA = $"label".isin(0, 1)
+    val pB = $"label".isin(2, 3)
+    val a0 = art.survivorIds(pA)
+    assert(art.idSetComputes == 1 && a0.nonEmpty)
+    // budget sized so ONE of the two sets fits but not both
+    art.idSetCacheMaxBytes = 8L * a0.length + 7L
+    val b0 = art.survivorIds(pB)
+    assert(art.idSetComputes == 2 && b0.nonEmpty)
+    // pB's insert evicted pA (total would exceed the budget) — pA
+    // recomputes; pB itself stays memoized as long as it fits
+    assert(art.idSetCacheEntries == 1)
+    val a1 = art.survivorIds(pA)
+    assert(art.idSetComputes == 3 && (a1 sameElements a0))
+    // the memo never grows past the budget's entry count
+    assert(art.idSetCacheEntries == 1)
   }
 
   test("duplicate qids in one local batch: the mild over-fetch branch " +
