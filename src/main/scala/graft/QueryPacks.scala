@@ -2718,6 +2718,34 @@ object AnnQueries {
         res.select(col("qid"), col("rank"), col("neighbor_id"))
       } finally cells.unpersist()
     }),
+    // MULTI-SHARD serving (r17): the serve_local_bitset fixture's
+    // replica SPLIT into 3 cell-partitioned shards (shared centroid
+    // matrix) and served through the sharded dispatcher — each shard
+    // probes the global cell list, scans only the probed cells it
+    // owns, and per-query top-k lists merge by the engine's (dist,
+    // id) order. Hash-equality against the SAME single-index oracle
+    // proves the merge is exact: sharding is a deployment choice,
+    // never a semantics change (ShardedSpec pins all three dispatch
+    // branches; this puts the strong branch under DuckDB).
+    "serve_sharded" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val base = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(base, 311)
+      val indexed = AnnIvf.index(base, centroids)
+      val cells = AnnIvf.servableCells(indexed)
+      try {
+        val shards = Sharded.splitCellReplica(
+          AnnIvf.localCellReplica(cells, centroids), 3)
+        val ids = Serving.survivorIdSet(indexed,
+          col("label").isin(0, 1) && col("vec_id") % 3 =!= 1)
+        // extreme pinned (branch-driving entry; see serve_auto_strong)
+        val (strat, res) = Sharded.serveFilteredShardedIdSetDf(shards,
+          None, queriesDf(s, d), K, ids, nprobe = 2, extreme = 0.02)
+        require(strat == Serving.IvfPrefilterResident,
+          s"dispatched $strat")
+        res.select(col("qid"), col("rank"), col("neighbor_id"))
+      } finally cells.unpersist()
+    }),
     // the tombstone mask through the DISPATCHER end to end: the
     // side-table written on the persisted layout is refreshed into the
     // shared serving artifacts (Artifacts.refreshTombstones — zero
@@ -3545,6 +3573,10 @@ object AnnQueries {
     // the id-set route serves the SAME pre-filter the Column
     // predicate defines — two-column survivors, one bitset epoch
     "serve_local_bitset" -> ivfFixedSql(311,
+      survivors = "label IN (0, 1) AND vec_id % 3 <> 1"),
+    // the 3-shard split serve merges to EXACTLY the single-index
+    // recipe's rows — the sharded dispatcher under the same oracle
+    "serve_sharded" -> ivfFixedSql(311,
       survivors = "label IN (0, 1) AND vec_id % 3 <> 1"),
     // the local masked drain == the job path's (shared drainBeamTopK)
     "serve_local_tombstone" -> ivfFixedSql(31,

@@ -1,0 +1,406 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** MULTI-SHARD local serving: K per-shard replicas answer every query
+  * batch in parallel-by-shard, and per-query top-k results merge by
+  * the engine's one (dist, id) total order — the operator the 20M
+  * scale record's architecture claim rests on ("four 5M shards at np2
+  * each beat one 20M replica at np8", BENCH_scale_r16.json
+  * scale_20m.iso_recall_redial) and the reference's own corpus form:
+  * it stores shards on disk and serves their concatenation
+  * (utils_grid_search.py:342-420, the `np.vstack` merge at :412) —
+  * except here the shards NEVER concatenate; each keeps its own
+  * replica and only q×k result rows cross shard boundaries.
+  *
+  * Two shard models, same serve/merge code:
+  *
+  *  - SPLIT shards (`splitCellReplica`/`splitGraphReplica`): one
+  *    index's cells partitioned round-robin across K replicas that
+  *    SHARE the centroid matrix. Every query probes the same global
+  *    cell list in every shard and each shard scans/beams only the
+  *    probed cells it owns, so the union of per-shard work is EXACTLY
+  *    the single replica's work and the merged result is
+  *    ROW-IDENTICAL to the unsharded serve on every dispatch branch
+  *    (ShardedSpec pins all three; `serve_sharded` puts the strong
+  *    branch under the full DuckDB oracle). This is the
+  *    split-one-serving-JVM-into-K form.
+  *  - INDEPENDENT shards: K separately built indexes over disjoint
+  *    corpus slices (each with its own centroids — the 100-TB
+  *    deployment shape, one replica per data shard). Per-shard
+  *    probing covers nprobe of EACH shard's cells, so at equal
+  *    per-shard dials the probed corpus FRACTION — which governs
+  *    recall (measured, BENCH_scale_r16 cells_experiment) — matches
+  *    the small-corpus operating point instead of shrinking with
+  *    corpus growth. `ProfileSharded` measures this against the
+  *    single-20M-replica iso-recall row.
+  *
+  * Merge correctness: each shard returns its own exact-or-beam top-k
+  * per query; the global top-k is a subset of the union of per-shard
+  * top-k lists (any row it contains is within-shard top-k by
+  * definition), so a k-way merge of K ranked lists loses nothing.
+  * Ids are unique across shards (disjoint rows by both
+  * constructions), so no dedup is needed. Merging uses the
+  * `TopKBuffer` the kernels themselves rank with — equal (dist, id)
+  * tie-breaks by shared code, not reimplementation.
+  *
+  * Slot alignment: every shard serves the SAME positional query
+  * array, and the kernels' per-slot form
+  * (`searchLocalQueriesSlots` / `localCellCoreSlots`) keeps element i
+  * = slot i even when a slot's rows are empty in some shard — so
+  * duplicate qids and empty survivor sets can never shift the merge
+  * (the flattened contract's rank-restart grouping could not
+  * distinguish an absent group; the r14 duplicate-qid lesson applied
+  * to the merge).
+  *
+  * SCALE NOTE: per-batch cross-shard traffic is q×k rows per shard —
+  * independent of corpus size. A deployment runs one replica per
+  * serving JVM and this merge on whichever node fans out the batch;
+  * in-process here, the K replicas stand in for K JVMs (the serve
+  * loop per shard is the same array kernel either way).
+  */
+object Sharded {
+
+  type Rows = Array[(Long, Long, Long, Double)]
+
+  /** Partition ONE graph replica's cells round-robin (cid-sorted
+    * order) into `nShards` replicas sharing the centroid matrix.
+    * Shares every cell's decoded arrays by reference — zero copy. */
+  def splitGraphReplica(rep: NswGraph.LocalReplica, nShards: Int)
+      : Seq[NswGraph.LocalReplica] = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val ordered = rep.cells.sortBy(_.cid)
+    (0 until nShards).map { s =>
+      new NswGraph.LocalReplica(
+        ordered.zipWithIndex.collect {
+          case (c, i) if i % nShards == s => c },
+        rep.centroidMatrix)
+    }
+  }
+
+  /** Partition ONE flat replica's cells round-robin (cid-sorted
+    * order) into `nShards` replicas sharing the centroid matrix. The
+    * CSR arrays regroup per shard (one copy — the same one-time cost
+    * class as the replica build's own regroup). */
+  def splitCellReplica(rep: AnnIvf.LocalCellReplica, nShards: Int)
+      : Seq[AnnIvf.LocalCellReplica] = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // reverse byCid: position -> cid, then cid-sorted round-robin
+    val cidOf = new Array[Int](rep.nCells)
+    val it = rep.byCid.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      cidOf(e.getValue) = e.getKey
+    }
+    val bySortedCid = Array.range(0, rep.nCells).sortBy(cidOf(_))
+    (0 until nShards).map { s =>
+      val cells = bySortedCid.zipWithIndex.collect {
+        case (c, i) if i % nShards == s => c }
+      val byCid = new java.util.HashMap[Integer, Integer](cells.length * 2)
+      val cellOff = new Array[Int](cells.length + 1)
+      var i = 0
+      while (i < cells.length) {
+        byCid.put(cidOf(cells(i)), i)
+        cellOff(i + 1) = cellOff(i) +
+          (rep.cellOff(cells(i) + 1) - rep.cellOff(cells(i)))
+        i += 1
+      }
+      val n = cellOff(cells.length)
+      val ids = new Array[Long](n)
+      val attrs = if (rep.attrs == null) null else new Array[Double](n)
+      val flat =
+        if (rep.flat == null) null else new Array[Float](n * rep.dim)
+      val rows =
+        if (rep.rows == null) null else new Array[Array[Float]](n)
+      i = 0
+      while (i < cells.length) {
+        val from = rep.cellOff(cells(i))
+        val len = rep.cellOff(cells(i) + 1) - from
+        val at = cellOff(i)
+        System.arraycopy(rep.ids, from, ids, at, len)
+        if (attrs != null) System.arraycopy(rep.attrs, from, attrs, at, len)
+        if (flat != null) System.arraycopy(rep.flat, from * rep.dim,
+          flat, at * rep.dim, len * rep.dim)
+        if (rows != null) System.arraycopy(rep.rows, from, rows, at, len)
+        i += 1
+      }
+      new AnnIvf.LocalCellReplica(byCid, cellOff, ids, attrs, rep.dim,
+        flat, rows, rep.centroidMatrix)
+    }
+  }
+
+  /** Merge K shards' per-slot ranked lists into one ranked top-`k`
+    * per slot, flattened in slot order with ranks renumbered 1..≤k.
+    * `qids` names each slot (an all-shards-empty slot has no row to
+    * read a qid from). */
+  private[operators] def mergeSlots(perShard: Seq[Array[Rows]],
+      qids: Array[Long], k: Int): Rows = {
+    val out = Array.newBuilder[(Long, Long, Long, Double)]
+    out.sizeHint(qids.length * k)
+    var slot = 0
+    while (slot < qids.length) {
+      val buf = new graft.functions.TopKBuffer(k)
+      perShard.foreach { shard =>
+        val rows = shard(slot)
+        var i = 0
+        while (i < rows.length) {
+          buf.insert(rows(i)._4, rows(i)._3)
+          i += 1
+        }
+      }
+      val ranked = buf.sorted
+      var r = 0
+      while (r < ranked.length) {
+        out += ((qids(slot), (r + 1).toLong, ranked(r)._2, ranked(r)._1))
+        r += 1
+      }
+      slot += 1
+    }
+    out.result()
+  }
+
+  /** UNFILTERED sharded serve on the graph tier: each shard beams the
+    * batch at the same dials, per-slot top-k lists merge by
+    * (dist, id). For split shards this is row-identical to the
+    * single-replica `searchLocalQueries` (ShardedSpec); for
+    * independent shards it is the N-replicas-over-N-data-shards
+    * deployment serve. */
+  def searchShardedLocalQueries(reps: Seq[NswGraph.LocalReplica],
+      queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
+      efSearch: Int = 64, metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None): Rows = {
+    require(reps.nonEmpty, "searchShardedLocalQueries needs >= 1 shard")
+    if (queries.isEmpty) return Array.empty
+    mergeSlots(
+      reps.map(r => NswGraph.searchLocalQueriesSlots(r, queries, k,
+        nprobe, efSearch, metric, tombstones)),
+      queries.map(_._1), k)
+  }
+
+  /** FILTERED sharded serving, attr-twin filter form — the sharded
+    * twin of `Serving.serveFilteredLocalExplained`: ONE strategy is
+    * chosen globally from the summed per-shard selectivity counts
+    * (every shard must run the same branch or the merge would mix
+    * exact and approximate row sets), then each branch fans to the
+    * shards and merges:
+    *
+    *  - EXTREME → per-shard exact scan over survivors, merge top-k
+    *  - STRONG → per-shard pre-filter probe-scan, merge top-k
+    *    (tagged `IvfPrefilterResident` like the local dispatcher)
+    *  - MILD → per-shard beam k' candidates, merge to the GLOBAL
+    *    top-k' FIRST (so the candidate set equals the unsharded
+    *    branch's — a shard's deeper-than-global-k' rows must not leak
+    *    extra survivors in), then the survivor filter and re-rank
+    *    to k
+    *
+    * `graphShards` need not align cell-for-cell with `flatShards`:
+    * the mild branch's keep test looks an id up across ALL flat
+    * shards (an id lives in exactly one). The cost boundary resolves
+    * from the TOTAL geometry — probed cells per query is
+    * nprobe × K for independent shards and nprobe for split shards
+    * (detected by the shared centroid-matrix instance: same coarse
+    * quantizer ⇒ same global probe list). */
+  def serveFilteredShardedExplained(
+      flatShards: Seq[AnnIvf.LocalCellReplica],
+      graphShards: Option[Seq[NswGraph.LocalReplica]],
+      queries: Array[(Long, Array[Float])], k: Int,
+      attrPred: Double => Boolean,
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = Serving.CostBased,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None)
+      : (Serving.Strategy, Rows) = {
+    require(flatShards.forall(_.attrs != null),
+      "serveFilteredSharded needs attr-built shard replicas - build " +
+        "each with servableCells(..., attrCol = Some(...)), or serve " +
+        "the filter as an id-set (serveFilteredShardedIdSetExplained)")
+    serveShardedCore(flatShards, graphShards, queries, k, attrPred,
+      null, nprobe, efSearch, overFetchMult, selectivity, mild,
+      extreme, maxOverFetchK, metric, tombstones)
+  }
+
+  /** `serveFilteredShardedExplained` for ANY filter via its sorted
+    * survivor id-set (the bitset form, `Serving.survivorIdSet`) —
+    * one id-set spans all shards; each shard's kernels test the
+    * members it holds. */
+  def serveFilteredShardedIdSetExplained(
+      flatShards: Seq[AnnIvf.LocalCellReplica],
+      graphShards: Option[Seq[NswGraph.LocalReplica]],
+      queries: Array[(Long, Array[Float])], k: Int,
+      idSet: Array[Long],
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = Serving.CostBased,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      tombstones: Option[Array[Long]] = None)
+      : (Serving.Strategy, Rows) = {
+    require(idSet != null, "idSet must be non-null (empty = no survivors)")
+    serveShardedCore(flatShards, graphShards, queries, k, null, idSet,
+      nprobe, efSearch, overFetchMult, selectivity, mild, extreme,
+      maxOverFetchK, metric, tombstones)
+  }
+
+  private def serveShardedCore(
+      flatShards: Seq[AnnIvf.LocalCellReplica],
+      graphShards: Option[Seq[NswGraph.LocalReplica]],
+      queries: Array[(Long, Array[Float])], k: Int,
+      attrPred: Double => Boolean, idSet: Array[Long],
+      nprobe: Int, efSearch: Int,
+      overFetchMult: Int, selectivity: Option[Double],
+      mild: Double, extreme: Double,
+      maxOverFetchK: Int, metric: String,
+      tombstones: Option[Array[Long]])
+      : (Serving.Strategy, Rows) = {
+    require(flatShards.nonEmpty, "serveFilteredSharded needs >= 1 shard")
+    require(overFetchMult >= 1, s"overFetchMult must be >= 1")
+    val tomb: Array[Long] = tombstones.orNull
+    val qids = queries.map(_._1)
+    // summed per-shard counts = the single replica's counts (shards
+    // partition the rows in both models)
+    val (sel, kFromCounts) = selectivity match {
+      case Some(x) => (x, None)
+      case None =>
+        var total = 0L; var surv = 0L
+        flatShards.foreach { f =>
+          val (t, sv) =
+            if (idSet != null) f.selectivityCountsIdSet(idSet, tomb)
+            else f.selectivityCounts(attrPred, tomb)
+          total += t; surv += sv
+        }
+        val s = if (total == 0L) 1.0 else surv.toDouble / total
+        (s, if (surv > 0L)
+          Some(((overFetchMult.toLong * k * total + surv - 1L) / surv).toInt)
+        else None)
+    }
+    // total geometry: split shards (one shared centroid matrix) probe
+    // nprobe global cells per query; independent shards probe nprobe
+    // of EACH shard's cells
+    val totalCells = flatShards.iterator.map(_.nCells.toLong).sum
+    val sharedCentroids = flatShards.forall(
+      _.centroidMatrix eq flatShards.head.centroidMatrix)
+    val probedPerQuery =
+      if (sharedCentroids) nprobe else nprobe * flatShards.length
+    val resolved = Serving.effectiveExtreme(extreme, mild,
+      probedPerQuery, totalCells)
+    Serving.chooseStrategy(sel, graphShards.exists(_.nonEmpty), mild,
+      resolved) match {
+      case Serving.IvfPrefilterResident =>
+        throw new IllegalStateException("unreachable: chooseStrategy " +
+          "returns IvfPrefilter; the resident tag is applied below")
+      case Serving.ExactScan =>
+        (Serving.ExactScan, mergeSlots(
+          flatShards.map(f => AnnIvf.localCellCoreSlots(f, queries, k,
+            0, metric, Option(attrPred), Option(idSet), tombstones,
+            exhaustive = true)),
+          qids, k))
+      case Serving.IvfPrefilter =>
+        (Serving.IvfPrefilterResident, mergeSlots(
+          flatShards.map(f => AnnIvf.localCellCoreSlots(f, queries, k,
+            nprobe, metric, Option(attrPred), Option(idSet), tombstones,
+            exhaustive = false)),
+          qids, k))
+      case Serving.GraphOverfetch =>
+        val kF = math.min(maxOverFetchK,
+          math.max(k, kFromCounts.getOrElse(
+            math.ceil(overFetchMult * k / sel).toInt)))
+        val efF = math.max(efSearch, kF)
+        val graphs = graphShards.get
+        val perShard = graphs.map(g => NswGraph.searchLocalQueriesSlots(
+          g, queries, kF, nprobe, efF, metric, tombstones))
+        // global top-k' candidate cut FIRST (the unsharded branch's
+        // candidate set exactly), then the survivor filter, then k
+        val out = Array.newBuilder[(Long, Long, Long, Double)]
+        out.sizeHint(queries.length * k)
+        var slot = 0
+        while (slot < queries.length) {
+          val cand = new graft.functions.TopKBuffer(kF)
+          perShard.foreach { shard =>
+            val rows = shard(slot)
+            var i = 0
+            while (i < rows.length) {
+              cand.insert(rows(i)._4, rows(i)._3)
+              i += 1
+            }
+          }
+          val ranked = cand.sorted
+          var kept = 0L
+          var r = 0
+          while (r < ranked.length && kept < k) {
+            val id = ranked(r)._2
+            val keep =
+              if (attrPred != null)
+                flatShards.exists(_.attrSatisfies(id, attrPred))
+              else java.util.Arrays.binarySearch(idSet, id) >= 0
+            if (keep) {
+              kept += 1
+              out += ((qids(slot), kept, id, ranked(r)._1))
+            }
+            r += 1
+          }
+          slot += 1
+        }
+        (Serving.GraphOverfetch, out.result())
+    }
+  }
+
+  /** `serveFilteredShardedExplained` behind the DataFrame contract —
+    * the sharded twin of `Serving.serveFilteredLocalDf`. */
+  def serveFilteredShardedDf(
+      flatShards: Seq[AnnIvf.LocalCellReplica],
+      graphShards: Option[Seq[NswGraph.LocalReplica]],
+      queries: DataFrame, k: Int, attrPred: Double => Boolean,
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = Serving.CostBased,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None)
+      : (Serving.Strategy, DataFrame) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val (strategy, rows) = serveFilteredShardedExplained(flatShards,
+      graphShards, qRows, k, attrPred, nprobe, efSearch, overFetchMult,
+      selectivity, mild, extreme, maxOverFetchK, metric, tombstones)
+    (strategy, spark.createDataset(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
+      .toDF("qid", "rank", "neighbor_id", "dist"))
+  }
+
+  /** `serveFilteredShardedIdSetExplained` behind the DataFrame
+    * contract — the oracle entry (`serve_sharded`) serves a split
+    * 3-shard replica through it and must hash-equal the single-index
+    * recipe's SQL. */
+  def serveFilteredShardedIdSetDf(
+      flatShards: Seq[AnnIvf.LocalCellReplica],
+      graphShards: Option[Seq[NswGraph.LocalReplica]],
+      queries: DataFrame, k: Int, idSet: Array[Long],
+      nprobe: Int = 4, efSearch: Int = 64,
+      overFetchMult: Int = 3, selectivity: Option[Double] = None,
+      mild: Double = 0.5, extreme: Double = Serving.CostBased,
+      maxOverFetchK: Int = 4096,
+      metric: String = "sqeuclidean",
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      tombstones: Option[Array[Long]] = None)
+      : (Serving.Strategy, DataFrame) = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val qRows = queries
+      .select(col(qidCol).cast("long"), col(qvecCol))
+      .as[(Long, Array[Float])].collect()
+    val (strategy, rows) = serveFilteredShardedIdSetExplained(
+      flatShards, graphShards, qRows, k, idSet, nprobe, efSearch,
+      overFetchMult, selectivity, mild, extreme, maxOverFetchK, metric,
+      tombstones)
+    (strategy, spark.createDataset(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
+      .toDF("qid", "rank", "neighbor_id", "dist"))
+  }
+}

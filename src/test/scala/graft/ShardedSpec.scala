@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIvf, Knn, NswGraph, Serving, Sharded}
+
+/** Multi-shard serving (r17): K per-shard replicas + per-query top-k
+  * merge. SPLIT shards (one index's cells partitioned, shared
+  * centroid matrix) must be ROW-IDENTICAL to the unsharded serve on
+  * every dispatch branch — the merge is exact, so sharding is a pure
+  * deployment choice, never a semantics change. INDEPENDENT shards
+  * (own centroids per corpus slice) are pinned against exact ground
+  * truth under the beam-exact fixture recipe. */
+class ShardedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private val sf = TestSpark.sf
+
+  private def data = SparkEntry.dataDf(spark, sf)
+  private def queries = SparkEntry.queriesDf(spark, sf)
+
+  private def asRows(df: DataFrame) =
+    df.select($"qid", $"rank", $"neighbor_id", $"dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+
+  test("split graph shards: sharded unfiltered serve is row-identical " +
+      "to the single replica (order included), masked and unmasked, " +
+      "and a 1-shard split is the identity") {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val graphIdx = NswGraph.servableIndex(
+      NswGraph.buildIndex(indexed, m = 8, efConstruction = 32))
+    try {
+      val rep = NswGraph.localReplica(graphIdx, centroids)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val shards = Sharded.splitGraphReplica(rep, 3)
+      // a real partition: every cell in exactly one shard, zero-copy
+      assert(shards.map(_.cells.length).sum == rep.cells.length)
+      assert(shards.flatMap(_.cells.map(_.cid)).sorted.toSeq ==
+        rep.cells.map(_.cid).sorted.toSeq)
+      assert(shards.forall(_.cells.forall(c =>
+        rep.cells.exists(_ eq c))))
+      val single = NswGraph.searchLocalQueries(rep, qArr, 10, 8,
+        efSearch = 64)
+      val merged = Sharded.searchShardedLocalQueries(shards, qArr, 10,
+        8, efSearch = 64)
+      assert(merged.toSeq == single.toSeq && merged.nonEmpty)
+      // tombstones compose identically
+      val mask = d.filter($"vec_id" % 7 === 2)
+        .select($"vec_id").collect().map(_.getLong(0)).sorted
+      val singleM = NswGraph.searchLocalQueries(rep, qArr, 10, 8,
+        efSearch = 64, tombstones = Some(mask))
+      val mergedM = Sharded.searchShardedLocalQueries(shards, qArr, 10,
+        8, efSearch = 64, tombstones = Some(mask))
+      assert(mergedM.toSeq == singleM.toSeq && mergedM.nonEmpty)
+      // 1-shard split = the same serve
+      val one = Sharded.searchShardedLocalQueries(
+        Sharded.splitGraphReplica(rep, 1), qArr, 10, 8, efSearch = 64)
+      assert(one.toSeq == single.toSeq)
+      // duplicate qids stay independent positional slots through the
+      // merge (the r14/r15 duplicate-qid contract)
+      val dup = Array(qArr(0), qArr(0), qArr(1))
+      val sDup = NswGraph.searchLocalQueries(rep, dup, 10, 8,
+        efSearch = 64)
+      val mDup = Sharded.searchShardedLocalQueries(shards, dup, 10, 8,
+        efSearch = 64)
+      assert(mDup.toSeq == sDup.toSeq)
+      assert(mDup.count(_._2 == 1L) == 3) // three rank-1 groups
+    } finally { graphIdx.unpersist(); indexed.unpersist() }
+  }
+
+  test("split flat shards: every dispatch branch of the sharded " +
+      "filtered serve is row-identical to the unsharded local " +
+      "dispatcher — attr route, id-set route, tombstoned, DataFrame " +
+      "wrapper") {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val graphIdx = NswGraph.servableIndex(
+      NswGraph.buildIndex(indexed, m = 8, efConstruction = 32))
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    cells.count()
+    try {
+      val flatRep = AnnIvf.localCellReplica(cells, centroids)
+      val graphRep = NswGraph.localReplica(graphIdx, centroids)
+      val flatShards = Sharded.splitCellReplica(flatRep, 3)
+      val graphShards = Sharded.splitGraphReplica(graphRep, 3)
+      // the split partitions rows and preserves the summed counts
+      assert(flatShards.map(_.size).sum == flatRep.size)
+      assert(flatShards.map(_.nCells).sum == flatRep.nCells)
+      val pred: Double => Boolean = a => a == 0.0 || a == 1.0
+      val cSingle = flatRep.selectivityCounts(pred, null)
+      val cSharded = flatShards.map(_.selectivityCounts(pred, null))
+        .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+      assert(cSharded == cSingle)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      def branchCheck(attrTwin: Double => Boolean,
+          expect: Serving.Strategy, nprobe: Int = 8,
+          extreme: Double = 0.02,
+          tomb: Option[Array[Long]] = None): Unit = {
+        val (s1, r1) = Serving.serveFilteredLocalExplained(flatRep,
+          Some(graphRep), qArr, 10, attrTwin, nprobe = nprobe,
+          efSearch = 64, extreme = extreme, tombstones = tomb)
+        val (s2, r2) = Sharded.serveFilteredShardedExplained(
+          flatShards, Some(graphShards), qArr, 10, attrTwin,
+          nprobe = nprobe, efSearch = 64, extreme = extreme,
+          tombstones = tomb)
+        assert(s1 == expect && s2 == expect, s"dispatched $s1 / $s2")
+        assert(r2.toSeq == r1.toSeq && r2.nonEmpty, s"branch $expect")
+      }
+      // STRONG: label in (0,1) -> resident pre-filter
+      branchCheck(a => a == 0.0 || a == 1.0,
+        Serving.IvfPrefilterResident)
+      // MILD: label <> 4 -> graph over-fetch (global k' candidate cut)
+      branchCheck(a => a != 4.0, Serving.GraphOverfetch)
+      // EXTREME: label == 7 under a raised boundary -> exact
+      branchCheck(a => a == 7.0, Serving.ExactScan, extreme = 0.15)
+      // tombstoned strong branch
+      val mask = d.filter($"vec_id" % 7 === 2)
+        .select($"vec_id").collect().map(_.getLong(0)).sorted
+      branchCheck(a => a == 0.0 || a == 1.0,
+        Serving.IvfPrefilterResident, tomb = Some(mask))
+      // ID-SET route: a two-column predicate's survivor set serves
+      // the sharded branches identically to the unsharded ones
+      val twoCol = $"label".isin(0, 1) && $"vec_id" % 3 =!= 1
+      val ids = Serving.survivorIdSet(indexed, twoCol)
+      val (si1, ri1) = Serving.serveFilteredLocalIdSetExplained(
+        flatRep, Some(graphRep), qArr, 10, ids, nprobe = 8,
+        efSearch = 64, extreme = 0.02)
+      val (si2, ri2) = Sharded.serveFilteredShardedIdSetExplained(
+        flatShards, Some(graphShards), qArr, 10, ids, nprobe = 8,
+        efSearch = 64, extreme = 0.02)
+      assert(si1 == Serving.IvfPrefilterResident && si2 == si1)
+      assert(ri2.toSeq == ri1.toSeq && ri2.nonEmpty)
+      val mildIds = Serving.survivorIdSet(indexed, $"label" =!= 4)
+      val (sm1, rm1) = Serving.serveFilteredLocalIdSetExplained(
+        flatRep, Some(graphRep), qArr, 10, mildIds, nprobe = 8,
+        efSearch = 64)
+      val (sm2, rm2) = Sharded.serveFilteredShardedIdSetExplained(
+        flatShards, Some(graphShards), qArr, 10, mildIds, nprobe = 8,
+        efSearch = 64)
+      assert(sm1 == Serving.GraphOverfetch && sm2 == sm1)
+      assert(rm2.toSeq == rm1.toSeq && rm2.nonEmpty)
+      // empty id-set: every shard drains empty, merge returns nothing
+      val (_, re) = Sharded.serveFilteredShardedIdSetExplained(
+        flatShards, Some(graphShards), qArr, 10, Array.emptyLongArray,
+        nprobe = 8, efSearch = 64, selectivity = Some(0.0001))
+      assert(re.isEmpty)
+      // the DataFrame wrapper matches the array hot path
+      val (sd, rd) = Sharded.serveFilteredShardedDf(flatShards,
+        Some(graphShards), queries, 10, a => a == 0.0 || a == 1.0,
+        nprobe = 8, efSearch = 64, extreme = 0.02)
+      assert(sd == Serving.IvfPrefilterResident)
+      val (_, ra) = Sharded.serveFilteredShardedExplained(flatShards,
+        Some(graphShards), qArr, 10, a => a == 0.0 || a == 1.0,
+        nprobe = 8, efSearch = 64, extreme = 0.02)
+      assert(asRows(rd) == ra.toSet)
+      // attr-less shards refused loudly on the attr route
+      val bareShards = Sharded.splitCellReplica(
+        AnnIvf.localCellReplica(AnnIvf.servableCells(indexed),
+          centroids), 3)
+      intercept[IllegalArgumentException] {
+        Sharded.serveFilteredShardedExplained(bareShards,
+          Some(graphShards), qArr, 10, a => a > 0)
+      }
+    } finally { graphIdx.unpersist(); cells.unpersist()
+      indexed.unpersist() }
+  }
+
+  test("independent shards (own centroids per corpus slice): the " +
+      "merged serve equals exact ground truth under the beam-exact " +
+      "recipe — the N-replicas-over-N-data-shards deployment form") {
+    val d = data.cache()
+    val half0 = d.filter($"vec_id" % 2 === 0).cache()
+    val half1 = d.filter($"vec_id" % 2 === 1).cache()
+    val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+      .as[(Long, Array[Float])].collect()
+    def shardReplica(slice: DataFrame): NswGraph.LocalReplica = {
+      val cents = AnnIvf.train(slice, numCentroids = 4, iterations = 2)
+      val idx = NswGraph.servableIndex(NswGraph.buildIndex(
+        AnnIvf.index(slice, cents), m = 32, efConstruction = 64))
+      try NswGraph.localReplica(idx, cents) finally idx.unpersist()
+    }
+    val shards = Seq(shardReplica(half0), shardReplica(half1))
+    // shard centroid matrices are genuinely distinct instances
+    assert(!(shards(0).centroidMatrix eq shards(1).centroidMatrix))
+    // nprobe = 4 probes EVERY cell of each 4-cell shard, and the
+    // no-prune recipe (m=32/efC=64, efSearch=128 >> cell sizes) makes
+    // each shard's beam exact in-cell -> the merge must equal exact
+    // k-NN over the full corpus
+    val merged = Sharded.searchShardedLocalQueries(shards, qArr, 10,
+      nprobe = 4, efSearch = 128)
+    val mergedDf = spark.createDataset(merged.toSeq)
+      .toDF("qid", "rank", "neighbor_id", "dist")
+    assert(asRows(mergedDf) == asRows(Knn.exact(d, queries, 10)))
+    half0.unpersist(); half1.unpersist()
+  }
+}
