@@ -28,12 +28,30 @@ import graft.operators.{AnnIvf, Knn, NswGraph, Recall, Serving}
   * two-level assign, m=16/efC=64 graphs, k=10.
   *
   * usage: runMain graft.ProfileLocalFiltered [nVectors] [nQueries] [nCells]
+  *          [lowDials] [lowonly]
+  * `lowDials` (r17, mirroring ProfileSmallBatch's dials arg) is an
+  * optional comma list of np:mult:efs triples overriding the
+  * matched-recall low-bucket sweep — iso-recall at a larger corpus
+  * needs proportionally wider nprobe (the probed-fraction physics the
+  * 20M unfiltered tier measured); "-" keeps the default sweep.
+  * `lowonly` skips the bucket/id-set sections and runs just the
+  * build + the low-bucket matched-recall sweep.
   */
 object ProfileLocalFiltered {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(5000000)
     val nQ = args.lift(1).map(_.toInt).getOrElse(100000)
     val nCells = args.lift(2).map(_.toInt).getOrElse(1024)
+    val lowDials: Seq[(Int, Int, Int)] = args.lift(3)
+      .filter(_ != "-")
+      .map(_.split(',').toSeq.map { s =>
+        val Array(np, mult, efs) = s.split(':')
+        (np.toInt, mult.toInt, efs.toInt)
+      })
+      .getOrElse(Seq((4, 1, 12), (4, 1, 16), (4, 1, 20), (4, 1, 24),
+        (4, 2, 24), (4, 3, 32), (2, 1, 24), (2, 2, 24), (2, 2, 32),
+        (2, 3, 32)))
+    val lowOnly = args.lift(4).contains("lowonly")
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -123,7 +141,7 @@ object ProfileLocalFiltered {
     Serving.serveFilteredLocalExplained(flatRep, Some(graphRep),
       qArr.take(5000), k, _ < 1.561, selectivity = Some(0.1561))
 
-    Seq(("low", 8.363, 0.8363), ("high", 1.561, 0.1561),
+    if (!lowOnly) Seq(("low", 8.363, 0.8363), ("high", 1.561, 0.1561),
         ("mid", 0.077, 0.0077)).foreach { case (nm, thr, sel) =>
       val pred: Double => Boolean = _ < thr
       val truth = Knn.exact(data.filter(col("rating_m") < thr), qSample,
@@ -197,6 +215,7 @@ object ProfileLocalFiltered {
     // search against the id array vs an attr comparison. Row-identity
     // is pinned in ServingSpec; here both routes are measured on the
     // same replica in the same window.
+    if (!lowOnly)
     Seq(("high", 1.561, 0.1561), ("mid", 0.077, 0.0077)).foreach {
       case (nm, thr, sel) =>
         val pred: Double => Boolean = _ < thr
@@ -249,9 +268,7 @@ object ProfileLocalFiltered {
       // np4), and the over-fetch branch inherits the same
       // probe-count/recall trade — the np2 rows are the candidates
       // that close the matched-recall gap
-      Seq((4, 1, 12), (4, 1, 16), (4, 1, 20), (4, 1, 24), (4, 2, 24),
-          (4, 3, 32), (2, 1, 24), (2, 2, 24), (2, 2, 32), (2, 3, 32))
-        .foreach { case (np, mult, efs) =>
+      lowDials.foreach { case (np, mult, efs) =>
           val (strat, sRows) = Serving.serveFilteredLocalExplained(
             flatRep, Some(graphRep), sampleArr, k, pred, nprobe = np,
             efSearch = efs, overFetchMult = mult,
