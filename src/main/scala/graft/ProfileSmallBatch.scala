@@ -34,12 +34,17 @@ import graft.operators.{AnnIvf, Knn, NswGraph, Recall}
   * decomposition.
   *
   * usage: runMain graft.ProfileSmallBatch [nVectors] [nQueries] [nCells]
-  *          [dials]
+  *          [dials] [fp16]
   * `dials` is an optional comma list of nprobe:efSearch pairs (e.g.
   * "8:32,8:48") overriding the default operating points — recall at a
   * fixed dial is governed by the PROBED CORPUS FRACTION, so iso-recall
   * at a larger corpus needs proportionally wider nprobe (measured at
   * 20M: np2 covers half the 5M fraction and recall drops 0.92→0.82).
+  * `fp16` (r17) additionally packs the replica to fp16
+  * (`NswGraph.packReplicaFp16` — the reference's own stored
+  * precision) and repeats the recall + closed-loop sections on the
+  * packed form in the SAME window, so the footprint/throughput/recall
+  * trade is measured side by side.
   */
 object ProfileSmallBatch {
   def main(args: Array[String]): Unit = {
@@ -51,6 +56,7 @@ object ProfileSmallBatch {
         val Array(np, efs) = s.split(':'); (np.toInt, efs.toInt)
       })
       .getOrElse(Seq((2, 32), (2, 48), (4, 32)))
+    val fp16Mode = args.lift(4).contains("fp16")
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -142,6 +148,48 @@ object ProfileSmallBatch {
           f"${qArr.length} queries in $best%7.3fs = " +
           f"${qArr.length / best}%9.1f qps lat(avg/p99)=" +
           f"$avgMs%.2f/$p99Ms%.2f ms")
+      }
+    }
+
+    // fp16-PACKED replica (r17): same window, same dials — the
+    // footprint halves on the vector share; the per-element LUT
+    // decode's serve cost and the storage-rounding recall delta are
+    // the measured trade
+    if (fp16Mode) {
+      val (packed, packSec) = time { NswGraph.packReplicaFp16(rep) }
+      println(f"[psmall] PACKED fp16 replica: " +
+        f"${packed.approxBytes / 1e6}%.0f MB decoded vs " +
+        f"${rep.approxBytes / 1e6}%.0f MB fp32 (pack $packSec%.2fs)")
+      dials.foreach { case (np, efs) =>
+        val rows = NswGraph.searchLocalQueries(packed, sampleArr, k, np,
+          efSearch = efs)
+        val df = spark.createDataset(rows.toSeq)
+          .toDF("qid", "rank", "neighbor_id", "dist")
+        val r = Recall.ofRanked(df, truth).head()
+        println(f"[psmall] PACKED recall@10 np$np/efS$efs = " +
+          f"${r.getDouble(r.fieldIndex("recall"))}%.4f")
+      }
+      NswGraph.searchLocalQueries(packed, qArr.take(10000), k, 2, 32)
+      Seq(100, 1000, 10000).foreach { bs =>
+        dials.foreach { case (np, efs) =>
+          val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
+            var off = 0
+            while (off < qArr.length) {
+              val batch = java.util.Arrays.copyOfRange(qArr, off,
+                math.min(off + bs, qArr.length))
+              timeBatch {
+                NswGraph.searchLocalQueries(packed, batch, k, np,
+                  efSearch = efs)
+              }
+              off += bs
+            }
+          }
+          val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
+          println(f"[psmall] PACKED closed-loop batch=$bs%5d " +
+            f"np$np/efS$efs: ${qArr.length} queries in $best%7.3fs = " +
+            f"${qArr.length / best}%9.1f qps lat(avg/p99)=" +
+            f"$avgMs%.2f/$p99Ms%.2f ms")
+        }
       }
     }
 

@@ -181,6 +181,66 @@ object Knn {
       b: Array[Float], bound: Double): Double =
     distBoundedSlices(mcode, flat, off, dim, b, 0, b.length, bound)
 
+  /** binary16 → fp32 decode table (64K entries, 256 KB — L2-resident):
+    * one load per element in the packed kernels instead of the branchy
+    * bit decode. Values equal `Fp16.fromHalf` exactly (built from it). */
+  private lazy val halfLut: Array[Float] =
+    Array.tabulate(65536)(i => graft.functions.Fp16.fromHalf(i.toShort))
+
+  /** `distBoundedFlat` over an fp16-PACKED flat row (2 bytes/dim —
+    * the reference's own stored precision, utils_grid_search.py:
+    * 364-365): each element decodes through the LUT, the query side
+    * stays fp32, and the accumulation/early-abandon structure is
+    * `distBoundedSlices`' exactly — so a packed replica's serve
+    * differs from fp32 only by the storage rounding
+    * (`Fp16.toHalf`'s round-to-nearest-even), never by kernel
+    * semantics. */
+  def distBoundedHalf(mcode: Int, half: Array[Short], off: Int, dim: Int,
+      b: Array[Float], bound: Double): Double = {
+    val lut = halfLut
+    val n = math.min(dim, b.length)
+    (mcode: @scala.annotation.switch) match {
+      case 0 =>
+        var acc = 0.0; var i = 0
+        while (i < n) {
+          val lim = math.min(i + 16, n)
+          while (i < lim) {
+            val d = lut(half(off + i) & 0xffff).toDouble - b(i).toDouble
+            acc += d * d; i += 1
+          }
+          if (acc > bound) return acc
+        }
+        acc
+      case 1 =>
+        var acc = 0.0; var i = 0
+        while (i < n) {
+          acc += lut(half(off + i) & 0xffff).toDouble * b(i).toDouble
+          i += 1
+        }
+        -acc
+      case 2 =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = lut(half(off + i) & 0xffff).toDouble
+          val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0
+        else -(dot / (math.sqrt(na) * math.sqrt(nb)))
+      case _ =>
+        var acc = 0; var i = 0
+        while (i < n) {
+          val lim = math.min(i + 64, n)
+          while (i < lim) {
+            if ((lut(half(off + i) & 0xffff) > 0f) != (b(i) > 0f)) acc += 1
+            i += 1
+          }
+          if (acc.toDouble > bound) return acc.toDouble
+        }
+        acc.toDouble
+    }
+  }
+
   /** Declarative lowering of the same operator (the KnnJoin plan-node
     * expansion uses the equivalent Catalyst construction). */
   def exactDeclarative(

@@ -533,10 +533,16 @@ object NswGraph {
   /** DECODED-IN-RAM serving cell: the per-cell graph with every
     * decode already paid — vectors flattened contiguous, adjacency in
     * CSR form (`adjOff(i)..adjOff(i+1)` into `adjFlat`). `rows` is
-    * the ragged/oversize fallback (`flat` null), never both. */
+    * the ragged/oversize fallback (`flat` null), never both. `half`
+    * (r17) is the fp16-PACKED vector form (2 bytes/dim — the
+    * reference's own stored precision) produced by
+    * `packReplicaFp16`/`localReplica(packFp16 = true)`; when set,
+    * `flat`/`rows` are null and the beam kernel decodes per element
+    * through `Knn.distBoundedHalf`'s LUT. */
   final case class ServableCell(cid: Int, ids: Array[Long], dim: Int,
       flat: Array[Float], rows: Array[Array[Float]],
-      adjFlat: Array[Int], adjOff: Array[Int])
+      adjFlat: Array[Int], adjOff: Array[Int],
+      half: Array[Short] = null)
 
   /** Build the RESIDENT serving index: decode each CellGraph once —
     * flatten vectors, CSR the adjacency — and persist the result as
@@ -636,10 +642,13 @@ object NswGraph {
       nbuf: Array[Int]): Unit = {
     candidates.clear(); results.clear()
     val flat = cell.flat
+    val half = cell.half
     val dim = cell.dim
     def distTo(i: Int, bound: Double): Double =
       if (flat != null)
         Knn.distBoundedFlat(mcode, flat, i * dim, dim, target, bound)
+      else if (half != null)
+        Knn.distBoundedHalf(mcode, half, i * dim, dim, target, bound)
       else Knn.distBounded(mcode, cell.rows(i), target, bound)
     val d0 = distTo(0, Double.PositiveInfinity) // entry node = 0
     candidates.push(d0, 0); results.push(d0, 0)
@@ -664,6 +673,12 @@ object NswGraph {
               val base = nb * dim
               var t = 0
               while (t < dim) { sink += flat(base + t); t += 16 }
+            } else if (half != null) {
+              // packed rows are 2 bytes/dim — one touch per 32 shorts
+              // covers each cache line
+              val base = nb * dim
+              var t = 0
+              while (t < dim) { sink += half(base + t); t += 32 }
             }
           }
           j += 1
@@ -801,10 +816,44 @@ object NswGraph {
     def approxBytes: Long = cells.iterator.map { c =>
       val vec =
         if (c.flat != null) 4L * c.flat.length
+        else if (c.half != null) 2L * c.half.length
         else c.rows.iterator.map(r => 16L + 4L * r.length).sum
       vec + 8L * c.ids.length + 4L * c.adjFlat.length + 4L * c.adjOff.length
     }.sum
   }
+
+  /** Pack one serving cell's vectors to fp16 (2 bytes/dim,
+    * round-to-nearest-even — `Fp16.toHalf`, the same codec the fp16
+    * storage roundtrip queries pin against NumPy's `astype(float16)`).
+    * Ragged cells (`flat` null — oversize/mixed-dim fallbacks) stay
+    * fp32; already-packed cells pass through. */
+  private[operators] def packCellFp16(c: ServableCell): ServableCell =
+    if (c.flat == null) c
+    else {
+      val h = new Array[Short](c.flat.length)
+      var i = 0
+      while (i < h.length) {
+        h(i) = graft.functions.Fp16.toHalf(c.flat(i)); i += 1
+      }
+      c.copy(flat = null, half = h)
+    }
+
+  /** fp16-PACK a local replica (r17): every flat cell's vectors drop
+    * to 2 bytes/dim — the precision the reference itself stores and
+    * serves (`_fp16.npy`, utils_grid_search.py:364-365) — roughly
+    * halving the vector share of the footprint (ids/adjacency stay),
+    * so one serving JVM holds ~2× the rows. The beam kernel decodes
+    * per element through a 256 KB L2-resident LUT
+    * (`Knn.distBoundedHalf`); accepted sets can differ from fp32 only
+    * by the storage rounding, and the measured recall delta at 5M is
+    * ≈0 (the exact ground truth is fp32 on BOTH sides — same for the
+    * reference, whose truth sets are fp32 too; BENCH_scale_r17).
+    * Shares ids/adjacency arrays with the input replica; the fp32
+    * vector arrays are released when the caller drops the unpacked
+    * replica (or build packed directly: `localReplica(packFp16 =
+    * true)` packs per streamed cell, never holding both forms). */
+  def packReplicaFp16(rep: LocalReplica): LocalReplica =
+    new LocalReplica(rep.cells.map(packCellFp16), rep.centroidMatrix)
 
   /** Build the driver-local replica from the resident index — one
     * partition-streamed collection (`toLocalIterator`: one small job
@@ -821,7 +870,7 @@ object NswGraph {
     * loud-failure twin of `Resident.autoLevel`'s storage check. */
   def localReplica(idx: org.apache.spark.rdd.RDD[ServableCell],
       centroids: DataFrame, maxHeapFraction: Double = 0.6,
-      force: Boolean = false): LocalReplica = {
+      force: Boolean = false, packFp16: Boolean = false): LocalReplica = {
     if (!force) {
       val (rows, dimMax, edges) = idx
         .map(c => (c.ids.length.toLong,
@@ -830,7 +879,10 @@ object NswGraph {
           (c.adjOff(c.ids.length)).toLong))
         .fold((0L, 0, 0L)) { case ((r1, d1, e1), (r2, d2, e2)) =>
           (r1 + r2, math.max(d1, d2), e1 + e2) }
-      val est = Resident.estimateGraphBytes(rows, dimMax, edges)
+      // packed vectors take 2 bytes/dim instead of 4 (ids/adjacency
+      // unchanged) — the guard budgets the form actually built
+      val est = Resident.estimateGraphBytes(rows, dimMax, edges) -
+        (if (packFp16) 2L * rows * dimMax else 0L)
       val free = Resident.freeHeapAfterGc()
       require(est <= (free * maxHeapFraction).toLong,
         f"localReplica: decoded graph estimate ${est / 1e6}%.0f MB " +
@@ -839,7 +891,12 @@ object NswGraph {
           "distributed resident tier, grow the driver, or pass " +
           "force = true")
     }
-    new LocalReplica(idx.toLocalIterator.toArray,
+    // packing per streamed cell: the fp32 form of each cell is
+    // transient, so the build never holds both precisions of the
+    // whole corpus
+    val it = idx.toLocalIterator
+    new LocalReplica(
+      (if (packFp16) it.map(packCellFp16) else it).toArray,
       AnnIvf.collectCentroids(centroids))
   }
 
@@ -901,8 +958,14 @@ object NswGraph {
         b.result()
       }
     val touched = touchedCids.toSet
+    // a PACKED replica's refresh packs the fresh cells too — the
+    // refreshed replica never mixes precisions with its untouched
+    // (aliased) cells
+    val freshForm =
+      if (rep.cells.exists(_.half != null)) fresh.map(packCellFp16)
+      else fresh
     new LocalReplica(
-      rep.cells.filterNot(c => touched.contains(c.cid)) ++ fresh,
+      rep.cells.filterNot(c => touched.contains(c.cid)) ++ freshForm,
       rep.centroidMatrix)
   }
 

@@ -395,6 +395,17 @@ class NswSpec extends AnyFunSuite {
     assert(!autoB.cells.exists(c => afterDel.cells.exists(_ eq c)))
     assert(NswGraph.refreshLocalReplicaAuto(spark, s"$tmp/idx",
       afterDel, Array.emptyIntArray, centroids) eq afterDel)
+    // a PACKED replica's refresh re-packs the fresh cells: never a
+    // precision mix with the aliased untouched cells (r17)
+    val packedDel = NswGraph.packReplicaFp16(afterDel)
+    val packedRef = NswGraph.refreshLocalReplica(spark, s"$tmp/idx",
+      packedDel, Array(someCid))
+    assert(packedRef.cells.forall(c => c.half != null && c.flat == null))
+    assert(NswGraph.searchLocalQueries(packedRef, qArr, 5, nprobe = 8,
+      efSearch = 64).toSeq ==
+      NswGraph.searchLocalQueries(
+        NswGraph.packReplicaFp16(afterDel), qArr, 5, nprobe = 8,
+        efSearch = 64).toSeq)
   }
 
   test("graph deletion: touched cells rebuild bit-equal, empties vanish") {
@@ -441,5 +452,62 @@ class NswSpec extends AnyFunSuite {
       data.repartition(2), queries, 10, m = 8, efSearch = 128))
     assert(hi >= lo, s"ef=10 -> $lo, ef=128 -> $hi")
     assert(hi >= 0.85, s"high-ef recall $hi")
+  }
+
+  test("fp16-packed local replica (r17): bit-identical serve on " +
+      "fp16-exact vectors, vector bytes halved, streamed packed " +
+      "build equal, packed refresh stays packed") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // snap every data coordinate to the k/64 grid: |x| < 32 on that
+    // grid is EXACTLY representable in binary16 (spacing 2^-6 needs
+    // exponent <= 4), so toHalf/fromHalf round-trips bit-exactly and
+    // any packed-vs-fp32 divergence would be a KERNEL bug, not
+    // storage rounding — the query side stays fp32 in both kernels
+    val snapped = data.withColumn("embedding",
+      transform(col("embedding"),
+        x => (round(x * 64) / lit(64.0)).cast("float"))).cache()
+    snapped.count()
+    val centroids = graft.operators.AnnIvf.train(snapped, 8,
+      iterations = 2)
+    val idx = NswGraph.servableIndex(NswGraph.buildIndex(
+      graft.operators.AnnIvf.index(snapped, centroids),
+      m = 8, efConstruction = 32))
+    idx.count()
+    try {
+      val rep = NswGraph.localReplica(idx, centroids)
+      val packed = NswGraph.packReplicaFp16(rep)
+      // exactly the vector share halves (ids/adjacency unchanged)
+      val flatFloats = rep.cells.iterator
+        .filter(_.flat != null).map(_.flat.length.toLong).sum
+      assert(flatFloats > 0)
+      assert(packed.approxBytes == rep.approxBytes - 2L * flatFloats)
+      assert(packed.cells.forall(c => c.flat == null && c.half != null))
+      val qArr = queries.select(col("qid").cast("long"),
+        col("q_embedding")).as[(Long, Array[Float])].collect()
+      val f32 = NswGraph.searchLocalQueries(rep, qArr, 10, 8,
+        efSearch = 64)
+      val f16 = NswGraph.searchLocalQueries(packed, qArr, 10, 8,
+        efSearch = 64)
+      assert(f16.toSeq == f32.toSeq && f16.nonEmpty)
+      // masked serve identical too
+      val mask = snapped.filter(col("vec_id") % 5 === 1)
+        .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+      assert(NswGraph.searchLocalQueries(packed, qArr, 10, 8,
+        efSearch = 64, tombstones = Some(mask)).toSeq ==
+        NswGraph.searchLocalQueries(rep, qArr, 10, 8, efSearch = 64,
+          tombstones = Some(mask)).toSeq)
+      // the streamed packed build produces the same packed serve
+      val builtPacked = NswGraph.localReplica(idx, centroids,
+        packFp16 = true)
+      assert(builtPacked.cells.forall(_.half != null))
+      assert(NswGraph.searchLocalQueries(builtPacked, qArr, 10, 8,
+        efSearch = 64).toSeq == f16.toSeq)
+      // an incremental refresh of a packed replica re-packs the
+      // touched cells (never mixes precisions); empty touch = identity
+      assert(NswGraph.refreshLocalReplica(spark, "/nonexistent",
+        packed, Array.emptyIntArray) eq packed)
+    } finally { idx.unpersist(); snapped.unpersist() }
   }
 }
