@@ -51,7 +51,13 @@ object ProfileLocalFiltered {
       .getOrElse(Seq((4, 1, 12), (4, 1, 16), (4, 1, 20), (4, 1, 24),
         (4, 2, 24), (4, 3, 32), (2, 1, 24), (2, 2, 24), (2, 2, 32),
         (2, 3, 32)))
-    val lowOnly = args.lift(4).contains("lowonly")
+    // args(4) = comma mode list: "lowonly" (skip bucket/id-set
+    // sections), "fp16" (also measure the PACKED flat replica on the
+    // pre-filter buckets — the r17 packed form applied to the
+    // filtered tier)
+    val modes = args.lift(4).map(_.split(',').toSet).getOrElse(Set.empty)
+    val lowOnly = modes.contains("lowonly")
+    val fp16Mode = modes.contains("fp16")
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -248,6 +254,48 @@ object ProfileLocalFiltered {
             f"lat(avg/p99)=$iAvg%.2f/$iP99%.2f ms " +
             f"[${idSet.length} ids, collect $idSec%.2fs]")
         }
+    }
+
+    // PACKED flat replica (r17): the fp16 form on the pre-filter
+    // buckets — same dispatch, same dials, packed-vs-fp32 in one
+    // window (row-identity on fp16-exact vectors is the KnnSpec pin;
+    // here the real-data recall delta and the LUT-decode qps cost)
+    if (fp16Mode) {
+      val (packedFlat, packSec) = time {
+        AnnIvf.packCellReplicaFp16(flatRep)
+      }
+      println(f"[plf] PACKED flat replica: " +
+        f"${packedFlat.approxBytes / 1e6}%.0f MB vs " +
+        f"${flatRep.approxBytes / 1e6}%.0f MB fp32 (pack $packSec%.2fs)")
+      Seq(("high", 1.561, 0.1561), ("mid", 0.077, 0.0077)).foreach {
+        case (nm, thr, sel) =>
+          val pred: Double => Boolean = _ < thr
+          val truth = Knn.exact(data.filter(col("rating_m") < thr),
+            qSample, k).cache()
+          truth.count()
+          val (strat, pRows) = Serving.serveFilteredLocalExplained(
+            packedFlat, Some(graphRep), sampleArr, k, pred, nprobe = 4,
+            efSearch = 32, selectivity = Some(sel))
+          val pRecall = recallOf(pRows, truth)
+          Seq(100, 1000).foreach { bs =>
+            val (fQps, _, _) = measureLoop(bs) { batch =>
+              Serving.serveFilteredLocalExplained(flatRep,
+                Some(graphRep), batch, k, pred, nprobe = 4,
+                efSearch = 32, selectivity = Some(sel))
+            }
+            val (pQps, pAvg, pP99) = measureLoop(bs) { batch =>
+              Serving.serveFilteredLocalExplained(packedFlat,
+                Some(graphRep), batch, k, pred, nprobe = 4,
+                efSearch = 32, selectivity = Some(sel))
+            }
+            println(f"[plf] PACKED $nm%-4s (${strat.name}%-22s) " +
+              f"batch=$bs%5d: packed $pQps%9.1f qps vs fp32 " +
+              f"$fQps%9.1f qps (ratio ${pQps / fQps}%.3f) " +
+              f"recall@10=$pRecall%.4f " +
+              f"lat(avg/p99)=$pAvg%.2f/$pP99%.2f ms")
+          }
+          truth.unpersist()
+      }
     }
 
     // MATCHED-RECALL low-bucket point (r14 verdict item 4): the

@@ -38,8 +38,12 @@ import graft.operators.{AnnIvf, Knn, NswGraph, Recall, Sharded}
   * form holds the 5M operating point per shard instead.
   *
   * usage: runMain graft.ProfileSharded [nVectors] [nShards] [nQueries]
-  *          [cellsPerShard] [dials]
+  *          [cellsPerShard] [dials] [fp16]
   * `dials` = comma list of np:efs pairs (default "2:32,2:48").
+  * `fp16` additionally packs every shard replica
+  * (`NswGraph.packReplicaFp16`) and repeats the recall + closed-loop
+  * sections on the packed shards — per-shard footprint drops to the
+  * packed form, so one serving JVM holds ~2× the shard rows.
   */
 object ProfileSharded {
   def main(args: Array[String]): Unit = {
@@ -52,6 +56,7 @@ object ProfileSharded {
         val Array(np, efs) = s.split(':'); (np.toInt, efs.toInt)
       })
       .getOrElse(Seq((2, 32), (2, 48)))
+    val fp16Mode = args.lift(5).contains("fp16")
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -151,6 +156,51 @@ object ProfileSharded {
           f"np$np/efS$efs: ${qArr.length} queries in $best%7.3fs = " +
           f"${qArr.length / best}%9.1f qps lat(avg/p99)=" +
           f"$avgMs%.2f/$p99Ms%.2f ms")
+      }
+    }
+
+    // PACKED shards (r17): per-shard footprint at the reference's own
+    // stored precision — the 2x-rows-per-JVM dial, measured on the
+    // same shards in the same window
+    if (fp16Mode) {
+      val packed = shardReps.map { r =>
+        val (p, s) = time { NswGraph.packReplicaFp16(r) }
+        println(f"[pshard] PACKED shard: ${p.approxBytes / 1e6}%.0f MB " +
+          f"vs ${r.approxBytes / 1e6}%.0f MB fp32 (pack $s%.2fs)")
+        p
+      }
+      println(f"[pshard] PACKED total across $nShards shards: " +
+        f"${packed.map(_.approxBytes).sum / 1e6}%.0f MB")
+      dials.foreach { case (np, efs) =>
+        val rows = Sharded.searchShardedLocalQueries(packed, sampleArr,
+          k, np, efSearch = efs)
+        val df = spark.createDataset(rows.toSeq)
+          .toDF("qid", "rank", "neighbor_id", "dist")
+        val r = Recall.ofRanked(df, truth).head()
+        println(f"[pshard] PACKED sharded recall@10 np$np/efS$efs = " +
+          f"${r.getDouble(r.fieldIndex("recall"))}%.4f")
+      }
+      Sharded.searchShardedLocalQueries(packed, qArr.take(10000), k, 2, 32)
+      Seq(100, 1000).foreach { bs =>
+        dials.foreach { case (np, efs) =>
+          val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
+            var off = 0
+            while (off < qArr.length) {
+              val batch = java.util.Arrays.copyOfRange(qArr, off,
+                math.min(off + bs, qArr.length))
+              timeBatch {
+                Sharded.searchShardedLocalQueries(packed, batch, k, np,
+                  efSearch = efs)
+              }
+              off += bs
+            }
+          }
+          val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
+          println(f"[pshard] PACKED SHARDED closed-loop ${nShards}x " +
+            f"batch=$bs%5d np$np/efS$efs: ${qArr.length} queries in " +
+            f"$best%7.3fs = ${qArr.length / best}%9.1f qps " +
+            f"lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
+        }
       }
     }
     spark.stop()

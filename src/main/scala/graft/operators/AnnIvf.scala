@@ -1126,9 +1126,23 @@ object AnnIvf {
       val dim: Int,
       val flat: Array[Float], // null when ragged -> rows
       val rows: Array[Array[Float]],
-      val centroidMatrix: Array[Array[Float]]) extends Serializable {
+      val centroidMatrix: Array[Array[Float]],
+      // fp16-PACKED vector form (r17, `packCellReplicaFp16`): when
+      // set, flat/rows are null and the scan kernels decode per
+      // element through Knn.distBoundedHalf's LUT — the graph tier's
+      // packed form, applied to the filtered-serving flat tier
+      val half: Array[Short] = null) extends Serializable {
     def size: Int = ids.length
     def nCells: Int = cellOff.length - 1
+    /** Decoded footprint (vectors + ids + attrs + offsets), bytes. */
+    def approxBytes: Long = {
+      val vec =
+        if (flat != null) 4L * flat.length
+        else if (half != null) 2L * half.length
+        else rows.iterator.map(r => 16L + 4L * r.length).sum
+      vec + 8L * ids.length + 4L * cellOff.length +
+        (if (attrs == null) 0L else 8L * attrs.length)
+    }
     // globally id-sorted view for the mild branch's membership/attr
     // lookups (built once; ids are unique by the index contract)
     private[operators] val (sortedIds, attrsBySorted)
@@ -1344,6 +1358,29 @@ object AnnIvf {
       collectCentroids(centroids))
   }
 
+  /** fp16-PACK a flat local replica (r17 — the graph tier's
+    * `NswGraph.packReplicaFp16` applied to the filtered-serving flat
+    * tier): the contiguous vector array drops to 2 bytes/dim (the
+    * reference's own stored precision); ids/attrs/offsets/centroids
+    * are SHARED by reference with the input. The scan kernels decode
+    * per element through `Knn.distBoundedHalf`'s 256 KB LUT with the
+    * fp32 kernel's exact accumulation + early-abandon structure, so
+    * packed-vs-fp32 results can differ only by the storage rounding —
+    * pinned bit-identical on fp16-exact vectors in KnnSpec, recall
+    * delta measured ≈0 at 5M (BENCH_scale_r17). Ragged replicas
+    * (`flat` null → `rows`) are returned unchanged. */
+  def packCellReplicaFp16(rep: LocalCellReplica): LocalCellReplica =
+    if (rep.flat == null) rep
+    else {
+      val h = new Array[Short](rep.flat.length)
+      var i = 0
+      while (i < h.length) {
+        h(i) = graft.functions.Fp16.toHalf(rep.flat(i)); i += 1
+      }
+      new LocalCellReplica(rep.byCid, rep.cellOff, rep.ids, rep.attrs,
+        rep.dim, null, null, rep.centroidMatrix, h)
+    }
+
   /** THE small-batch flat-tier hot path: pre-filter probe-and-scan
     * over the local replica with ZERO Spark jobs — the in-process
     * twin of `searchServableCells` (bit-identical rows, KnnSpec pin):
@@ -1479,6 +1516,9 @@ object AnnIvf {
       val d =
         if (rep.flat != null)
           Knn.distBoundedFlat(mcode, rep.flat, i * rep.dim, rep.dim,
+            qv, h.bound)
+        else if (rep.half != null)
+          Knn.distBoundedHalf(mcode, rep.half, i * rep.dim, rep.dim,
             qv, h.bound)
         else Knn.distBounded(mcode, rep.rows(i), qv, h.bound)
       h.insert(d, rep.ids(i))

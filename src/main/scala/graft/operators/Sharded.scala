@@ -111,6 +111,8 @@ object Sharded {
       val attrs = if (rep.attrs == null) null else new Array[Double](n)
       val flat =
         if (rep.flat == null) null else new Array[Float](n * rep.dim)
+      val half =
+        if (rep.half == null) null else new Array[Short](n * rep.dim)
       val rows =
         if (rep.rows == null) null else new Array[Array[Float]](n)
       i = 0
@@ -122,11 +124,13 @@ object Sharded {
         if (attrs != null) System.arraycopy(rep.attrs, from, attrs, at, len)
         if (flat != null) System.arraycopy(rep.flat, from * rep.dim,
           flat, at * rep.dim, len * rep.dim)
+        if (half != null) System.arraycopy(rep.half, from * rep.dim,
+          half, at * rep.dim, len * rep.dim)
         if (rows != null) System.arraycopy(rep.rows, from, rows, at, len)
         i += 1
       }
       new AnnIvf.LocalCellReplica(byCid, cellOff, ids, attrs, rep.dim,
-        flat, rows, rep.centroidMatrix)
+        flat, rows, rep.centroidMatrix, half)
     }
   }
 

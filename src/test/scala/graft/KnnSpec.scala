@@ -614,6 +614,72 @@ class KnnSpec extends AnyFunSuite {
     cells.unpersist(); indexed.unpersist()
   }
 
+  test("fp16-packed flat replica (r17): bit-identical scan kernels on " +
+      "fp16-exact vectors (attr, mask, id-set, exact), shared " +
+      "non-vector arrays, halved vector bytes, split carries the " +
+      "packed form") {
+    import org.apache.spark.sql.functions.{col, lit, round, transform}
+    // k/64 grid: exactly representable in binary16 (see the NswSpec
+    // twin) — divergence would be a kernel bug, not storage rounding
+    val snapped = data.filter(SparkEntry.filterLow)
+      .withColumn("embedding", transform(col("embedding"),
+        x => (round(x * 64) / lit(64.0)).cast("float"))).cache()
+    snapped.count()
+    val centroids = AnnIvf.train(snapped, numCentroids = 8,
+      iterations = 2)
+    val indexed = AnnIvf.index(snapped, centroids).cache()
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    cells.count()
+    try {
+      val rep = AnnIvf.localCellReplica(cells, centroids)
+      val packed = AnnIvf.packCellReplicaFp16(rep)
+      assert(packed.half != null && packed.flat == null)
+      // non-vector arrays shared by reference; vector share halved
+      assert((packed.ids eq rep.ids) && (packed.attrs eq rep.attrs) &&
+        (packed.cellOff eq rep.cellOff) &&
+        (packed.centroidMatrix eq rep.centroidMatrix))
+      assert(packed.approxBytes == rep.approxBytes - 2L * rep.flat.length)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val pred: Double => Boolean = a => a == 0.0 || a == 1.0
+      val mask = snapped.filter($"vec_id" % 5 === 1)
+        .select($"vec_id").collect().map(_.getLong(0)).sorted
+      val idSet = snapped.filter($"vec_id" % 3 =!= 1)
+        .select($"vec_id").collect().map(_.getLong(0)).sorted
+      // probe-scan: plain / attr / mask / id-set — packed == fp32
+      Seq[(Option[Double => Boolean], Option[Array[Long]],
+           Option[Array[Long]])](
+        (None, None, None), (Some(pred), None, None),
+        (None, Some(mask), None), (None, None, Some(idSet)),
+        (Some(pred), Some(mask), None)).foreach { case (p, t, s) =>
+        val f32 = AnnIvf.searchLocalCellsQueries(rep, qArr, 10,
+          nprobe = 4, attrPred = p, tombstones = t, idSet = s)
+        val f16 = AnnIvf.searchLocalCellsQueries(packed, qArr, 10,
+          nprobe = 4, attrPred = p, tombstones = t, idSet = s)
+        assert(f16.toSeq == f32.toSeq && f16.nonEmpty,
+          s"attr=${p.isDefined} mask=${t.isDefined} idset=${s.isDefined}")
+      }
+      // the exhaustive kernel too
+      assert(AnnIvf.searchLocalExactQueries(packed, qArr, 10,
+        attrPred = Some(pred), tombstones = Some(mask)).toSeq ==
+        AnnIvf.searchLocalExactQueries(rep, qArr, 10,
+          attrPred = Some(pred), tombstones = Some(mask)).toSeq)
+      // a split of the packed replica carries the packed form and
+      // serves identically through the sharded strong branch
+      val shards = graft.operators.Sharded.splitCellReplica(packed, 3)
+      assert(shards.forall(s => s.half != null && s.flat == null))
+      val (st, sharded) = graft.operators.Sharded
+        .serveFilteredShardedExplained(shards, None, qArr, 10, pred,
+          nprobe = 4, extreme = 0.02)
+      val (st1, single) = graft.operators.Serving
+        .serveFilteredLocalExplained(packed, None, qArr, 10, pred,
+          nprobe = 4, extreme = 0.02)
+      assert(st == st1 && sharded.toSeq == single.toSeq &&
+        sharded.nonEmpty)
+    } finally { cells.unpersist(); indexed.unpersist()
+      snapped.unpersist() }
+  }
+
   test("positional id-set mask: memoized per id-set instance, rows " +
       "identical to the attr route and to the mask-free contract " +
       "(r16 — the bit-probe keep test must be pure representation)") {
