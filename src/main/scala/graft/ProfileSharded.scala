@@ -156,6 +156,26 @@ object ProfileSharded {
           f"np$np/efS$efs: ${qArr.length} queries in $best%7.3fs = " +
           f"${qArr.length / best}%9.1f qps lat(avg/p99)=" +
           f"$avgMs%.2f/$p99Ms%.2f ms")
+        // the PARALLEL fan-out: same rows (ShardedSpec), batch
+        // latency = slowest shard + merge instead of the K-shard sum
+        // — the in-process approximation of the deployment shape
+        val (bestP, latsP) = ProfileStats.bestPass(2) { timeBatch =>
+          var off = 0
+          while (off < qArr.length) {
+            val batch = java.util.Arrays.copyOfRange(qArr, off,
+              math.min(off + bs, qArr.length))
+            timeBatch {
+              Sharded.searchShardedLocalQueries(shardReps, batch, k, np,
+                efSearch = efs, parallelShards = true)
+            }
+            off += bs
+          }
+        }
+        val (avgP, p99P) = ProfileStats.latencyMs(latsP)
+        println(f"[pshard] PARFAN  closed-loop ${nShards}x batch=$bs%5d " +
+          f"np$np/efS$efs: ${qArr.length} queries in $bestP%7.3fs = " +
+          f"${qArr.length / bestP}%9.1f qps lat(avg/p99)=" +
+          f"$avgP%.2f/$p99P%.2f ms")
       }
     }
 

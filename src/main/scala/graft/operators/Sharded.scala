@@ -169,17 +169,45 @@ object Sharded {
     * (dist, id). For split shards this is row-identical to the
     * single-replica `searchLocalQueries` (ShardedSpec); for
     * independent shards it is the N-replicas-over-N-data-shards
-    * deployment serve. */
+    * deployment serve.
+    *
+    * `parallelShards = true` fans the K shard serves onto K plain
+    * threads (each shard's kernel still chunks its queries over the
+    * shared worker pool) — the IN-PROCESS approximation of the
+    * deployment's parallel fan-out, where batch latency is the
+    * slowest SHARD plus one merge instead of the K-shard sum.
+    * Results are identical either way (per-shard serves are
+    * independent pure functions; ShardedSpec pins it): the flag
+    * trades scheduling for latency, never semantics. Default stays
+    * sequential — the honest total-work measurement shape. */
   def searchShardedLocalQueries(reps: Seq[NswGraph.LocalReplica],
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
-      tombstones: Option[Array[Long]] = None): Rows = {
+      tombstones: Option[Array[Long]] = None,
+      parallelShards: Boolean = false): Rows = {
     require(reps.nonEmpty, "searchShardedLocalQueries needs >= 1 shard")
     if (queries.isEmpty) return Array.empty
-    mergeSlots(
-      reps.map(r => NswGraph.searchLocalQueriesSlots(r, queries, k,
-        nprobe, efSearch, metric, tombstones)),
-      queries.map(_._1), k)
+    val perShard: Seq[Array[Rows]] =
+      if (!parallelShards || reps.length == 1)
+        reps.map(r => NswGraph.searchLocalQueriesSlots(r, queries, k,
+          nprobe, efSearch, metric, tombstones))
+      else {
+        val out = new Array[Array[Rows]](reps.length)
+        val err = new java.util.concurrent.atomic
+          .AtomicReference[Throwable]()
+        val threads = reps.zipWithIndex.map { case (r, i) =>
+          val t = new Thread(() =>
+            try out(i) = NswGraph.searchLocalQueriesSlots(r, queries,
+              k, nprobe, efSearch, metric, tombstones)
+            catch { case x: Throwable => err.compareAndSet(null, x) },
+            s"graft-shard-fan-$i")
+          t.setDaemon(true); t.start(); t
+        }
+        threads.foreach(_.join())
+        if (err.get() != null) throw err.get()
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+      }
+    mergeSlots(perShard, queries.map(_._1), k)
   }
 
   /** FILTERED sharded serving, attr-twin filter form — the sharded

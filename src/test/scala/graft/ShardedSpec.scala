@@ -62,6 +62,13 @@ class ShardedSpec extends AnyFunSuite {
       val one = Sharded.searchShardedLocalQueries(
         Sharded.splitGraphReplica(rep, 1), qArr, 10, 8, efSearch = 64)
       assert(one.toSeq == single.toSeq)
+      // parallel shard fan-out: identical rows (scheduling, never
+      // semantics), masked included
+      assert(Sharded.searchShardedLocalQueries(shards, qArr, 10, 8,
+        efSearch = 64, parallelShards = true).toSeq == single.toSeq)
+      assert(Sharded.searchShardedLocalQueries(shards, qArr, 10, 8,
+        efSearch = 64, tombstones = Some(mask),
+        parallelShards = true).toSeq == singleM.toSeq)
       // duplicate qids stay independent positional slots through the
       // merge (the r14/r15 duplicate-qid contract)
       val dup = Array(qArr(0), qArr(0), qArr(1))
