@@ -134,6 +134,28 @@ object Sharded {
     }
   }
 
+  /** Run one serve per shard, sequentially or on K plain threads
+    * (`parallel` — the kernels inside still chunk over the shared
+    * worker pool; per-shard serves are independent pure functions, so
+    * the flag never changes rows). */
+  private def fanShards[A](shards: Seq[A], parallel: Boolean)(
+      f: A => Array[Rows]): Seq[Array[Rows]] =
+    if (!parallel || shards.length == 1) shards.map(f)
+    else {
+      val out = new Array[Array[Rows]](shards.length)
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val threads = shards.zipWithIndex.map { case (s, i) =>
+        val t = new Thread(() =>
+          try out(i) = f(s)
+          catch { case x: Throwable => err.compareAndSet(null, x) },
+          s"graft-shard-fan-$i")
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
+      if (err.get() != null) throw err.get()
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+
   /** Merge K shards' per-slot ranked lists into one ranked top-`k`
     * per slot, flattened in slot order with ranks renumbered 1..≤k.
     * `qids` names each slot (an all-shards-empty slot has no row to
@@ -187,27 +209,11 @@ object Sharded {
       parallelShards: Boolean = false): Rows = {
     require(reps.nonEmpty, "searchShardedLocalQueries needs >= 1 shard")
     if (queries.isEmpty) return Array.empty
-    val perShard: Seq[Array[Rows]] =
-      if (!parallelShards || reps.length == 1)
-        reps.map(r => NswGraph.searchLocalQueriesSlots(r, queries, k,
-          nprobe, efSearch, metric, tombstones))
-      else {
-        val out = new Array[Array[Rows]](reps.length)
-        val err = new java.util.concurrent.atomic
-          .AtomicReference[Throwable]()
-        val threads = reps.zipWithIndex.map { case (r, i) =>
-          val t = new Thread(() =>
-            try out(i) = NswGraph.searchLocalQueriesSlots(r, queries,
-              k, nprobe, efSearch, metric, tombstones)
-            catch { case x: Throwable => err.compareAndSet(null, x) },
-            s"graft-shard-fan-$i")
-          t.setDaemon(true); t.start(); t
-        }
-        threads.foreach(_.join())
-        if (err.get() != null) throw err.get()
-        scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
-      }
-    mergeSlots(perShard, queries.map(_._1), k)
+    mergeSlots(
+      fanShards(reps, parallelShards)(r =>
+        NswGraph.searchLocalQueriesSlots(r, queries, k, nprobe,
+          efSearch, metric, tombstones)),
+      queries.map(_._1), k)
   }
 
   /** FILTERED sharded serving, attr-twin filter form — the sharded
@@ -243,7 +249,8 @@ object Sharded {
       mild: Double = 0.5, extreme: Double = Serving.CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      parallelShards: Boolean = false)
       : (Serving.Strategy, Rows) = {
     require(flatShards.forall(_.attrs != null),
       "serveFilteredSharded needs attr-built shard replicas - build " +
@@ -251,7 +258,7 @@ object Sharded {
         "the filter as an id-set (serveFilteredShardedIdSetExplained)")
     serveShardedCore(flatShards, graphShards, queries, k, attrPred,
       null, nprobe, efSearch, overFetchMult, selectivity, mild,
-      extreme, maxOverFetchK, metric, tombstones)
+      extreme, maxOverFetchK, metric, tombstones, parallelShards)
   }
 
   /** `serveFilteredShardedExplained` for ANY filter via its sorted
@@ -268,12 +275,13 @@ object Sharded {
       mild: Double = 0.5, extreme: Double = Serving.CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      parallelShards: Boolean = false)
       : (Serving.Strategy, Rows) = {
     require(idSet != null, "idSet must be non-null (empty = no survivors)")
     serveShardedCore(flatShards, graphShards, queries, k, null, idSet,
       nprobe, efSearch, overFetchMult, selectivity, mild, extreme,
-      maxOverFetchK, metric, tombstones)
+      maxOverFetchK, metric, tombstones, parallelShards)
   }
 
   private def serveShardedCore(
@@ -285,7 +293,8 @@ object Sharded {
       overFetchMult: Int, selectivity: Option[Double],
       mild: Double, extreme: Double,
       maxOverFetchK: Int, metric: String,
-      tombstones: Option[Array[Long]])
+      tombstones: Option[Array[Long]],
+      parallelShards: Boolean)
       : (Serving.Strategy, Rows) = {
     require(flatShards.nonEmpty, "serveFilteredSharded needs >= 1 shard")
     require(overFetchMult >= 1, s"overFetchMult must be >= 1")
@@ -325,15 +334,17 @@ object Sharded {
           "returns IvfPrefilter; the resident tag is applied below")
       case Serving.ExactScan =>
         (Serving.ExactScan, mergeSlots(
-          flatShards.map(f => AnnIvf.localCellCoreSlots(f, queries, k,
-            0, metric, Option(attrPred), Option(idSet), tombstones,
-            exhaustive = true)),
+          fanShards(flatShards, parallelShards)(f =>
+            AnnIvf.localCellCoreSlots(f, queries, k,
+              0, metric, Option(attrPred), Option(idSet), tombstones,
+              exhaustive = true)),
           qids, k))
       case Serving.IvfPrefilter =>
         (Serving.IvfPrefilterResident, mergeSlots(
-          flatShards.map(f => AnnIvf.localCellCoreSlots(f, queries, k,
-            nprobe, metric, Option(attrPred), Option(idSet), tombstones,
-            exhaustive = false)),
+          fanShards(flatShards, parallelShards)(f =>
+            AnnIvf.localCellCoreSlots(f, queries, k,
+              nprobe, metric, Option(attrPred), Option(idSet), tombstones,
+              exhaustive = false)),
           qids, k))
       case Serving.GraphOverfetch =>
         val kF = math.min(maxOverFetchK,
@@ -341,8 +352,9 @@ object Sharded {
             math.ceil(overFetchMult * k / sel).toInt)))
         val efF = math.max(efSearch, kF)
         val graphs = graphShards.get
-        val perShard = graphs.map(g => NswGraph.searchLocalQueriesSlots(
-          g, queries, kF, nprobe, efF, metric, tombstones))
+        val perShard = fanShards(graphs, parallelShards)(g =>
+          NswGraph.searchLocalQueriesSlots(
+            g, queries, kF, nprobe, efF, metric, tombstones))
         // global top-k' candidate cut FIRST (the unsharded branch's
         // candidate set exactly), then the survivor filter, then k
         val out = Array.newBuilder[(Long, Long, Long, Double)]
