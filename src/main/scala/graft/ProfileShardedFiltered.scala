@@ -23,7 +23,11 @@ import graft.operators.{AnnIvf, Knn, Recall, Serving, Sharded}
   * rows, ShardedSpec).
   *
   * usage: runMain graft.ProfileShardedFiltered [nVectors] [nShards]
-  *          [nQueries] [cellsPerShard]
+  *          [nQueries] [cellsPerShard] [nprobes]
+  * `nprobes` = comma list of per-shard nprobe dials (default "4,2" —
+  * np4 matches the single replica's recall class at 2x its probed
+  * rows; np2 is the iso-scan-work dial: K shards x np2 cells of n/K/C
+  * rows = the single replica's np4 x n/C' row budget).
   */
 object ProfileShardedFiltered {
   def main(args: Array[String]): Unit = {
@@ -31,6 +35,8 @@ object ProfileShardedFiltered {
     val nShards = args.lift(1).map(_.toInt).getOrElse(4)
     val nQ = args.lift(2).map(_.toInt).getOrElse(100000)
     val cellsPerShard = args.lift(3).map(_.toInt).getOrElse(1024)
+    val nprobes: Seq[Int] = args.lift(4)
+      .map(_.split(',').toSeq.map(_.toInt)).getOrElse(Seq(4, 2))
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,33 +122,36 @@ object ProfileShardedFiltered {
         val truth = Knn.exact(data.filter(col("rating_m") < thr),
           qSample, k).cache()
         truth.count()
-        val (strat, sRows) = Sharded.serveFilteredShardedExplained(
-          flatShards, None, sampleArr, k, pred, nprobe = 4,
-          efSearch = 32, selectivity = Some(sel))
-        val df = spark.createDataset(sRows.toSeq)
-          .toDF("qid", "rank", "neighbor_id", "dist")
-        val rr = Recall.ofRanked(df, truth).head()
-        val recall = rr.getDouble(rr.fieldIndex("recall"))
-        // sanity: sharded parfan == sharded sequential on the sample
-        val (_, pRows) = Sharded.serveFilteredShardedExplained(
-          flatShards, None, sampleArr, k, pred, nprobe = 4,
-          efSearch = 32, selectivity = Some(sel), parallelShards = true)
-        require(pRows.toSeq == sRows.toSeq, "parfan diverged")
-        Seq(100, 1000).foreach { bs =>
-          val (sQps, sAvg, sP99) = measureLoop(bs) { batch =>
-            Sharded.serveFilteredShardedExplained(flatShards, None,
-              batch, k, pred, nprobe = 4, efSearch = 32,
-              selectivity = Some(sel))
+        nprobes.foreach { np =>
+          val (strat, sRows) = Sharded.serveFilteredShardedExplained(
+            flatShards, None, sampleArr, k, pred, nprobe = np,
+            efSearch = 32, selectivity = Some(sel))
+          val df = spark.createDataset(sRows.toSeq)
+            .toDF("qid", "rank", "neighbor_id", "dist")
+          val rr = Recall.ofRanked(df, truth).head()
+          val recall = rr.getDouble(rr.fieldIndex("recall"))
+          // sanity: sharded parfan == sharded sequential on the sample
+          val (_, pRows) = Sharded.serveFilteredShardedExplained(
+            flatShards, None, sampleArr, k, pred, nprobe = np,
+            efSearch = 32, selectivity = Some(sel),
+            parallelShards = true)
+          require(pRows.toSeq == sRows.toSeq, "parfan diverged")
+          Seq(100, 1000).foreach { bs =>
+            val (sQps, sAvg, sP99) = measureLoop(bs) { batch =>
+              Sharded.serveFilteredShardedExplained(flatShards, None,
+                batch, k, pred, nprobe = np, efSearch = 32,
+                selectivity = Some(sel))
+            }
+            val (pQps, pAvg, pP99) = measureLoop(bs) { batch =>
+              Sharded.serveFilteredShardedExplained(flatShards, None,
+                batch, k, pred, nprobe = np, efSearch = 32,
+                selectivity = Some(sel), parallelShards = true)
+            }
+            println(f"[pshardf] SHARDED filtered $nm%-4s np$np " +
+              f"(${strat.name}%-22s) batch=$bs%5d: seq $sQps%9.1f qps " +
+              f"(lat $sAvg%.2f/$sP99%.2f) | parfan $pQps%9.1f qps " +
+              f"(lat $pAvg%.2f/$pP99%.2f) recall@10=$recall%.4f")
           }
-          val (pQps, pAvg, pP99) = measureLoop(bs) { batch =>
-            Sharded.serveFilteredShardedExplained(flatShards, None,
-              batch, k, pred, nprobe = 4, efSearch = 32,
-              selectivity = Some(sel), parallelShards = true)
-          }
-          println(f"[pshardf] SHARDED filtered $nm%-4s " +
-            f"(${strat.name}%-22s) batch=$bs%5d: seq $sQps%9.1f qps " +
-            f"(lat $sAvg%.2f/$sP99%.2f) | parfan $pQps%9.1f qps " +
-            f"(lat $pAvg%.2f/$pP99%.2f) recall@10=$recall%.4f")
         }
         truth.unpersist()
     }
