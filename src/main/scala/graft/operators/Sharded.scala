@@ -403,7 +403,8 @@ object Sharded {
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      parallelShards: Boolean = false)
       : (Serving.Strategy, DataFrame) = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -412,7 +413,8 @@ object Sharded {
       .as[(Long, Array[Float])].collect()
     val (strategy, rows) = serveFilteredShardedExplained(flatShards,
       graphShards, qRows, k, attrPred, nprobe, efSearch, overFetchMult,
-      selectivity, mild, extreme, maxOverFetchK, metric, tombstones)
+      selectivity, mild, extreme, maxOverFetchK, metric, tombstones,
+      parallelShards)
     (strategy, spark.createDataset(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
       .toDF("qid", "rank", "neighbor_id", "dist"))
@@ -432,7 +434,8 @@ object Sharded {
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      parallelShards: Boolean = false)
       : (Serving.Strategy, DataFrame) = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -442,7 +445,7 @@ object Sharded {
     val (strategy, rows) = serveFilteredShardedIdSetExplained(
       flatShards, graphShards, qRows, k, idSet, nprobe, efSearch,
       overFetchMult, selectivity, mild, extreme, maxOverFetchK, metric,
-      tombstones)
+      tombstones, parallelShards)
     (strategy, spark.createDataset(
       scala.collection.immutable.ArraySeq.unsafeWrapArray(rows))
       .toDF("qid", "rank", "neighbor_id", "dist"))
