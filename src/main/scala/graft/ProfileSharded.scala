@@ -139,43 +139,23 @@ object ProfileSharded {
 
     Seq(100, 1000).foreach { bs =>
       dials.foreach { case (np, efs) =>
-        val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
-          var off = 0
-          while (off < qArr.length) {
-            val batch = java.util.Arrays.copyOfRange(qArr, off,
-              math.min(off + bs, qArr.length))
-            timeBatch {
-              Sharded.searchShardedLocalQueries(shardReps, batch, k, np,
-                efSearch = efs)
-            }
-            off += bs
-          }
+        val (qps, avgMs, p99Ms) = ProfileStats.closedLoop(qArr, bs) {
+          batch => Sharded.searchShardedLocalQueries(shardReps, batch,
+            k, np, efSearch = efs)
         }
-        val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
         println(f"[pshard] SHARDED closed-loop ${nShards}x batch=$bs%5d " +
-          f"np$np/efS$efs: ${qArr.length} queries in $best%7.3fs = " +
-          f"${qArr.length / best}%9.1f qps lat(avg/p99)=" +
-          f"$avgMs%.2f/$p99Ms%.2f ms")
+          f"np$np/efS$efs: ${qArr.length} queries = " +
+          f"$qps%9.1f qps lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
         // the PARALLEL fan-out: same rows (ShardedSpec), batch
         // latency = slowest shard + merge instead of the K-shard sum
         // — the in-process approximation of the deployment shape
-        val (bestP, latsP) = ProfileStats.bestPass(2) { timeBatch =>
-          var off = 0
-          while (off < qArr.length) {
-            val batch = java.util.Arrays.copyOfRange(qArr, off,
-              math.min(off + bs, qArr.length))
-            timeBatch {
-              Sharded.searchShardedLocalQueries(shardReps, batch, k, np,
-                efSearch = efs, parallelShards = true)
-            }
-            off += bs
-          }
+        val (qpsP, avgP, p99P) = ProfileStats.closedLoop(qArr, bs) {
+          batch => Sharded.searchShardedLocalQueries(shardReps, batch,
+            k, np, efSearch = efs, parallelShards = true)
         }
-        val (avgP, p99P) = ProfileStats.latencyMs(latsP)
         println(f"[pshard] PARFAN  closed-loop ${nShards}x batch=$bs%5d " +
-          f"np$np/efS$efs: ${qArr.length} queries in $bestP%7.3fs = " +
-          f"${qArr.length / bestP}%9.1f qps lat(avg/p99)=" +
-          f"$avgP%.2f/$p99P%.2f ms")
+          f"np$np/efS$efs: ${qArr.length} queries = " +
+          f"$qpsP%9.1f qps lat(avg/p99)=$avgP%.2f/$p99P%.2f ms")
       }
     }
 
@@ -203,23 +183,13 @@ object ProfileSharded {
       Sharded.searchShardedLocalQueries(packed, qArr.take(10000), k, 2, 32)
       Seq(100, 1000).foreach { bs =>
         dials.foreach { case (np, efs) =>
-          val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
-            var off = 0
-            while (off < qArr.length) {
-              val batch = java.util.Arrays.copyOfRange(qArr, off,
-                math.min(off + bs, qArr.length))
-              timeBatch {
-                Sharded.searchShardedLocalQueries(packed, batch, k, np,
-                  efSearch = efs)
-              }
-              off += bs
-            }
+          val (qps, avgMs, p99Ms) = ProfileStats.closedLoop(qArr, bs) {
+            batch => Sharded.searchShardedLocalQueries(packed, batch,
+              k, np, efSearch = efs)
           }
-          val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
           println(f"[pshard] PACKED SHARDED closed-loop ${nShards}x " +
-            f"batch=$bs%5d np$np/efS$efs: ${qArr.length} queries in " +
-            f"$best%7.3fs = ${qArr.length / best}%9.1f qps " +
-            f"lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
+            f"batch=$bs%5d np$np/efS$efs: ${qArr.length} queries = " +
+            f"$qps%9.1f qps lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
         }
       }
     }

@@ -38,4 +38,25 @@ object ProfileStats {
       ((System.nanoTime() - t0) / 1e9, lats.result())
     }.minBy(_._1)
   }
+
+  /** THE closed-loop measurement every serving profile runs: cover
+    * the whole query array in `bs`-sized batches, best of `passes`
+    * passes, returning (qps, avg batch ms, p99 batch ms) — one
+    * definition so the batch-timing convention can never drift
+    * between harnesses. */
+  def closedLoop(qArr: Array[(Long, Array[Float])], bs: Int,
+      passes: Int = 2)(call: Array[(Long, Array[Float])] => Unit)
+      : (Double, Double, Double) = {
+    val (best, lats) = bestPass(passes) { timeBatch =>
+      var off = 0
+      while (off < qArr.length) {
+        val batch = java.util.Arrays.copyOfRange(qArr, off,
+          math.min(off + bs, qArr.length))
+        timeBatch { call(batch) }
+        off += bs
+      }
+    }
+    val (avgMs, p99Ms) = latencyMs(lats)
+    (qArr.length / best, avgMs, p99Ms)
+  }
 }

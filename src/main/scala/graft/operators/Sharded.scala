@@ -144,7 +144,10 @@ object Sharded {
     else {
       val out = new Array[Array[Rows]](shards.length)
       val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      val threads = shards.zipWithIndex.map { case (s, i) =>
+      // eager materialization: a lazy Seq would otherwise start and
+      // join the threads ONE AT A TIME inside the foreach below,
+      // silently serializing the fan
+      val threads = shards.toIndexedSeq.zipWithIndex.map { case (s, i) =>
         val t = new Thread(() =>
           try out(i) = f(s)
           catch { case x: Throwable => err.compareAndSet(null, x) },

@@ -121,6 +121,14 @@ class ShardedSpec extends AnyFunSuite {
           tombstones = tomb)
         assert(s1 == expect && s2 == expect, s"dispatched $s1 / $s2")
         assert(r2.toSeq == r1.toSeq && r2.nonEmpty, s"branch $expect")
+        // the parallel fan is scheduling, never semantics — on EVERY
+        // dispatch branch (the over-fetch candidate cut included)
+        val (s3, r3) = Sharded.serveFilteredShardedExplained(
+          flatShards, Some(graphShards), qArr, 10, attrTwin,
+          nprobe = nprobe, efSearch = 64, extreme = extreme,
+          tombstones = tomb, parallelShards = true)
+        assert(s3 == expect && r3.toSeq == r1.toSeq,
+          s"parallel fan diverged on $expect")
       }
       // STRONG: label in (0,1) -> resident pre-filter
       branchCheck(a => a == 0.0 || a == 1.0,
