@@ -120,19 +120,7 @@ object ProfileLocalFiltered {
     // latency columns mirror the reference's published avg/p99 per
     // batch (BASELINE.md)
     def measureLoop(bs: Int)(call: Array[(Long, Array[Float])] => Unit)
-        : (Double, Double, Double) = {
-      val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
-        var off = 0
-        while (off < qArr.length) {
-          val batch = java.util.Arrays.copyOfRange(qArr, off,
-            math.min(off + bs, qArr.length))
-          timeBatch { call(batch) }
-          off += bs
-        }
-      }
-      val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
-      (qArr.length / best, avgMs, p99Ms)
-    }
+        : (Double, Double, Double) = ProfileStats.closedLoop(qArr, bs)(call)
     def recallOf(rows: Array[(Long, Long, Long, Double)],
         truth: org.apache.spark.sql.DataFrame): Double = {
       val df = spark.createDataset(rows.toSeq)

@@ -97,19 +97,7 @@ object ProfileShardedFiltered {
       col("q_embedding")).as[(Long, Array[Float])].collect()
 
     def measureLoop(bs: Int)(call: Array[(Long, Array[Float])] => Unit)
-        : (Double, Double, Double) = {
-      val (best, lats) = ProfileStats.bestPass(2) { timeBatch =>
-        var off = 0
-        while (off < qArr.length) {
-          val batch = java.util.Arrays.copyOfRange(qArr, off,
-            math.min(off + bs, qArr.length))
-          timeBatch { call(batch) }
-          off += bs
-        }
-      }
-      val (avgMs, p99Ms) = ProfileStats.latencyMs(lats)
-      (qArr.length / best, avgMs, p99Ms)
-    }
+        : (Double, Double, Double) = ProfileStats.closedLoop(qArr, bs)(call)
 
     // warm
     Sharded.serveFilteredShardedExplained(flatShards, None,
