@@ -141,7 +141,7 @@ object ProfileSharded {
       dials.foreach { case (np, efs) =>
         val (qps, avgMs, p99Ms) = ProfileStats.closedLoop(qArr, bs) {
           batch => Sharded.searchShardedLocalQueries(shardReps, batch,
-            k, np, efSearch = efs)
+            k, np, efSearch = efs, parallelShards = Some(false))
         }
         println(f"[pshard] SHARDED closed-loop ${nShards}x batch=$bs%5d " +
           f"np$np/efS$efs: ${qArr.length} queries = " +
@@ -151,7 +151,7 @@ object ProfileSharded {
         // — the in-process approximation of the deployment shape
         val (qpsP, avgP, p99P) = ProfileStats.closedLoop(qArr, bs) {
           batch => Sharded.searchShardedLocalQueries(shardReps, batch,
-            k, np, efSearch = efs, parallelShards = true)
+            k, np, efSearch = efs, parallelShards = Some(true))
         }
         println(f"[pshard] PARFAN  closed-loop ${nShards}x batch=$bs%5d " +
           f"np$np/efS$efs: ${qArr.length} queries = " +
@@ -185,7 +185,7 @@ object ProfileSharded {
         dials.foreach { case (np, efs) =>
           val (qps, avgMs, p99Ms) = ProfileStats.closedLoop(qArr, bs) {
             batch => Sharded.searchShardedLocalQueries(packed, batch,
-              k, np, efSearch = efs)
+              k, np, efSearch = efs, parallelShards = Some(false))
           }
           println(f"[pshard] PACKED SHARDED closed-loop ${nShards}x " +
             f"batch=$bs%5d np$np/efS$efs: ${qArr.length} queries = " +

@@ -122,18 +122,18 @@ object ProfileShardedFiltered {
           val (_, pRows) = Sharded.serveFilteredShardedExplained(
             flatShards, None, sampleArr, k, pred, nprobe = np,
             efSearch = 32, selectivity = Some(sel),
-            parallelShards = true)
+            parallelShards = Some(true))
           require(pRows.toSeq == sRows.toSeq, "parfan diverged")
           Seq(100, 1000).foreach { bs =>
             val (sQps, sAvg, sP99) = measureLoop(bs) { batch =>
               Sharded.serveFilteredShardedExplained(flatShards, None,
                 batch, k, pred, nprobe = np, efSearch = 32,
-                selectivity = Some(sel))
+                selectivity = Some(sel), parallelShards = Some(false))
             }
             val (pQps, pAvg, pP99) = measureLoop(bs) { batch =>
               Sharded.serveFilteredShardedExplained(flatShards, None,
                 batch, k, pred, nprobe = np, efSearch = 32,
-                selectivity = Some(sel), parallelShards = true)
+                selectivity = Some(sel), parallelShards = Some(true))
             }
             println(f"[pshardf] SHARDED filtered $nm%-4s np$np " +
               f"(${strat.name}%-22s) batch=$bs%5d: seq $sQps%9.1f qps " +

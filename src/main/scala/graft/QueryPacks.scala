@@ -3110,6 +3110,57 @@ object AnnQueries {
           nprobe = 2)
         .select(col("qid"), col("rank"), col("neighbor_id"))
     }),
+    // the fp16-PACKED persisted layout under the SAME full oracle
+    // (r18): writeIndexPacked stores the vector column as 2-byte
+    // binary16 (the reference's own on-disk precision, `_fp16.npy`,
+    // utils_grid_search.py:364-365 — index bytes and replica-build
+    // reads halve), searchPersisted(packedVec = true) decodes ABOVE
+    // the partition-pruned scan. The data side is snapped to the
+    // 2^-7 grid first (knn_fp16's device), so the binary16 roundtrip
+    // is provably lossless and the DuckDB oracle reproduces every
+    // distance — including the fixed centroids, which are (snapped)
+    // data rows. Identical semantics to ann_ivf_fixed; only the
+    // storage bytes differ.
+    "ann_packed_persist" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+        .withColumn("embedding", GraftFunctions.fp16Grid(col("embedding")))
+      val centroids = fixedCentroids(data, 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_packed_idx").toString
+      AnnIvf.writeIndexPacked(AnnIvf.index(data, centroids), tmp)
+      AnnIvf.searchPersisted(s, tmp, centroids, queriesDf(s, d), K,
+          nprobe = 2, packedVec = true)
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
+    // the packed layout's STRAIGHT-TO-PACKED-REPLICA path under the
+    // same oracle: servableCellsPacked decodes the binary16 bytes
+    // directly into half blocks (fp32 never materializes between
+    // disk and replica), localCellReplica regroups them packed, and
+    // the pre-filter scan kernel reads them through the fp16 LUT —
+    // the serving shape a packed deployment actually runs.
+    "ann_packed_replica" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val data = dataDf(s, d).filter(filterLow)
+        .withColumn("embedding", GraftFunctions.fp16Grid(col("embedding")))
+      val centroids = fixedCentroids(data, 311)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_packed_rep").toString
+      AnnIvf.writeIndexPacked(AnnIvf.index(data, centroids), tmp)
+      val cells = AnnIvf.servableCellsPacked(s.read.parquet(tmp))
+      try {
+        val rep = AnnIvf.localCellReplica(cells, centroids)
+        require(rep.half != null, "replica did not decode packed")
+        val qArr = queriesDf(s, d)
+          .select(col("qid").cast("long"), col("q_embedding"))
+          .as[(Long, Array[Float])].collect()
+        val rows = AnnIvf.searchLocalCellsQueries(rep, qArr, K, nprobe = 2)
+        s.createDataset(rows.toSeq)
+          .toDF("qid", "rank", "neighbor_id", "dist")
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+      } finally cells.unpersist()
+    }),
     // the full index LIFECYCLE under the oracle: build -> append (one
     // extra file per touched cell) -> compact (back to one file per
     // cell) -> stats. The per-cell rows/id-ranges replay the fixed
@@ -3329,12 +3380,18 @@ object AnnQueries {
   // `survivors` restricts the ASSIGNED/SEARCHED rows without touching
   // the centroid table (ann_ivf_delete: deletion never retrains)
   private def ivfFixedSql(mod: Int, fine: String = sqdistZ,
-      survivors: String = "TRUE"): String =
+      survivors: String = "TRUE",
+      // data-side embedding expression hook: the packed-layout oracle
+      // snaps the stored side to the binary16-exact 2^-7 grid (the
+      // knn_fp16 formula — any SQL mirror must use the identical
+      // floor(x*128+0.5)/128), which also snaps the fixed centroids
+      // (they are data rows of d0)
+      dataEmb: String = "embedding"): String =
     s"""WITH q AS (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
        |  WHERE vec_id % 50 = 0
        |), d0 AS (
-       |  SELECT vec_id, embedding, label FROM embeddings
+       |  SELECT vec_id, $dataEmb AS embedding, label FROM embeddings
        |  WHERE vec_id % 50 <> 0 AND label <> 3
        |), c AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
@@ -3522,6 +3579,16 @@ object AnnQueries {
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
     "ann_ivf_persist" -> ivfFixedSql(311),
+    // packed binary16 storage: the data side snapped to the 2^-7
+    // grid (binary16-exact, lossless roundtrip — knn_fp16's device),
+    // then the ann_ivf_fixed recipe verbatim; the snapped d0 also
+    // snaps the fixed centroids
+    "ann_packed_persist" -> ivfFixedSql(311, dataEmb =
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+        "* 128.0 + 0.5) / 128.0 AS REAL))"),
+    "ann_packed_replica" -> ivfFixedSql(311, dataEmb =
+      "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) " +
+        "* 128.0 + 0.5) / 128.0 AS REAL))"),
     // survivors only; centroids stay the pre-deletion table
     "ann_ivf_delete" -> ivfFixedSql(311,
       survivors = "vec_id % 7 <> 3"),

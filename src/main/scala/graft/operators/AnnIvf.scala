@@ -204,6 +204,40 @@ object AnnIvf {
     indexed.repartition(col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
+  /** `writeIndex` with the vector column stored as PACKED binary16
+    * (r18) — the reference's own on-disk precision (`_fp16.npy`,
+    * /root/reference/utils_grid_search.py:364-365): the embedding
+    * column becomes 2 bytes/dim little-endian BINARY via the
+    * `Fp16Encode` codegen codec, halving index bytes at rest and
+    * every replica-build / incremental-refresh read. Same clustered
+    * one-file-per-cell layout; probes still prune partitions. Read it
+    * back with `readIndexPacked` (decoded fp32 relation — any
+    * existing search/maintenance path), serve it pruned via
+    * `searchPersisted(..., packedVec = true)`, or decode STRAIGHT to
+    * a packed replica with `servableCellsPacked` (no fp32
+    * materialization anywhere). Values are fp16-rounded at write
+    * time (round-to-nearest-even); on fp16-exact inputs the roundtrip
+    * is lossless and every downstream distance is bit-equal to the
+    * fp32 layout's (KnnSpec pins; `ann_packed_persist` puts the
+    * layout under the full DuckDB oracle). */
+  def writeIndexPacked(indexed: DataFrame, path: String,
+      vecCol: String = "embedding"): Unit = {
+    GraftFunctions.register(indexed.sparkSession)
+    writeIndex(indexed.withColumn(vecCol,
+      GraftFunctions.fp16Encode(col(vecCol))), path)
+  }
+
+  /** Read a `writeIndexPacked` tree back as an fp32 relation (the
+    * binary column decoded through `Fp16Decode` — a projection above
+    * the scan, so cid partition pruning is untouched). Any search or
+    * maintenance path that expects `array<float>` runs on the result. */
+  def readIndexPacked(spark: SparkSession, path: String,
+      vecCol: String = "embedding"): DataFrame = {
+    GraftFunctions.register(spark)
+    spark.read.parquet(path)
+      .withColumn(vecCol, GraftFunctions.fp16Decode(col(vecCol)))
+  }
+
   /** Incremental maintenance: assign NEW vectors against the frozen
     * centroid table (narrow, deterministic — identical cells to a full
     * rebuild) and append into the clustered layout. Each batch adds
@@ -788,16 +822,26 @@ object AnnIvf {
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       metric: String = "sqeuclidean",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      honorTombstones: Boolean = true): DataFrame = {
+      honorTombstones: Boolean = true,
+      packedVec: Boolean = false): DataFrame = {
     val matrix = collectCentroids(centroids)
     val probes = queries.select(col(qidCol), col(qvecCol),
       explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
         .as("_pcid"))
     val probedCells = probes.select(col("_pcid")).distinct()
       .collect().map(_.getInt(0))
+    // packedVec: a writeIndexPacked tree — the binary16 column
+    // decodes ABOVE the pruned scan (projection), so the probed-cell
+    // partition pruning below is identical to the fp32 layout's, and
+    // the scan reads HALF the vector bytes
+    val raw = spark.read.parquet(path)
+    val decoded =
+      if (packedVec) raw.withColumn(vecCol,
+        GraftFunctions.fp16Decode(col(vecCol)))
+      else raw
     val indexed = withTombstonesMasked(spark, path, idCol, honorTombstones,
       dataFilter
-        .foldLeft(spark.read.parquet(path))(_.filter(_))
+        .foldLeft(decoded)(_.filter(_))
         .filter(col("cid").isin(probedCells.toSeq: _*)))
     val candidates = indexed.join(
       broadcast(probes), indexed("cid") === probes("_pcid"))
@@ -936,7 +980,11 @@ object AnnIvf {
     * pre-filter semantics at resident speed. */
   final case class FlatBlock(ids: Array[Long], cids: Array[Int], dim: Int,
       flat: Array[Float], rows: Array[Array[Float]],
-      attrs: Array[Double] = null)
+      attrs: Array[Double] = null,
+      // fp16-PACKED vector form (r18, `servableCellsPacked` over a
+      // writeIndexPacked tree): when set, flat/rows are null and the
+      // scan decodes per element through Knn.distBoundedHalf's LUT
+      half: Array[Short] = null)
 
   /** Build the RESIDENT flat-IVF serving index: decode each partition
     * of the indexed relation once into a FlatBlock (NARROW — no
@@ -1000,6 +1048,92 @@ object AnnIvf {
           Iterator.single(FlatBlock(ids, cids, dim, flat,
             if (flattenable) null else vecs,
             if (attrCol.isDefined) attrs else null))
+        }
+      }
+      .rdd
+      .persist(level)
+  }
+
+  /** `servableCells` for a `writeIndexPacked` tree: the binary16
+    * vector column decodes STRAIGHT into packed `half` blocks — the
+    * fp32 form is never materialized anywhere (2 bytes/dim from disk
+    * to replica), so both the read bytes and the resident footprint
+    * are half the fp32 layout's. Serve with the same
+    * `searchServableCells` / `localCellReplica` paths (they branch on
+    * `half` per row through `Knn.distBoundedHalf`'s LUT — on
+    * fp16-exact vectors, bit-identical to the fp32 layout, KnnSpec).
+    * Per-partition mixed dims (ragged corpora) fall back to decoded
+    * fp32 rows, exactly like `servableCells`' non-flattenable branch. */
+  def servableCellsPacked(indexed: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      attrCol: Option[String] = None,
+      storage: Option[org.apache.spark.storage.StorageLevel] = None)
+      : org.apache.spark.rdd.RDD[FlatBlock] = {
+    val spark = indexed.sparkSession
+    import spark.implicits._
+    val level = storage.getOrElse {
+      val r = indexed
+        .agg(count(lit(1)), max(length(col(vecCol)) / 2)).head()
+      val (n, dim) = (r.getLong(0),
+        if (r.isNullAt(1)) 0 else r.getDouble(1).toInt)
+      // the packed form stores 2 bytes/dim where the fp32 estimate
+      // assumes 4 — subtract the difference
+      Resident.autoLevel(spark,
+        Resident.estimateFlatBytes(n, dim, attrCol.isDefined) - 2L * n * dim,
+        "AnnIvf.servableCellsPacked")
+    }
+    indexed
+      .select(col("cid").cast("int"), col(idCol).cast("long"), col(vecCol),
+        attrCol.map(c => col(c).cast("double")).getOrElse(lit(0.0)))
+      .as[(Int, Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val members = it.toArray
+        val n = members.length
+        if (n == 0) Iterator.empty
+        else {
+          val ids = new Array[Long](n)
+          val cids = new Array[Int](n)
+          val attrs = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            cids(i) = members(i)._1; ids(i) = members(i)._2
+            attrs(i) = members(i)._4; i += 1
+          }
+          val dim = members(0)._3.length / 2
+          val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
+            members.forall(_._3.length == 2 * dim)
+          if (flattenable) {
+            val half = new Array[Short](n * dim)
+            i = 0
+            while (i < n) {
+              val b = members(i)._3
+              var j = 0
+              while (j < dim) {
+                half(i * dim + j) =
+                  (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort
+                j += 1
+              }
+              i += 1
+            }
+            Iterator.single(FlatBlock(ids, cids, dim, null, null,
+              if (attrCol.isDefined) attrs else null, half))
+          } else {
+            // ragged fallback: decode to fp32 rows (the exact
+            // servableCells non-flattenable shape)
+            val rows = members.map { m =>
+              val b = m._3
+              val v = new Array[Float](b.length / 2)
+              var j = 0
+              while (j < v.length) {
+                v(j) = graft.functions.Fp16.fromHalf(
+                  (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort)
+                j += 1
+              }
+              v
+            }
+            Iterator.single(FlatBlock(ids, cids, dim, null, rows,
+              if (attrCol.isDefined) attrs else null))
+          }
         }
       }
       .rdd
@@ -1083,6 +1217,9 @@ object AnnIvf {
               val d =
                 if (block.flat != null)
                   Knn.distBoundedFlat(mcode, block.flat, i * block.dim,
+                    block.dim, qvecs(qi), h.bound)
+                else if (block.half != null)
+                  Knn.distBoundedHalf(mcode, block.half, i * block.dim,
                     block.dim, qvecs(qi), h.bound)
                 else Knn.distBounded(mcode, block.rows(i), qvecs(qi), h.bound)
               h.insert(d, block.ids(i))
@@ -1221,14 +1358,19 @@ object AnnIvf {
       * build once; fresh arrays (ad-hoc callers) rebuild. Identity
       * keying is sound because the mask is a pure function of the
       * array's contents and an aliased key can only rebuild, never
-      * return a stale mask; the cache evicts one mask at a time past 16
-      * entries (filters a serving JVM alternates between are few, and
-      * single-entry eviction never thrashes every hot mask the way a
-      * clear-all would). Tombstones stay a
+      * return a stale mask; the cache evicts the LEAST-RECENTLY-USED
+      * mask past 16 entries (r18, r17 ADVICE: hash-order eviction
+      * could evict the hottest mask first under a workload
+      * alternating a hot predicate with ad-hoc ones, rebuilding it
+      * every cycle — the stamps below make eviction recency-ordered).
+      * Tombstones stay a
       * separate compose-at-scan test — one id-set mask epoch outlives
       * any number of tombstone epochs. */
     private val posMaskCache =
       scala.collection.concurrent.TrieMap.empty[Array[Long], Array[Long]]
+    private val posMaskStamps =
+      scala.collection.concurrent.TrieMap.empty[Array[Long], Long]
+    private val posMaskClock = new java.util.concurrent.atomic.AtomicLong()
     /** Number of mask builds actually run — observability (pinned in
       * KnnSpec: the memo must make repeat serves free). Atomic: the
       * memo's op may evaluate concurrently (distinct keys, or the
@@ -1238,13 +1380,25 @@ object AnnIvf {
       new java.util.concurrent.atomic.AtomicInteger()
     private[graft] def posMaskBuilds: Int = posMaskBuildCount.get()
     private[operators] def positionalMask(idSet: Array[Long])
-        : Array[Long] = posMaskCache.getOrElseUpdate(idSet, {
+        : Array[Long] = {
+      val mask = posMaskCache.getOrElseUpdate(idSet, buildPosMask(idSet))
+      // stamp every access (hit or fresh build) — eviction below
+      // drops the OLDEST-stamped mask, so a hot predicate's mask
+      // survives any number of ad-hoc one-off sets (r17 ADVICE)
+      posMaskStamps.put(idSet, posMaskClock.incrementAndGet())
+      // evict ONE entry past the cap, not clear-all (r16 ADVICE):
+      // the LRU victim by stamp; the just-stamped key holds the max
+      // stamp, so it is never its own victim while others remain
+      while (posMaskCache.size > 16) {
+        val victim = posMaskCache.keysIterator
+          .minBy(k => posMaskStamps.getOrElse(k, 0L))
+        posMaskCache.remove(victim)
+        posMaskStamps.remove(victim)
+      }
+      mask
+    }
+    private def buildPosMask(idSet: Array[Long]): Array[Long] = {
       posMaskBuildCount.incrementAndGet()
-      // evict ONE entry past the cap, not clear-all: a workload
-      // alternating >16 distinct id-sets would otherwise rebuild
-      // every hot mask after each clear (r16 ADVICE)
-      while (posMaskCache.size > 16)
-        posMaskCache.headOption.foreach(e => posMaskCache.remove(e._1))
       val n = ids.length
       val bits = new Array[Long]((n + 63) >> 6)
       if (idSet.length > 0 && n > 0) {
@@ -1269,7 +1423,7 @@ object AnnIvf {
         }
       }
       bits
-    })
+    }
   }
 
   /** Build the local flat replica from the resident blocks —
@@ -1281,11 +1435,14 @@ object AnnIvf {
       centroids: DataFrame, maxHeapFraction: Double = 0.6,
       force: Boolean = false): LocalCellReplica = {
     if (!force) {
-      val (n, dim, withAttrs) = idx
-        .map(b => (b.ids.length.toLong, b.dim, b.attrs != null))
-        .fold((0L, 0, false)) { case ((n1, d1, a1), (n2, d2, a2)) =>
-          (n1 + n2, math.max(d1, d2), a1 || a2) }
-      val est = Resident.estimateFlatBytes(n, dim, withAttrs)
+      val (n, dim, withAttrs, halfRows) = idx
+        .map(b => (b.ids.length.toLong, b.dim, b.attrs != null,
+          if (b.half != null) b.ids.length.toLong else 0L))
+        .fold((0L, 0, false, 0L)) { case ((n1, d1, a1, h1), (n2, d2, a2, h2)) =>
+          (n1 + n2, math.max(d1, d2), a1 || a2, h1 + h2) }
+      // packed blocks hold 2 bytes/dim where the estimate assumes 4
+      val est = Resident.estimateFlatBytes(n, dim, withAttrs) -
+        2L * halfRows * dim
       val free = Resident.freeHeapAfterGc()
       require(est <= (free * maxHeapFraction).toLong,
         f"localCellReplica: decoded estimate ${est / 1e6}%.0f MB " +
@@ -1312,6 +1469,17 @@ object AnnIvf {
     val dim = blocks.iterator.map(_.dim).maxOption.getOrElse(0)
     val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
       blocks.forall(b => b.flat != null && b.dim == dim)
+    // PACKED blocks (servableCellsPacked): regroup the half arrays
+    // directly — the replica is packed end to end, fp32 never exists.
+    // All-or-none like attrs: servableCellsPacked builds uniformly, a
+    // mix means the caller unioned a packed and an fp32 tier.
+    val packable = !flattenable && dim > 0 &&
+      n.toLong * dim <= Int.MaxValue &&
+      blocks.forall(b => b.half != null && b.dim == dim)
+    require(!blocks.exists(_.half != null) || packable || n == 0,
+      "localCellReplica: blocks mix fp16-packed and fp32 tiers (or " +
+        "ragged dims) - rebuild every block through the same " +
+        "servableCells variant")
     // pass 1: members per cell
     val counts = new java.util.HashMap[Integer, Integer]()
     blocks.foreach(b => b.cids.foreach(c =>
@@ -1336,7 +1504,9 @@ object AnnIvf {
     val ids = new Array[Long](n)
     val attrs = if (withAttrs) new Array[Double](n) else null
     val flat = if (flattenable) new Array[Float](n * dim) else null
-    val rows = if (flattenable) null else new Array[Array[Float]](n)
+    val half = if (packable) new Array[Short](n * dim) else null
+    val rows =
+      if (flattenable || packable) null else new Array[Array[Float]](n)
     blocks.foreach { b =>
       var i = 0
       val bn = b.ids.length
@@ -1347,6 +1517,8 @@ object AnnIvf {
         if (attrs != null) attrs(at) = b.attrs(i) // non-null by the guard
         if (flat != null)
           System.arraycopy(b.flat, i * b.dim, flat, at * dim, dim)
+        else if (half != null)
+          System.arraycopy(b.half, i * b.dim, half, at * dim, dim)
         else
           rows(at) = if (b.rows != null) b.rows(i)
             else java.util.Arrays.copyOfRange(b.flat, i * b.dim,
@@ -1355,7 +1527,7 @@ object AnnIvf {
       }
     }
     new LocalCellReplica(byCid, cellOff, ids, attrs, dim, flat, rows,
-      collectCentroids(centroids))
+      collectCentroids(centroids), half)
   }
 
   /** fp16-PACK a flat local replica (r17 — the graph tier's
@@ -1438,12 +1610,28 @@ object AnnIvf {
     * ranked rows, possibly empty) — the form the sharded merge
     * consumes (`Sharded`): the flattened contract cannot distinguish
     * an empty group from an absent one, so slot alignment across K
-    * shard replicas needs this shape. */
-  private[operators] def localCellCoreSlots(rep: LocalCellReplica,
+    * shard replicas needs this shape.
+    *
+    * `sharedBounds` (r18, nullable): per-slot CROSS-SHARD kth-best
+    * bounds (`Sharded.SlotBounds`). When set, the scan prunes each
+    * row against `min(heap bound, shared bound)` and publishes this
+    * replica's kth-best back after each cell (and periodically inside
+    * the exhaustive survivor scan) — so under the sharded fan, shard
+    * s+1 starts each query already warm at shards 1..s's kth-best
+    * (sequential) or mid-scan (parallel). PURE PRUNING: a row
+    * abandoned against the shared bound has true distance strictly
+    * above an achieved kth-best somewhere, so it cannot enter the
+    * merged global top-k; a partial distance returned past the
+    * tighter bound is never inserted (the `d <= bound` guard —
+    * `Knn.distBounded`'s exact-iff-at-most-bound contract). With
+    * `sharedBounds == null` the code path is the r17 one, byte for
+    * byte. Rows identical either way (ShardedSpec). */
+  private[graft] def localCellCoreSlots(rep: LocalCellReplica,
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       metric: String, attrPred: Option[Double => Boolean],
       idSetOpt: Option[Array[Long]],
-      tombstones: Option[Array[Long]], exhaustive: Boolean)
+      tombstones: Option[Array[Long]], exhaustive: Boolean,
+      sharedBounds: Sharded.SlotBounds = null)
       : Array[Array[(Long, Long, Long, Double)]] = {
     val nQ = queries.length
     if (nQ == 0) return Array.empty
@@ -1511,20 +1699,31 @@ object AnnIvf {
     val workers = math.max(1, math.min(
       Runtime.getRuntime.availableProcessors(), (nQ + 3) / 4))
     val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    def rowDist(qv: Array[Float], i: Int, bound: Double): Double =
+      if (rep.flat != null)
+        Knn.distBoundedFlat(mcode, rep.flat, i * rep.dim, rep.dim,
+          qv, bound)
+      else if (rep.half != null)
+        Knn.distBoundedHalf(mcode, rep.half, i * rep.dim, rep.dim,
+          qv, bound)
+      else Knn.distBounded(mcode, rep.rows(i), qv, bound)
+    // `ext` = the cross-shard bound snapshot (+Inf when unshared).
+    // Tighter than the heap's own bound → prune against it, and only
+    // insert EXACT returns (d <= ext; a partial past ext can still be
+    // below the heap bound, and inserting it would rank a fabricated
+    // distance). Otherwise the r17 path byte for byte: compute
+    // against the heap bound, insert unconditionally (the heap
+    // rejects d > its bound itself, ties at the bound id-compared).
     def distTo(h: graft.functions.TopKBuffer, qv: Array[Float],
-        i: Int): Unit = {
-      val d =
-        if (rep.flat != null)
-          Knn.distBoundedFlat(mcode, rep.flat, i * rep.dim, rep.dim,
-            qv, h.bound)
-        else if (rep.half != null)
-          Knn.distBoundedHalf(mcode, rep.half, i * rep.dim, rep.dim,
-            qv, h.bound)
-        else Knn.distBounded(mcode, rep.rows(i), qv, h.bound)
-      h.insert(d, rep.ids(i))
+        i: Int, ext: Double): Unit = {
+      val hb = h.bound
+      if (ext < hb) {
+        val d = rowDist(qv, i, ext)
+        if (d <= ext) h.insert(d, rep.ids(i))
+      } else h.insert(rowDist(qv, i, hb), rep.ids(i))
     }
     def scanCell(h: graft.functions.TopKBuffer, qv: Array[Float],
-        from: Int, until: Int): Unit = {
+        from: Int, until: Int, ext: Double): Unit = {
       var i = from
       while (i < until) {
         val keep = (pred == null || pred(rep.attrs(i))) &&
@@ -1532,31 +1731,52 @@ object AnnIvf {
             (idBits(i >> 6) >>> (i & 63) & 1L) != 0L) &&
           (tomb == null ||
             java.util.Arrays.binarySearch(tomb, rep.ids(i)) < 0)
-        if (keep) distTo(h, qv, i)
+        if (keep) distTo(h, qv, i, ext)
         i += 1
       }
     }
+    def publish(h: graft.functions.TopKBuffer, qi: Int): Unit =
+      if (sharedBounds != null) {
+        val b = h.bound // the kth kept dist — exact by construction
+        if (b < Double.PositiveInfinity) sharedBounds.tighten(qi, b)
+      }
+    def extOf(qi: Int): Double =
+      if (sharedBounds == null) Double.PositiveInfinity
+      else sharedBounds.get(qi)
     def runWorker(): Unit = {
       var qi = next.getAndIncrement()
       while (qi < nQ) {
         val (qid, qv) = queries(qi)
         val h = new graft.functions.TopKBuffer(k)
         if (exhaustive) {
-          if (survIdx == null) scanCell(h, qv, 0, rep.ids.length)
+          if (survIdx == null) scanCell(h, qv, 0, rep.ids.length, extOf(qi))
           else {
+            var ext = extOf(qi)
             var s = 0
-            while (s < survIdx.length) { distTo(h, qv, survIdx(s)); s += 1 }
+            while (s < survIdx.length) {
+              distTo(h, qv, survIdx(s), ext)
+              s += 1
+              // refresh/publish every 8K survivors: cheap against the
+              // scan, fresh enough to matter under the parallel fan
+              if (sharedBounds != null && (s & 8191) == 0) {
+                publish(h, qi); ext = extOf(qi)
+              }
+            }
           }
         } else {
           val cids = prober(qv)
           var ci = 0
           while (ci < cids.length) {
             val cell = rep.byCid.get(cids(ci))
-            if (cell != null)
-              scanCell(h, qv, rep.cellOff(cell), rep.cellOff(cell + 1))
+            if (cell != null) {
+              scanCell(h, qv, rep.cellOff(cell), rep.cellOff(cell + 1),
+                extOf(qi))
+              publish(h, qi)
+            }
             ci += 1
           }
         }
+        publish(h, qi)
         val ranked = h.sorted
         perQuery(qi) = Array.tabulate(ranked.length)(r =>
           (qid, (r + 1).toLong, ranked(r)._2, ranked(r)._1))

@@ -395,6 +395,170 @@ object NswGraph {
       .as[CellGraph]
   }
 
+  /** One cell of the fp16-PACKED persisted graph layout (r18):
+    * vectors as 2-byte little-endian binary16 per row — the
+    * reference's own stored precision (`_fp16.npy`,
+    * /root/reference/utils_grid_search.py:364-365). */
+  final case class CellGraphPacked(cid: Int, ids: Array[Long],
+      vecs16: Array[Array[Byte]], adj: Array[Array[Int]])
+
+  /** Persist the graph index with PACKED vectors (`vecs16` binary
+    * column via the `Fp16Encode` codec): index bytes at rest and
+    * every replica-build / refresh read drop to half the fp32
+    * layout's vector share. Same one-directory-per-cell clustered
+    * layout; adjacency/ids unchanged. Values fp16-round at write
+    * time; on fp16-exact inputs the layout round-trips losslessly
+    * and serves bit-identically to the fp32 layout (NswSpec pins).
+    * Maintenance: `appendToGraphIndexPacked` keeps the layout
+    * (old cells decode exactly via the fp16 codec, rebuilt cells
+    * re-encode); `refreshLocalReplica` sniffs the schema and decodes
+    * packed trees straight to packed cells. */
+  def writeGraphIndexPacked(graphs: org.apache.spark.sql.Dataset[CellGraph],
+      path: String): Unit = {
+    graft.GraftFunctions.register(graphs.sparkSession)
+    graphs.toDF()
+      .select(col("cid"), col("ids"),
+        transform(col("vecs"), v => graft.GraftFunctions.fp16Encode(v))
+          .as("vecs16"),
+        col("adj"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
+
+  def readGraphIndexPacked(spark: SparkSession, path: String)
+      : org.apache.spark.sql.Dataset[CellGraphPacked] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(col("cid").cast("int"), col("ids"), col("vecs16"), col("adj"))
+      .as[CellGraphPacked]
+  }
+
+  /** Decode one packed cell STRAIGHT to its packed serving form —
+    * binary16 bytes to the `half` array `beamServable` reads through
+    * the LUT; the fp32 vectors never exist (2 bytes/dim from disk to
+    * replica). Ragged/oversize cells fall back to decoded fp32 rows,
+    * exactly like `decodeCell`'s non-flattenable branch. */
+  private[operators] def decodeCellPacked(g: CellGraphPacked): ServableCell = {
+    val n = g.vecs16.length
+    val dim = if (n == 0) 0 else g.vecs16(0).length / 2
+    val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
+      g.vecs16.forall(_.length == 2 * dim)
+    val adjOff = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { adjOff(i + 1) = adjOff(i) + g.adj(i).length; i += 1 }
+    val adjFlat = new Array[Int](adjOff(n))
+    i = 0
+    while (i < n) {
+      System.arraycopy(g.adj(i), 0, adjFlat, adjOff(i), g.adj(i).length)
+      i += 1
+    }
+    if (flattenable) {
+      val half = new Array[Short](n * dim)
+      i = 0
+      while (i < n) {
+        val b = g.vecs16(i)
+        var j = 0
+        while (j < dim) {
+          half(i * dim + j) =
+            (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort
+          j += 1
+        }
+        i += 1
+      }
+      ServableCell(g.cid, g.ids, dim, null, null, adjFlat, adjOff, half)
+    } else {
+      val rows = g.vecs16.map { b =>
+        val v = new Array[Float](b.length / 2)
+        var j = 0
+        while (j < v.length) {
+          v(j) = graft.functions.Fp16.fromHalf(
+            (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort)
+          j += 1
+        }
+        v
+      }
+      ServableCell(g.cid, g.ids, dim, null, rows, adjFlat, adjOff)
+    }
+  }
+
+  /** `servableIndex` for a `writeGraphIndexPacked` tree: cells decode
+    * once, straight to the packed serving form. The storage estimate
+    * budgets the packed footprint (2 bytes/dim). */
+  def servableIndexPacked(spark: SparkSession, path: String,
+      storage: Option[org.apache.spark.storage.StorageLevel] = None)
+      : org.apache.spark.rdd.RDD[ServableCell] = {
+    val packed = readGraphIndexPacked(spark, path)
+    val level = storage.getOrElse {
+      val r = packed.toDF()
+        .agg(sum(size(col("ids"))),
+          max(length(element_at(col("vecs16"), 1)) / 2),
+          sum(aggregate(transform(col("adj"), a => size(a)),
+            lit(0L), (acc, x) => acc + x)))
+        .head()
+      val rows = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val dim = if (r.isNullAt(1)) 0 else r.getDouble(1).toInt
+      val edges = if (r.isNullAt(2)) 0L else r.getLong(2)
+      Resident.autoLevel(spark,
+        Resident.estimateGraphBytes(rows, dim, edges) - 2L * rows * dim,
+        "NswGraph.servableIndexPacked")
+    }
+    packed.rdd.map(decodeCellPacked).persist(level)
+  }
+
+  /** `appendToGraphIndex` for a PACKED tree: old touched cells decode
+    * through the fp16 codec (exact — binary16 values are a subset of
+    * fp32), the touched cells rebuild over old ∪ new rows with the
+    * same id-sorted determinism, and the rewrite re-encodes — the
+    * tree never mixes layouts. New rows fp16-round on write like the
+    * base build's. Returns the touched cell ids (feed them to
+    * `refreshLocalReplica`, which sniffs the packed schema). */
+  def appendToGraphIndexPacked(newData: DataFrame, centroids: DataFrame,
+      path: String, m: Int = 8, efConstruction: Int = 64,
+      metric: String = "sqeuclidean",
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      supers: Option[DataFrame] = None, wSuper: Int = 4): Array[Int] = {
+    val spark = newData.sparkSession
+    import spark.implicits._
+    val newIndexed = supers
+      .fold(AnnIvf.index(newData, centroids, idCol, vecCol))(sup =>
+        AnnIvf.indexTwoLevel(newData, sup, centroids, idCol, vecCol, wSuper))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol), col("cid"))
+    val touched = newIndexed.select(col("cid")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return Array.emptyIntArray
+    val oldRows = readGraphIndexPacked(spark, path)
+      .filter(col("cid").isin(touched.toSeq: _*))
+      .map(decodeCellPacked)
+      .flatMap { c =>
+        c.ids.indices.iterator.map { i =>
+          val v =
+            if (c.half != null) {
+              val a = new Array[Float](c.dim)
+              var j = 0
+              while (j < c.dim) {
+                a(j) = graft.functions.Fp16.fromHalf(c.half(i * c.dim + j))
+                j += 1
+              }
+              a
+            } else c.rows(i)
+          (c.ids(i), v, c.cid)
+        }
+      }
+      .toDF(idCol, vecCol, "cid")
+    val combined = oldRows.unionByName(newIndexed)
+    val rebuilt = buildIndex(combined, m, efConstruction, metric,
+      idCol, vecCol)
+    graft.GraftFunctions.register(spark)
+    rebuilt.toDF()
+      .select(col("cid"), col("ids"),
+        transform(col("vecs"), v => graft.GraftFunctions.fp16Encode(v))
+          .as("vecs16"),
+        col("adj"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid").parquet(path)
+    touched
+  }
+
   /** Per-query probe lists for a graph-index search: (qid, vector,
     * probed cell ids). Collected once and broadcast — shareable across
     * every (m, efSearch) combination that probes the same centroids at
@@ -872,17 +1036,26 @@ object NswGraph {
       centroids: DataFrame, maxHeapFraction: Double = 0.6,
       force: Boolean = false, packFp16: Boolean = false): LocalReplica = {
     if (!force) {
-      val (rows, dimMax, edges) = idx
+      val (rows, dimMax, edges, flatRows, halfRows) = idx
         .map(c => (c.ids.length.toLong,
           c.dim.max(if (c.rows == null || c.rows.isEmpty) 0
             else c.rows(0).length),
-          (c.adjOff(c.ids.length)).toLong))
-        .fold((0L, 0, 0L)) { case ((r1, d1, e1), (r2, d2, e2)) =>
-          (r1 + r2, math.max(d1, d2), e1 + e2) }
+          (c.adjOff(c.ids.length)).toLong,
+          if (c.flat != null) c.ids.length.toLong else 0L,
+          if (c.half != null) c.ids.length.toLong else 0L))
+        .fold((0L, 0, 0L, 0L, 0L)) {
+          case ((r1, d1, e1, f1, h1), (r2, d2, e2, f2, h2)) =>
+            (r1 + r2, math.max(d1, d2), e1 + e2, f1 + f2, h1 + h2) }
       // packed vectors take 2 bytes/dim instead of 4 (ids/adjacency
-      // unchanged) — the guard budgets the form actually built
+      // unchanged) — the guard budgets the form actually built.
+      // Only FLAT cells pack (ragged/oversize cells stay fp32 —
+      // packCellFp16 passes them through), so the subtraction counts
+      // flat-cell rows, not all rows (r17 ADVICE: the all-rows
+      // subtraction underestimated replicas with many ragged cells);
+      // already-half cells are 2 bytes/dim whether or not this build
+      // packs, so they subtract unconditionally.
       val est = Resident.estimateGraphBytes(rows, dimMax, edges) -
-        (if (packFp16) 2L * rows * dimMax else 0L)
+        2L * dimMax * (halfRows + (if (packFp16) flatRows else 0L))
       val free = Resident.freeHeapAfterGc()
       require(est <= (free * maxHeapFraction).toLong,
         f"localReplica: decoded graph estimate ${est / 1e6}%.0f MB " +
@@ -948,13 +1121,26 @@ object NswGraph {
         // default at a 5M all-cells refresh) — the iterator fetches
         // one partition at a time, so the limit sees per-partition
         // sizes, exactly like the guarded build path
-        val it = AnnIvf.readCells(spark, path, dirs)
-          .select(col("cid").cast("int"), col("ids"), col("vecs"),
-            col("adj"))
-          .as[CellGraph]
-          .toLocalIterator()
+        val df = AnnIvf.readCells(spark, path, dirs)
         val b = Array.newBuilder[ServableCell]
-        while (it.hasNext) b += decodeCell(it.next())
+        // schema sniff (r18): a writeGraphIndexPacked tree carries
+        // `vecs16` — its cells decode STRAIGHT to the packed serving
+        // form (decodeCellPacked), never through fp32
+        if (df.columns.contains("vecs16")) {
+          val it = df
+            .select(col("cid").cast("int"), col("ids"), col("vecs16"),
+              col("adj"))
+            .as[CellGraphPacked]
+            .toLocalIterator()
+          while (it.hasNext) b += decodeCellPacked(it.next())
+        } else {
+          val it = df
+            .select(col("cid").cast("int"), col("ids"), col("vecs"),
+              col("adj"))
+            .as[CellGraph]
+            .toLocalIterator()
+          while (it.hasNext) b += decodeCell(it.next())
+        }
         b.result()
       }
     val touched = touchedCids.toSet

@@ -94,9 +94,23 @@ object Serving {
       * set fits (evicted predicates recompute on their next serve —
       * pinned in ServingSpec). A long-lived serving JVM cycling
       * ad-hoc predicates can no longer accumulate id-sets without
-      * bound. */
+      * bound.
+      *
+      * LRU + hard bound (r18, r17 ADVICE): eviction picks the
+      * LEAST-RECENTLY-USED entry (a monotonic access stamp per key —
+      * hash-order eviction could evict the hottest predicate's 400 MB
+      * set while a cold one survived, recomputing it every cycle); an
+      * id-set larger than the whole budget is returned UNCACHED
+      * instead of evicting everything and overshooting; and the
+      * evict-then-insert accounting runs under one lock, so two
+      * concurrent inserts can no longer both pass the budget check.
+      * Cache HITS stay lock-free (TrieMap read + stamp write). */
     private[operators] val idSetCache =
       scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+    private val idSetStamps =
+      scala.collection.concurrent.TrieMap.empty[String, Long]
+    private val idSetClock = new java.util.concurrent.atomic.AtomicLong()
+    private val idSetLock = new Object
     /** Byte budget for the id-set memo (spec-tunable). */
     @volatile private[graft] var idSetCacheMaxBytes: Long =
       512L * 1024 * 1024
@@ -118,21 +132,39 @@ object Serving {
       else {
         val key = Serving.predicateKey(predicate)
         idSetCache.get(key) match {
-          case Some(ids) => ids
+          case Some(ids) =>
+            idSetStamps.put(key, idSetClock.incrementAndGet())
+            ids
           case None =>
             val ids = compute()
             val need = 8L * ids.length
-            var total = need +
-              idSetCache.values.iterator.map(8L * _.length).sum
-            val it = idSetCache.iterator
-            while (total > idSetCacheMaxBytes && it.hasNext) {
-              val (k, v) = it.next()
-              if (idSetCache.remove(k).isDefined) total -= 8L * v.length
+            // an id-set larger than the whole budget is served
+            // UNCACHED — inserting it would evict every other entry
+            // and still overshoot (the r17 soft-by-one-entry bound)
+            if (need > idSetCacheMaxBytes) ids
+            else idSetLock.synchronized {
+              // a concurrent compute of the same key may have landed
+              // first — keep whichever won (both are the same pure
+              // function of (relation, predicate))
+              idSetCache.get(key) match {
+                case Some(won) =>
+                  idSetStamps.put(key, idSetClock.incrementAndGet())
+                  won
+                case None =>
+                  var total = need +
+                    idSetCache.values.iterator.map(8L * _.length).sum
+                  while (total > idSetCacheMaxBytes && idSetCache.nonEmpty) {
+                    val lru = idSetCache.keysIterator
+                      .minBy(k2 => idSetStamps.getOrElse(k2, 0L))
+                    idSetCache.remove(lru)
+                      .foreach(v => total -= 8L * v.length)
+                    idSetStamps.remove(lru)
+                  }
+                  idSetCache.put(key, ids)
+                  idSetStamps.put(key, idSetClock.incrementAndGet())
+                  ids
+              }
             }
-            // a concurrent compute of the same key may have landed
-            // first — keep whichever won (both are the same pure
-            // function of (relation, predicate))
-            idSetCache.putIfAbsent(key, ids).getOrElse(ids)
         }
       }
     }

@@ -64,6 +64,46 @@ object Sharded {
 
   type Rows = Array[(Long, Long, Long, Double)]
 
+  /** Per-query-slot SHARED kth-best bounds for the flat-tier sharded
+    * fan (r18, closing the measured 0.58–0.65× iso-work gap the r17
+    * record attributed to "4 separate early-abandon bounds prune less
+    * than one evolving bound"): each slot holds the best-known kth
+    * distance ACROSS shards, monotonically tightening. The scan
+    * kernels prune with `min(localHeapBound, shared)` — pruning with
+    * a cross-shard bound is PURE: a row abandoned against it has true
+    * distance strictly above some already-achieved kth-best, so it
+    * can never enter the merged global top-k (ties at the bound are
+    * never abandoned — `Knn.distBounded`'s strictly-greater
+    * contract). Sequential fan: shard s+1 starts each query at shards
+    * 1..s's kth-best. Parallel fan: the slots are atomics, tightened
+    * as each shard's heap fills — whichever shard reaches k first
+    * warms the others mid-scan. Rows identical either way
+    * (ShardedSpec pins seeded == unseeded == unsharded).
+    *
+    * CAS-min on raw double bits: every tighten compares through
+    * `Double.compare`, so the ordering is correct for the signed
+    * dot/cosine distances too (bit-ordering alone would not be). */
+  final class SlotBounds(n: Int) {
+    private val bits = new java.util.concurrent.atomic.AtomicLongArray(n)
+    private val posInf =
+      java.lang.Double.doubleToRawLongBits(Double.PositiveInfinity)
+    locally {
+      var i = 0
+      while (i < n) { bits.set(i, posInf); i += 1 }
+    }
+    def get(slot: Int): Double =
+      java.lang.Double.longBitsToDouble(bits.get(slot))
+    /** Lower `slot`'s bound to `d` if `d` is tighter (monotone min —
+      * never loosens, so a stale read only under-prunes). */
+    def tighten(slot: Int, d: Double): Unit = {
+      var cur = bits.get(slot)
+      while (java.lang.Double.longBitsToDouble(cur) > d &&
+        !bits.compareAndSet(slot, cur,
+          java.lang.Double.doubleToRawLongBits(d)))
+        cur = bits.get(slot)
+    }
+  }
+
   /** Partition ONE graph replica's cells round-robin (cid-sorted
     * order) into `nShards` replicas sharing the centroid matrix.
     * Shares every cell's decoded arrays by reference — zero copy. */
@@ -134,28 +174,84 @@ object Sharded {
     }
   }
 
-  /** Run one serve per shard, sequentially or on K plain threads
-    * (`parallel` — the kernels inside still chunk over the shared
-    * worker pool; per-shard serves are independent pure functions, so
-    * the flag never changes rows). */
+  /** Whether two shard replicas share one coarse quantizer — the
+    * split-vs-independent geometry test behind the cost boundary's
+    * `probedPerQuery`. Instance equality first (the in-process split
+    * constructions alias the matrix — free), then CONTENT equality
+    * (r17 ADVICE: split shards that lost instance sharing, e.g.
+    * through a `LocalCellReplica` serialization round-trip, were
+    * misclassified as independent, inflating probedPerQuery K-fold
+    * and shifting the exact/pre-filter boundary). The full compare is
+    * O(cells × dim) floats — trivial once per serve call next to the
+    * scan itself. */
+  private[operators] def sameQuantizer(a: Array[Array[Float]],
+      b: Array[Array[Float]]): Boolean =
+    (a eq b) || (a.length == b.length && {
+      var i = 0
+      var same = true
+      while (same && i < a.length) {
+        same = (a(i) eq b(i)) || java.util.Arrays.equals(a(i), b(i))
+        i += 1
+      }
+      same
+    })
+
+  /** The measured parallel-fan rule as a pure function (r17:
+    * BENCH_scale_r17 scale_20m_filtered_sharded.reading — the fan
+    * helps at batch=100, where one shard's kernel leaves the pool
+    * idle, and HURTS at batch=1000, where the sequential scan already
+    * saturates it and the fan only adds contention): fan iff one
+    * shard's serve cannot fill the worker pool by itself. Both local
+    * kernels size their workers at one per ~4 queries
+    * (`localCellCoreSlots` / `searchLocalCoreSlots`), so the
+    * saturation test is `(batch + 3) / 4 < cores`. Pinned in
+    * ShardedSpec at the two measured batch sizes. */
+  private[graft] def autoParallel(batch: Int, nShards: Int,
+      cores: Int = Runtime.getRuntime.availableProcessors()): Boolean =
+    nShards > 1 && (batch + 3) / 4 < cores
+
+  /** CACHED daemon pool for the shard fan (r17 ADVICE: K fresh
+    * threads per call added create/join latency to every batch of the
+    * closed-loop profiles). Distinct from `NswGraph.runOnLocalPool`'s
+    * worker pool ON PURPOSE — fan tasks BLOCK on that pool, so
+    * running them inside it could deadlock (the re-entrancy guard);
+    * idle fan threads die after 30 s like any cached pool. */
+  private lazy val fanPool: java.util.concurrent.ExecutorService = {
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-shard-fan-${n.getAndIncrement()}")
+        t.setDaemon(true); t
+      }
+    }
+    new java.util.concurrent.ThreadPoolExecutor(0, Int.MaxValue, 30L,
+      java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable](), tf)
+  }
+
+  /** Run one serve per shard, sequentially or fanned onto the cached
+    * pool (`parallel` — the kernels inside still chunk over the
+    * shared worker pool; per-shard serves are independent pure
+    * functions, so the flag never changes rows). */
   private def fanShards[A](shards: Seq[A], parallel: Boolean)(
       f: A => Array[Rows]): Seq[Array[Rows]] =
     if (!parallel || shards.length == 1) shards.map(f)
     else {
       val out = new Array[Array[Rows]](shards.length)
-      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      // eager materialization: a lazy Seq would otherwise start and
-      // join the threads ONE AT A TIME inside the foreach below,
+      // eager materialization: a lazy Seq would otherwise submit and
+      // await the tasks ONE AT A TIME inside the foreach below,
       // silently serializing the fan
-      val threads = shards.toIndexedSeq.zipWithIndex.map { case (s, i) =>
-        val t = new Thread(() =>
-          try out(i) = f(s)
-          catch { case x: Throwable => err.compareAndSet(null, x) },
-          s"graft-shard-fan-$i")
-        t.setDaemon(true); t.start(); t
+      val futures = shards.toIndexedSeq.zipWithIndex.map { case (s, i) =>
+        fanPool.submit(new Runnable { def run(): Unit = out(i) = f(s) })
       }
-      threads.foreach(_.join())
-      if (err.get() != null) throw err.get()
+      // first failure propagates (ExecutionException unwrapped); the
+      // remaining futures still complete — their slots are discarded
+      // with the throw
+      try futures.foreach(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause
+      }
       scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
     }
 
@@ -163,7 +259,7 @@ object Sharded {
     * per slot, flattened in slot order with ranks renumbered 1..≤k.
     * `qids` names each slot (an all-shards-empty slot has no row to
     * read a qid from). */
-  private[operators] def mergeSlots(perShard: Seq[Array[Rows]],
+  private[graft] def mergeSlots(perShard: Seq[Array[Rows]],
       qids: Array[Long], k: Int): Rows = {
     val out = Array.newBuilder[(Long, Long, Long, Double)]
     out.sizeHint(qids.length * k)
@@ -196,24 +292,31 @@ object Sharded {
     * independent shards it is the N-replicas-over-N-data-shards
     * deployment serve.
     *
-    * `parallelShards = true` fans the K shard serves onto K plain
-    * threads (each shard's kernel still chunks its queries over the
-    * shared worker pool) — the IN-PROCESS approximation of the
-    * deployment's parallel fan-out, where batch latency is the
+    * `parallelShards = Some(true)` fans the K shard serves onto the
+    * cached fan pool (each shard's kernel still chunks its queries
+    * over the shared worker pool) — the IN-PROCESS approximation of
+    * the deployment's parallel fan-out, where batch latency is the
     * slowest SHARD plus one merge instead of the K-shard sum.
     * Results are identical either way (per-shard serves are
     * independent pure functions; ShardedSpec pins it): the flag
-    * trades scheduling for latency, never semantics. Default stays
-    * sequential — the honest total-work measurement shape. */
+    * trades scheduling for latency, never semantics. The default
+    * `None` applies the MEASURED rule (`autoParallel`): fan small
+    * batches (one shard's kernel can't fill the pool), serve large
+    * ones sequentially (the scan already saturates it — fanning a
+    * batch=1000 measured 0.64× the sequential serve,
+    * BENCH_scale_r17); `Some(false)` forces the sequential
+    * total-work measurement shape. */
   def searchShardedLocalQueries(reps: Seq[NswGraph.LocalReplica],
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None,
-      parallelShards: Boolean = false): Rows = {
+      parallelShards: Option[Boolean] = None): Rows = {
     require(reps.nonEmpty, "searchShardedLocalQueries needs >= 1 shard")
     if (queries.isEmpty) return Array.empty
+    val par = parallelShards.getOrElse(
+      autoParallel(queries.length, reps.length))
     mergeSlots(
-      fanShards(reps, parallelShards)(r =>
+      fanShards(reps, par)(r =>
         NswGraph.searchLocalQueriesSlots(r, queries, k, nprobe,
           efSearch, metric, tombstones)),
       queries.map(_._1), k)
@@ -253,7 +356,7 @@ object Sharded {
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None,
-      parallelShards: Boolean = false)
+      parallelShards: Option[Boolean] = None)
       : (Serving.Strategy, Rows) = {
     require(flatShards.forall(_.attrs != null),
       "serveFilteredSharded needs attr-built shard replicas - build " +
@@ -279,7 +382,7 @@ object Sharded {
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None,
-      parallelShards: Boolean = false)
+      parallelShards: Option[Boolean] = None)
       : (Serving.Strategy, Rows) = {
     require(idSet != null, "idSet must be non-null (empty = no survivors)")
     serveShardedCore(flatShards, graphShards, queries, k, null, idSet,
@@ -297,7 +400,7 @@ object Sharded {
       mild: Double, extreme: Double,
       maxOverFetchK: Int, metric: String,
       tombstones: Option[Array[Long]],
-      parallelShards: Boolean)
+      parallelShards: Option[Boolean])
       : (Serving.Strategy, Rows) = {
     require(flatShards.nonEmpty, "serveFilteredSharded needs >= 1 shard")
     require(overFetchMult >= 1, s"overFetchMult must be >= 1")
@@ -322,32 +425,48 @@ object Sharded {
     }
     // total geometry: split shards (one shared centroid matrix) probe
     // nprobe global cells per query; independent shards probe nprobe
-    // of EACH shard's cells
+    // of EACH shard's cells. Shared-quantizer detection falls back to
+    // CONTENT equality when instances differ (r17 ADVICE: a
+    // serialization round-trip of split shards loses instance sharing
+    // and would otherwise inflate probedPerQuery K-fold, shifting the
+    // cost boundary).
     val totalCells = flatShards.iterator.map(_.nCells.toLong).sum
-    val sharedCentroids = flatShards.forall(
-      _.centroidMatrix eq flatShards.head.centroidMatrix)
+    val sharedCentroids = flatShards.forall(f =>
+      sameQuantizer(f.centroidMatrix, flatShards.head.centroidMatrix))
     val probedPerQuery =
       if (sharedCentroids) nprobe else nprobe * flatShards.length
     val resolved = Serving.effectiveExtreme(extreme, mild,
       probedPerQuery, totalCells)
+    val par = parallelShards.getOrElse(
+      autoParallel(queries.length, flatShards.length))
+    // cross-shard kth-best bounds (r18): both flat-tier branches
+    // share one SlotBounds per call — sequential fan passes each
+    // shard the previous shards' per-slot kth-best, the parallel fan
+    // tightens the atomics mid-scan. Pure pruning, rows unchanged
+    // (ShardedSpec). The graph branch's beam has no row-scan bound to
+    // seed (its result heap feeds the EXPLORATION frontier — an
+    // external cut there would change which nodes expand, i.e. the
+    // semantics, not just the work), so it stays unseeded.
     Serving.chooseStrategy(sel, graphShards.exists(_.nonEmpty), mild,
       resolved) match {
       case Serving.IvfPrefilterResident =>
         throw new IllegalStateException("unreachable: chooseStrategy " +
           "returns IvfPrefilter; the resident tag is applied below")
       case Serving.ExactScan =>
+        val bounds = new SlotBounds(queries.length)
         (Serving.ExactScan, mergeSlots(
-          fanShards(flatShards, parallelShards)(f =>
+          fanShards(flatShards, par)(f =>
             AnnIvf.localCellCoreSlots(f, queries, k,
               0, metric, Option(attrPred), Option(idSet), tombstones,
-              exhaustive = true)),
+              exhaustive = true, sharedBounds = bounds)),
           qids, k))
       case Serving.IvfPrefilter =>
+        val bounds = new SlotBounds(queries.length)
         (Serving.IvfPrefilterResident, mergeSlots(
-          fanShards(flatShards, parallelShards)(f =>
+          fanShards(flatShards, par)(f =>
             AnnIvf.localCellCoreSlots(f, queries, k,
               nprobe, metric, Option(attrPred), Option(idSet), tombstones,
-              exhaustive = false)),
+              exhaustive = false, sharedBounds = bounds)),
           qids, k))
       case Serving.GraphOverfetch =>
         val kF = math.min(maxOverFetchK,
@@ -355,7 +474,7 @@ object Sharded {
             math.ceil(overFetchMult * k / sel).toInt)))
         val efF = math.max(efSearch, kF)
         val graphs = graphShards.get
-        val perShard = fanShards(graphs, parallelShards)(g =>
+        val perShard = fanShards(graphs, par)(g =>
           NswGraph.searchLocalQueriesSlots(
             g, queries, kF, nprobe, efF, metric, tombstones))
         // global top-k' candidate cut FIRST (the unsharded branch's
@@ -407,7 +526,7 @@ object Sharded {
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       tombstones: Option[Array[Long]] = None,
-      parallelShards: Boolean = false)
+      parallelShards: Option[Boolean] = None)
       : (Serving.Strategy, DataFrame) = {
     val spark = queries.sparkSession
     import spark.implicits._
@@ -438,7 +557,7 @@ object Sharded {
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       tombstones: Option[Array[Long]] = None,
-      parallelShards: Boolean = false)
+      parallelShards: Option[Boolean] = None)
       : (Serving.Strategy, DataFrame) = {
     val spark = queries.sparkSession
     import spark.implicits._

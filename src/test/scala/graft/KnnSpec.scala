@@ -680,6 +680,88 @@ class KnnSpec extends AnyFunSuite {
       snapped.unpersist() }
   }
 
+  test("fp16-packed PERSISTED layout (r18): the packed tree stores " +
+      "2-byte binary16, round-trips losslessly on fp16-exact vectors, " +
+      "serves partition-pruned and bit-identical to the fp32 layout, " +
+      "and decodes straight to a packed replica") {
+    import org.apache.spark.sql.functions.{col, lit, round, transform}
+    val snapped = data.filter(SparkEntry.filterLow)
+      .withColumn("embedding", transform(col("embedding"),
+        x => (round(x * 64) / lit(64.0)).cast("float"))).cache()
+    snapped.count()
+    val centroids = AnnIvf.train(snapped, numCentroids = 8,
+      iterations = 2)
+    val idx = AnnIvf.index(snapped, centroids)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pk").toString
+    AnnIvf.writeIndex(idx, s"$tmp/f32")
+    AnnIvf.writeIndexPacked(idx, s"$tmp/f16")
+    // the packed layout stores the vector column as 2-byte-per-dim
+    // BINARY (the on-disk byte halving is an encoding property of
+    // real-entropy vectors — measured at 5M in the round profile;
+    // this fixture's grid-snapped floats parquet-compress too well
+    // for a raw directory-size compare to mean anything)
+    val packedSchema = spark.read.parquet(s"$tmp/f16").schema
+    assert(packedSchema("embedding").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val dim0 = idx.select($"embedding").as[Array[Float]].head().length
+    assert(spark.read.parquet(s"$tmp/f16")
+      .select($"embedding").as[Array[Byte]].head().length == 2 * dim0)
+    // lossless roundtrip on the fp16-exact grid: decoded rows equal
+    // the written relation value for value
+    val rt = AnnIvf.readIndexPacked(spark, s"$tmp/f16")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v.toSeq) }.toSet
+    val orig = idx.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v.toSeq) }.toSet
+    assert(rt == orig)
+    // packed persisted serve: pruned at the partition level AND
+    // bit-identical to the fp32 layout's serve
+    val p16 = AnnIvf.searchPersisted(spark, s"$tmp/f16", centroids,
+      queries, 10, nprobe = 4, packedVec = true)
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4096")
+    val plan = p16.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cid#") ||
+      plan.contains("PartitionFilters: [in(cid"), s"no pruning:\n$plan")
+    val p32 = AnnIvf.searchPersisted(spark, s"$tmp/f32", centroids,
+      queries, 10, nprobe = 4)
+    assert(asTuples(p16) == asTuples(p32) && asTuples(p16).nonEmpty)
+    // straight-to-packed replica: binary16 bytes -> half blocks ->
+    // packed replica, fp32 never materialized; serve bit-identical
+    // to the fp32 layout's replica, attr route included
+    val cells16 = AnnIvf.servableCellsPacked(
+      spark.read.parquet(s"$tmp/f16"), attrCol = Some("label"))
+    val cells32 = AnnIvf.servableCells(
+      spark.read.parquet(s"$tmp/f32"), attrCol = Some("label"))
+    cells16.count(); cells32.count()
+    try {
+      val rep16 = AnnIvf.localCellReplica(cells16, centroids)
+      val rep32 = AnnIvf.localCellReplica(cells32, centroids)
+      assert(rep16.half != null && rep16.flat == null && rep16.rows == null)
+      assert(rep16.approxBytes < rep32.approxBytes)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val pred: Double => Boolean = a => a == 0.0 || a == 1.0
+      assert(AnnIvf.searchLocalCellsQueries(rep16, qArr, 10, nprobe = 4)
+        .toSeq ==
+        AnnIvf.searchLocalCellsQueries(rep32, qArr, 10, nprobe = 4).toSeq)
+      assert(AnnIvf.searchLocalCellsQueries(rep16, qArr, 10, nprobe = 4,
+        attrPred = Some(pred)).toSeq ==
+        AnnIvf.searchLocalCellsQueries(rep32, qArr, 10, nprobe = 4,
+          attrPred = Some(pred)).toSeq)
+      // the distributed block scan reads the packed blocks too
+      assert(asTuples(AnnIvf.searchServableCells(cells16, centroids,
+        queries, 10, nprobe = 4)) ==
+        asTuples(AnnIvf.searchServableCells(cells32, centroids,
+          queries, 10, nprobe = 4)))
+      // packed and fp32 blocks refuse to mix in one replica
+      intercept[IllegalArgumentException] {
+        AnnIvf.localCellReplica(cells16.union(cells32), centroids)
+      }
+    } finally { cells16.unpersist(); cells32.unpersist()
+      snapped.unpersist() }
+  }
+
   test("positional id-set mask: memoized per id-set instance, rows " +
       "identical to the attr route and to the mask-free contract " +
       "(r16 — the bit-probe keep test must be pure representation)") {

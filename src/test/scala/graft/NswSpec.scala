@@ -510,4 +510,88 @@ class NswSpec extends AnyFunSuite {
         packed, Array.emptyIntArray) eq packed)
     } finally { idx.unpersist(); snapped.unpersist() }
   }
+
+  test("fp16-packed PERSISTED graph layout (r18): packed tree stores " +
+      "binary16 vecs and serves bit-identical on fp16-exact vectors; " +
+      "packed append keeps the layout; refresh sniffs the schema and " +
+      "decodes touched cells straight to packed, untouched cells " +
+      "stay aliased") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val snapped = data.withColumn("embedding",
+      transform(col("embedding"),
+        x => (round(x * 64) / lit(64.0)).cast("float"))).cache()
+    snapped.count()
+    val centroids = graft.operators.AnnIvf.train(snapped, 8,
+      iterations = 2)
+    val qArr = queries.select(col("qid").cast("long"),
+      col("q_embedding")).as[(Long, Array[Float])].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gpk").toString
+    // base/appendix split for the lifecycle half
+    val base = snapped.filter(col("vec_id") % 5 =!= 3)
+    val appendix = snapped.filter(col("vec_id") % 5 === 3)
+    val graphsAll = NswGraph.buildIndex(
+      graft.operators.AnnIvf.index(snapped, centroids),
+      m = 8, efConstruction = 32)
+    NswGraph.writeGraphIndex(graphsAll, s"$tmp/f32")
+    NswGraph.writeGraphIndexPacked(graphsAll, s"$tmp/f16")
+    // layout property (byte halving is measured at 5M in the round
+    // profile — this fixture's snapped floats compress too well for
+    // a raw size compare): vecs16 is array<binary>, 2 bytes/dim
+    val packedSchema = spark.read.parquet(s"$tmp/f16").schema
+    assert(packedSchema("vecs16").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.BinaryType, containsNull = true) ||
+      packedSchema("vecs16").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.BinaryType, containsNull = false))
+    val idx16 = NswGraph.servableIndexPacked(spark, s"$tmp/f16")
+    val idx32 = NswGraph.servableIndex(
+      NswGraph.readGraphIndex(spark, s"$tmp/f32"))
+    idx16.count(); idx32.count()
+    try {
+      val rep16 = NswGraph.localReplica(idx16, centroids)
+      assert(rep16.cells.forall(c => c.flat == null &&
+        (c.half != null || c.rows != null)))
+      val rep32 = NswGraph.localReplica(idx32, centroids)
+      // packed-tree serve == fp32-tree serve (fp16-exact fixture)
+      val f16 = NswGraph.searchLocalQueries(rep16, qArr, 10, 8,
+        efSearch = 64)
+      assert(f16.toSeq == NswGraph.searchLocalQueries(rep32, qArr, 10,
+        8, efSearch = 64).toSeq && f16.nonEmpty)
+      // LIFECYCLE on the packed layout: base tree -> packed append ->
+      // schema-sniffed refresh; the refreshed replica must equal a
+      // replica over the full packed tree, touched cells packed,
+      // untouched cells aliased from the pre-append replica
+      NswGraph.writeGraphIndexPacked(NswGraph.buildIndex(
+        graft.operators.AnnIvf.index(base, centroids),
+        m = 8, efConstruction = 32), s"$tmp/life")
+      val idxBase = NswGraph.servableIndexPacked(spark, s"$tmp/life")
+      idxBase.count()
+      val repBase = NswGraph.localReplica(idxBase, centroids)
+      idxBase.unpersist()
+      val touched = NswGraph.appendToGraphIndexPacked(appendix,
+        centroids, s"$tmp/life", m = 8, efConstruction = 32)
+      assert(touched.nonEmpty)
+      // the appended tree is still the packed schema
+      assert(spark.read.parquet(s"$tmp/life").columns.contains("vecs16"))
+      val refreshed = NswGraph.refreshLocalReplica(spark, s"$tmp/life",
+        repBase, touched)
+      // appended rows are served; rows equal the full-corpus packed
+      // replica's (per-cell builds are id-sort deterministic, so the
+      // appended tree == a fresh build over the union)
+      val served = NswGraph.searchLocalQueries(refreshed, qArr, 10, 8,
+        efSearch = 64)
+      assert(served.toSeq == f16.toSeq)
+      // untouched cells alias the pre-append replica's decoded arrays
+      val touchedSet = touched.toSet
+      refreshed.cells.filterNot(c => touchedSet.contains(c.cid))
+        .foreach(c => assert(repBase.cells.exists(_ eq c)))
+      // touched cells decoded packed (no fp32 mixed in)
+      refreshed.cells.filter(c => touchedSet.contains(c.cid))
+        .foreach(c => assert(c.flat == null))
+    } finally { idx16.unpersist(); idx32.unpersist()
+      snapped.unpersist() }
+  }
 }

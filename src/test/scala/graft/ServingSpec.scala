@@ -562,26 +562,47 @@ class ServingSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("maxIds"))
   }
 
-  test("idSetCache is BYTE-BOUNDED (r17): inserting past " +
-      "idSetCacheMaxBytes evicts existing entries, and an evicted " +
-      "predicate recomputes on its next serve") {
+  test("idSetCache is BYTE-BOUNDED and LRU (r17 bound, r18 order): " +
+      "eviction under byte pressure drops the least-recently-USED " +
+      "entry (a hot predicate survives), an evicted predicate " +
+      "recomputes on its next serve, and an id-set larger than the " +
+      "whole budget is served UNCACHED instead of evicting everything") {
     val centroids = AnnIvf.train(data, numCentroids = 8, iterations = 2)
     val art = Serving.Artifacts(AnnIvf.index(data, centroids), centroids)
     val pA = $"label".isin(0, 1)
     val pB = $"label".isin(2, 3)
+    val pC = $"label".isin(4, 5)
     val a0 = art.survivorIds(pA)
-    assert(art.idSetComputes == 1 && a0.nonEmpty)
-    // budget sized so ONE of the two sets fits but not both
-    art.idSetCacheMaxBytes = 8L * a0.length + 7L
     val b0 = art.survivorIds(pB)
-    assert(art.idSetComputes == 2 && b0.nonEmpty)
-    // pB's insert evicted pA (total would exceed the budget) — pA
-    // recomputes; pB itself stays memoized as long as it fits
-    assert(art.idSetCacheEntries == 1)
+    assert(art.idSetComputes == 2 && a0.nonEmpty && b0.nonEmpty)
+    assert(art.idSetCacheEntries == 2)
+    // pC's size measured OUTSIDE the memo (static helper) so the
+    // budget can be sized exactly: pA + pC fit together, pB on top
+    // does not
+    val cLen = Serving.survivorIdSet(art.indexed, pC).length
+    art.idSetCacheMaxBytes = 8L * (a0.length + cLen) + 7L
+    // touch pA — it becomes the RECENT entry; pB is now the LRU
+    art.survivorIds(pA)
+    assert(art.idSetComputes == 2) // a cache hit, stamped
+    // pC's insert needs room: the LRU victim must be pB, NOT the
+    // hot pA (hash-order eviction could pick either — r17 ADVICE)
+    val c0 = art.survivorIds(pC)
+    assert(art.idSetComputes == 3 && c0.nonEmpty)
     val a1 = art.survivorIds(pA)
-    assert(art.idSetComputes == 3 && (a1 sameElements a0))
-    // the memo never grows past the budget's entry count
-    assert(art.idSetCacheEntries == 1)
+    assert(art.idSetComputes == 3 && (a1 sameElements a0),
+      "the hot entry was evicted — eviction is not recency-ordered")
+    val b1 = art.survivorIds(pB)
+    assert(art.idSetComputes == 4 && (b1 sameElements b0)) // recomputed
+    // OVERSIZED: an id-set bigger than the whole budget never inserts
+    // and never evicts — existing entries survive, repeat serves
+    // recompute
+    val entriesBefore = art.idSetCacheEntries
+    art.idSetCacheMaxBytes = 7L
+    val computesBefore = art.idSetComputes
+    art.survivorIds($"label" =!= 4)
+    art.survivorIds($"label" =!= 4)
+    assert(art.idSetComputes == computesBefore + 2) // uncached both times
+    assert(art.idSetCacheEntries == entriesBefore) // nothing evicted
   }
 
   test("duplicate qids in one local batch: the mild over-fetch branch " +

@@ -65,10 +65,10 @@ class ShardedSpec extends AnyFunSuite {
       // parallel shard fan-out: identical rows (scheduling, never
       // semantics), masked included
       assert(Sharded.searchShardedLocalQueries(shards, qArr, 10, 8,
-        efSearch = 64, parallelShards = true).toSeq == single.toSeq)
+        efSearch = 64, parallelShards = Some(true)).toSeq == single.toSeq)
       assert(Sharded.searchShardedLocalQueries(shards, qArr, 10, 8,
         efSearch = 64, tombstones = Some(mask),
-        parallelShards = true).toSeq == singleM.toSeq)
+        parallelShards = Some(true)).toSeq == singleM.toSeq)
       // duplicate qids stay independent positional slots through the
       // merge (the r14/r15 duplicate-qid contract)
       val dup = Array(qArr(0), qArr(0), qArr(1))
@@ -126,7 +126,7 @@ class ShardedSpec extends AnyFunSuite {
         val (s3, r3) = Sharded.serveFilteredShardedExplained(
           flatShards, Some(graphShards), qArr, 10, attrTwin,
           nprobe = nprobe, efSearch = 64, extreme = extreme,
-          tombstones = tomb, parallelShards = true)
+          tombstones = tomb, parallelShards = Some(true))
         assert(s3 == expect && r3.toSeq == r1.toSeq,
           s"parallel fan diverged on $expect")
       }
@@ -189,6 +189,57 @@ class ShardedSpec extends AnyFunSuite {
       indexed.unpersist() }
   }
 
+  test("cross-shard bound seeding is pure pruning: a kernel scan " +
+      "seeded with the TIGHTEST legal per-slot bound (the true global " +
+      "kth-best) returns the unseeded rows exactly, on the pre-filter " +
+      "and exact branches — and the auto-parallel rule picks the " +
+      "measured winner at both profiled batch sizes") {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    cells.count()
+    try {
+      val rep = AnnIvf.localCellReplica(cells, centroids)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val pred: Option[Double => Boolean] = Some(a => a == 0.0 || a == 1.0)
+      Seq(true, false).foreach { exhaustive =>
+        val np = if (exhaustive) 0 else 8
+        val unseeded = AnnIvf.localCellCoreSlots(rep, qArr, 10, np,
+          "sqeuclidean", pred, None, None, exhaustive)
+        // tightest LEGAL seed: each slot's true kth-best distance —
+        // ties at the bound must survive (strictly-greater abandon),
+        // so seeding at exactly the kth distance changes nothing
+        val seeds = new Sharded.SlotBounds(qArr.length)
+        unseeded.zipWithIndex.foreach { case (rows, slot) =>
+          if (rows.length == 10) seeds.tighten(slot, rows.last._4)
+        }
+        val seeded = AnnIvf.localCellCoreSlots(rep, qArr, 10, np,
+          "sqeuclidean", pred, None, None, exhaustive,
+          sharedBounds = seeds)
+        assert(seeded.map(_.toSeq).toSeq == unseeded.map(_.toSeq).toSeq,
+          s"seeded scan diverged (exhaustive=$exhaustive)")
+        // and the seeds only ever tighten (publish keeps the invariant
+        // "bound >= final global kth dist")
+        unseeded.zipWithIndex.foreach { case (rows, slot) =>
+          if (rows.length == 10) assert(seeds.get(slot) <= rows.last._4)
+        }
+      }
+      // SlotBounds ordering is Double.compare-correct for signed
+      // (dot/cosine) distances too
+      val b = new Sharded.SlotBounds(1)
+      b.tighten(0, -0.25); b.tighten(0, -0.125)
+      assert(b.get(0) == -0.25)
+      // the measured fan rule (BENCH_scale_r17: fan wins at batch=100,
+      // loses at batch=1000 on 32 cores)
+      assert(Sharded.autoParallel(100, 4, cores = 32))
+      assert(!Sharded.autoParallel(1000, 4, cores = 32))
+      assert(!Sharded.autoParallel(100, 1, cores = 32)) // nothing to fan
+    } finally { cells.unpersist(); indexed.unpersist() }
+  }
+
   test("independent shards (own centroids per corpus slice): the " +
       "merged serve equals exact ground truth under the beam-exact " +
       "recipe — the N-replicas-over-N-data-shards deployment form") {
@@ -215,6 +266,62 @@ class ShardedSpec extends AnyFunSuite {
     val mergedDf = spark.createDataset(merged.toSeq)
       .toDF("qid", "rank", "neighbor_id", "dist")
     assert(asRows(mergedDf) == asRows(Knn.exact(d, queries, 10)))
+    half0.unpersist(); half1.unpersist()
+  }
+
+  test("sharded LIFECYCLE (r18): append to ONE independent shard's " +
+      "persisted tree, refresh ONLY that shard's replica, and the " +
+      "sharded serve returns the appended rows — the other shard's " +
+      "replica is untouched (same instance), the refreshed shard " +
+      "aliases its untouched cells") {
+    val d = data.cache()
+    val half0 = d.filter($"vec_id" % 2 === 0).cache()
+    val half1 = d.filter($"vec_id" % 2 === 1).cache()
+    // hold an appendix out of shard 0 (the steady-state loop's batch)
+    val base0 = half0.filter($"vec_id" % 5 =!= 3)
+    val appendix = half0.filter($"vec_id" % 5 === 3)
+    val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+      .as[(Long, Array[Float])].collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_slc").toString
+    // per-shard persisted trees + replicas (the beam-exact recipe:
+    // 4 cells, m=32/efC=64, nprobe=4/efS=128 -> each shard exact)
+    def buildShard(slice: DataFrame, path: String)
+        : (NswGraph.LocalReplica, DataFrame) = {
+      val cents = AnnIvf.train(slice, numCentroids = 4, iterations = 2)
+      NswGraph.writeGraphIndex(NswGraph.buildIndex(
+        AnnIvf.index(slice, cents), m = 32, efConstruction = 64), path)
+      val idx = NswGraph.servableIndex(NswGraph.readGraphIndex(spark, path))
+      try (NswGraph.localReplica(idx, cents), cents)
+      finally idx.unpersist()
+    }
+    val (rep0, cents0) = buildShard(base0, s"$tmp/s0")
+    val (rep1, _) = buildShard(half1, s"$tmp/s1")
+    // pre-append: the appendix ids are absent from the merged serve
+    val appendedIds = appendix.select($"vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val before = Sharded.searchShardedLocalQueries(Seq(rep0, rep1),
+      qArr, 10, nprobe = 4, efSearch = 128)
+    assert(!before.exists(r => appendedIds.contains(r._3)))
+    // steady-state loop: append to shard 0's TREE, refresh shard 0's
+    // REPLICA only (O(touched cells)), serve the new pair
+    val touched = NswGraph.appendToGraphIndex(appendix, cents0,
+      s"$tmp/s0", m = 32, efConstruction = 64)
+    assert(touched.nonEmpty)
+    val rep0b = NswGraph.refreshLocalReplica(spark, s"$tmp/s0", rep0,
+      touched)
+    // untouched cells of shard 0 alias the old replica's arrays
+    val touchedSet = touched.toSet
+    rep0b.cells.filterNot(c => touchedSet.contains(c.cid))
+      .foreach(c => assert(rep0.cells.exists(_ eq c)))
+    // shard 1 was never rebuilt — the SAME replica instance serves
+    val after = Sharded.searchShardedLocalQueries(Seq(rep0b, rep1),
+      qArr, 10, nprobe = 4, efSearch = 128)
+    // the refreshed sharded serve equals exact truth over the FULL
+    // corpus (base0 + appendix + half1 = d) under the exact recipe —
+    // the appended rows are served, nothing else moved
+    val afterDf = spark.createDataset(after.toSeq)
+      .toDF("qid", "rank", "neighbor_id", "dist")
+    assert(asRows(afterDf) == asRows(Knn.exact(d, queries, 10)))
     half0.unpersist(); half1.unpersist()
   }
 }
