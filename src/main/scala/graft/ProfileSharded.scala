@@ -56,7 +56,16 @@ object ProfileSharded {
         val Array(np, efs) = s.split(':'); (np.toInt, efs.toInt)
       })
       .getOrElse(Seq((2, 32), (2, 48)))
-    val fp16Mode = args.lift(5).contains("fp16")
+    val modeSet: Set[String] = args.lift(5)
+      .map(_.split(',').toSet).getOrElse(Set.empty)
+    val fp16Mode = modeSet.contains("fp16")
+    // fp16only (r18, the 40M point): build each shard replica PACKED
+    // from the start (localReplica(packFp16 = true) — fp32 never
+    // held) and run the main recall + closed-loop sections on the
+    // packed shards; the box can then hold 2x the shards of the fp32
+    // build path (8x5M packed ~8 GB where fp32 would be ~12 GB
+    // transiently doubled during packing)
+    val packedOnly = modeSet.contains("fp16only")
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -100,15 +109,17 @@ object ProfileSharded {
         val g = NswGraph.buildIndex(indexed, m = 16, efConstruction = 64)
         val sv = NswGraph.servableIndex(g)
         sv.count()
-        val r = time { NswGraph.localReplica(sv, cents) }
+        val r = time { NswGraph.localReplica(sv, cents,
+          packFp16 = packedOnly) }
         sv.unpersist()
         r
       }
       slice.unpersist()
       println(f"[pshard] shard $s: $sliceN rows, build $buildSec%.1fs " +
         f"(replica collect $repSec%.2fs, " +
-        f"${rep.approxBytes / 1e6}%.0f MB decoded, " +
-        f"${rep.cells.length} cells)")
+        f"${rep.approxBytes / 1e6}%.0f MB decoded" +
+        (if (packedOnly) " PACKED" else "") +
+        f", ${rep.cells.length} cells)")
       rep
     }
     println(f"[pshard] total decoded across $nShards shards: " +

@@ -37,6 +37,12 @@ object ProfileShardedFiltered {
     val cellsPerShard = args.lift(3).map(_.toInt).getOrElse(1024)
     val nprobes: Seq[Int] = args.lift(4)
       .map(_.split(',').toSeq.map(_.toInt)).getOrElse(Seq(4, 2))
+    // "ablate" (r18): also measure each point with the cross-shard
+    // bound warming DISABLED (the graft.noSharedBounds property — the
+    // r17 cold-bounds behavior) back-to-back in the SAME JVM, so the
+    // warming's effect separates from host window drift. Rows are
+    // identical either way (ShardedSpec pure-pruning pin).
+    val ablate = args.lift(5).contains("ablate")
     val dim = 64
     val k = 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -139,6 +145,26 @@ object ProfileShardedFiltered {
               f"(${strat.name}%-22s) batch=$bs%5d: seq $sQps%9.1f qps " +
               f"(lat $sAvg%.2f/$sP99%.2f) | parfan $pQps%9.1f qps " +
               f"(lat $pAvg%.2f/$pP99%.2f) recall@10=$recall%.4f")
+            if (ablate) {
+              System.setProperty("graft.noSharedBounds", "1")
+              try {
+                val (nQps, nAvg, nP99) = measureLoop(bs) { batch =>
+                  Sharded.serveFilteredShardedExplained(flatShards, None,
+                    batch, k, pred, nprobe = np, efSearch = 32,
+                    selectivity = Some(sel), parallelShards = Some(false))
+                }
+                val (npQps, _, _) = measureLoop(bs) { batch =>
+                  Sharded.serveFilteredShardedExplained(flatShards, None,
+                    batch, k, pred, nprobe = np, efSearch = 32,
+                    selectivity = Some(sel), parallelShards = Some(true))
+                }
+                println(f"[pshardf] NOBOUNDS filtered $nm%-4s np$np " +
+                  f"batch=$bs%5d: seq $nQps%9.1f qps " +
+                  f"(lat $nAvg%.2f/$nP99%.2f) | parfan $npQps%9.1f qps " +
+                  f"(warm-vs-cold seq ${sQps / nQps}%.2fx " +
+                  f"parfan ${pQps / npQps}%.2fx)")
+              } finally System.clearProperty("graft.noSharedBounds")
+            }
           }
         }
         truth.unpersist()

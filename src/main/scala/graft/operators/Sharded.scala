@@ -196,19 +196,21 @@ object Sharded {
       same
     })
 
-  /** The measured parallel-fan rule as a pure function (r17:
-    * BENCH_scale_r17 scale_20m_filtered_sharded.reading — the fan
-    * helps at batch=100, where one shard's kernel leaves the pool
-    * idle, and HURTS at batch=1000, where the sequential scan already
-    * saturates it and the fan only adds contention): fan iff one
-    * shard's serve cannot fill the worker pool by itself. Both local
-    * kernels size their workers at one per ~4 queries
-    * (`localCellCoreSlots` / `searchLocalCoreSlots`), so the
-    * saturation test is `(batch + 3) / 4 < cores`. Pinned in
-    * ShardedSpec at the two measured batch sizes. */
+  /** The measured parallel-fan rule as a pure function: fan whenever
+    * there is more than one shard. The r17 counter-reading (fan
+    * REGRESSED at batch=1000: 17,301 vs 27,119 sequential,
+    * BENCH_scale_r17) was measured with K fresh threads per call and
+    * cold per-shard bounds — r18 retired both (cached fan pool;
+    * cross-shard `SlotBounds`), and re-measurement across three
+    * windows and both tiers shows the fan WINNING OR TYING at every
+    * shape: flat tier 4 shards batch=1000 +0–15% (24,791/22,283;
+    * 28,022/24,320; 10,711/10,711), batch=100 +40–75%; graph tier 8
+    * shards batch=1000 +32–41% (6,821/4,829) — BENCH_scale_r18. The
+    * `batch`/`cores` parameters remain for callers with their own
+    * policies and for the record of what the rule once keyed on. */
   private[graft] def autoParallel(batch: Int, nShards: Int,
       cores: Int = Runtime.getRuntime.availableProcessors()): Boolean =
-    nShards > 1 && (batch + 3) / 4 < cores
+    nShards > 1
 
   /** CACHED daemon pool for the shard fan (r17 ADVICE: K fresh
     * threads per call added create/join latency to every batch of the
@@ -300,12 +302,13 @@ object Sharded {
     * Results are identical either way (per-shard serves are
     * independent pure functions; ShardedSpec pins it): the flag
     * trades scheduling for latency, never semantics. The default
-    * `None` applies the MEASURED rule (`autoParallel`): fan small
-    * batches (one shard's kernel can't fill the pool), serve large
-    * ones sequentially (the scan already saturates it — fanning a
-    * batch=1000 measured 0.64× the sequential serve,
-    * BENCH_scale_r17); `Some(false)` forces the sequential
-    * total-work measurement shape. */
+    * `None` applies the MEASURED rule (`autoParallel`): fan whenever
+    * there is more than one shard — with the cached fan pool and the
+    * cross-shard bounds, the fan wins or ties at every measured
+    * shape (BENCH_scale_r18; the r17 batch=1000 regression came from
+    * per-call thread churn + cold bounds, both retired).
+    * `Some(false)` forces the sequential total-work measurement
+    * shape. */
   def searchShardedLocalQueries(reps: Seq[NswGraph.LocalReplica],
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
@@ -447,13 +450,21 @@ object Sharded {
     // seed (its result heap feeds the EXPLORATION frontier — an
     // external cut there would change which nodes expand, i.e. the
     // semantics, not just the work), so it stays unseeded.
+    // MEASUREMENT ABLATION ONLY: -Dgraft.noSharedBounds (or setting
+    // the property at runtime) serves with per-shard cold bounds —
+    // the r17 behavior — so a profile can isolate the warming's
+    // effect inside ONE JVM/window. Rows are identical either way
+    // (the ShardedSpec pure-pruning pin); never set in production.
+    def newBounds(n: Int): SlotBounds =
+      if (System.getProperty("graft.noSharedBounds") != null) null
+      else new SlotBounds(n)
     Serving.chooseStrategy(sel, graphShards.exists(_.nonEmpty), mild,
       resolved) match {
       case Serving.IvfPrefilterResident =>
         throw new IllegalStateException("unreachable: chooseStrategy " +
           "returns IvfPrefilter; the resident tag is applied below")
       case Serving.ExactScan =>
-        val bounds = new SlotBounds(queries.length)
+        val bounds = newBounds(queries.length)
         (Serving.ExactScan, mergeSlots(
           fanShards(flatShards, par)(f =>
             AnnIvf.localCellCoreSlots(f, queries, k,
@@ -461,7 +472,7 @@ object Sharded {
               exhaustive = true, sharedBounds = bounds)),
           qids, k))
       case Serving.IvfPrefilter =>
-        val bounds = new SlotBounds(queries.length)
+        val bounds = newBounds(queries.length)
         (Serving.IvfPrefilterResident, mergeSlots(
           fanShards(flatShards, par)(f =>
             AnnIvf.localCellCoreSlots(f, queries, k,

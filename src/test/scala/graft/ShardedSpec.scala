@@ -232,10 +232,11 @@ class ShardedSpec extends AnyFunSuite {
       val b = new Sharded.SlotBounds(1)
       b.tighten(0, -0.25); b.tighten(0, -0.125)
       assert(b.get(0) == -0.25)
-      // the measured fan rule (BENCH_scale_r17: fan wins at batch=100,
-      // loses at batch=1000 on 32 cores)
+      // the measured fan rule (BENCH_scale_r18: with the cached pool
+      // + warm bounds the fan wins or ties at EVERY measured shape —
+      // the r17 batch=1000 regression is retired)
       assert(Sharded.autoParallel(100, 4, cores = 32))
-      assert(!Sharded.autoParallel(1000, 4, cores = 32))
+      assert(Sharded.autoParallel(1000, 4, cores = 32))
       assert(!Sharded.autoParallel(100, 1, cores = 32)) // nothing to fan
     } finally { cells.unpersist(); indexed.unpersist() }
   }
