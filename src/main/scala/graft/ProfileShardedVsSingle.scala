@@ -16,9 +16,13 @@ import graft.operators.{AnnIvf, Knn, Recall, Serving, Sharded}
   * comparator readings minutes apart on the same warm JVM.
   *
   * usage: runMain graft.ProfileShardedVsSingle [nVectors] [nShards]
-  *          [nQueries] [cellsPerShard]
+  *          [nQueries] [cellsPerShard] [twolevel]
   * (single-replica cells = nShards × cellsPerShard; single np =
-  * nShards × shard np so probed rows per query match exactly)
+  * nShards × shard np so probed rows per query match exactly).
+  * `twolevel` additionally measures BOTH tiers with the two-level
+  * local prober (wSuper=4 — the sqrt-C argmin, the r18 lever for the
+  * argmin-dominated mid bucket) as extra A-B-A points with their own
+  * recalls.
   */
 object ProfileShardedVsSingle {
   def main(args: Array[String]): Unit = {
@@ -26,6 +30,7 @@ object ProfileShardedVsSingle {
     val nShards = args.lift(1).map(_.toInt).getOrElse(4)
     val nQ = args.lift(2).map(_.toInt).getOrElse(100000)
     val cellsPerShard = args.lift(3).map(_.toInt).getOrElse(1024)
+    val twoLevel = args.lift(4).contains("twolevel")
     val npShard = 2
     val npSingle = npShard * nShards / 2 // np4 at the default shape
     val dim = 64
@@ -54,34 +59,47 @@ object ProfileShardedVsSingle {
     data.count(); queries.count()
 
     def buildFlat(slice: org.apache.spark.sql.DataFrame, cells: Int,
-        seed: Int, sampleFrac: Double): AnnIvf.LocalCellReplica = {
+        seed: Int, sampleFrac: Double)
+        : (AnnIvf.LocalCellReplica, Array[Array[Float]]) = {
       val cents = AnnIvf.train(
         slice.sample(math.min(1.0, sampleFrac), seed),
         cells, iterations = 2)
+      val supers = AnnIvf.trainSupers(cents)
       val cc = AnnIvf.servableCells(
-        AnnIvf.indexTwoLevel(slice, AnnIvf.trainSupers(cents), cents,
-          wSuper = 4),
+        AnnIvf.indexTwoLevel(slice, supers, cents, wSuper = 4),
         attrCol = Some("rating_m"))
       cc.count()
       val r = AnnIvf.localCellReplica(cc, cents)
       cc.unpersist()
-      r
+      (r, AnnIvf.collectMatrix(supers, "sid", "centroid"))
     }
 
-    val (single, sSec) = time { buildFlat(data,
+    val ((single, singleSup), sSec) = time { buildFlat(data,
       nShards * cellsPerShard / 2, 44, 200000.0 / n) }
     println(f"[psvs] single replica: ${single.approxBytes / 1e6}%.0f MB, " +
       f"${single.nCells} cells ($sSec%.1fs)")
-    val shards = (0 until nShards).map { s =>
+    val built = (0 until nShards).map { s =>
       val slice = data.filter(col("vec_id") % nShards === s)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
       slice.count()
-      val (rep, bSec) = time { buildFlat(slice, cellsPerShard, 44 + s,
-        200000.0 * nShards / n) }
+      val ((rep, sup), bSec) = time { buildFlat(slice, cellsPerShard,
+        44 + s, 200000.0 * nShards / n) }
       slice.unpersist()
       println(f"[psvs] shard $s: ${rep.approxBytes / 1e6}%.0f MB, " +
         f"${rep.nCells} cells ($bSec%.1fs)")
-      rep
+      (rep, sup)
+    }
+    val shards = built.map(_._1)
+    // two-level probers (wSuper=4): one per tier, built from each
+    // quantizer's own supers/members
+    val singleProber = AnnIvf.twoLevelProberLocal(singleSup,
+      single.centroidMatrix,
+      AnnIvf.memberLists(singleSup, single.centroidMatrix),
+      wSuper = 4, nprobe = npSingle)
+    val shardProbers = built.map { case (rep, sup) =>
+      AnnIvf.twoLevelProberLocal(sup, rep.centroidMatrix,
+        AnnIvf.memberLists(sup, rep.centroidMatrix),
+        wSuper = 4, nprobe = npShard)
     }
 
     val qArr = queries.select(col("qid").cast("long"), col("q_embedding"))
@@ -118,6 +136,16 @@ object ProfileShardedVsSingle {
           selectivity = Some(sel))._2)
         println(f"[psvs] $nm%-4s recall@10: single np$npSingle " +
           f"$rSingle%.4f | sharded np$npShard/shard $rSharded%.4f")
+        if (twoLevel) {
+          val r2Single = recallOf(Serving.serveFilteredLocalExplained(
+            single, None, sampleArr, k, pred, nprobe = npSingle,
+            selectivity = Some(sel), proberOverride = singleProber)._2)
+          val r2Sharded = recallOf(Sharded.serveFilteredShardedExplained(
+            shards, None, sampleArr, k, pred, nprobe = npShard,
+            selectivity = Some(sel), probers = Some(shardProbers))._2)
+          println(f"[psvs] $nm%-4s recall@10 TWOLEVEL(w4): single " +
+            f"$r2Single%.4f | sharded $r2Sharded%.4f")
+        }
         Seq(100, 1000).foreach { bs =>
           def singlePass(): Double = ProfileStats.closedLoop(qArr, bs) {
             batch => Serving.serveFilteredLocalExplained(single, None,
@@ -137,6 +165,27 @@ object ProfileShardedVsSingle {
           println(f"[psvs] $nm%-4s batch=$bs%5d: single $a1%9.1f / " +
             f"$a2%9.1f qps (mean $aMean%9.1f) | sharded parfan " +
             f"$b%9.1f qps | iso-work ratio ${b / aMean}%.3f")
+          if (twoLevel) {
+            def single2Pass(): Double = ProfileStats.closedLoop(qArr, bs) {
+              batch => Serving.serveFilteredLocalExplained(single, None,
+                batch, k, pred, nprobe = npSingle,
+                selectivity = Some(sel), proberOverride = singleProber)
+            }._1
+            def sharded2Pass(): Double = ProfileStats.closedLoop(qArr, bs) {
+              batch => Sharded.serveFilteredShardedExplained(shards, None,
+                batch, k, pred, nprobe = npShard,
+                selectivity = Some(sel), parallelShards = Some(true),
+                probers = Some(shardProbers))
+            }._1
+            val t1 = single2Pass()
+            val t = sharded2Pass()
+            val t2 = single2Pass()
+            val tMean = (t1 + t2) / 2
+            println(f"[psvs] $nm%-4s batch=$bs%5d TWOLEVEL(w4): single " +
+              f"$t1%9.1f / $t2%9.1f qps (mean $tMean%9.1f) | sharded " +
+              f"parfan $t%9.1f qps | iso-work ratio ${t / tMean}%.3f | " +
+              f"sharded 2lvl-vs-flat ${t / b}%.2fx")
+          }
         }
         truth.unpersist()
     }

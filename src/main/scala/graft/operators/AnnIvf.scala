@@ -151,6 +151,57 @@ object AnnIvf {
     lists.map(_.toArray) // ascending cid by construction
   }
 
+  /** TWO-LEVEL local probe (r18 — the measured next lever after the
+    * sharded bound warming): the A-B-A comparator showed the sharded
+    * mid bucket's remaining iso-work gap is the coarse argmin itself
+    * (at 0.77% kept there is almost no distance work — per-query cost
+    * is C centroid dots per shard, and K independent shards pay K×C
+    * vs the single replica's K·C/2... see BENCH_scale_r18). This
+    * prober is the ASSIGNMENT path's own device (`assignTwoLevel` /
+    * `NearestCentroid2`) applied at serve time: beam the `wSuper`
+    * nearest supers (√C dots), then argmin over ONLY their member
+    * cells — O((√C + wSuper·C/√C)·dim) per query instead of O(C·dim),
+    * ~6–8× fewer dots at C=1024/wSuper=4.
+    *
+    * A DIAL, not a drop-in: the probe set can differ from the flat
+    * argmin's when a query's true nearest cell lives under a
+    * non-beamed super, so it is a new (recall, qps) operating point —
+    * measured like any dial (ProfileShardedVsSingle "twolevel"),
+    * opt-in via `proberOverride`/`probers`, never a silent default.
+    * With `wSuper >= supers.length` the beam covers every member list
+    * and the probe list equals the flat argmin's exactly (ShardedSpec
+    * pin). Tie-breaks: (dist, id) ascending at both levels — the
+    * house total order. */
+  def twoLevelProberLocal(supers: Array[Array[Float]],
+      centroids: Array[Array[Float]], members: Array[Array[Int]],
+      wSuper: Int, nprobe: Int): Array[Float] => Array[Int] = {
+    require(supers.nonEmpty && members.length == supers.length,
+      "twoLevelProberLocal: members must align with supers")
+    qv => {
+      val sheap = new graft.functions.TopKBuffer(wSuper)
+      var s = 0
+      while (s < supers.length) {
+        sheap.insert(Knn.distBounded(0, supers(s), qv, sheap.bound),
+          s.toLong)
+        s += 1
+      }
+      val cheap = new graft.functions.TopKBuffer(nprobe)
+      val beam = sheap.sorted
+      var b = 0
+      while (b < beam.length) {
+        val m = members(beam(b)._2.toInt)
+        var i = 0
+        while (i < m.length) {
+          cheap.insert(Knn.distBounded(0, centroids(m(i)), qv, cheap.bound),
+            m(i).toLong)
+          i += 1
+        }
+        b += 1
+      }
+      cheap.sorted.map(_._2.toInt)
+    }
+  }
+
   /** Matrix from a (idCol, vecCol) table, ordered by idCol. */
   def collectMatrix(df: DataFrame, idCol: String,
       vecCol: String): Array[Array[Float]] = {
@@ -1565,10 +1616,11 @@ object AnnIvf {
       metric: String = "sqeuclidean",
       attrPred: Option[Double => Boolean] = None,
       tombstones: Option[Array[Long]] = None,
-      idSet: Option[Array[Long]] = None)
+      idSet: Option[Array[Long]] = None,
+      proberOverride: Array[Float] => Array[Int] = null)
       : Array[(Long, Long, Long, Double)] =
     localCellCore(rep, queries, k, nprobe, metric, attrPred, idSet,
-      tombstones, exhaustive = false)
+      tombstones, exhaustive = false, proberOverride)
 
   /** Exact filtered top-k over the WHOLE local replica (every cell —
     * no probe approximation): the in-process twin of `Knn.exact` over
@@ -1596,10 +1648,12 @@ object AnnIvf {
       queries: Array[(Long, Array[Float])], k: Int, nprobe: Int,
       metric: String, attrPred: Option[Double => Boolean],
       idSetOpt: Option[Array[Long]],
-      tombstones: Option[Array[Long]], exhaustive: Boolean)
+      tombstones: Option[Array[Long]], exhaustive: Boolean,
+      proberOverride: Array[Float] => Array[Int] = null)
       : Array[(Long, Long, Long, Double)] = {
     val perQuery = localCellCoreSlots(rep, queries, k, nprobe, metric,
-      attrPred, idSetOpt, tombstones, exhaustive)
+      attrPred, idSetOpt, tombstones, exhaustive,
+      proberOverride = proberOverride)
     val out = Array.newBuilder[(Long, Long, Long, Double)]
     out.sizeHint(queries.length * k)
     perQuery.foreach(rows => if (rows != null) out ++= rows)
@@ -1631,7 +1685,8 @@ object AnnIvf {
       metric: String, attrPred: Option[Double => Boolean],
       idSetOpt: Option[Array[Long]],
       tombstones: Option[Array[Long]], exhaustive: Boolean,
-      sharedBounds: Sharded.SlotBounds = null)
+      sharedBounds: Sharded.SlotBounds = null,
+      proberOverride: Array[Float] => Array[Int] = null)
       : Array[Array[(Long, Long, Long, Double)]] = {
     val nQ = queries.length
     if (nQ == 0) return Array.empty
@@ -1648,8 +1703,13 @@ object AnnIvf {
       throw new IllegalArgumentException(
         "attrPred given but the local replica was built without " +
           "attrCol — rebuild servableCells(..., attrCol = Some(...))")
+    // proberOverride (r18): an alternative probe-list function —
+    // e.g. the two-level `twoLevelProberLocal` — replacing the flat
+    // C-dot argmin; the scan within probed cells is unchanged (exact
+    // top-k within whatever cells the prober names)
     val prober: Array[Float] => Array[Int] =
       if (exhaustive) null
+      else if (proberOverride != null) proberOverride
       else NswGraph.nearestCellsLocal(rep.centroidMatrix, nprobe)
     // EXHAUSTIVE path: resolve the attr + tombstone checks ONCE per
     // call into a survivor index list (the local twin of Knn.exact

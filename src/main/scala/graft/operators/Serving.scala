@@ -608,7 +608,8 @@ object Serving {
       mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      proberOverride: Array[Float] => Array[Int] = null)
       : (Strategy, Array[(Long, Long, Long, Double)]) = {
     require(flat.attrs != null,
       "serveFilteredLocal needs an attr-built replica - build the " +
@@ -616,7 +617,7 @@ object Serving {
         "or serve the filter as an id-set (serveFilteredLocalIdSet*)")
     serveFilteredLocalCore(flat, graph, queries, k, attrPred, null,
       nprobe, efSearch, overFetchMult, selectivity, mild, extreme,
-      maxOverFetchK, metric, tombstones)
+      maxOverFetchK, metric, tombstones, proberOverride)
   }
 
   /** `serveFilteredLocalExplained` for ANY filter, not just a
@@ -660,12 +661,13 @@ object Serving {
       mild: Double = 0.5, extreme: Double = CostBased,
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
-      tombstones: Option[Array[Long]] = None)
+      tombstones: Option[Array[Long]] = None,
+      proberOverride: Array[Float] => Array[Int] = null)
       : (Strategy, Array[(Long, Long, Long, Double)]) = {
     require(idSet != null, "idSet must be non-null (empty = no survivors)")
     serveFilteredLocalCore(flat, graph, queries, k, null, idSet,
       nprobe, efSearch, overFetchMult, selectivity, mild, extreme,
-      maxOverFetchK, metric, tombstones)
+      maxOverFetchK, metric, tombstones, proberOverride)
   }
 
   /** The shared local dispatch: exactly one of `attrPred` / `idSet`
@@ -678,7 +680,8 @@ object Serving {
       overFetchMult: Int, selectivity: Option[Double],
       mild: Double, extreme: Double,
       maxOverFetchK: Int, metric: String,
-      tombstones: Option[Array[Long]])
+      tombstones: Option[Array[Long]],
+      proberOverride: Array[Float] => Array[Int] = null)
       : (Strategy, Array[(Long, Long, Long, Double)]) = {
     require(overFetchMult >= 1, s"overFetchMult must be >= 1")
     val tomb: Array[Long] = tombstones.orNull
@@ -702,9 +705,12 @@ object Serving {
         (ExactScan, AnnIvf.searchLocalExactQueries(flat, queries, k,
           metric, Option(attrPred), tombstones, Option(idSet)))
       case IvfPrefilter =>
+        // proberOverride (r18): an alternative probe-list function
+        // (e.g. AnnIvf.twoLevelProberLocal) — a dial cutting the
+        // coarse argmin; the in-cell scan stays exact
         (IvfPrefilterResident, AnnIvf.searchLocalCellsQueries(flat,
           queries, k, nprobe, metric, Option(attrPred), tombstones,
-          Option(idSet)))
+          Option(idSet), proberOverride))
       case GraphOverfetch =>
         val kF = math.min(maxOverFetchK,
           math.max(k, kFromCounts.getOrElse(

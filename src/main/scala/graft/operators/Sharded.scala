@@ -359,7 +359,8 @@ object Sharded {
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None,
-      parallelShards: Option[Boolean] = None)
+      parallelShards: Option[Boolean] = None,
+      probers: Option[Seq[Array[Float] => Array[Int]]] = None)
       : (Serving.Strategy, Rows) = {
     require(flatShards.forall(_.attrs != null),
       "serveFilteredSharded needs attr-built shard replicas - build " +
@@ -367,7 +368,8 @@ object Sharded {
         "the filter as an id-set (serveFilteredShardedIdSetExplained)")
     serveShardedCore(flatShards, graphShards, queries, k, attrPred,
       null, nprobe, efSearch, overFetchMult, selectivity, mild,
-      extreme, maxOverFetchK, metric, tombstones, parallelShards)
+      extreme, maxOverFetchK, metric, tombstones, parallelShards,
+      probers)
   }
 
   /** `serveFilteredShardedExplained` for ANY filter via its sorted
@@ -385,12 +387,13 @@ object Sharded {
       maxOverFetchK: Int = 4096,
       metric: String = "sqeuclidean",
       tombstones: Option[Array[Long]] = None,
-      parallelShards: Option[Boolean] = None)
+      parallelShards: Option[Boolean] = None,
+      probers: Option[Seq[Array[Float] => Array[Int]]] = None)
       : (Serving.Strategy, Rows) = {
     require(idSet != null, "idSet must be non-null (empty = no survivors)")
     serveShardedCore(flatShards, graphShards, queries, k, null, idSet,
       nprobe, efSearch, overFetchMult, selectivity, mild, extreme,
-      maxOverFetchK, metric, tombstones, parallelShards)
+      maxOverFetchK, metric, tombstones, parallelShards, probers)
   }
 
   private def serveShardedCore(
@@ -403,7 +406,8 @@ object Sharded {
       mild: Double, extreme: Double,
       maxOverFetchK: Int, metric: String,
       tombstones: Option[Array[Long]],
-      parallelShards: Option[Boolean])
+      parallelShards: Option[Boolean],
+      probers: Option[Seq[Array[Float] => Array[Int]]] = None)
       : (Serving.Strategy, Rows) = {
     require(flatShards.nonEmpty, "serveFilteredSharded needs >= 1 shard")
     require(overFetchMult >= 1, s"overFetchMult must be >= 1")
@@ -473,11 +477,21 @@ object Sharded {
           qids, k))
       case Serving.IvfPrefilter =>
         val bounds = newBounds(queries.length)
+        // per-shard probe-list override (r18): e.g. the two-level
+        // prober built from EACH shard's own quantizer — a dial that
+        // cuts the coarse argmin (the mid bucket's dominant cost at
+        // iso-work, BENCH_scale_r18 same_jvm_aba_comparator)
+        val shardProbers: Seq[Array[Float] => Array[Int]] =
+          probers.getOrElse(flatShards.map(_ => null))
+        require(shardProbers.length == flatShards.length,
+          s"probers (${shardProbers.length}) must align 1:1 with " +
+            s"flatShards (${flatShards.length})")
         (Serving.IvfPrefilterResident, mergeSlots(
-          fanShards(flatShards, par)(f =>
+          fanShards(flatShards.zip(shardProbers), par) { case (f, p) =>
             AnnIvf.localCellCoreSlots(f, queries, k,
               nprobe, metric, Option(attrPred), Option(idSet), tombstones,
-              exhaustive = false, sharedBounds = bounds)),
+              exhaustive = false, sharedBounds = bounds,
+              proberOverride = p) },
           qids, k))
       case Serving.GraphOverfetch =>
         val kF = math.min(maxOverFetchK,

@@ -270,6 +270,77 @@ class ShardedSpec extends AnyFunSuite {
     half0.unpersist(); half1.unpersist()
   }
 
+  test("two-level local prober (r18): a FULL super beam reproduces " +
+      "the flat argmin's probe list exactly (and the sharded serve " +
+      "with such probers is row-identical); a narrow beam is a dial " +
+      "whose rows are exact within its probed cells and clear a " +
+      "recall floor") {
+    val d = data.cache()
+    val centroids = AnnIvf.train(d, numCentroids = 16, iterations = 2)
+    val indexed = AnnIvf.index(d, centroids).cache()
+    indexed.count()
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    cells.count()
+    try {
+      val rep = AnnIvf.localCellReplica(cells, centroids)
+      val supM = AnnIvf.collectMatrix(
+        AnnIvf.trainSupers(centroids), "sid", "centroid")
+      val members = AnnIvf.memberLists(supM, rep.centroidMatrix)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val nprobe = 4
+      // FULL beam: every member list is covered, so the two-level
+      // argmin sees every cell — probe list == flat argmin's
+      val full = AnnIvf.twoLevelProberLocal(supM, rep.centroidMatrix,
+        members, wSuper = supM.length, nprobe = nprobe)
+      val flatProber = graft.operators.NswGraph
+        .nearestCellsLocal(rep.centroidMatrix, nprobe)
+      qArr.foreach { case (_, qv) =>
+        assert(full(qv).toSeq == flatProber(qv).toSeq)
+      }
+      // and the sharded serve with per-shard full-beam probers is
+      // row-identical to the unprobered serve
+      val shards = Sharded.splitCellReplica(rep, 3)
+      val pred: Double => Boolean = a => a == 0.0 || a == 1.0
+      val (s0, r0) = Sharded.serveFilteredShardedExplained(shards,
+        None, qArr, 10, pred, nprobe = nprobe, extreme = 0.02)
+      val (s1, r1) = Sharded.serveFilteredShardedExplained(shards,
+        None, qArr, 10, pred, nprobe = nprobe, extreme = 0.02,
+        probers = Some(shards.map(_ => full)))
+      assert(s0 == Serving.IvfPrefilterResident && s1 == s0)
+      assert(r1.toSeq == r0.toSeq && r1.nonEmpty)
+      // NARROW beam (wSuper = 1): a dial — every returned row is an
+      // exact in-probed-cell result satisfying the filter, and the
+      // operating point still clears a recall floor vs the flat-probe
+      // serve on this fixture
+      val narrow = AnnIvf.twoLevelProberLocal(supM, rep.centroidMatrix,
+        members, wSuper = 1, nprobe = nprobe)
+      val (_, rN) = Sharded.serveFilteredShardedExplained(shards,
+        None, qArr, 10, pred, nprobe = nprobe, extreme = 0.02,
+        probers = Some(shards.map(_ => narrow)))
+      assert(rN.nonEmpty)
+      val truthIds = r0.map(t => (t._1, t._3)).toSet
+      val gotIds = rN.map(t => (t._1, t._3)).toSet
+      val recall = gotIds.intersect(truthIds).size.toDouble /
+        math.max(1, truthIds.size)
+      assert(recall >= 0.5, s"narrow-beam recall vs flat probes $recall")
+      // misaligned probers refused loudly
+      intercept[IllegalArgumentException] {
+        Sharded.serveFilteredShardedExplained(shards, None, qArr, 10,
+          pred, nprobe = nprobe, extreme = 0.02,
+          probers = Some(Seq(full)))
+      }
+      // single-replica dispatcher accepts the prober too: full beam
+      // row-identical to the default
+      val (_, rLoc) = Serving.serveFilteredLocalExplained(rep, None,
+        qArr, 10, pred, nprobe = nprobe, extreme = 0.02,
+        proberOverride = full)
+      val (_, rLoc0) = Serving.serveFilteredLocalExplained(rep, None,
+        qArr, 10, pred, nprobe = nprobe, extreme = 0.02)
+      assert(rLoc.toSeq == rLoc0.toSeq)
+    } finally { cells.unpersist(); indexed.unpersist() }
+  }
+
   test("sharded LIFECYCLE (r18): append to ONE independent shard's " +
       "persisted tree, refresh ONLY that shard's replica, and the " +
       "sharded serve returns the appended rows — the other shard's " +
