@@ -3161,6 +3161,41 @@ object AnnQueries {
           .select(col("qid"), col("rank"), col("neighbor_id"))
       } finally cells.unpersist()
     }),
+    // the TWO-LEVEL PROBE dial under a FULL oracle (r18): serve-time
+    // sqrt-C probing — beam the wSuper=2 nearest fixed supers
+    // (mod-149 data rows), argmin over ONLY their member cells
+    // (mod-31 fixed cells), exact top-k within the probed cells. The
+    // whole two-level probe — super beam by (dist, sid), cid->sid
+    // member assignment, in-beam cell argmin by (dist, cid) — is
+    // replayed in SQL, so the dial's semantics are exactly checkable
+    // (its recall/qps tradeoff at scale is BENCH_scale_r18
+    // two_level_probe_20m). Assignment stays the flat mod-31 argmin
+    // (ann_ivf_fixed's), so only the PROBE differs from that recipe.
+    "serve_twolevel_probe" -> ((s, d) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 31)
+      val supers = fixedCentroids(data, 149)
+      val cells = AnnIvf.servableCells(AnnIvf.index(data, centroids))
+      try {
+        val rep = AnnIvf.localCellReplica(cells, centroids)
+        val supM = AnnIvf.collectMatrix(
+          supers.withColumnRenamed("cid", "sid"), "sid", "centroid")
+        val prober = AnnIvf.twoLevelProberLocal(supM,
+          rep.centroidMatrix,
+          AnnIvf.memberLists(supM, rep.centroidMatrix),
+          wSuper = 2, nprobe = 2)
+        val qArr = queriesDf(s, d)
+          .select(col("qid").cast("long"), col("q_embedding"))
+          .as[(Long, Array[Float])].collect()
+        val rows = AnnIvf.searchLocalCellsQueries(rep, qArr, K,
+          nprobe = 2, proberOverride = prober)
+        s.createDataset(rows.toSeq)
+          .toDF("qid", "rank", "neighbor_id", "dist")
+          .select(col("qid"), col("rank"), col("neighbor_id"))
+      } finally cells.unpersist()
+    }),
     // the full index LIFECYCLE under the oracle: build -> append (one
     // extra file per touched cell) -> compact (back to one file per
     // cell) -> stats. The per-cell rows/id-ranges replay the fixed
@@ -3579,6 +3614,84 @@ object AnnQueries {
          |QUALIFY rank <= 10
          |ORDER BY qid, rank""".stripMargin,
     "ann_ivf_persist" -> ivfFixedSql(311),
+    // the serve-time two-level probe replayed in SQL: flat mod-31
+    // assignment (ann_ivf_fixed's), cid->sid member map by (dst, sid),
+    // per-query super beam rn <= 2 by (dst, sid), cell argmin rn <= 2
+    // by (dst, cid) over ONLY the beamed supers' members, exact
+    // in-cell top-10
+    "serve_twolevel_probe" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 31 = 7
+         |), c1 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS sid,
+         |    embedding AS se
+         |  FROM d WHERE vec_id % 149 = 7
+         |), cs AS (
+         |  SELECT c.cid, c1.sid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(c.ce) AS a, unnest(c1.se) AS b) z) AS dst
+         |  FROM c CROSS JOIN c1
+         |), c2s AS (
+         |  SELECT cid, sid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY cid ORDER BY dst, sid) AS rn FROM cs)
+         |  WHERE rn = 1
+         |), ad AS (
+         |  SELECT d.vec_id, d.embedding, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qs AS (
+         |  SELECT q.qid, q.qe, c1.sid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c1.se) AS b) z) AS dst
+         |  FROM q CROSS JOIN c1
+         |), qsup AS (
+         |  SELECT qid, sid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, sid) AS rn FROM qs)
+         |  WHERE rn <= 2
+         |), qc AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q
+         |  JOIN qsup ON qsup.qid = q.qid
+         |  JOIN c2s ON c2s.sid = qsup.sid
+         |  JOIN c ON c.cid = c2s.cid
+         |), probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qc)
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.qid, p.qe, a.vec_id, a.embedding
+         |  FROM probes p JOIN assign a USING (cid)
+         |), dist AS (
+         |  SELECT qid, vec_id,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
+         |  FROM cand
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
     // packed binary16 storage: the data side snapped to the 2^-7
     // grid (binary16-exact, lossless roundtrip — knn_fp16's device),
     // then the ann_ivf_fixed recipe verbatim; the snapped d0 also
