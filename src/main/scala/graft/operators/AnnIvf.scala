@@ -1430,7 +1430,7 @@ object AnnIvf {
     private val posMaskBuildCount =
       new java.util.concurrent.atomic.AtomicInteger()
     private[graft] def posMaskBuilds: Int = posMaskBuildCount.get()
-    private[operators] def positionalMask(idSet: Array[Long])
+    private[graft] def positionalMask(idSet: Array[Long])
         : Array[Long] = {
       val mask = posMaskCache.getOrElseUpdate(idSet, buildPosMask(idSet))
       // stamp every access (hit or fresh build) — eviction below

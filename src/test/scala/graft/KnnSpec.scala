@@ -809,6 +809,21 @@ class KnnSpec extends AnyFunSuite {
         nprobe = 4, idSet = Some(idSet), tombstones = Some(doomed))
       assert(!masked.exists(_._3 == doomed.head))
       assert(rep.posMaskBuilds == builds0 + 2) // no rebuild past those
+      // LRU eviction order (r18, r17 ADVICE): cycle the cache past
+      // its 16-entry cap with one-off sets while TOUCHING the hot
+      // set between inserts — the hot mask must survive (hash-order
+      // eviction could drop it first and rebuild it every cycle)
+      val before = rep.posMaskBuilds
+      (0 until 20).foreach { i =>
+        rep.positionalMask(Array(idSet(i % idSet.length))) // one-off
+        rep.positionalMask(idSet) // keep the hot set recent
+      }
+      val builds20 = rep.posMaskBuilds
+      assert(builds20 == before + 20,
+        "the hot mask was evicted and rebuilt mid-cycle")
+      // and one more hot access is still a hit
+      rep.positionalMask(idSet)
+      assert(rep.posMaskBuilds == builds20)
     } finally { cells.unpersist(); indexed.unpersist() }
   }
 
