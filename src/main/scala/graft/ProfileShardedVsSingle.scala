@@ -17,8 +17,10 @@ import graft.operators.{AnnIvf, Knn, Recall, Serving, Sharded}
   *
   * usage: runMain graft.ProfileShardedVsSingle [nVectors] [nShards]
   *          [nQueries] [cellsPerShard] [twolevel]
-  * (single-replica cells = nShards × cellsPerShard; single np =
-  * nShards × shard np so probed rows per query match exactly).
+  * (single-replica cells = nShards × cellsPerShard / 2 and single
+  * np = nShards × shard np / 2 — probed rows per query still match
+  * exactly because the single replica's cells hold 2× the rows of a
+  * shard's, so half the probes scan the same row count).
   * `twolevel` additionally measures BOTH tiers with the two-level
   * local prober (wSuper=4 — the sqrt-C argmin, the r18 lever for the
   * argmin-dominated mid bucket) as extra A-B-A points with their own

@@ -133,7 +133,12 @@ object Serving {
         val key = Serving.predicateKey(predicate)
         idSetCache.get(key) match {
           case Some(ids) =>
-            idSetStamps.put(key, idSetClock.incrementAndGet())
+            // re-stamp only while the key is still cached: a
+            // concurrent eviction between our read and this put would
+            // otherwise leave an orphan stamp for an absent key,
+            // slowly accumulating in a long-lived serving JVM
+            if (idSetCache.contains(key))
+              idSetStamps.put(key, idSetClock.incrementAndGet())
             ids
           case None =>
             val ids = compute()
@@ -162,6 +167,12 @@ object Serving {
                   }
                   idSetCache.put(key, ids)
                   idSetStamps.put(key, idSetClock.incrementAndGet())
+                  // sweep stamps orphaned by the hit-path race (the
+                  // contains-guard narrows but cannot close it);
+                  // entry count is dozens, so this is O(1) in practice
+                  idSetStamps.keysIterator
+                    .filterNot(idSetCache.contains)
+                    .foreach(idSetStamps.remove)
                   ids
               }
             }

@@ -217,7 +217,16 @@ object Sharded {
     * closed-loop profiles). Distinct from `NswGraph.runOnLocalPool`'s
     * worker pool ON PURPOSE — fan tasks BLOCK on that pool, so
     * running them inside it could deadlock (the re-entrancy guard);
-    * idle fan threads die after 30 s like any cached pool. */
+    * idle fan threads die after 30 s like any cached pool.
+    *
+    * BOUNDED (r19): thread count caps at max(32, 2×cores) — each
+    * concurrent sharded serve takes nShards fan threads, so an
+    * unbounded pool under many concurrent callers would pile up
+    * threads all contending on the same worker pool. Past the cap,
+    * excess fan tasks QUEUE (safe: fan tasks are independent — they
+    * block only on the worker pool, never on each other or on this
+    * pool — so queued tasks always make progress; the fan degrades
+    * to partial serialization instead of thread pile-up). */
   private lazy val fanPool: java.util.concurrent.ExecutorService = {
     val tf = new java.util.concurrent.ThreadFactory {
       private val n = new java.util.concurrent.atomic.AtomicInteger()
@@ -226,9 +235,12 @@ object Sharded {
         t.setDaemon(true); t
       }
     }
-    new java.util.concurrent.ThreadPoolExecutor(0, Int.MaxValue, 30L,
+    val cap = math.max(32, 2 * Runtime.getRuntime.availableProcessors())
+    val ex = new java.util.concurrent.ThreadPoolExecutor(cap, cap, 30L,
       java.util.concurrent.TimeUnit.SECONDS,
-      new java.util.concurrent.SynchronousQueue[Runnable](), tf)
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](), tf)
+    ex.allowCoreThreadTimeOut(true)
+    ex
   }
 
   /** Run one serve per shard, sequentially or fanned onto the cached
