@@ -87,6 +87,15 @@ object GraftFunctions {
       es => NearestCells(es(0), foldableMatrix(es(1), "graft_nearest_cells"),
         foldableInt(es(2), "graft_nearest_cells")),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nearest_cells2",
+      es => NearestCellsTwoLevel(es(0),
+        foldableMatrix(es(1), "graft_nearest_cells2"),
+        foldableMatrix(es(2), "graft_nearest_cells2"),
+        foldableIntMatrix(es(3), "graft_nearest_cells2"),
+        foldableInt(es(4), "graft_nearest_cells2"),
+        foldableInt(es(5), "graft_nearest_cells2")),
+      "built-in")
   }
 
   /** Evaluate a foldable array<array<float>> literal to a JVM matrix
@@ -184,5 +193,14 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.{lit, typedlit}
     call_function("graft_nearest_cells", vec,
       typedlit(centroids.map(_.toSeq).toSeq), lit(nprobe))
+  }
+  def nearestCells2(vec: Column, supers: Array[Array[Float]],
+      centroids: Array[Array[Float]], members: Array[Array[Int]],
+      wSuper: Int, nprobe: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, typedlit}
+    call_function("graft_nearest_cells2", vec,
+      typedlit(supers.map(_.toSeq).toSeq),
+      typedlit(centroids.map(_.toSeq).toSeq),
+      typedlit(members.map(_.toSeq).toSeq), lit(wSuper), lit(nprobe))
   }
 }

@@ -3196,6 +3196,29 @@ object AnnQueries {
           .select(col("qid"), col("rank"), col("neighbor_id"))
       } finally cells.unpersist()
     }),
+    // the SAME two-level probe recipe driven through the DISTRIBUTED
+    // persisted path (r19): writeIndex + searchPersisted with the
+    // TwoLevelProbe dial — NearestCellsTwoLevel (the expression twin
+    // of twoLevelProberLocal, same (dist, id) tie order at both
+    // levels) ranks probes inside whole-stage codegen; the probed-
+    // cell partition pruning below it is unchanged. Hash-equality
+    // with serve_twolevel_probe's SQL pins local and distributed
+    // two-level serving to identical semantics.
+    "serve_twolevel_persist" -> ((s, d) => {
+      GraftFunctions.register(s)
+      val data = dataDf(s, d).filter(filterLow)
+      val centroids = fixedCentroids(data, 31)
+      val supers = fixedCentroids(data, 149)
+      val supM = AnnIvf.collectMatrix(
+        supers.withColumnRenamed("cid", "sid"), "sid", "centroid")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_tl_persist").toString
+      AnnIvf.writeIndex(AnnIvf.index(data, centroids), tmp)
+      AnnIvf.searchPersisted(s, tmp, centroids, queriesDf(s, d), K,
+          nprobe = 2,
+          twoLevel = Some(AnnIvf.TwoLevelProbe(supM, wSuper = 2)))
+        .select(col("qid"), col("rank"), col("neighbor_id"))
+    }),
     // the full index LIFECYCLE under the oracle: build -> append (one
     // extra file per touched cell) -> compact (back to one file per
     // cell) -> stats. The per-cell rows/id-ranges replay the fixed
@@ -3414,6 +3437,80 @@ object AnnQueries {
     * engine's float coarse quantizer over sign-packed fine vectors. */
   // `survivors` restricts the ASSIGNED/SEARCHED rows without touching
   // the centroid table (ann_ivf_delete: deletion never retrains)
+  private lazy val twoLevelProbeSql: String =
+      s"""WITH q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 50 = 0
+         |), d AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 50 <> 0 AND label <> 3
+         |), c AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+         |    embedding AS ce
+         |  FROM d WHERE vec_id % 31 = 7
+         |), c1 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS sid,
+         |    embedding AS se
+         |  FROM d WHERE vec_id % 149 = 7
+         |), cs AS (
+         |  SELECT c.cid, c1.sid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(c.ce) AS a, unnest(c1.se) AS b) z) AS dst
+         |  FROM c CROSS JOIN c1
+         |), c2s AS (
+         |  SELECT cid, sid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY cid ORDER BY dst, sid) AS rn FROM cs)
+         |  WHERE rn = 1
+         |), ad AS (
+         |  SELECT d.vec_id, d.embedding, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM d CROSS JOIN c
+         |), assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
+         |  WHERE rn = 1
+         |), qs AS (
+         |  SELECT q.qid, q.qe, c1.sid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c1.se) AS b) z) AS dst
+         |  FROM q CROSS JOIN c1
+         |), qsup AS (
+         |  SELECT qid, sid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, sid) AS rn FROM qs)
+         |  WHERE rn <= 2
+         |), qc AS (
+         |  SELECT q.qid, q.qe, c.cid,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
+         |  FROM q
+         |  JOIN qsup ON qsup.qid = q.qid
+         |  JOIN c2s ON c2s.sid = qsup.sid
+         |  JOIN c ON c.cid = c2s.cid
+         |), probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qc)
+         |  WHERE rn <= 2
+         |), cand AS (
+         |  SELECT p.qid, p.qe, a.vec_id, a.embedding
+         |  FROM probes p JOIN assign a USING (cid)
+         |), dist AS (
+         |  SELECT qid, vec_id,
+         |    (SELECT $sqdistZ
+         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
+         |  FROM cand
+         |)
+         |SELECT qid, CAST(row_number() OVER (
+         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
+         |  vec_id AS neighbor_id
+         |FROM dist
+         |QUALIFY rank <= 10
+         |ORDER BY qid, rank""".stripMargin
+
   private def ivfFixedSql(mod: Int, fine: String = sqdistZ,
       survivors: String = "TRUE",
       // data-side embedding expression hook: the packed-layout oracle
@@ -3619,79 +3716,8 @@ object AnnQueries {
     // per-query super beam rn <= 2 by (dst, sid), cell argmin rn <= 2
     // by (dst, cid) over ONLY the beamed supers' members, exact
     // in-cell top-10
-    "serve_twolevel_probe" ->
-      s"""WITH q AS (
-         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |  WHERE vec_id % 50 = 0
-         |), d AS (
-         |  SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id % 50 <> 0 AND label <> 3
-         |), c AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
-         |    embedding AS ce
-         |  FROM d WHERE vec_id % 31 = 7
-         |), c1 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS sid,
-         |    embedding AS se
-         |  FROM d WHERE vec_id % 149 = 7
-         |), cs AS (
-         |  SELECT c.cid, c1.sid,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(c.ce) AS a, unnest(c1.se) AS b) z) AS dst
-         |  FROM c CROSS JOIN c1
-         |), c2s AS (
-         |  SELECT cid, sid FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY cid ORDER BY dst, sid) AS rn FROM cs)
-         |  WHERE rn = 1
-         |), ad AS (
-         |  SELECT d.vec_id, d.embedding, c.cid,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(d.embedding) AS a, unnest(c.ce) AS b) z) AS dst
-         |  FROM d CROSS JOIN c
-         |), assign AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY dst, cid) AS rn FROM ad)
-         |  WHERE rn = 1
-         |), qs AS (
-         |  SELECT q.qid, q.qe, c1.sid,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(q.qe) AS a, unnest(c1.se) AS b) z) AS dst
-         |  FROM q CROSS JOIN c1
-         |), qsup AS (
-         |  SELECT qid, sid FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY qid ORDER BY dst, sid) AS rn FROM qs)
-         |  WHERE rn <= 2
-         |), qc AS (
-         |  SELECT q.qid, q.qe, c.cid,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(q.qe) AS a, unnest(c.ce) AS b) z) AS dst
-         |  FROM q
-         |  JOIN qsup ON qsup.qid = q.qid
-         |  JOIN c2s ON c2s.sid = qsup.sid
-         |  JOIN c ON c.cid = c2s.cid
-         |), probes AS (
-         |  SELECT qid, qe, cid FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY qid ORDER BY dst, cid) AS rn FROM qc)
-         |  WHERE rn <= 2
-         |), cand AS (
-         |  SELECT p.qid, p.qe, a.vec_id, a.embedding
-         |  FROM probes p JOIN assign a USING (cid)
-         |), dist AS (
-         |  SELECT qid, vec_id,
-         |    (SELECT $sqdistZ
-         |     FROM (SELECT unnest(cand.qe) AS a, unnest(cand.embedding) AS b) z) AS dst
-         |  FROM cand
-         |)
-         |SELECT qid, CAST(row_number() OVER (
-         |    PARTITION BY qid ORDER BY dst, vec_id) AS BIGINT) AS rank,
-         |  vec_id AS neighbor_id
-         |FROM dist
-         |QUALIFY rank <= 10
-         |ORDER BY qid, rank""".stripMargin,
+    "serve_twolevel_persist" -> twoLevelProbeSql,
+    "serve_twolevel_probe" -> twoLevelProbeSql,
     // packed binary16 storage: the data side snapped to the 2^-7
     // grid (binary16-exact, lossless roundtrip — knn_fp16's device),
     // then the ann_ivf_fixed recipe verbatim; the snapped d0 also

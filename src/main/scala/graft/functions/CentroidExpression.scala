@@ -418,3 +418,140 @@ case class NearestCells(child: Expression, centroids: Array[Array[Float]],
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
+
+/** Two-level probe ranking (r19): `NearestCells`' √C twin — the
+  * expression form of `AnnIvf.twoLevelProberLocal`, for the
+  * DISTRIBUTED probe paths (`searchPersisted`/`searchShuffledFast`/
+  * NSW/PQ). Beam the `wSuper` nearest SUPER-centroids by (dist, sid),
+  * then rank top-`nprobe` cells by (dist, cid) over ONLY the beamed
+  * supers' member cells: O((√C + wSuper·C/√C)·dim) per query instead
+  * of the flat O(C·dim) — the term that dominates distributed probe
+  * cost at 100-TB cell counts (C ~ 10⁵–10⁶ under the √N rule).
+  *
+  * A DIAL, not a drop-in (same contract as the local prober): a
+  * query whose true nearest cell lives under a non-beamed super gets
+  * a different probe set, so this is a new (recall, qps) operating
+  * point — opt-in at every call site, never a silent default. With
+  * `wSuper >= supers.length` the beam covers every member list and
+  * the output equals flat `NearestCells` exactly (KnnSpec pin).
+  *
+  * Determinism: the super beam breaks ties to the lowest sid
+  * (bounded insertion, strict `<`, ascending-sid visit order); the
+  * member scan compares (dist, cid) EXPLICITLY because supers
+  * reorder the cid visit sequence — identical tie semantics to
+  * `twoLevelProberLocal`'s TopKBuffer, so local and distributed
+  * two-level serves are row-identical (pinned) and the
+  * serve_twolevel_* SQL oracle replays both. */
+case class NearestCellsTwoLevel(child: Expression,
+    supers: Array[Array[Float]], centroids: Array[Array[Float]],
+    members: Array[Array[Int]], wSuper: Int, nprobe: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "graft_nearest_cells2"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  require(supers.nonEmpty && members.length == supers.length,
+    "graft_nearest_cells2: members must align with supers")
+  require(wSuper >= 1 && nprobe >= 1,
+    s"graft_nearest_cells2: wSuper and nprobe must be >= 1, " +
+      s"got wSuper=$wSuper nprobe=$nprobe")
+
+  def probeOne(x: Array[Float]): Array[Int] = {
+    val w = math.min(wSuper, supers.length)
+    // super beam: top-w by (dist, sid) — bounded insertion, strict <
+    // keeps the lowest sid on ties (ascending-sid visit), early
+    // abandon against the current w-th best (exact: partial sums only
+    // grow and the insertion test is strict <)
+    val sids = new Array[Int](w)
+    val sds = new Array[Double](w)
+    var sFilled = 0
+    var s = 0
+    while (s < supers.length) {
+      val cen = supers(s)
+      val n = math.min(x.length, cen.length)
+      val thr = if (sFilled < w) Double.MaxValue else sds(w - 1)
+      var acc = 0.0; var i = 0
+      var dead = false
+      while (i < n && !dead) {
+        val lim = math.min(i + 16, n)
+        while (i < lim) {
+          val d = x(i).toDouble - cen(i).toDouble
+          acc += d * d; i += 1
+        }
+        dead = acc >= thr
+      }
+      if (!dead && (sFilled < w || acc < sds(sFilled - 1))) {
+        var p = math.min(sFilled, w - 1)
+        while (p > 0 && sds(p - 1) > acc) {
+          if (p < w) { sds(p) = sds(p - 1); sids(p) = sids(p - 1) }
+          p -= 1
+        }
+        sds(p) = acc; sids(p) = s
+        if (sFilled < w) sFilled += 1
+      }
+      s += 1
+    }
+    // member-cell scan: top-np by (dist, cid) with EXPLICIT id
+    // compare everywhere — the beam visits cids out of ascending
+    // order, so a tie at the bound must still let a lower cid in
+    // (member lists are disjoint: each cid belongs to exactly one
+    // super, so no candidate repeats)
+    val np = math.min(nprobe, centroids.length)
+    val ids = new Array[Int](np)
+    val ds = new Array[Double](np)
+    var filled = 0
+    var si = 0
+    while (si < sFilled) {
+      val mem = members(sids(si))
+      var mi = 0
+      while (mi < mem.length) {
+        val c = mem(mi)
+        val cen = centroids(c)
+        val n = math.min(x.length, cen.length)
+        val thr = if (filled < np) Double.MaxValue else ds(np - 1)
+        var acc = 0.0; var i = 0
+        var dead = false
+        while (i < n && !dead) {
+          val lim = math.min(i + 16, n)
+          while (i < lim) {
+            val d = x(i).toDouble - cen(i).toDouble
+            acc += d * d; i += 1
+          }
+          dead = acc > thr // strict: a tie at the bound compares cids
+        }
+        if (!dead && (filled < np || acc < ds(filled - 1) ||
+            (acc == ds(filled - 1) && c < ids(filled - 1)))) {
+          var p = math.min(filled, np - 1)
+          while (p > 0 && (ds(p - 1) > acc ||
+              (ds(p - 1) == acc && ids(p - 1) > c))) {
+            if (p < np) { ds(p) = ds(p - 1); ids(p) = ids(p - 1) }
+            p -= 1
+          }
+          ds(p) = acc; ids(p) = c
+          if (filled < np) filled += 1
+        }
+        mi += 1
+      }
+      si += 1
+    }
+    java.util.Arrays.copyOf(ids, filled)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      probeOne(v.asInstanceOf[ArrayData].toFloatArray()))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCells2", this,
+      classOf[NearestCellsTwoLevel].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s"$self.nullSafeEval($a);")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

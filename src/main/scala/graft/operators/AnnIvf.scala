@@ -177,6 +177,9 @@ object AnnIvf {
       wSuper: Int, nprobe: Int): Array[Float] => Array[Int] = {
     require(supers.nonEmpty && members.length == supers.length,
       "twoLevelProberLocal: members must align with supers")
+    require(wSuper >= 1 && nprobe >= 1,
+      s"twoLevelProberLocal: wSuper and nprobe must be >= 1, " +
+        s"got wSuper=$wSuper nprobe=$nprobe")
     qv => {
       val sheap = new graft.functions.TopKBuffer(wSuper)
       var s = 0
@@ -201,6 +204,34 @@ object AnnIvf {
       cheap.sorted.map(_._2.toInt)
     }
   }
+
+  /** The DISTRIBUTED two-level probe dial (r19 — the r18 local dial
+    * pushed through the whole engine): carries the super-centroid
+    * matrix + beam width for `probeCellsCol`, the probe-ranking
+    * column shared by every distributed search path
+    * (`searchPersisted`/`searchPersistedShuffled`/`searchShuffledFast`
+    * /NSW/PQ). Member lists derive deterministically from
+    * (supers, centroids) via `memberLists` — same device as the
+    * assignment path's `NearestCentroidTwoLevel` and the local
+    * tier's `twoLevelProberLocal`, same (dist, id) tie order, so the
+    * serve_twolevel_* oracle replays all three. Opt-in at every call
+    * site: the probe set is a new (recall, qps) operating point,
+    * never a silent default (`Serving.autoTwoLevel` encodes the
+    * measured geometry crossover for deployments that want the
+    * choice made for them). */
+  case class TwoLevelProbe(supers: Array[Array[Float]], wSuper: Int = 4)
+
+  /** Probe-ranking column: the flat O(C·dim) `NearestCells` argmin,
+    * or — when the dial is set — the O((√C + w·C/√C)·dim)
+    * `NearestCellsTwoLevel` beam. */
+  def probeCellsCol(qvec: org.apache.spark.sql.Column,
+      matrix: Array[Array[Float]], nprobe: Int,
+      twoLevel: Option[TwoLevelProbe]): org.apache.spark.sql.Column =
+    twoLevel match {
+      case Some(tl) => GraftFunctions.nearestCells2(qvec, tl.supers,
+        matrix, memberLists(tl.supers, matrix), tl.wSuper, nprobe)
+      case None => GraftFunctions.nearestCells(qvec, matrix, nprobe)
+    }
 
   /** Matrix from a (idCol, vecCol) table, ordered by idCol. */
   def collectMatrix(df: DataFrame, idCol: String,
@@ -874,10 +905,11 @@ object AnnIvf {
       metric: String = "sqeuclidean",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
       honorTombstones: Boolean = true,
-      packedVec: Boolean = false): DataFrame = {
+      packedVec: Boolean = false,
+      twoLevel: Option[TwoLevelProbe] = None): DataFrame = {
     val matrix = collectCentroids(centroids)
     val probes = queries.select(col(qidCol), col(qvecCol),
-      explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+      explode(probeCellsCol(col(qvecCol), matrix, nprobe, twoLevel))
         .as("_pcid"))
     val probedCells = probes.select(col("_pcid")).distinct()
       .collect().map(_.getInt(0))
@@ -920,10 +952,11 @@ object AnnIvf {
   /** (qid, probe-rank r [1-based], cid) — narrow NearestCells
     * projection, no join/agg/shuffle. */
   def probeRanks(centroids: DataFrame, queries: DataFrame, nprobe: Int,
-      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      twoLevel: Option[TwoLevelProbe] = None): DataFrame = {
     val matrix = collectCentroids(centroids)
     queries.select(col(qidCol),
-        posexplode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+        posexplode(probeCellsCol(col(qvecCol), matrix, nprobe, twoLevel))
           .as(Seq("r0", "cid")))
       .select(col(qidCol), (col("r0") + 1).as("r"), col("cid"))
   }
@@ -1222,13 +1255,14 @@ object AnnIvf {
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       attrPred: Option[Double => Boolean] = None,
-      tombstones: Option[Array[Long]] = None): DataFrame = {
+      tombstones: Option[Array[Long]] = None,
+      twoLevel: Option[TwoLevelProbe] = None): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._
     val matrix = collectCentroids(centroids)
     val probed = queries
       .select(col(qidCol).cast("long"), col(qvecCol),
-        GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+        probeCellsCol(col(qvecCol), matrix, nprobe, twoLevel))
       .as[(Long, Array[Float], Array[Int])].collect()
     val inv: Map[Int, Array[Int]] = probed.iterator.zipWithIndex
       .flatMap { case ((_, _, cells), qi) => cells.iterator.map(_ -> qi) }
@@ -1962,15 +1996,16 @@ object AnnIvf {
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       metric: String = "sqeuclidean",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
-      honorTombstones: Boolean = true): DataFrame = {
+      honorTombstones: Boolean = true,
+      twoLevel: Option[TwoLevelProbe] = None): DataFrame = {
     val matrix = collectCentroids(centroids)
     // the query lineage (often an expensive re-embedding) is evaluated
     // exactly ONCE: the probe relation is materialized to executor
     // blocks (localCheckpoint truncates the lineage; blocks are freed
     // when the result is dropped), then both the probed-cell aggregate
     // and the cogroup kernel read from those blocks
-    val probes = probeRelation(queries, matrix, nprobe, qidCol, qvecCol)
-      .localCheckpoint(true)
+    val probes = probeRelation(queries, matrix, nprobe, qidCol, qvecCol,
+      twoLevel).localCheckpoint(true)
     val probedCells = probes.select(col("_pcid"))
       .distinct().collect().map(_.getInt(0))
     val indexed = withTombstonesMasked(spark, path, idCol, honorTombstones,
@@ -2001,18 +2036,21 @@ object AnnIvf {
       queries: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      metric: String = "sqeuclidean"): DataFrame =
+      metric: String = "sqeuclidean",
+      twoLevel: Option[TwoLevelProbe] = None): DataFrame =
     shuffledFastKernel(indexed,
       probeRelation(queries, collectCentroids(centroids), nprobe,
-        qidCol, qvecCol),
+        qidCol, qvecCol, twoLevel),
       k, idCol, vecCol, metric)
 
   /** (qid LONG, qvec, _pcid INT) — one exploded probe row per
-    * (query, probed cell), from the narrow NearestCells expression. */
+    * (query, probed cell), from the narrow probe-ranking expression
+    * (flat `NearestCells`, or the two-level dial when set). */
   private def probeRelation(queries: DataFrame, matrix: Array[Array[Float]],
-      nprobe: Int, qidCol: String, qvecCol: String): DataFrame =
+      nprobe: Int, qidCol: String, qvecCol: String,
+      twoLevel: Option[TwoLevelProbe] = None): DataFrame =
     queries.select(col(qidCol).cast("long"), col(qvecCol),
-      explode(GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+      explode(probeCellsCol(col(qvecCol), matrix, nprobe, twoLevel))
         .as("_pcid"))
 
   private def shuffledFastKernel(indexed: DataFrame, probes: DataFrame,

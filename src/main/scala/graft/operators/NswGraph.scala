@@ -565,14 +565,14 @@ object NswGraph {
     * the same nprobe (the grid sweep re-searches the same probes per
     * level). */
   def probeQueries(centroids: DataFrame, queries: DataFrame, nprobe: Int,
-      qidCol: String = "qid",
-      qvecCol: String = "q_embedding"): Array[(Long, Array[Float], Array[Int])] = {
+      qidCol: String = "qid", qvecCol: String = "q_embedding",
+      twoLevel: Option[AnnIvf.TwoLevelProbe] = None): Array[(Long, Array[Float], Array[Int])] = {
     val spark = centroids.sparkSession
     import spark.implicits._
     val matrix = graft.operators.AnnIvf.collectCentroids(centroids)
     queries
       .select(col(qidCol).cast("long"), col(qvecCol),
-        graft.GraftFunctions.nearestCells(col(qvecCol), matrix, nprobe))
+        AnnIvf.probeCellsCol(col(qvecCol), matrix, nprobe, twoLevel))
       .as[(Long, Array[Float], Array[Int])].collect()
   }
 
@@ -583,9 +583,10 @@ object NswGraph {
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      tombstones: Option[Array[Long]] = None): DataFrame =
+      tombstones: Option[Array[Long]] = None,
+      twoLevel: Option[AnnIvf.TwoLevelProbe] = None): DataFrame =
     searchIndexProbed(graphs,
-      probeQueries(centroids, queries, nprobe, qidCol, qvecCol),
+      probeQueries(centroids, queries, nprobe, qidCol, qvecCol, twoLevel),
       k, efSearch, metric, tombstones)
 
   /** `searchIndex` for query tables past the broadcast/collect budget:
@@ -599,10 +600,11 @@ object NswGraph {
       efSearch: Int = 64, maxQueriesPerChunk: Int = 65536,
       metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      tombstones: Option[Array[Long]] = None): DataFrame =
+      tombstones: Option[Array[Long]] = None,
+      twoLevel: Option[AnnIvf.TwoLevelProbe] = None): DataFrame =
     Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
       searchIndex(graphs, centroids, _, k, nprobe, efSearch, metric,
-        qidCol, qvecCol, tombstones))
+        qidCol, qvecCol, tombstones, twoLevel))
 
   /** Fully distributed graph search for LARGE query tables — the NSW
     * analog of `AnnIvf.searchShuffledFast`: the probe relation
@@ -622,15 +624,16 @@ object NswGraph {
       centroids: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
       efSearch: Int = 64, metric: String = "sqeuclidean",
       qidCol: String = "qid", qvecCol: String = "q_embedding",
-      tombstones: Option[Array[Long]] = None): DataFrame = {
+      tombstones: Option[Array[Long]] = None,
+      twoLevel: Option[AnnIvf.TwoLevelProbe] = None): DataFrame = {
     val tomb: Array[Long] = tombstones.orNull
     val spark = graphs.sparkSession
     import spark.implicits._
     val matrix = AnnIvf.collectCentroids(centroids)
     val probes = queries
       .select(col(qidCol).cast("long"), col(qvecCol),
-        explode(graft.GraftFunctions.nearestCells(col(qvecCol), matrix,
-          nprobe)).as("_pcid"))
+        explode(AnnIvf.probeCellsCol(col(qvecCol), matrix, nprobe,
+          twoLevel)).as("_pcid"))
       .as[(Long, Array[Float], Int)]
       .groupByKey(_._3)
     val (efs, met, kk) = (math.max(k, efSearch), metric, k)

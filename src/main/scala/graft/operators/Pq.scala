@@ -495,7 +495,8 @@ object Pq {
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
       residual: Boolean = true,
-      honorTombstones: Boolean = true): DataFrame = {
+      honorTombstones: Boolean = true,
+      twoLevel: Option[AnnIvf.TwoLevelProbe] = None): DataFrame = {
     import spark.implicits._
     // encode-mode guard: searching a raw layout with residual LUTs
     // (or vice versa) silently ranks garbage — the sidecar written by
@@ -527,7 +528,7 @@ object Pq {
     // (cell -> probing query positions), computed with the same
     // NearestCells expression the float IVF probes use
     val probePairs = AnnIvf
-      .probeRanks(centroids, queries, nprobe, qidCol, qvecCol)
+      .probeRanks(centroids, queries, nprobe, qidCol, qvecCol, twoLevel)
       .select(col(qidCol).cast("long"), col("cid")).as[(Long, Int)]
       .collect()
     val cellToQ: Map[Int, Array[Int]] = probePairs.groupBy(_._2)
@@ -631,10 +632,12 @@ object Pq {
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
       residual: Boolean = true,
-      honorTombstones: Boolean = true): DataFrame =
+      honorTombstones: Boolean = true,
+      twoLevel: Option[AnnIvf.TwoLevelProbe] = None): DataFrame =
     Knn.chunkedByQuery(queries, maxQueriesPerChunk, qidCol)(
       searchPersistedAdc(spark, path, centroids, cb, _, k, nprobe,
-        idCol, qidCol, qvecCol, dataFilter, residual, honorTombstones))
+        idCol, qidCol, qvecCol, dataFilter, residual, honorTombstones,
+        twoLevel))
 
   /** `searchAdcRefined` over the persisted clustered layout: ADC
     * shortlist of k·kfactor from the probed cells, then an exact
@@ -648,9 +651,10 @@ object Pq {
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       dataFilter: Option[org.apache.spark.sql.Column] = None,
       residual: Boolean = true,
-      honorTombstones: Boolean = true): DataFrame =
+      honorTombstones: Boolean = true,
+      twoLevel: Option[AnnIvf.TwoLevelProbe] = None): DataFrame =
     rerank(searchPersistedAdc(spark, path, centroids, cb, queries,
         k * kfactor, nprobe, idCol, qidCol, qvecCol, dataFilter, residual,
-        honorTombstones),
+        honorTombstones, twoLevel),
       data, queries, k, idCol, vecCol, qidCol, qvecCol)
 }

@@ -1140,4 +1140,74 @@ class KnnSpec extends AnyFunSuite {
       s"recalls not monotone: $recalls")
     assert(math.abs(recalls(2) - 1.0) < 1e-9, "nprobe=ncells must be exact")
   }
+
+  test("NearestCellsTwoLevel (r19): a FULL super beam reproduces the " +
+      "flat NearestCells probe list exactly; a narrow beam equals the " +
+      "local two-level prober per query") {
+    val filtered = data.filter(SparkEntry.filterLow)
+    val w = Window.orderBy($"vec_id")
+    def fixed(mod: Int) = filtered.filter($"vec_id" % mod === 7)
+      .select((row_number().over(w) - 1).as("cid"),
+        $"embedding".as("centroid"))
+    val subM = AnnIvf.collectCentroids(fixed(31))
+    val supM = AnnIvf.collectMatrix(
+      fixed(149).withColumnRenamed("cid", "sid"), "sid", "centroid")
+    val members = AnnIvf.memberLists(supM, subM)
+    val qvecs = queries.select($"q_embedding")
+      .as[Array[Float]].collect()
+    val np = 3
+    // full beam: every member list is in scope, so the expression
+    // must reproduce flat NearestCells bit for bit — order included
+    // (both rank by (dist, cid) asc; the strongest internal
+    // consistency check available without an oracle)
+    val flat = graft.functions.NearestCells(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), subM, np)
+    val full = graft.functions.NearestCellsTwoLevel(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), supM, subM,
+      members, wSuper = supM.length, nprobe = np)
+    qvecs.foreach { qv =>
+      assert(full.probeOne(qv).toSeq ==
+        flat.nullSafeEval(org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(qv)).asInstanceOf[
+            org.apache.spark.sql.catalyst.util.ArrayData]
+          .toIntArray().toSeq,
+        "full-beam expression must equal the flat argmin")
+    }
+    // narrow beam: the expression and the r18 LOCAL prober implement
+    // the same (dist, id) tie order at both levels, so the
+    // distributed dial's probe set per query is the local dial's
+    val narrowExpr = graft.functions.NearestCellsTwoLevel(
+      org.apache.spark.sql.catalyst.expressions.Literal(1), supM, subM,
+      members, wSuper = 2, nprobe = np)
+    val localProber = AnnIvf.twoLevelProberLocal(supM, subM, members,
+      wSuper = 2, nprobe = np)
+    qvecs.foreach { qv =>
+      assert(narrowExpr.probeOne(qv).toSeq == localProber(qv).toSeq,
+        "distributed and local two-level probers must agree per query")
+    }
+    // and the dial threads through searchPersisted: rows exact
+    // within the probed cells (the oracle pins full hash equality;
+    // here pin row identity against the local-prober serve)
+    val centroids = fixed(31)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("knn_tl_persist").toString
+    AnnIvf.writeIndex(AnnIvf.index(filtered, centroids), tmp)
+    val dist = AnnIvf.searchPersisted(spark, tmp, centroids, queries,
+      10, nprobe = np,
+      twoLevel = Some(AnnIvf.TwoLevelProbe(supM, wSuper = 2)))
+    val cells = AnnIvf.servableCells(AnnIvf.index(filtered, centroids))
+    try {
+      val rep = AnnIvf.localCellReplica(cells, centroids)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val local = AnnIvf.searchLocalCellsQueries(rep, qArr, 10,
+        nprobe = np, proberOverride = AnnIvf.twoLevelProberLocal(
+          supM, rep.centroidMatrix,
+          AnnIvf.memberLists(supM, rep.centroidMatrix),
+          wSuper = 2, nprobe = np))
+        .map(r => (r._1, r._2, r._3)).toSet
+      assert(asTuples(dist) == local,
+        "searchPersisted(twoLevel) must row-match the local dial")
+    } finally cells.unpersist()
+  }
 }
