@@ -68,6 +68,10 @@ object ProfileLocalFiltered {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
+    // pin every pre-existing section to the FLAT prober (the r18
+    // operating points this profile's history measures); the AUTO
+    // section below re-enables the dial for its own A/B
+    Serving.autoTwoLevelEnabled = false
     import spark.implicits._
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f
@@ -243,6 +247,49 @@ object ProfileLocalFiltered {
             f"[${idSet.length} ids, collect $idSec%.2fs]")
         }
     }
+
+    // AUTO two-level dial (r19): the cost-based crossover
+    // (`Serving.autoTwoLevel`) must PICK the measured winner per
+    // bucket — the two-level prober at the argmin-dominated mid
+    // (BENCH_scale_r18: 1.21–1.34×), the flat prober at the
+    // scan-dominated high (~1.0×). Three-way A/B per bucket at
+    // batch=1000: pinned-flat, auto, explicit two-level — the auto's
+    // row must sit on the winner's numbers.
+    if (!lowOnly) Seq(("high", 1.561, 0.1561), ("mid", 0.077, 0.0077))
+      .foreach { case (nm, thr, sel) =>
+        val pred: Double => Boolean = _ < thr
+        val engaged = Serving.autoTwoLevel(
+          flatRep.centroidMatrix.length.toLong, flatRep.size.toLong,
+          flatRep.dim, 4, sel)
+        println(s"[plf] AUTO $nm: autoTwoLevel decision = $engaged")
+        val truth = Knn.exact(data.filter(col("rating_m") < thr),
+          qSample, k).cache()
+        truth.count()
+        def runAb(tag: String, enable: Boolean,
+            prober: Array[Float] => Array[Int]): Unit = {
+          Serving.autoTwoLevelEnabled = enable
+          try {
+            val (_, rows) = Serving.serveFilteredLocalExplained(flatRep,
+              Some(graphRep), sampleArr, k, pred, nprobe = 4,
+              efSearch = 32, selectivity = Some(sel),
+              proberOverride = prober)
+            val rec = recallOf(rows, truth)
+            val (qps, avgMs, p99Ms) = measureLoop(1000) { batch =>
+              Serving.serveFilteredLocalExplained(flatRep,
+                Some(graphRep), batch, k, pred, nprobe = 4,
+                efSearch = 32, selectivity = Some(sel),
+                proberOverride = prober)
+            }
+            println(f"[plf] AUTO $nm%-4s $tag%-9s batch= 1000: " +
+              f"$qps%9.1f qps recall@10=$rec%.4f " +
+              f"lat(avg/p99)=$avgMs%.2f/$p99Ms%.2f ms")
+          } finally Serving.autoTwoLevelEnabled = false
+        }
+        runAb("flat", enable = false, null)
+        runAb("auto", enable = true, null)
+        runAb("twolevel", enable = false, flatRep.twoLevelProberAuto(4))
+        truth.unpersist()
+      }
 
     // PACKED flat replica (r17): the fp16 form on the pre-filter
     // buckets — same dispatch, same dials, packed-vs-fp32 in one

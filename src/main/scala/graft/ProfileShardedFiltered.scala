@@ -53,6 +53,10 @@ object ProfileShardedFiltered {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     GraftFunctions.register(spark)
+    // this profile measures EXPLICITLY pinned probers (flat vs
+    // two-level as separate shapes) — keep the r19 auto dial out
+    // of its baselines
+    graft.operators.Serving.autoTwoLevelEnabled = false
     import spark.implicits._
     def time[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f

@@ -1392,6 +1392,24 @@ object AnnIvf {
       val p = java.util.Arrays.binarySearch(sortedIds, id)
       p >= 0 && pred(attrsBySorted(p))
     }
+    /** Derived √C super-quantizer over THIS replica's centroid
+      * matrix (r19, the cost-based auto two-level dial): group
+      * centers from the same deterministic local Lloyd device as
+      * `NearestCentroid`'s exact pruning index
+      * (`CentroidGroups.build` — microseconds, memoized per
+      * replica). A PURE function of the matrix, so split shards
+      * sharing a centroid matrix derive identical supers — and
+      * therefore identical probe lists — keeping split-sharded
+      * serving row-identical to the unsharded serve under the auto. */
+    @transient lazy val derivedSupers: Array[Array[Float]] =
+      graft.functions.CentroidGroups.build(centroidMatrix).centers
+    /** The two-level prober over the derived supers — what the
+      * dispatchers install when `Serving.autoTwoLevel` says the
+      * geometry wins (an explicit `proberOverride` always beats it). */
+    def twoLevelProberAuto(nprobe: Int,
+        wSuper: Int = 4): Array[Float] => Array[Int] =
+      AnnIvf.twoLevelProberLocal(derivedSupers, centroidMatrix,
+        AnnIvf.memberLists(derivedSupers, centroidMatrix), wSuper, nprobe)
     /** (maskedTotal, maskedSurvivors) under `pred` and an optional
       * sorted tombstone mask — the local twin of the dispatcher's two
       * column-pruned counts (one pass over the resident attrs). */
@@ -1903,10 +1921,11 @@ object AnnIvf {
       qidCol: String = "qid", qvecCol: String = "q_embedding",
       attrPred: Option[Double => Boolean] = None,
       tombstones: Option[Array[Long]] = None,
-      localBelow: Int = 8192): DataFrame = replica match {
+      localBelow: Int = 8192,
+      twoLevel: Option[TwoLevelProbe] = None): DataFrame = replica match {
     case None =>
       searchServableCells(idx, centroids, queries, k, nprobe, metric,
-        qidCol, qvecCol, attrPred, tombstones)
+        qidCol, qvecCol, attrPred, tombstones, twoLevel)
     case Some(rep) =>
       val spark = queries.sparkSession
       import spark.implicits._
@@ -1918,11 +1937,17 @@ object AnnIvf {
         spark.createDataset(
           scala.collection.immutable.ArraySeq.unsafeWrapArray(
             searchLocalCellsQueries(rep, head, k, nprobe, metric,
-              attrPred, tombstones)))
+              attrPred, tombstones,
+              // the dial's local form — identical probe lists to the
+              // expression by the KnnSpec local==distributed pin
+              proberOverride = twoLevel.map(tl =>
+                twoLevelProberLocal(tl.supers, rep.centroidMatrix,
+                  memberLists(tl.supers, rep.centroidMatrix),
+                  tl.wSuper, nprobe)).orNull)))
           .toDF("qid", "rank", "neighbor_id", "dist")
       else
         searchServableCells(idx, centroids, queries, k, nprobe, metric,
-          qidCol, qvecCol, attrPred, tombstones)
+          qidCol, qvecCol, attrPred, tombstones, twoLevel)
   }
 
   /** Probe-and-scan search, declarative lowering: exact top-k within

@@ -78,6 +78,35 @@ object Serving {
       * Artifacts epoch. */
     private[operators] lazy val numCells: Long = centroids.count()
 
+    /** The (driver-sized) centroid matrix — collected once per
+      * Artifacts epoch, only when the auto two-level dial needs the
+      * geometry (numCells past the floor). */
+    @transient private lazy val centroidMatrixLocal: Array[Array[Float]] =
+      AnnIvf.collectCentroids(centroids)
+    /** Unfiltered relation row count — one column-pruned count per
+      * Artifacts epoch, paid only by the auto two-level decision. */
+    private[operators] lazy val numRows: Long = indexed.count()
+    /** Derived √C super-quantizer for the auto dial — the same pure
+      * function of the centroid matrix as
+      * `LocalCellReplica.derivedSupers` (memoized per epoch). */
+    @transient private lazy val derivedTwoLevel: AnnIvf.TwoLevelProbe =
+      AnnIvf.TwoLevelProbe(graft.functions.CentroidGroups
+        .build(centroidMatrixLocal).centers, 4)
+    /** The dial the distributed dispatcher's resident branch installs
+      * when the geometry crossover says the √C probe wins (r19):
+      * `None` below the floor / crossover / kill-switch. The floor
+      * check runs FIRST so small geometries never pay the matrix
+      * collect or the row count. */
+    private[operators] def autoTwoLevelProbe(nprobe: Int,
+        sel: Double): Option[AnnIvf.TwoLevelProbe] =
+      if (Serving.autoTwoLevelEnabled &&
+          numCells >= Serving.TwoLevelMinCells &&
+          centroidMatrixLocal.nonEmpty &&
+          Serving.autoTwoLevel(centroidMatrixLocal.length.toLong, numRows,
+            centroidMatrixLocal.head.length, nprobe, sel))
+        Some(derivedTwoLevel)
+      else None
+
     /** SURVIVOR ID-SET MEMO — the bitset filter form for the local
       * serving tier (`serveFilteredLocalIdSet*`): the sorted ids of
       * `indexed.filter(predicate)`, computed by ONE distributed
@@ -374,6 +403,42 @@ object Serving {
         math.min(nCells, Int.MaxValue.toLong).toInt))
     else extreme
 
+  /** Deployment kill-switch for the cost-based two-level probe auto
+    * (r19): `false` forces the flat prober on every dispatch (the
+    * pre-r19 behavior). An explicit `proberOverride`/`probers`
+    * argument always beats the auto either way. */
+  @volatile var autoTwoLevelEnabled: Boolean = true
+
+  /** Hard cell-count floor for the auto: below it the flat argmin is
+    * sub-measurable against the scan (and every fixed-recipe oracle /
+    * spec geometry lives far below it, so the auto can never flip
+    * their probe sets). 2000 = just under the measured 20M crossover
+    * point (2044 cells, BENCH_scale_r18 two_level_probe_20m). */
+  val TwoLevelMinCells: Long = 2000L
+
+  /** Cost-based choice of the two-level probe dial (r19 — the r18
+    * verdict's follow-up to the measured local dial): TRUE when the
+    * flat coarse argmin (C·dim flops per query) exceeds the expected
+    * pre-filter scan work (nprobe·rowsPerCell·(sel·dim + 1) — each
+    * survivor pays a distance, every probed row pays the ~O(1)
+    * membership/attr test), with the `TwoLevelMinCells` floor.
+    * Anchored to the 20M/2044-cell measurements: the 0.77%-kept mid
+    * bucket (argmin share ~80% of per-query flops under this model)
+    * measured 1.21–1.34× under the dial, while the 50%-kept high
+    * bucket (argmin share ~17%) measured ~1.0× — so the boundary is
+    * the flop tie, and the dial engages exactly where it was
+    * measured winning. The dial is a new (recall, qps) operating
+    * point (−0.45pp recall at the measured shape): the auto is
+    * documented dispatcher behavior past the floor, `proberOverride`
+    * pins it manually, `autoTwoLevelEnabled = false` retires it. */
+  def autoTwoLevel(nCells: Long, rows: Long, dim: Int, nprobe: Int,
+      selectivity: Double): Boolean = {
+    val rowsPerCell = rows.toDouble / math.max(1L, nCells)
+    nCells >= TwoLevelMinCells &&
+      nCells.toDouble * dim >
+        nprobe.toDouble * rowsPerCell * (selectivity * dim + 1.0)
+  }
+
   sealed abstract class Strategy(val name: String)
   /** Over-fetch k' on the unfiltered resident graph, filter, re-rank. */
   case object GraphOverfetch extends Strategy("graph-overfetch")
@@ -523,17 +588,23 @@ object Serving {
             // with a LOCAL flat replica too, small batches run the
             // pre-filter scan in-process (AnnIvf.searchLocalCells
             // kernels — bit-identical to the block scan, KnnSpec);
-            // the same limit-collect dispatch as searchServableAuto
+            // the same limit-collect dispatch as searchServableAuto.
+            // The auto two-level dial (r19) resolves once from the
+            // artifact geometry and rides both routes — the local
+            // prober and the expression produce identical probe
+            // lists (KnnSpec pin), so the dispatch stays row-stable.
+            val tl = art.autoTwoLevelProbe(nprobe, sel)
             (IvfPrefilterResident, art.flatLocal match {
               case Some(rep) =>
                 AnnIvf.searchServableCellsAuto(blocks, Some(rep),
                   art.centroids, queries, k, nprobe, metric,
                   qidCol, qvecCol, attrPred = Some(p),
-                  tombstones = masked)
+                  tombstones = masked, twoLevel = tl)
               case None =>
                 AnnIvf.searchServableCells(blocks, art.centroids,
                   queries, k, nprobe, metric, qidCol, qvecCol,
-                  attrPred = Some(p), tombstones = masked)
+                  attrPred = Some(p), tombstones = masked,
+                  twoLevel = tl)
             })
           case _ =>
             (IvfPrefilter, AnnIvf.searchFast(survivors, art.centroids,
@@ -716,12 +787,23 @@ object Serving {
         (ExactScan, AnnIvf.searchLocalExactQueries(flat, queries, k,
           metric, Option(attrPred), tombstones, Option(idSet)))
       case IvfPrefilter =>
-        // proberOverride (r18): an alternative probe-list function
-        // (e.g. AnnIvf.twoLevelProberLocal) — a dial cutting the
-        // coarse argmin; the in-cell scan stays exact
+        // prober resolution: explicit override (r18) > cost-based
+        // auto two-level (r19 — engages when the argmin dominates
+        // the scan, `autoTwoLevel`) > flat argmin. The dial cuts the
+        // coarse argmin; the in-cell scan stays exact either way.
+        val prober =
+          if (proberOverride != null) proberOverride
+          // C = the MATRIX length (the argmin scans every centroid,
+          // empty cells included) — the same C a split-sharded serve
+          // resolves, keeping the two decisions identical
+          else if (autoTwoLevelEnabled && autoTwoLevel(
+              flat.centroidMatrix.length.toLong, flat.size.toLong,
+              flat.dim, nprobe, sel))
+            flat.twoLevelProberAuto(nprobe)
+          else null
         (IvfPrefilterResident, AnnIvf.searchLocalCellsQueries(flat,
           queries, k, nprobe, metric, Option(attrPred), tombstones,
-          Option(idSet), proberOverride))
+          Option(idSet), prober))
       case GraphOverfetch =>
         val kF = math.min(maxOverFetchK,
           math.max(k, kFromCounts.getOrElse(

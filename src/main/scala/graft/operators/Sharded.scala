@@ -492,9 +492,32 @@ object Sharded {
         // per-shard probe-list override (r18): e.g. the two-level
         // prober built from EACH shard's own quantizer — a dial that
         // cuts the coarse argmin (the mid bucket's dominant cost at
-        // iso-work, BENCH_scale_r18 same_jvm_aba_comparator)
+        // iso-work, BENCH_scale_r18 same_jvm_aba_comparator).
+        // AUTO (r19): with no explicit probers, the cost-based
+        // crossover picks the dial per geometry. SPLIT shards decide
+        // ONCE from the GLOBAL geometry (the shared matrix's C, total
+        // rows) — the same inputs the unsharded dispatcher sees, and
+        // the derived supers are a pure function of the shared
+        // matrix, so split-sharded stays row-identical to the
+        // unsharded serve under the auto. Independent shards decide
+        // from their own (C, rows) — each shard is its own quantizer.
         val shardProbers: Seq[Array[Float] => Array[Int]] =
-          probers.getOrElse(flatShards.map(_ => null))
+          probers.getOrElse {
+            if (!Serving.autoTwoLevelEnabled) flatShards.map(_ => null)
+            else if (sharedCentroids) {
+              val totalRows = flatShards.iterator.map(_.size.toLong).sum
+              val c = flatShards.head.centroidMatrix.length.toLong
+              if (Serving.autoTwoLevel(c, totalRows,
+                  flatShards.head.dim, nprobe, sel))
+                flatShards.map(_.twoLevelProberAuto(nprobe))
+              else flatShards.map(_ => null)
+            } else flatShards.map { f =>
+              if (Serving.autoTwoLevel(f.centroidMatrix.length.toLong,
+                  f.size.toLong, f.dim, nprobe, sel))
+                f.twoLevelProberAuto(nprobe)
+              else null
+            }
+          }
         require(shardProbers.length == flatShards.length,
           s"probers (${shardProbers.length}) must align 1:1 with " +
             s"flatShards (${flatShards.length})")

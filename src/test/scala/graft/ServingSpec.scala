@@ -764,4 +764,92 @@ class ServingSpec extends AnyFunSuite {
       .agg(max("n")).head().getLong(0)
     assert(mx <= 10 && res.count() > 0)
   }
+
+  test("cost-based auto two-level dial (r19): decision pinned at both " +
+      "measured 20M geometries; past the floor the local and sharded " +
+      "dispatchers install the derived prober, the kill-switch and " +
+      "small geometries stay flat") {
+    // the decision function at the measured anchors (BENCH_scale_r18
+    // two_level_probe_20m: 2044 cells, ~9784 rows/cell, dim 64, np 2)
+    assert(Serving.autoTwoLevel(2044, 20000000L, 64, 2, 0.0077),
+      "mid bucket (argmin ~80% of per-query flops) must engage")
+    assert(!Serving.autoTwoLevel(2044, 20000000L, 64, 2, 0.5),
+      "high bucket (scan-dominated) must stay flat")
+    assert(!Serving.autoTwoLevel(1024, 20000000L, 64, 2, 0.0077),
+      "below the TwoLevelMinCells floor the dial never engages")
+
+    // end-to-end at an auto-engaging geometry: 2048 deterministic
+    // synthetic centroids (the serve's correctness here is RELATIVE —
+    // the auto must equal the serve under the EXPLICIT derived
+    // prober, and the kill-switch must restore the flat serve)
+    val d = data.cache()
+    val dims = d.select($"embedding").head()
+      .getSeq[Float](0).length
+    val cent = spark.range(2048).select($"id".cast("int").as("cid"),
+      array((0 until dims).map(j =>
+        sin(($"id" * 31 + lit(j)).cast("double")).cast("float")): _*)
+        .as("centroid"))
+    val indexed = AnnIvf.index(d, cent).cache()
+    indexed.count()
+    val cells = AnnIvf.servableCells(indexed, attrCol = Some("label"))
+    try {
+      val flatRep = AnnIvf.localCellReplica(cells, cent)
+      assert(flatRep.centroidMatrix.length == 2048)
+      val qArr = queries.select($"qid".cast("long"), $"q_embedding")
+        .as[(Long, Array[Float])].collect()
+      val twin: Double => Boolean = a => a == 0.0 || a == 1.0
+      val sel = {
+        val (t, s) = (d.count(), d.filter($"label".isin(0, 1)).count())
+        s.toDouble / t
+      }
+      assert(Serving.autoTwoLevel(flatRep.centroidMatrix.length.toLong,
+        flatRep.size.toLong, flatRep.dim, 2, sel),
+        "the test geometry must sit past the crossover")
+      val (sAuto, rAuto) = Serving.serveFilteredLocalExplained(
+        flatRep, None, qArr, 10, twin, nprobe = 2)
+      assert(sAuto == Serving.IvfPrefilterResident && rAuto.nonEmpty)
+      val (_, rExplicit) = Serving.serveFilteredLocalExplained(
+        flatRep, None, qArr, 10, twin, nprobe = 2,
+        proberOverride = flatRep.twoLevelProberAuto(2))
+      assert(rAuto.toSet == rExplicit.toSet,
+        "auto must serve exactly the derived two-level prober's rows")
+      // kill-switch: the flat (pre-r19) serve, row-for-row
+      Serving.autoTwoLevelEnabled = false
+      val rFlat = try {
+        val (_, r) = Serving.serveFilteredLocalExplained(
+          flatRep, None, qArr, 10, twin, nprobe = 2)
+        r
+      } finally Serving.autoTwoLevelEnabled = true
+      val direct = AnnIvf.searchLocalCellsQueries(flatRep, qArr, 10, 2,
+        attrPred = Some(twin))
+      assert(rFlat.toSet == direct.toSet,
+        "disabled auto must serve the flat prober's rows")
+      // SPLIT shards decide from the global geometry and derive
+      // identical supers from the shared matrix: sharded-with-auto
+      // stays row-identical to the unsharded serve
+      val shards = graft.operators.Sharded.splitCellReplica(flatRep, 2)
+      val (sSh, rSh) = graft.operators.Sharded
+        .serveFilteredShardedExplained(shards, None, qArr, 10, twin,
+          nprobe = 2)
+      assert(sSh == Serving.IvfPrefilterResident)
+      assert(rSh.toSet == rAuto.toSet,
+        "split-sharded auto must row-match the unsharded auto")
+      // small geometry (8 cells): the auto never engages — the serve
+      // equals the flat kernel regardless of the flag
+      val cent8 = AnnIvf.train(d, numCentroids = 8, iterations = 2)
+      val cells8 = AnnIvf.servableCells(AnnIvf.index(d, cent8),
+        attrCol = Some("label"))
+      try {
+        val rep8 = AnnIvf.localCellReplica(cells8, cent8)
+        // explicit extreme pins the IvfPrefilter branch (at 8 cells
+        // the cost boundary 2/8 would otherwise route to exact-scan)
+        val (s8, rSmall) = Serving.serveFilteredLocalExplained(
+          rep8, None, qArr, 10, twin, nprobe = 2, extreme = 0.02)
+        assert(s8 == Serving.IvfPrefilterResident)
+        val dSmall = AnnIvf.searchLocalCellsQueries(rep8, qArr, 10, 2,
+          attrPred = Some(twin))
+        assert(rSmall.toSet == dSmall.toSet)
+      } finally cells8.unpersist()
+    } finally { cells.unpersist(); indexed.unpersist() }
+  }
 }
