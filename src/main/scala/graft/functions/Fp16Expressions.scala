@@ -23,6 +23,30 @@ import org.apache.spark.sql.types._
   * NumPy.
   */
 object Fp16 {
+  /** Bulk little-endian byte→short decode into `out[off, off+len)`:
+    * one ByteBuffer view `get` per row instead of per-element shift
+    * assembly (r19 — the graph tier's packed replica-build-from-disk
+    * measured 0.97–1.39x fp32 with the per-element loop; the bulk
+    * get is the vectorizable form). Bit-identical to
+    * `((b(2j+1) & 0xff) << 8) | (b(2j) & 0xff)` — the packed layout
+    * stores binary16 little-endian (Fp16Encode's order). */
+  def bytesToShorts(b: Array[Byte], out: Array[Short], off: Int,
+      len: Int): Unit =
+    java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .asShortBuffer().get(out, off, len)
+
+  /** Bulk packed-bytes → fp32 row: the shorts decode in one view get,
+    * then one LUT-free `fromHalf` pass (the ragged fallback shape). */
+  def bytesToFloats(b: Array[Byte]): Array[Float] = {
+    val n = b.length / 2
+    val tmp = new Array[Short](n)
+    bytesToShorts(b, tmp, 0, n)
+    val v = new Array[Float](n)
+    var j = 0
+    while (j < n) { v(j) = fromHalf(tmp(j)); j += 1 }
+    v
+  }
+
   /** fp32 → binary16 bits, round-to-nearest-even (IEEE 754). */
   def toHalf(f: Float): Short = {
     val bits = java.lang.Float.floatToRawIntBits(f)
@@ -112,17 +136,8 @@ case class Fp16Decode(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def nullSafeEval(v: Any): Any = decode(v.asInstanceOf[Array[Byte]])
-  def decode(b: Array[Byte]): ArrayData = {
-    val n = b.length / 2
-    val out = new Array[Float](n)
-    var i = 0
-    while (i < n) {
-      out(i) = Fp16.fromHalf(
-        (((b(2 * i + 1) & 0xff) << 8) | (b(2 * i) & 0xff)).toShort)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  def decode(b: Array[Byte]): ArrayData =
+    new GenericArrayData(Fp16.bytesToFloats(b))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("fp16dec", this, classOf[Fp16Decode].getName)
     defineCodeGen(ctx, ev, c => s"$ref.decode($c)")

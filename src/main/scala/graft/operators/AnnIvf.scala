@@ -1187,16 +1187,13 @@ object AnnIvf {
           val flattenable = dim > 0 && n.toLong * dim <= Int.MaxValue &&
             members.forall(_._3.length == 2 * dim)
           if (flattenable) {
+            // bulk little-endian view get per row (r19) — bit-
+            // identical to the per-element assembly
             val half = new Array[Short](n * dim)
             i = 0
             while (i < n) {
-              val b = members(i)._3
-              var j = 0
-              while (j < dim) {
-                half(i * dim + j) =
-                  (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort
-                j += 1
-              }
+              graft.functions.Fp16.bytesToShorts(members(i)._3, half,
+                i * dim, dim)
               i += 1
             }
             Iterator.single(FlatBlock(ids, cids, dim, null, null,
@@ -1204,17 +1201,8 @@ object AnnIvf {
           } else {
             // ragged fallback: decode to fp32 rows (the exact
             // servableCells non-flattenable shape)
-            val rows = members.map { m =>
-              val b = m._3
-              val v = new Array[Float](b.length / 2)
-              var j = 0
-              while (j < v.length) {
-                v(j) = graft.functions.Fp16.fromHalf(
-                  (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort)
-                j += 1
-              }
-              v
-            }
+            val rows = members.map(m =>
+              graft.functions.Fp16.bytesToFloats(m._3))
             Iterator.single(FlatBlock(ids, cids, dim, null, rows,
               if (attrCol.isDefined) attrs else null))
           }

@@ -452,30 +452,19 @@ object NswGraph {
       i += 1
     }
     if (flattenable) {
+      // bulk little-endian view get per row (r19): bit-identical to
+      // the per-element shift assembly, ~the memcpy the halved read
+      // bytes paid for (ProfilePackedDisk graph tier)
       val half = new Array[Short](n * dim)
       i = 0
       while (i < n) {
-        val b = g.vecs16(i)
-        var j = 0
-        while (j < dim) {
-          half(i * dim + j) =
-            (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort
-          j += 1
-        }
+        graft.functions.Fp16.bytesToShorts(g.vecs16(i), half,
+          i * dim, dim)
         i += 1
       }
       ServableCell(g.cid, g.ids, dim, null, null, adjFlat, adjOff, half)
     } else {
-      val rows = g.vecs16.map { b =>
-        val v = new Array[Float](b.length / 2)
-        var j = 0
-        while (j < v.length) {
-          v(j) = graft.functions.Fp16.fromHalf(
-            (((b(2 * j + 1) & 0xff) << 8) | (b(2 * j) & 0xff)).toShort)
-          j += 1
-        }
-        v
-      }
+      val rows = g.vecs16.map(graft.functions.Fp16.bytesToFloats)
       ServableCell(g.cid, g.ids, dim, null, rows, adjFlat, adjOff)
     }
   }
