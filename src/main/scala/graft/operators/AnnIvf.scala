@@ -1391,13 +1391,19 @@ object AnnIvf {
       * serving row-identical to the unsharded serve under the auto. */
     @transient lazy val derivedSupers: Array[Array[Float]] =
       graft.functions.CentroidGroups.build(centroidMatrix).centers
+    /** Member lists of the derived supers — memoized WITH them: the
+      * dispatcher resolves the auto prober per serve call, and
+      * recomputing the C×√C×dim assignment per call measured 3×
+      * slower than the prober itself at batch=1000. */
+    @transient private lazy val derivedMembers: Array[Array[Int]] =
+      AnnIvf.memberLists(derivedSupers, centroidMatrix)
     /** The two-level prober over the derived supers — what the
       * dispatchers install when `Serving.autoTwoLevel` says the
       * geometry wins (an explicit `proberOverride` always beats it). */
     def twoLevelProberAuto(nprobe: Int,
         wSuper: Int = 4): Array[Float] => Array[Int] =
       AnnIvf.twoLevelProberLocal(derivedSupers, centroidMatrix,
-        AnnIvf.memberLists(derivedSupers, centroidMatrix), wSuper, nprobe)
+        derivedMembers, wSuper, nprobe)
     /** (maskedTotal, maskedSurvivors) under `pred` and an optional
       * sorted tombstone mask — the local twin of the dispatcher's two
       * column-pruned counts (one pass over the resident attrs). */
