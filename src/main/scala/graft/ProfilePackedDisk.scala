@@ -74,32 +74,40 @@ object ProfilePackedDisk {
     println(f"[pdisk] FLAT tree bytes: fp32 ${treeMb(s"$tmp/flat32")}%.0f MB " +
       f"(write $wf32%.1fs) vs packed ${treeMb(s"$tmp/flat16")}%.0f MB " +
       f"(write $wf16%.1fs)")
-    val (rep32, bf32) = time {
-      val cells = AnnIvf.servableCells(
-        spark.read.parquet(s"$tmp/flat32"))
-      cells.count()
-      val r = AnnIvf.localCellReplica(cells, cents)
-      cells.unpersist(); r
+    // EQUAL-HEAP A/B (r19): each layout's replica is built, recalled,
+    // and RELEASED before the other builds — the r18 harness held the
+    // fp32 replica (and earlier tiers) live while the packed build
+    // ran, so the packed side paid its GC and, worse, its persist
+    // level was auto-resolved from a smaller free heap. Build order
+    // per tier is fp32 → release → packed, with the recall sample
+    // served in between.
+    def flatBuild(label: String, path: String, packed: Boolean)
+        : Double = {
+      val ((rep, bSec), _) = time { time {
+        val cells =
+          if (packed) AnnIvf.servableCellsPacked(spark.read.parquet(path))
+          else AnnIvf.servableCells(spark.read.parquet(path))
+        cells.count()
+        val r = AnnIvf.localCellReplica(cells, cents)
+        cells.unpersist(); r
+      } }
+      println(f"[pdisk] FLAT $label%-14s replica build from disk: " +
+        f"$bSec%.1fs (${rep.approxBytes / 1e6}%.0f MB, " +
+        f"half=${rep.half != null})")
+      val rows = AnnIvf.searchLocalCellsQueries(rep, qArr, k, nprobe = 4)
+      val df = spark.createDataset(rows.toSeq)
+        .toDF("qid", "rank", "neighbor_id", "dist")
+      val r = Recall.ofRanked(df, truth).head()
+      println(f"[pdisk] FLAT $label%-14s recall@10 np4 = " +
+        f"${r.getDouble(r.fieldIndex("recall"))}%.4f")
+      bSec
     }
-    val (rep16, bf16) = time {
-      val cells = AnnIvf.servableCellsPacked(
-        spark.read.parquet(s"$tmp/flat16"))
-      cells.count()
-      val r = AnnIvf.localCellReplica(cells, cents)
-      cells.unpersist(); r
-    }
+    val bf32 = flatBuild("fp32-layout", s"$tmp/flat32", packed = false)
+    System.gc()
+    val bf16 = flatBuild("packed-layout", s"$tmp/flat16", packed = true)
+    System.gc()
     println(f"[pdisk] FLAT replica build from disk: fp32 $bf32%.1fs " +
-      f"(${rep32.approxBytes / 1e6}%.0f MB) vs packed $bf16%.1fs " +
-      f"(${rep16.approxBytes / 1e6}%.0f MB, half=${rep16.half != null})")
-    Seq(("fp32-layout", rep32), ("packed-layout", rep16)).foreach {
-      case (nm, rep) =>
-        val rows = AnnIvf.searchLocalCellsQueries(rep, qArr, k, nprobe = 4)
-        val df = spark.createDataset(rows.toSeq)
-          .toDF("qid", "rank", "neighbor_id", "dist")
-        val r = Recall.ofRanked(df, truth).head()
-        println(f"[pdisk] FLAT $nm%-14s recall@10 np4 = " +
-          f"${r.getDouble(r.fieldIndex("recall"))}%.4f")
-    }
+      f"vs packed $bf16%.1fs (ratio ${bf16 / bf32}%.2f)")
 
     // ---- GRAPH tier ----
     val graphs = NswGraph.buildIndex(indexed, m = 16, efConstruction = 64)
@@ -112,36 +120,41 @@ object ProfilePackedDisk {
     println(f"[pdisk] GRAPH tree bytes: fp32 ${treeMb(s"$tmp/g32")}%.0f MB " +
       f"(write $wg32%.1fs) vs packed ${treeMb(s"$tmp/g16")}%.0f MB " +
       f"(write $wg16%.1fs)")
-    val (grep32, bg32) = time {
-      val idx = NswGraph.servableIndex(NswGraph.readGraphIndex(spark,
-        s"$tmp/g32"))
-      idx.count()
-      val r = NswGraph.localReplica(idx, cents)
-      idx.unpersist(); r
+    // storage level PINNED on both sides: the auto level resolves
+    // from free heap at call time, so whichever layout builds with
+    // more live heap could silently land on a serialized level and
+    // pay (de)serialization the other didn't
+    val pin = Some(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    def graphBuild(label: String, packed: Boolean): Double = {
+      val ((rep, bSec), _) = time { time {
+        val idx =
+          if (packed) NswGraph.servableIndexPacked(spark, s"$tmp/g16", pin)
+          else NswGraph.servableIndex(
+            NswGraph.readGraphIndex(spark, s"$tmp/g32"), pin)
+        idx.count()
+        val r = NswGraph.localReplica(idx, cents)
+        idx.unpersist(); r
+      } }
+      println(f"[pdisk] GRAPH $label%-14s replica build from disk: " +
+        f"$bSec%.1fs (${rep.approxBytes / 1e6}%.0f MB, " +
+        f"packedCells=${rep.cells.count(_.half != null)}/" +
+        f"${rep.cells.length})")
+      Seq((2, 32), (2, 48)).foreach { case (np, efs) =>
+        val rows = NswGraph.searchLocalQueries(rep, qArr, k, np,
+          efSearch = efs)
+        val df = spark.createDataset(rows.toSeq)
+          .toDF("qid", "rank", "neighbor_id", "dist")
+        val r = Recall.ofRanked(df, truth).head()
+        println(f"[pdisk] GRAPH $label%-14s recall@10 np$np/efS$efs = " +
+          f"${r.getDouble(r.fieldIndex("recall"))}%.4f")
+      }
+      bSec
     }
-    val (grep16, bg16) = time {
-      val idx = NswGraph.servableIndexPacked(spark, s"$tmp/g16")
-      idx.count()
-      val r = NswGraph.localReplica(idx, cents)
-      idx.unpersist(); r
-    }
+    val bg32 = graphBuild("fp32-layout", packed = false)
+    System.gc()
+    val bg16 = graphBuild("packed-layout", packed = true)
     println(f"[pdisk] GRAPH replica build from disk: fp32 $bg32%.1fs " +
-      f"(${grep32.approxBytes / 1e6}%.0f MB) vs packed $bg16%.1fs " +
-      f"(${grep16.approxBytes / 1e6}%.0f MB, " +
-      f"packedCells=${grep16.cells.count(_.half != null)}/" +
-      f"${grep16.cells.length})")
-    Seq(("fp32-layout", grep32), ("packed-layout", grep16)).foreach {
-      case (nm, rep) =>
-        Seq((2, 32), (2, 48)).foreach { case (np, efs) =>
-          val rows = NswGraph.searchLocalQueries(rep, qArr, k, np,
-            efSearch = efs)
-          val df = spark.createDataset(rows.toSeq)
-            .toDF("qid", "rank", "neighbor_id", "dist")
-          val r = Recall.ofRanked(df, truth).head()
-          println(f"[pdisk] GRAPH $nm%-14s recall@10 np$np/efS$efs = " +
-            f"${r.getDouble(r.fieldIndex("recall"))}%.4f")
-        }
-    }
+      f"vs packed $bg16%.1fs (ratio ${bg16 / bg32}%.2f)")
     spark.stop()
   }
 }
