@@ -7,8 +7,12 @@ run() { # run <tag> <sbt main + args...>
   date
   echo "=== $1 ==="
   shift
-  sbt -batch "runMain $*" 2>&1 | grep -E "\[(pdisk|tld|pad|pms|pshard)\]|\"metric\"|Exception|FAILED|OutOfMemory"
+  sbt -batch "runMain $*" 2>&1 | grep --line-buffered -E "\[(pdisk|tld|pad|pms|pshard)\]|\"metric\"|Exception|FAILED|OutOfMemory"
 }
+date
+echo "=== BENCH sf0.1 w2 ==="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.Bench" 2>&1 | grep --line-buffered "\"metric\""
 SPARK_DRIVER_MEM=48g run "ProfileTwoLevelDist 20M w2" graft.ProfileTwoLevelDist 20000000 2048 100000 4 4
 SPARK_DRIVER_MEM=48g run "ProfileAutoDial 20M w2" graft.ProfileAutoDial 20000000 2048 100000
 SPARK_DRIVER_MEM=48g run "ProfileMaintServe 20M w2" graft.ProfileMaintServe 20000000 4 100000 1024 5000
