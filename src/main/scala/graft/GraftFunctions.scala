@@ -88,6 +88,18 @@ object GraftFunctions {
         foldableInt(es(2), "graft_nearest_cells")),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_term_counts",
+      es => TermCounts(es(0), foldableStringSeq(es(1), "graft_term_counts")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_md5_prefix",
+      es => Md5PrefixLong(es(0), foldableInt(es(1), "graft_md5_prefix")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_md5_prefix_str",
+      es => Md5PrefixStr(es(0), foldableInt(es(1), "graft_md5_prefix_str")),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_nearest_cells2",
       es => NearestCellsTwoLevel(es(0),
         foldableMatrix(es(1), "graft_nearest_cells2"),
@@ -108,6 +120,15 @@ object GraftFunctions {
       val inner = outer.getArray(c)
       Array.tabulate(inner.numElements())(i => inner.getFloat(i))
     }
+  }
+
+  /** Evaluate a foldable array<string> literal to a Seq[String] (the
+    * fixed term list baked into TermCounts). */
+  private def foldableStringSeq(e: Expression, fn: String): Seq[String] = {
+    require(e.foldable, s"$fn: term list must be a literal")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val arr = e.eval().asInstanceOf[ArrayData]
+    Seq.tabulate(arr.numElements())(i => arr.getUTF8String(i).toString)
   }
 
   /** Evaluate a foldable array<array<int>> literal to a JVM int matrix
@@ -144,6 +165,23 @@ object GraftFunctions {
     call_function("graft_lsh_bands", sig, lit(bands))
   }
   def vecSum(a: Column): Column = call_function("graft_vecsum", a)
+  /** One-pass fixed-term occurrence counts — see TermCounts. */
+  def termCounts(toks: Column, terms: Seq[String]): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    call_function("graft_term_counts", toks, typedlit(terms))
+  }
+  /** Fused `conv(substring(md5(x), 1, nHex), 16, 10).cast("long")` —
+    * bit-identical, see Md5PrefixLong. */
+  def md5Prefix(text: Column, nHex: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_md5_prefix", text, lit(nHex))
+  }
+  /** Fused `substring(md5(x), 1, nHex)` — byte-identical, see
+    * Md5PrefixStr. */
+  def md5PrefixStr(text: Column, nHex: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_md5_prefix_str", text, lit(nHex))
+  }
   def vecSumLong(a: Column): Column = call_function("graft_vecsum_long", a)
   def repetition(text: Column): Column = call_function("graft_repetition", text)
 

@@ -2308,12 +2308,26 @@ object AnnQueries {
       val quant = scala.util.Try(
         GridSearch.trainQuantizers(filtered, Seq(8, 16)))
         .getOrElse(Map.empty)
-      val res = GridSearch.run(s, dataDf(s, d), queriesDf(s, d),
-          "low", filterLow, totalBase, precomputedTruth = Some(truth),
-          sharedQuantizers = quant)
-        .unionByName(GridSearch.runNsw(s, dataDf(s, d), queriesDf(s, d),
-          "low", filterLow, totalBase, precomputedTruth = Some(truth),
-          sharedQuantizers = quant),
+      // OVERLAPPED SWEEPS (r20, guide §2.6): the two algo sweeps are
+      // independent given the shared truth/quantizers — run them from
+      // two driver threads so the NSW sweep's jobs back-fill the IVF
+      // sweep's stragglers (and vice versa). Every deterministic
+      // output column (recall, n_candidates, totals) is unchanged;
+      // only the human-facing wall-clock columns see scheduler
+      // contention, the noise they already carry (rows-only in the
+      // oracle by design).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val ivfF = Future(GridSearch.run(s, dataDf(s, d), queriesDf(s, d),
+        "low", filterLow, totalBase, precomputedTruth = Some(truth),
+        sharedQuantizers = quant))
+      val nswF = Future(GridSearch.runNsw(s, dataDf(s, d), queriesDf(s, d),
+        "low", filterLow, totalBase, precomputedTruth = Some(truth),
+        sharedQuantizers = quant))
+      val res = Await.result(ivfF, Duration.Inf)
+        .unionByName(Await.result(nswF, Duration.Inf),
           allowMissingColumns = true)
       res.cache()
       res.count()

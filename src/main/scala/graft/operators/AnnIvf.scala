@@ -219,7 +219,25 @@ object AnnIvf {
     * never a silent default (`Serving.autoTwoLevel` encodes the
     * measured geometry crossover for deployments that want the
     * choice made for them). */
-  case class TwoLevelProbe(supers: Array[Array[Float]], wSuper: Int = 4)
+  case class TwoLevelProbe(supers: Array[Array[Float]], wSuper: Int = 4) {
+    // MEMBER-LIST MEMO (r20, ADVICE item): memberLists(supers, matrix)
+    // is O(C·√C·dim) driver work and every probeCellsCol /
+    // searchServableCellsAuto invocation recomputed it — the same
+    // recompute the replica tier's derivedMembers memo already
+    // avoids. One (matrix → members) slot per probe object, keyed by
+    // reference identity (centroid matrices are collected once per
+    // index epoch and reused by reference), derivation unchanged.
+    @transient private var memoMatrix: Array[Array[Float]] = _
+    @transient private var memoMembers: Array[Array[Int]] = _
+    private[graft] def membersFor(
+        matrix: Array[Array[Float]]): Array[Array[Int]] = synchronized {
+      if (memoMatrix ne matrix) {
+        memoMembers = memberLists(supers, matrix)
+        memoMatrix = matrix
+      }
+      memoMembers
+    }
+  }
 
   /** Probe-ranking column: the flat O(C·dim) `NearestCells` argmin,
     * or — when the dial is set — the O((√C + w·C/√C)·dim)
@@ -229,7 +247,7 @@ object AnnIvf {
       twoLevel: Option[TwoLevelProbe]): org.apache.spark.sql.Column =
     twoLevel match {
       case Some(tl) => GraftFunctions.nearestCells2(qvec, tl.supers,
-        matrix, memberLists(tl.supers, matrix), tl.wSuper, nprobe)
+        matrix, tl.membersFor(matrix), tl.wSuper, nprobe)
       case None => GraftFunctions.nearestCells(qvec, matrix, nprobe)
     }
 
@@ -1936,7 +1954,7 @@ object AnnIvf {
               // expression by the KnnSpec local==distributed pin
               proberOverride = twoLevel.map(tl =>
                 twoLevelProberLocal(tl.supers, rep.centroidMatrix,
-                  memberLists(tl.supers, rep.centroidMatrix),
+                  tl.membersFor(rep.centroidMatrix),
                   tl.wSuper, nprobe)).orNull)))
           .toDF("qid", "rank", "neighbor_id", "dist")
       else

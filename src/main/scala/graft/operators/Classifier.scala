@@ -44,9 +44,10 @@ import org.apache.spark.sql.functions._
 object Classifier {
 
   /** bucket hash shared with the SQL oracle: 52-bit md5 prefix mod
-    * `buckets` (the DSIR feature recipe). */
+    * `buckets` (the DSIR feature recipe; fused Md5PrefixLong — same
+    * bits as the conv/substring chain the oracle replays). */
   private def bucketOf(term: Column, buckets: Int): Column =
-    conv(substring(md5(term), 1, 13), 16, 10).cast("long") % buckets
+    graft.GraftFunctions.md5Prefix(term, 13) % buckets
 
   /** Train `steps` full-batch GD steps from w = 0. Returns the model
     * as bucket -> w_micro (driver-sized: at most `buckets` entries).
@@ -90,24 +91,81 @@ object Classifier {
     // logit fold — integer sums need no ordering — then explode +
     // the map-side-combined B-row gradient aggregate). No per-step
     // join, no per-step sort, no corpus-sized shuffle ever.
-    val feats = featureArrays(trainDocs, isTarget, buckets, idCol, textCol)
-      .localCheckpoint()
-    val n = trainDocs.count()
-    try {
-      var w = Map.empty[Long, Long]
-      for (_ <- 1 to steps) {
-        val grads = gradients(feats, w, buckets)
-        w = w ++ grads.map { case (b, gm) =>
-          // HALF_UP (away from zero) like both engines' round():
-          // gm/(2n) lands on exact .5 midpoints for real data, where
-          // scala math.round (toward +inf) would diverge
-          b -> (w.getOrElse(b, 0L) -
-            BigDecimal(gm.toDouble * lr / n)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
-        }
+    val featsDf = featureArrays(trainDocs, isTarget, buckets, idCol, textCol)
+    // DRIVER-LOCAL REPLAY for the sampled mode (r20): with a sample
+    // budget the training set is bounded by contract (the scaladoc's
+    // own argument — a `buckets`-parameter model saturates on a
+    // bounded sample), yet the distributed loop still paid
+    // 2 jobs × `steps` driver round trips (~80 jobs for the pack's 40
+    // steps — measured as ~85% of corpus_classifier_sampled's wall at
+    // sf0.1, almost all fixed per-job latency). When the sample's
+    // total feature volume fits `graft.classifier.localTrainBudget`
+    // (tokens; the connectedComponents localEdgeBudget pattern), the
+    // (y, buckets[]) rows are collected ONCE and the T steps replay on
+    // the driver. Bit-identical by the integer-training contract:
+    // logits and gradients are order-free integer sums, the sigmoid
+    // runs on the identical double, and both round sites replicate
+    // round()'s BigDecimal HALF_UP — so local and distributed steps
+    // produce the same model (pinned in ClassifierSpec). Past the
+    // budget (or unsampled) the distributed loop runs as before.
+    val localBudget = docs.sparkSession.conf
+      .get("graft.classifier.localTrainBudget", "4000000").toLong
+    val localRows: Option[Array[(Long, Array[Long])]] =
+      if (sampleBudget.isEmpty) None
+      else {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val vol = featsDf.agg(sum(size(col("bs")).cast("long"))).head()
+        if (!vol.isNullAt(0) && vol.getLong(0) <= localBudget)
+          Some(featsDf.select(col("y"), col("bs"))
+            .as[(Long, Array[Long])].collect())
+        else None
       }
-      w
-    } finally feats.unpersist()
+    val n = trainDocs.count()
+    def updated(w: Map[Long, Long], grads: Map[Long, Long]): Map[Long, Long] =
+      w ++ grads.map { case (b, gm) =>
+        // HALF_UP (away from zero) like both engines' round():
+        // gm/(2n) lands on exact .5 midpoints for real data, where
+        // scala math.round (toward +inf) would diverge
+        b -> (w.getOrElse(b, 0L) -
+          BigDecimal(gm.toDouble * lr / n)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      }
+    localRows match {
+      case Some(rows) =>
+        var w = Map.empty[Long, Long]
+        for (_ <- 1 to steps) {
+          val grads = scala.collection.mutable.LongMap.empty[Long]
+          rows.foreach { case (y, bs) =>
+            var z = 0L
+            var i = 0
+            while (i < bs.length) { z += w.getOrElse(bs(i), 0L); i += 1 }
+            // the one float step — same operand order as pMicro's
+            // expression, rounded with round()'s exact BigDecimal
+            val p = BigDecimal(1.0 /
+                (1.0 + math.exp(-(z.toDouble / 1000000.0))) * 1000000.0)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val r = p - y * 1000000L
+            i = 0
+            while (i < bs.length) {
+              val b = bs(i)
+              grads(b) = grads.getOrElse(b, 0L) + r
+              i += 1
+            }
+          }
+          w = updated(w, grads.toMap)
+        }
+        w
+      case None =>
+        val feats = featsDf.localCheckpoint()
+        try {
+          var w = Map.empty[Long, Long]
+          for (_ <- 1 to steps) {
+            w = updated(w, gradients(feats, w, buckets))
+          }
+          w
+        } finally feats.unpersist()
+    }
   }
 
   /** Score with a trained model: per-doc (idCol, p_micro, y,
@@ -132,12 +190,17 @@ object Classifier {
     * NULL-text docs are excluded (they have no feature rows in the
     * SQL-oracle formulation and would otherwise score NULL rows). */
   private def featureArrays(docs: DataFrame, isTarget: Column,
-      buckets: Int, idCol: String, textCol: String): DataFrame =
-    docs.where(col(textCol).isNotNull)
+      buckets: Int, idCol: String, textCol: String): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
+    // Spread.cpu: the per-token bucket hash dominates; a sub-split
+    // scan would run it on one core (r20). Narrow per-doc arrays —
+    // placement cannot affect any downstream integer sum.
+    Spread.cpu(docs.where(col(textCol).isNotNull))
       .select(col(idCol).cast("long").as("doc_id"),
         isTarget.cast("long").as("y"),
         transform(TextAnalysis.whitespaceTokens(col(textCol)),
           t => bucketOf(t, buckets)).as("bs"))
+  }
 
   /** Integer logits: z_micro = Σ_tokens w_micro[bucket] via an
     * expression-only fold — token multiplicity IS the per-bucket

@@ -14,6 +14,16 @@ import graft.GraftFunctions
   */
 object Corpus {
 
+  /** The portable 52-bit ranking hash as a double — the fused
+    * Md5PrefixLong form of
+    * `conv(substring(md5(c), 1, 13), 16, 10).cast("double")`:
+    * bit-identical values (13 hex chars = the digest's leading 52
+    * bits, exact in a double), one digest reuse instead of the
+    * per-row getInstance + hex/conv string churn (r20). */
+  private def md5Rank52(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    GraftFunctions.md5Prefix(c, 13).cast("double")
+
   /** Exactly min(k, stratum size) rows per stratum, deterministic and
     * portable: rows are ranked inside each stratum by the first 13 hex
     * chars of md5(id) (52 bits — exactly representable in a double, so
@@ -29,8 +39,8 @@ object Corpus {
     */
   def stratifiedSample(docs: DataFrame, groupCol: String, k: Int,
       idCol: String = "doc_id"): DataFrame = {
-    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast("double")
+    GraftFunctions.register(docs.sparkSession)
+    val rank = md5Rank52(col(idCol).cast("string"))
     docs.select(col(groupCol), col(idCol).as("id"), rank.as("rk"))
       .groupBy(col(groupCol))
       .agg(GraftFunctions.topK(k, col("rk"), col("id")).as("picks"))
@@ -72,8 +82,8 @@ object Corpus {
     val kMax = quotas.values.max.toInt
     require(kMax > 0, "budget x max weight must reach at least one row")
     val quotaDf = broadcast(quotas.toSeq.toDF(groupCol, "_quota"))
-    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast("double")
+    GraftFunctions.register(spark)
+    val rank = md5Rank52(col(idCol).cast("string"))
     docs.filter(col(groupCol).isin(weights.keys.toSeq: _*))
       .select(col(groupCol), col(idCol).as("id"), rank.as("rk"))
       .groupBy(col(groupCol))
@@ -144,8 +154,8 @@ object Corpus {
       s"max stratum quota exceeds Int.MaxValue")
     val kMax = quotas.map(_._2).max.toInt
     val quotaDf = broadcast(quotas.toSeq.toDF(groupCol, "_quota"))
-    val rank = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
-      .cast("double")
+    GraftFunctions.register(spark)
+    val rank = md5Rank52(col(idCol).cast("string"))
     docs.filter(col(groupCol).isin(quotas.map(_._1).toSeq: _*))
       .select(col(groupCol), col(idCol).as("id"), rank.as("rk"))
       .groupBy(col(groupCol))
@@ -178,14 +188,15 @@ object Corpus {
       qidCol: String = "qid", qlabelCol: String = "q_label"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(m > 0 && poolSize >= m)
+    GraftFunctions.register(items.sparkSession)
     val pool = items
       .select(col(idCol).cast("long").as("id"),
         col(labelCol).cast("long").as("lbl"))
       .orderBy(md5(concat(col("id").cast("string"), lit(":pool"))),
         col("id"))
       .limit(poolSize)
-    val rank = conv(substring(md5(concat(col(qidCol).cast("string"),
-      lit(":"), col("id").cast("string"))), 1, 13), 16, 10).cast("double")
+    val rank = md5Rank52(concat(col(qidCol).cast("string"),
+      lit(":"), col("id").cast("string")))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("rk"), col("id"))
     queries.select(col(qidCol).cast("long").as(qidCol),
         col(qlabelCol).cast("long").as(qlabelCol))
@@ -213,7 +224,10 @@ object Corpus {
   def chunkDocs(docs: DataFrame, chunkTokens: Int, stride: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0 && stride > 0)
-    docs
+    // Spread.cpu (r20): chunking and every downstream per-chunk stage
+    // (embedding hashes in corpus_pool / pipeline_rag) are narrow over
+    // this scan — sub-split input would serialize them on one core
+    Spread.cpu(docs)
       .select(col(idCol).as("doc_id"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -428,8 +442,9 @@ object Corpus {
     require(numShards > 0)
     val spark = docs.sparkSession
     import spark.implicits._
-    val rank = conv(substring(md5(concat(lit(s"$seed:"),
-      col(idCol).cast("string"))), 1, 13), 16, 10).cast("double")
+    GraftFunctions.register(spark)
+    val rank = md5Rank52(concat(lit(s"$seed:"),
+      col(idCol).cast("string")))
     val sorted = docs
       .select(col(idCol).cast("long").as("id"), rank.as("rk"))
       .repartitionByRange(col("rk"), col("id"))
@@ -551,19 +566,24 @@ object Corpus {
       buckets: Int = 1024, idCol: String = "doc_id",
       textCol: String = "text", nativeHash: Boolean = false): DataFrame = {
     require(buckets > 0)
+    GraftFunctions.register(docs.sparkSession)
     val t = col("t")
     val bigrams = zip_with(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       slice(t, lit(2), greatest(size(t) - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
     // feature -> bucket: portable 52-bit md5 prefix by default (the
-    // SQL oracle replays it); nativeHash=true swaps in xxhash64 — the
-    // production path, measured ~3x cheaper per feature with the
-    // same statistics (hashed importance weights don't care WHICH
-    // uniform hash buckets them)
+    // SQL oracle replays it — fused Md5PrefixLong, bit-identical to
+    // the conv/substring chain it replaced); nativeHash=true swaps in
+    // xxhash64 — the production path (hashed importance weights don't
+    // care WHICH uniform hash buckets them)
     val bucketOf = (f: org.apache.spark.sql.Column) =>
       if (nativeHash) pmod(xxhash64(f), lit(buckets.toLong))
-      else conv(substring(md5(f), 1, 13), 16, 10).cast("long") % buckets
-    val feats = docs
+      else GraftFunctions.md5Prefix(f, 13) % buckets
+    // Spread.cpu: the feature hash is the dominant per-row cost and a
+    // sub-split corpus scan would serialize BOTH streamed passes on
+    // one core (r20 profile: taskTime ≈ wall). Each doc's features
+    // stay within its row's partition, so per-doc sums are unchanged.
+    val feats = Spread.cpu(docs)
       .select(col(idCol).as("doc_id"), isTarget.as("is_target"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("t"))
       .select(col("doc_id"), col("is_target"),
@@ -717,6 +737,63 @@ object Corpus {
     import spark.implicits._
     val base = data.select(col(idCol).cast("long").as("_id"),
       col(vecCol).as("_v"))
+    // COST-BASED LOCAL REPLAY (r20): the distributed greedy issues
+    // ~4 driver round trips per pick (argmax collect + re-persist +
+    // count + unpersist) — at sf0.1 that was 37 jobs around 0.13 s of
+    // task work. Coreset slices are usually bounded (the operator
+    // picks k exemplars); when the slice fits
+    // `graft.coreset.localRowBudget` rows it is collected once and
+    // the identical greedy replays on the driver: same seed (min id),
+    // same 6dp-rounded running-min distances (`Knn.scalarDistance`
+    // is the expressions' shared kernel, `BigDecimal` HALF_UP is
+    // round()'s own rounding), same (max dist, min id) argmax — so
+    // the selection order is bit-identical (pinned in CorpusSpec).
+    // Past the budget the distributed loop runs as before.
+    val localRowBudget = spark.conf
+      .get("graft.coreset.localRowBudget", "200000").toLong
+    if (base.count() <= localRowBudget) {
+      val rows = base.as[(Long, Array[Float])].collect().sortBy(_._1)
+      if (rows.isEmpty) return Seq.empty[(Long, Long)].toDF("rank", idCol)
+      def round6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val md = new Array[Double](rows.length)
+      val sel = new Array[Boolean](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        md(i) = round6(Knn.scalarDistance(metric, rows(i)._2, rows(0)._2))
+        i += 1
+      }
+      sel(0) = true // seed = min id (rows are id-ascending)
+      var selected = List(rows(0)._1)
+      var picks = 1
+      while (picks < k && picks < rows.length) {
+        var best = -1
+        i = 0
+        while (i < rows.length) {
+          // strict >: ascending-id iteration keeps the lowest id on a
+          // distance tie — the orderBy(_md desc, _id) pick rule
+          if (!sel(i) && (best < 0 || md(i) > md(best))) best = i
+          i += 1
+        }
+        sel(best) = true
+        selected = rows(best)._1 :: selected
+        picks += 1
+        if (picks < k) {
+          i = 0
+          while (i < rows.length) {
+            if (!sel(i)) {
+              val d = round6(
+                Knn.scalarDistance(metric, rows(i)._2, rows(best)._2))
+              if (d < md(i)) md(i) = d
+            }
+            i += 1
+          }
+        }
+      }
+      return selected.reverse.zipWithIndex
+        .map { case (id, r) => (r + 1L, id) }
+        .toDF("rank", idCol)
+    }
     val seedRow = base.orderBy(col("_id")).limit(1)
       .as[(Long, Array[Float])].collect()
     if (seedRow.isEmpty) return Seq.empty[(Long, Long)]

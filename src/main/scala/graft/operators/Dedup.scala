@@ -594,7 +594,7 @@ object Dedup {
     // executor-memory scale); AQE would pick a shuffle join past that.
     val dict = toks.select(col("tok")).distinct()
       .select(col("tok"),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("hv"))
+        GraftFunctions.md5Prefix(col("tok"), 15).as("hv"))
     val h = toks.join(broadcast(dict), "tok").select(col("doc_id"), col("hv"))
     // Per-bit ±1 vote sums, flattened to 60 integer sum() aggregates in
     // ONE codegen'd HashAggregate (vote_b = 2·ones_b − n > 0  ⟺
@@ -1020,17 +1020,23 @@ object Dedup {
   def crossDocSpanDedup(docs: DataFrame, n: Int,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1)
-    val base = docs.select(col(idCol).cast("long").as(idCol),
+    GraftFunctions.register(docs.sparkSession)
+    // Spread.cpu (r20): the per-position window hash below is the
+    // dominant per-row cost — a sub-split corpus scan would run it on
+    // one core. Placement-independent: grams carry (doc, pos), every
+    // downstream group is keyed on values.
+    val base = Spread.cpu(docs).select(col(idCol).cast("long").as(idCol),
       split(col(textCol), " ").as("toks"))
     // group key = 104-bit md5 prefix of the window, NOT the window
     // text: the shuffle key is fixed-width however long the window is
     // (a 50-token dedup window would otherwise shuffle ~300 bytes per
-    // position; collision odds at 2^104 are nil at any corpus size)
+    // position; collision odds at 2^104 are nil at any corpus size).
+    // Fused Md5PrefixStr (r20) = substring(md5(x), 1, 26) byte-for-byte.
     val grams = base.where(size(col("toks")) >= n)
       .select(col(idCol),
         posexplode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => substring(md5(
-            array_join(slice(col("toks"), i + 1, lit(n)), " ")), 1, 26))))
+          i => GraftFunctions.md5PrefixStr(
+            array_join(slice(col("toks"), i + 1, lit(n)), " "), 26))))
       .select(col(idCol), col("pos").as("i"), col("col").as("gram"))
     val removed = grams
       .groupBy(col("gram"))

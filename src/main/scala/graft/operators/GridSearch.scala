@@ -60,11 +60,21 @@ object GridSearch {
     * instead of two). Caller owns the caches (unpersist after use). */
   def trainQuantizers(filtered: DataFrame, nparts: Seq[Int],
       iterations: Int = 2): Map[Int, (DataFrame, DataFrame, Double)] = {
+    // OVERLAPPED BUILDS (r20, guide §2.6): each npartitions build is an
+    // independent seeded train — concurrent driver threads let one
+    // build's jobs back-fill the other's stragglers. Training is
+    // seeded/deterministic per np, so results are identical to the
+    // sequential loop; only the human-facing build wall-clock carries
+    // scheduler contention.
     val built =
-      scala.collection.mutable.LinkedHashMap
+      scala.collection.concurrent.TrieMap
         .empty[Int, (DataFrame, DataFrame, Double)]
-    try {
-      nparts.distinct.foreach { np =>
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futures = nparts.distinct.map { np =>
+      Future {
         val t0 = System.nanoTime()
         val c = AnnIvf.train(filtered, np, iterations = iterations).cache()
         val idx = AnnIvf.index(filtered, c).cache()
@@ -72,12 +82,17 @@ object GridSearch {
         idx.count()
         built(np) = (c, idx, (System.nanoTime() - t0) / 1e9)
       }
+    }
+    try {
+      futures.foreach(Await.result(_, Duration.Inf))
       built.toMap
     } catch {
       // a failing np must not leak the caches of the nps built before
       // it — the caller's fallback retrains per sweep and would never
-      // see these references again
+      // see these references again. Await the stragglers first so no
+      // future races the cleanup.
       case e: Throwable =>
+        futures.foreach(f => scala.util.Try(Await.result(f, Duration.Inf)))
         built.values.foreach { case (c, idx, _) =>
           c.unpersist(blocking = false); idx.unpersist(blocking = false)
         }
@@ -104,7 +119,10 @@ object GridSearch {
       t
     }
 
-    val rows = grid.groupBy(_.npartitions).toSeq.sortBy(_._1).flatMap {
+    // groups evaluated concurrently (r20, guide §2.6) — independent
+    // builds/evaluations; assembled in sorted-np order so the output
+    // row order is exactly the sequential loop's
+    val rows = parallelGroups(grid.groupBy(_.npartitions).toSeq.sortBy(_._1)) {
       case (npart, combos) =>
         // P9 error-row pass-through: a failing build yields error rows
         // for all its combos, never aborts the sweep
@@ -188,6 +206,23 @@ object GridSearch {
     rows.toDF()
   }
 
+  /** Evaluate independent sweep groups from concurrent driver threads
+    * (guide §2.6 back-fill) and flatten IN INPUT ORDER, so the result
+    * rows are exactly the sequential flatMap's. Each group's evaluator
+    * already converts failures to P9 error rows; a thrown non-fatal
+    * still propagates like the sequential loop's would. */
+  private def parallelGroups[G, R](groups: Seq[G])(eval: G => Seq[R]): Seq[R] = {
+    if (groups.size <= 1) groups.flatMap(eval)
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val fs = groups.map(g => Future(eval(g)))
+      fs.flatMap(Await.result(_, Duration.Inf))
+    }
+  }
+
   /** HNSW-analog grid (the reference's second algo sweep,
     * params_config.yaml:11-15: M / efConstruction / efSearch). One
     * graph-index build per (npartitions, m); every efSearch level
@@ -255,8 +290,10 @@ object GridSearch {
         // (m, efSearch) search below
         val probed = NswGraph.probeQueries(centroids, q,
           math.min(nprobe, npart))
-        val npRows = npCombos.groupBy(_.m).toSeq.sortBy(_._1)
-          .flatMap { case (m, combos) =>
+        // per-m graph builds/searches overlap (r20) — same
+        // ordered-assembly contract as the ivf groups
+        val npRows = parallelGroups(npCombos.groupBy(_.m).toSeq.sortBy(_._1)) {
+          case (m, combos) =>
         scala.util.Try {
           val t0 = System.nanoTime()
           val graphs = NswGraph.buildIndex(indexed, m,

@@ -33,11 +33,13 @@ object Ingest {
     * dimension j, the first 15 hex chars of md5(text || ':' || j) as a
     * positive long, reduced mod 2000001 — identical integers in any
     * engine (no seeded-xxhash dependency), so a SQL oracle reproduces
-    * the embedding exactly. */
+    * the embedding exactly. Fused Md5PrefixLong (r20): same bits as
+    * the conv/substring chain the oracle replays, one digest reuse
+    * instead of dim per-row getInstance + hex/conv string trips. */
   def portableHashInts(text: Column, dim: Int = Dim): Column =
     transform(sequence(lit(0), lit(dim - 1)),
-      j => conv(substring(md5(concat(text, lit(":"), j.cast("string"))),
-        1, 15), 16, 10).cast("long") % 2000001L)
+      j => graft.GraftFunctions.md5Prefix(
+        concat(text, lit(":"), j.cast("string")), 15) % 2000001L)
 
   /** Portable synthetic embedding: the md5 pre-image scaled to [-1, 1)
     * with the same arithmetic as `syntheticEmbedding`. */

@@ -72,7 +72,11 @@ object Knn {
       .collect()
     val bc = spark.sparkContext.broadcast(qRows)
     val m = metric // avoid capturing `this`
-    val partials = data
+    // Spread.cpu (r20): a sub-split data side is ONE scan task, and
+    // the q×n heap kernel then runs on one core. Heap contents are
+    // (dist, id) total-ordered, so partition placement cannot change
+    // the merged top-k.
+    val partials = Spread.cpu(data)
       .select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = bc.value
@@ -302,7 +306,7 @@ object Knn {
         GraftFunctions.packBits(col(qvecCol)))
       .as[(Long, Array[Byte])].collect()
     val bc = spark.sparkContext.broadcast(qRows)
-    val partials = data
+    val partials = Spread.cpu(data) // see `exact`
       .select(col(idCol).cast("long"),
         GraftFunctions.packBits(col(vecCol)))
       .as[(Long, Array[Byte])]

@@ -54,7 +54,10 @@ object Retrieval {
       qtextCol: String = "q_text"): DataFrame = {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
     GraftFunctions.register(docs.sparkSession)
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+    // Spread.cpu (r20): tokenize + explode + the tf partial aggregate
+    // are narrow over the doc scan — a sub-split corpus would run the
+    // whole candidate build on one core
+    val toks = Spread.cpu(docs).select(col(idCol).cast("long").as("doc_id"),
       TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
     val qterms = queries.select(col(qidCol).cast("long").as("qid"),
       explode(array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
@@ -148,8 +151,9 @@ object Retrieval {
       qtextCol: String = "q_text"): DataFrame = {
     require(k > 0, s"bm25TopKShuffled: k must be positive, got $k")
     GraftFunctions.register(docs.sparkSession)
-    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
+    val toks = Spread.cpu(docs) // see bm25TopK
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
     val qterms = queries.select(col(qidCol).cast("long").as("qid"),
       explode(array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
         .as("term"))
@@ -353,7 +357,6 @@ object Retrieval {
     // more work at 50 standing queries and dominated the scorer
     val allTerms = model.queries.flatMap(_._2.map(_._1)).distinct.sorted
     val termIdx = allTerms.zipWithIndex.toMap
-    val termsLit = typedlit(allTerms)
     val qlit = array(model.queries.map { case (qid, tds) =>
       struct(lit(qid).as("qid"),
         array(tds.map { case (t, df) =>
@@ -373,12 +376,15 @@ object Retrieval {
           tf * (k1 + 1.0) / (tf + docNorm * k1))
         .otherwise(lit(0.0))
     }
+    GraftFunctions.register(docs.sparkSession)
     docs
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("double"))
-      .withColumn("_tfs", transform(termsLit,
-        t => size(filter(col("_toks"), x => x === t)).cast("double")))
+      // one-pass counted lookup (r20) — bit-identical to the previous
+      // transform(termsLit, t -> size(filter(_toks, x -> x === t)))
+      // but O(L) instead of O(|terms|·L) per doc; see TermCounts
+      .withColumn("_tfs", GraftFunctions.termCounts(col("_toks"), allTerms))
       .select(col("doc_id"), col("_dl"), col("_tfs"),
         explode(qlit).as("q"))
       .filter(exists(col("q.terms"), t => tfOf(t) > 0))

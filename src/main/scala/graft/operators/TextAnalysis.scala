@@ -111,9 +111,11 @@ object TextAnalysis {
     * (identical bits in any engine — a SQL oracle reproduces the full
     * sketch; the xxhash64 variant above is the cheaper native path). */
   def winnowPortable(docs: DataFrame, k: Int = 4, w: Int = 8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.GraftFunctions.register(docs.sparkSession)
     winnowWith(docs, k, w, idCol, textCol,
-      g => conv(substring(md5(g), 1, 15), 16, 10).cast("long"))
+      g => graft.GraftFunctions.md5Prefix(g, 15))
+  }
 
   /** Repetition quality signals (the Gopher-rules repetition family):
     * per document, the fraction of token occurrences claimed by the
@@ -571,15 +573,18 @@ object TextAnalysis {
   def crossDocNgramCoverage(docs: DataFrame, n: Int, minDocs: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1 && minDocs >= 2)
-    val base = docs.select(col(idCol).as("doc_id"),
+    graft.GraftFunctions.register(docs.sparkSession)
+    // Spread.cpu + fused Md5PrefixStr (r20): see crossDocSpanDedup —
+    // same gram relation, same placement independence
+    val base = Spread.cpu(docs).select(col(idCol).as("doc_id"),
       whitespaceTokens(col(textCol)).as("toks"))
     // one row per n-gram start position i (0-based)
     val grams = base
       .where(size(col("toks")) >= n)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => substring(md5(
-            array_join(slice(col("toks"), i + 1, lit(n)), " ")), 1, 26))))
+          i => graft.GraftFunctions.md5PrefixStr(
+            array_join(slice(col("toks"), i + 1, lit(n)), " "), 26))))
       .select(col("doc_id"), col("pos").as("i"), col("col").as("gram"))
     val covered = grams
       .groupBy(col("gram"))
@@ -647,10 +652,11 @@ object TextAnalysis {
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
 
   /** Portable CMS bucket hash: 52-bit md5 prefix of "r:term" mod
-    * width (the DSIR feature-bucket recipe, row-salted). */
+    * width (the DSIR feature-bucket recipe, row-salted; fused
+    * Md5PrefixLong — same bits as the conv/substring chain). */
   private def cmsBucket(r: Column, term: Column, width: Int): Column =
-    conv(substring(md5(concat(r.cast("string"), lit(":"), term)), 1, 13),
-      16, 10).cast("long") % width
+    graft.GraftFunctions.md5Prefix(
+      concat(r.cast("string"), lit(":"), term), 13) % width
 
   private def winnowWith(docs: DataFrame, k: Int, w: Int,
       idCol: String, textCol: String,

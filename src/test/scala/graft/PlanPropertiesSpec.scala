@@ -27,6 +27,14 @@ class PlanPropertiesSpec extends AnyFunSuite {
   private def count(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  /** Exchanges excluding the r20 Spread.cpu round-robin: that exchange
+    * exists ONLY when the scanned input is smaller than one split
+    * (always true for the test fixtures) and moves a sub-split-sized
+    * relation to restore parallelism — the scale-load-bearing pins
+    * below are about DATA shuffles (hash/range), which must not grow. */
+  private def dataExchanges(plan: String): Int =
+    count(plan, "Exchange") - count(plan, "Exchange RoundRobinPartitioning")
+
   test("q02: filters and column pruning reach the parquet scan") {
     val plan = physical(
       SparkEntry.queries("q02_filter_pushdown")(spark, sf))
@@ -53,8 +61,8 @@ class PlanPropertiesSpec extends AnyFunSuite {
     val df = Knn.exact(SparkEntry.dataDf(spark, sf),
       SparkEntry.queriesDf(spark, sf), 10)
     val plan = physical(df)
-    assert(count(plan, "Exchange") == 1,
-      s"expected 1 exchange (partial top-k merge), got plan:\n$plan")
+    assert(dataExchanges(plan) == 1,
+      s"expected 1 data exchange (partial top-k merge), got plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
@@ -175,10 +183,10 @@ class PlanPropertiesSpec extends AnyFunSuite {
       s"both windows must reuse the same sort:\n$plan")
   }
 
-  test("chunkDocs: expression-only, zero shuffles") {
+  test("chunkDocs: expression-only, zero data shuffles") {
     val plan = physical(graft.operators.Corpus.chunkDocs(
       Tables.load(spark, sf, "documents"), 40, 32))
-    assert(count(plan, "Exchange") == 0, plan)
+    assert(dataExchanges(plan) == 0, plan)
   }
 
   test("dedupUnits: expression-only, zero shuffles") {
