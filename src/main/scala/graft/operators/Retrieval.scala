@@ -290,22 +290,38 @@ object Retrieval {
       qidCol: String = "qid",
       qtextCol: String = "q_text",
       maxQueries: Long = 100000L): Bm25Model = {
-    val nQueries = queries.count()
-    require(nQueries <= maxQueries,
-      s"trainBm25Frozen collects the query table to the driver " +
-        s"($nQueries rows > maxQueries=$maxQueries). Raise maxQueries " +
-        "only if the driver can hold them; for large query tables use " +
-        "the distributed bm25TopKShuffled lowering instead.")
+    // OVERLAPPED STATS (r20 optimization, guide §2.6): the doc-side
+    // length stats and the query-side count+collect are independent
+    // actions that ran back-to-back — at bench scale each is mostly
+    // fixed driver/job latency, so the frozen-model build paid the
+    // sum of both. Two driver threads submit them concurrently; the
+    // collected VALUES (and so the model, and every score downstream)
+    // are identical to the sequential build's.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
     val toks = docs.select(
       TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
-    val Array(nDocs, sumLen) = toks
-      .agg(count(lit(1)), sum(size(col("_toks")).cast("long")))
-      .collect()(0) match {
-        case row => Array(row.getLong(0), row.getLong(1))
-      }
-    val qrows = queries.select(col(qidCol).cast("long"),
-        array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
-      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val statsF = Future {
+      toks.agg(count(lit(1)), sum(size(col("_toks")).cast("long")))
+        .collect()(0) match {
+          case row => Array(row.getLong(0), row.getLong(1))
+        }
+    }
+    val qrowsF = Future {
+      val nQueries = queries.count()
+      require(nQueries <= maxQueries,
+        s"trainBm25Frozen collects the query table to the driver " +
+          s"($nQueries rows > maxQueries=$maxQueries). Raise maxQueries " +
+          "only if the driver can hold them; for large query tables use " +
+          "the distributed bm25TopKShuffled lowering instead.")
+      queries.select(col(qidCol).cast("long"),
+          array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    }
+    val Array(nDocs, sumLen) = Await.result(statsF, Duration.Inf)
+    val qrows = Await.result(qrowsF, Duration.Inf)
     val allTerms = qrows.flatMap(_._2).distinct
     val dfMap = toks
       .select(explode(array_distinct(col("_toks"))).as("term"))

@@ -250,6 +250,15 @@ object Sharded {
   private def fanShards[A](shards: Seq[A], parallel: Boolean)(
       f: A => Array[Rows]): Seq[Array[Rows]] =
     if (!parallel || shards.length == 1) shards.map(f)
+    // RE-ENTRANCY GUARD (r19 ADVICE, closed r20): a fan task that
+    // (transitively) reaches fanShards again must not SUBMIT to the
+    // bounded pool — cap-many outer tasks blocked on queued inner
+    // tasks would deadlock, which the pre-r19 unbounded pool could
+    // not. Same shape as runOnLocalPool's guard: already on a fan
+    // thread -> run inline (the outer fan already owns the
+    // parallelism; rows are unchanged either way).
+    else if (Thread.currentThread().getName.startsWith("graft-shard-fan"))
+      shards.map(f)
     else {
       val out = new Array[Array[Rows]](shards.length)
       // eager materialization: a lazy Seq would otherwise submit and
