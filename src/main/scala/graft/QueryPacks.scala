@@ -4358,7 +4358,10 @@ object StreamQueries {
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
-      drained(Retrieval.bm25ScoreFrozen(docs, model), "stream_bm25")
+      // stateless scorer -> sub-split spread is row-placement only
+      // (guarded by the batch twin's size; identity at scale)
+      drained(Retrieval.bm25ScoreFrozen(
+        Spread.cpuStream(docs, static), model), "stream_bm25")
     }),
     // streaming exact dedup in keyed state (one boolean per distinct
     // content hash): single-batch output is each hash's min-doc_id

@@ -37,4 +37,23 @@ object Spread {
       df.repartition(spark.sparkContext.defaultParallelism)
     else df
   }
+
+  /** Streaming twin (r20 wave 2): a streaming plan has no usable size
+    * estimate, so the sub-split guard reads a BATCH relation over the
+    * same input (`batchTwin`). Same regime as `cpu`: one unsplittable
+    * sub-split file makes the whole micro-batch ONE task (profiled:
+    * stream_bm25's scoring stage ran single-core), and the round-robin
+    * exchange restores parallelism; at scale the guard makes it the
+    * identity. STATELESS downstream operators only — a round-robin
+    * placement upstream of keyed state would be re-shuffled by the
+    * state partitioning anyway, so this helper is kept for the
+    * stateless scorers where placement provably cannot change rows. */
+  def cpuStream(stream: DataFrame, batchTwin: DataFrame): DataFrame = {
+    val spark = batchTwin.sparkSession
+    val threshold = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = batchTwin.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size <= threshold)
+      stream.repartition(spark.sparkContext.defaultParallelism)
+    else stream
+  }
 }
