@@ -100,6 +100,9 @@ object GraftFunctions {
       es => Md5PrefixStr(es(0), foldableInt(es(1), "graft_md5_prefix_str")),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_intersect_count",
+      es => IntersectCardinality(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_nearest_cells2",
       es => NearestCellsTwoLevel(es(0),
         foldableMatrix(es(1), "graft_nearest_cells2"),
@@ -183,6 +186,10 @@ object GraftFunctions {
     call_function("graft_md5_prefix_str", text, lit(nHex))
   }
   def vecSumLong(a: Column): Column = call_function("graft_vecsum_long", a)
+  /** Fused `size(array_intersect(a, b))` — identical count, no
+    * intersection-array materialization; see IntersectCardinality. */
+  def intersectCount(a: Column, b: Column): Column =
+    call_function("graft_intersect_count", a, b)
   def repetition(text: Column): Column = call_function("graft_repetition", text)
 
   /** Bloom-filter membership probe. The filter object cannot be a SQL

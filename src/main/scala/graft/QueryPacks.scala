@@ -4330,14 +4330,19 @@ object StreamQueries {
     // the full batch oracle checks the drained stream
     "stream_score" -> ((s, d) => {
       GraftFunctions.register(s)
+      val static = Tables.load(s, d, "documents")
       val model = graft.operators.TextAnalysis.trainLm(
-        Tables.load(s, d, "documents"), maxVocab = 1000000)
+        static, maxVocab = 1000000)
       val docs = s.readStream
         .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
+      // stateless per-row scorer (map-literal lookup, append mode) —
+      // sub-split spread is row-placement only, identity at scale
+      // (r21, the stream_bm25 pattern)
       drained(graft.operators.TextAnalysis.lmScoreFrozen(
-        docs, model, headPpl = 29.95, tailPpl = 30.09), "stream_score")
+        Spread.cpuStream(docs, static), model,
+        headPpl = 29.95, tailPpl = 30.09), "stream_score")
     }),
     // streaming BM25 against standing queries (retrieval-at-ingest:
     // route/alert arriving docs): frozen stats trained on the static

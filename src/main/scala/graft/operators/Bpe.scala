@@ -33,7 +33,26 @@ object Bpe {
 
   /** Train `numMerges` merges over the whitespace words of `docs`.
     * Output: (round 1-based, left_sym, right_sym, pair_count) in
-    * learning order. Stops early if no adjacent pair remains. */
+    * learning order. Stops early if no adjacent pair remains.
+    *
+    * DRIVER-LOCAL REPLAY UNDER BUDGET (r21, guide §5 — the
+    * classifier/kCenters pattern): the merge loop's working state is
+    * the distinct-WORD symbol relation (vocabulary-sized by design,
+    * never corpus-sized), but each round still paid 3-4 driver round
+    * trips (window pass + pair-count aggregate + argmax collect +
+    * localCheckpoint) — at sf0.1 numMerges=8 that is ~25 jobs of
+    * near-pure fixed latency over a few thousand vocab rows. When the
+    * total symbol count fits `graft.bpe.localTrainBudget` (default 4M
+    * symbol rows ≈ tens of MB — the same bounded-driver-work contract
+    * as the classifier's localTrainBudget), the (word, wcount) vocab
+    * is collected ONCE and the rounds replay on the driver:
+    * integer pair counts summed per adjacency, argmax by (count desc,
+    * left asc, right asc) under UTF8 BINARY byte order (exactly
+    * Spark's string ordering), greedy left-to-right merge application
+    * (provably the declarative head/tail window semantics — see
+    * object doc). Bit-identical by the all-integer contract; pinned
+    * local == distributed in BpeSpec. Past the budget — the 100 TB
+    * vocabulary — the distributed loop runs unchanged. */
   def trainBpe(docs: DataFrame, numMerges: Int,
       textCol: String = "text"): DataFrame = {
     require(numMerges > 0, s"trainBpe: numMerges must be positive")
@@ -43,6 +62,23 @@ object Bpe {
       .select(explode(TextAnalysis.whitespaceTokens(col(textCol)))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("wcount"))
+    val budget = spark.conf.get("graft.bpe.localTrainBudget",
+      "4000000").toLong
+    // one vocab-sized aggregate decides the mode: total symbol rows =
+    // Σ |word| (code points) over the distinct vocabulary
+    val symRows = words
+      .agg(coalesce(sum(length(col("word")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val merges: Seq[(Int, String, String, Long)] =
+      if (symRows <= budget) trainBpeLocal(words, numMerges)
+      else trainBpeDistributed(words, numMerges)
+    merges.toDF("round", "left_sym", "right_sym", "pair_count")
+      .select(col("round").cast("long"), col("left_sym"),
+        col("right_sym"), col("pair_count"))
+  }
+
+  private def trainBpeDistributed(words: DataFrame,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
     var state = initialSymbols(words).localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
@@ -59,9 +95,93 @@ object Bpe {
           round += 1
       }
     }
-    merges.result().toDF("round", "left_sym", "right_sym", "pair_count")
-      .select(col("round").cast("long"), col("left_sym"),
-        col("right_sym"), col("pair_count"))
+    state.unpersist()
+    merges.result()
+  }
+
+  /** UTF8 binary byte order — exactly Spark's UTF8String comparison
+    * (unsigned byte-wise over the UTF-8 encoding), which the
+    * distributed `orderBy(col("l"), col("r"))` tie-break uses. Java
+    * String.compareTo (UTF-16 code units) differs for supplementary
+    * code points, so the replay must not use it. */
+  private[operators] def utf8Lt(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(ab.length, bb.length)
+    var i = 0
+    while (i < n) {
+      val x = ab(i) & 0xff; val y = bb(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length < bb.length
+  }
+
+  /** Driver-local replay of the merge loop: same integer pair counts,
+    * same argmax tie-break (count desc, left asc, right asc in UTF8
+    * byte order), same greedy-left-to-right application the
+    * declarative window formulation lowers to. Words split into CODE
+    * POINTS (substr/length on UTF8String are code-point-based). */
+  private def trainBpeLocal(words: DataFrame,
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val vocab: Array[(Array[String], Long)] = words
+      .filter(length(col("word")) > 0)
+      .select(col("word"), col("wcount").cast("long"))
+      .as[(String, Long)].collect()
+      .map { case (w, c) =>
+        val syms = w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (syms, c)
+      }
+    var cur: Array[(Array[String], Long)] = vocab
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= numMerges && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      cur.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.merge(k, c, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = e.getKey; val v = e.getValue
+          if (best == null || v > best._2 ||
+            (v == best._2 && (utf8Lt(k._1, best._1._1) ||
+              (k._1 == best._1._1 && utf8Lt(k._2, best._1._2)))))
+            best = (k, v)
+        }
+        val ((l, r), c) = best
+        merges += ((round, l, r, c))
+        // greedy left-to-right merge — the declarative head/tail
+        // window semantics exactly (see object doc)
+        cur = cur.map { case (syms, wc) =>
+          if (syms.length < 2) (syms, wc)
+          else {
+            val out = Array.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), wc)
+          }
+        }
+        round += 1
+      }
+    }
+    merges.result()
   }
 
   /** ENCODE with a learned merge list: replay the merges in learning

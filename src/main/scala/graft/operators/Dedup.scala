@@ -54,7 +54,7 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
+    val sh = Spread.cpu(docs) // see minhashLsh (r21)
       .select(col(idCol).as("doc_id"),
         explode(shinglesOf(col(textCol), n)).as("sh"))
       .cache() // consumed 3× (sizes + both join sides)
@@ -89,7 +89,7 @@ object Dedup {
     * rarest-first order makes hot buckets the rarest shingles. */
   def ngramJaccardPrefix(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
+    val sh = Spread.cpu(docs) // see minhashLsh (r21)
       .select(col(idCol).as("doc_id"),
         explode(shinglesOf(col(textCol), n)).as("sh"))
       .cache() // frequency count + prefix build + verify sets
@@ -123,8 +123,9 @@ object Dedup {
         "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("shs").as("sh_b")),
         "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("inter", // fused count (r21) — identical to
+        // size(array_intersect(..)), no intersection-array build
+        GraftFunctions.intersectCount(col("sh_a"), col("sh_b")).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -176,6 +177,13 @@ object Dedup {
       bandGroups: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val groups = resolveBandGroups(docs, bands, bandGroups)
+    // NO Spread.cpu here (r21, measured): the sub-split doc scan does
+    // serialize the shingle/signature cache builds on one task, but an
+    // interleaved A/B showed the spread DOUBLES summed task time
+    // (35 s → 70 s: exchange + 32-way columnar cache builders + task
+    // overhead on 1778 vs 1435 tasks) for flat-to-worse wall
+    // (6.3 → 6.6 s median) — the serial cache builds are not the
+    // critical path; the AQE job chain is.
     val shingled = docs.select(col(idCol).as("doc_id"),
       shinglesOf(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -387,7 +395,9 @@ object Dedup {
     candidates
       .join(shSets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shSets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", // fused count (r21) — identical to
+        // size(array_intersect(..)), no intersection-array build
+        GraftFunctions.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard", col("inter").cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -583,7 +593,10 @@ object Dedup {
 
   def simhashPortable(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val toks = docs
+    // Spread.cpu (r21): the explode + dict-join + 60-bit-sum PARTIAL
+    // aggregate are one narrow stage over the doc scan — single-task
+    // on a sub-split file (profiled 1.0 s at sf0.1); identity at scale
+    val toks = Spread.cpu(docs)
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(tokens(col(textCol)))).as("tok"))
     // TOKEN DICTIONARY: md5+conv once per distinct token corpus-wide,
@@ -633,7 +646,8 @@ object Dedup {
     pigeonholePairs(sigs,
       (0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 15).bitwiseAND(lit(0x7fffL))),
-      (a, b) => bit_count(a.bitwiseXOR(b)).cast("long"), maxHamming)
+      (a, b) => bit_count(a.bitwiseXOR(b)).cast("long"), maxHamming,
+      guard = docs)
   }
 
   /** Pigeonhole-banded hamming pairs over a (doc_id, simhash)
@@ -652,9 +666,19 @@ object Dedup {
     * band-seeded 64-bit hashes make buckets mostly singletons, so the
     * shuffle COUNT dominates and the one-pass bucket list wins. */
   private def pigeonholePairs(sigs: DataFrame, chunks: Seq[Column],
-      hamming: (Column, Column) => Column, maxHamming: Int): DataFrame = {
-    val chunked = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk")))
+      hamming: (Column, Column) => Column, maxHamming: Int,
+      guard: DataFrame): DataFrame = {
+    // Spread.cpuBy (r21): hash-partition the chunked relation by the
+    // JOIN KEYS so the self-join reuses the partitioning — without it
+    // a sub-split signature table collapses (AQE-coalesced) to ONE
+    // task for the whole pair emission + hamming filter + distinct
+    // (profiled 0.76 s single-task at sf0.1, 271 K pair rows out).
+    // Key-hash placement cannot change an equi-join's row set;
+    // identity at scale by the guard.
+    val chunked = Spread.cpuBy(
+      sigs.select(col("doc_id"), col("simhash"),
+        posexplode(array(chunks: _*)).as(Seq("chunk_idx", "chunk"))),
+      guard, col("chunk_idx"), col("chunk"))
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
@@ -674,14 +698,20 @@ object Dedup {
     pigeonholePairs(simhashSignatures(docs, idCol, textCol),
       (0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xffffL))),
-      (a, b) => GraftFunctions.hamming64(a, b), maxHamming)
+      (a, b) => GraftFunctions.hamming64(a, b), maxHamming,
+      guard = docs)
 
   /** Embedding-cosine near-duplicate: top-N most similar vector pairs.
     * Exact all-pairs here (fine to ~10^4 rows / partition-streamed);
     * `embeddingNearPairsBucketed` is the 100-TB path. */
   def embeddingTopPairs(vecs: DataFrame, topN: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    // Spread.cpu (r21): the whole all-pairs cosine kernel is ONE
+    // broadcast-nested-loop task when the data side is sub-split
+    // (profiled 2.5-3.0 s single-task at sf0.1). The top-N cut is a
+    // (cos desc, id_a, id_b) total order — placement-free.
+    val a = Spread.cpu(vecs)
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(broadcast(b), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -726,7 +756,11 @@ object Dedup {
 
   private def pairsWithinCells(bucketed: DataFrame, threshold: Double,
       idCol: String, vecCol: String): DataFrame = {
-    val a = bucketed.select(col("cid"), col(idCol).as("id_a"),
+    // Spread.cpu (r21): sub-split cell assignment makes the in-cell
+    // cosine join ONE task (profiled 0.7-0.8 s at sf0.1); the b side
+    // broadcasts at exactly these sizes, so the spread a side keeps
+    // its parallelism. Threshold filters are placement-free.
+    val a = Spread.cpu(bucketed).select(col("cid"), col(idCol).as("id_a"),
       col(vecCol).as("v_a"))
     val b = bucketed.select(col("cid"), col(idCol).as("id_b"),
       col(vecCol).as("v_b"))

@@ -38,6 +38,25 @@ object Spread {
     else df
   }
 
+  /** Key-partitioned twin (r21): like `cpu`, but HASH-partitions by
+    * `keys` instead of round-robin, so an equi-join keyed on exactly
+    * those columns reuses the partitioning (no further exchange) and
+    * the join's per-pair work — instead of one AQE-coalesced task over
+    * a sub-split build — runs at full parallelism. `guard` supplies
+    * the size estimate when `df` itself has none (e.g. a
+    * localCheckpointed relation, whose LogicalRDD stats default to
+    * "huge" and would wrongly disable the spread at exactly the small
+    * sizes it exists for). Identity at scale, like `cpu`. */
+  def cpuBy(df: DataFrame, guard: DataFrame,
+      keys: org.apache.spark.sql.Column*): DataFrame = {
+    val spark = df.sparkSession
+    val threshold = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = guard.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size <= threshold)
+      df.repartition(spark.sparkContext.defaultParallelism, keys: _*)
+    else df
+  }
+
   /** Streaming twin (r20 wave 2): a streaming plan has no usable size
     * estimate, so the sub-split guard reads a BATCH relation over the
     * same input (`batchTwin`). Same regime as `cpu`: one unsplittable

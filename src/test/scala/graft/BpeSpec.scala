@@ -110,6 +110,20 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.trainBpe(docs, numMerges = 3).count() == 0)
   }
 
+  test("trainBpe: driver-local replay == distributed loop (r21)") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    def run(): List[(Long, String, String, Long)] =
+      Bpe.trainBpe(docs, numMerges = 6).orderBy("round").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toList
+    val local = run() // default budget -> local replay
+    spark.conf.set("graft.bpe.localTrainBudget", "0")
+    val dist = try run() // budget 0 -> distributed loop
+      finally spark.conf.unset("graft.bpe.localTrainBudget")
+    assert(local == dist)
+    assert(local.nonEmpty)
+  }
+
   test("trainBpe: partition independence on testdata") {
     val docs = Tables.load(spark, TestSpark.sf, "documents")
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -60,6 +60,44 @@ class OptimizationParitySpec extends AnyFunSuite {
     assert(diff == 0L)
   }
 
+  test("IntersectCardinality == size(array_intersect(a, b)) — real " +
+      "shingles + adversarial arrays (dups, null slots, empties)") {
+    // real shingle arrays from the corpus: every candidate-pair shape
+    // the LSH verify join actually sees
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+    GraftFunctions.register(spark)
+    val sh = docs.select(col("doc_id"),
+      GraftFunctions.shingles(col("text"), 3).as("sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+    val diff = pairs.select(
+        GraftFunctions.intersectCount(col("sh_a"), col("sh_b")).as("fused"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("legacy"))
+      .filter(col("fused") =!= col("legacy")).count()
+    assert(diff == 0L)
+    // adversarial element shapes: duplicates count once, a null slot
+    // shared by both sides counts once, empties yield 0, null arrays
+    // propagate null — all matching array_intersect exactly
+    val adv = Seq(
+      (Seq[String]("a", "a", "b", "c"), Seq[String]("a", "b", "b")),
+      (Seq[String](null, "x", null), Seq[String](null, "y")),
+      (Seq[String](), Seq[String]("a")),
+      (Seq[String]("q"), Seq[String]()),
+      (Seq[String](null), Seq[String]("z"))
+    ).toDF("sh_a", "sh_b")
+    val advDiff = adv.select(
+        GraftFunctions.intersectCount(col("sh_a"), col("sh_b")).as("fused"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).as("legacy"))
+      .filter(col("fused") =!= col("legacy")).count()
+    assert(advDiff == 0L)
+    val nullArr = Seq((Option.empty[Seq[String]], Option(Seq("a"))))
+      .toDF("sh_a", "sh_b")
+      .select(GraftFunctions.intersectCount(col("sh_a"), col("sh_b")))
+      .collect()
+    assert(nullArr.head.isNullAt(0))
+  }
+
   test("classifier sampled training: driver-local replay == distributed") {
     val docs = Tables.load(spark, sf, "documents")
     val isGood = size(split(col("text"), " ")) >= 40
