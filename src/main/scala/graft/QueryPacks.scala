@@ -2893,11 +2893,16 @@ object AnnQueries {
       val data = dataDf(s, d).filter(filterLow)
       val q = queriesDf(s, d)
       val codes = Pq.encode(data, sh.codebook).cache()
-      val pure = Recall.ofRanked(Pq.searchAdc(codes, sh.codebook, q, K),
+      // ONE ADC scan feeds both metrics (r21 build-reuse within the
+      // run): pure ADC top-K is the rank <= K prefix of the K×4
+      // shortlist (same (dist, id) total order), and the refined side
+      // re-ranks the same shortlist — previously two full ADC passes
+      val shortlist = Pq.searchAdc(codes, sh.codebook, q, K * 4).cache()
+      val pure = Recall.ofRanked(shortlist.filter(col("rank") <= K),
           sh.truth)
         .select(col("n_queries"), col("recall").as("recall_adc"))
       val refined = Recall.ofRanked(
-          Pq.searchAdcRefined(codes, sh.codebook, data, q, K, kfactor = 4),
+          Pq.refineShortlist(shortlist, data, q, K),
           sh.truth)
         .select(col("recall").as("recall_refined"))
       pure.crossJoin(refined)

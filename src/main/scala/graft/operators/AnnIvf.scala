@@ -300,9 +300,24 @@ object AnnIvf {
     * Hashing cid to the shuffle partitions yields exactly one file per
     * cell instead, at the cost of the one shuffle a clustered layout
     * fundamentally requires. */
-  def writeIndex(indexed: DataFrame, path: String): Unit =
-    indexed.repartition(col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(path)
+  def writeIndex(indexed: DataFrame, path: String): Unit = {
+    // sub-split guard (r21): repartition(col) with no explicit count
+    // lets AQE coalesce the pre-write exchange to ONE task at small
+    // sizes, serializing the whole clustered write (profiled: 1.1 s
+    // single-task at sf0.1). Pinning the count under the guard keeps
+    // the one-file-per-cell layout (a cell's rows still hash to
+    // exactly one task) while cells write in parallel; past the
+    // threshold the AQE-managed exchange is unchanged.
+    val spark = indexed.sparkSession
+    val threshold = spark.sessionState.conf.filesMaxPartitionBytes
+    val small =
+      indexed.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    val clustered =
+      if (small)
+        indexed.repartition(spark.sparkContext.defaultParallelism, col("cid"))
+      else indexed.repartition(col("cid"))
+    clustered.write.mode("overwrite").partitionBy("cid").parquet(path)
+  }
 
   /** `writeIndex` with the vector column stored as PACKED binary16
     * (r18) — the reference's own on-disk precision (`_fp16.npy`,

@@ -239,6 +239,19 @@ object Pq {
     rerank(searchAdc(codes, cb, queries, k * kfactor, idCol,
       qidCol, qvecCol), data, queries, k, idCol, vecCol, qidCol, qvecCol)
 
+  /** Exact re-rank of a PRECOMPUTED ADC shortlist — `searchAdcRefined`
+    * with the shortlist supplied by the caller, so ONE ADC scan can
+    * feed both the pure-ADC metric (its rank <= k prefix: the same
+    * (dist, id) total order makes top-k the head of top-k·kfactor)
+    * and the refined serve within a single run (r21 build-reuse, not
+    * cross-run caching). Output is identical to `searchAdcRefined`
+    * when `shortlist` = searchAdc(codes, cb, queries, k·kfactor). */
+  def refineShortlist(shortlist: DataFrame, data: DataFrame,
+      queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      qidCol: String = "qid", qvecCol: String = "q_embedding"): DataFrame =
+    rerank(shortlist, data, queries, k, idCol, vecCol, qidCol, qvecCol)
+
   /** Exact full-precision re-rank of an ADC shortlist: gather the
     * candidates' fp32 vectors (q·k·kfactor rows), broadcast the
     * queries, take the true top-k. Shared by the in-memory and

@@ -54,10 +54,13 @@ object Retrieval {
       qtextCol: String = "q_text"): DataFrame = {
     require(k > 0, s"bm25TopK: k must be positive, got $k")
     GraftFunctions.register(docs.sparkSession)
-    // Spread.cpu (r20): tokenize + explode + the tf partial aggregate
-    // are narrow over the doc scan — a sub-split corpus would run the
-    // whole candidate build on one core
-    val toks = Spread.cpu(docs).select(col(idCol).cast("long").as("doc_id"),
+    // Spread.cpu REMOVED (r21, VERDICT what's-wrong #2 resolved by
+    // same-window A/B): the sf0.1 doc scan was never single-task here
+    // (the candidate build ran 20 tasks unspread), so the r20 spread
+    // only paid its exchange — text_bm25 2.74-2.77 s unspread vs
+    // 2.90-3.54 s spread, task time 3.4 s vs 20 s. At 100 TB the scan
+    // splits fine on its own.
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
     val qterms = queries.select(col(qidCol).cast("long").as("qid"),
       explode(array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
@@ -151,7 +154,7 @@ object Retrieval {
       qtextCol: String = "q_text"): DataFrame = {
     require(k > 0, s"bm25TopKShuffled: k must be positive, got $k")
     GraftFunctions.register(docs.sparkSession)
-    val toks = Spread.cpu(docs) // see bm25TopK
+    val toks = docs // spread removed (r21) — see bm25TopK
       .select(col(idCol).cast("long").as("doc_id"),
         TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
     val qterms = queries.select(col(qidCol).cast("long").as("qid"),
@@ -245,6 +248,10 @@ object Retrieval {
       assert_true(w <= lit(Long.MaxValue / 2000001L),
         lit("sifEmbed: micro-weight overflow — lower microScale")).isNull,
       w)
+    // NO Spread here (r21, measured): the vocab-side md5 does run on
+    // one AQE-coalesced task, but spreading it regressed the pipeline
+    // (2.8 -> 3.6 s A/B: the exchange + a second scan of the relation
+    // cost more than the 0.4-0.6 s of single-core md5 it spreads).
     val termVecs = dfreq
       .crossJoin(broadcast(nDocs))
       .select(col("term"),

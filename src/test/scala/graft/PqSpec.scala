@@ -40,6 +40,21 @@ class PqSpec extends AnyFunSuite {
     assert(adc == brute)
   }
 
+  test("shared-shortlist reuse (r21): rank<=k prefix == searchAdc(k); " +
+      "refineShortlist == searchAdcRefined") {
+    val codes = Pq.encode(data, cb).cache()
+    val shortlist = Pq.searchAdc(codes, cb, queries, k = 40).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qid", $"rank", $"neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(rows(shortlist.filter($"rank" <= 10)) ==
+      rows(Pq.searchAdc(codes, cb, queries, k = 10)))
+    assert(rows(Pq.refineShortlist(shortlist, data, queries, k = 10)) ==
+      rows(Pq.searchAdcRefined(codes, cb, data, queries, k = 10,
+        kfactor = 4)))
+  }
+
   test("PQ recall@10 vs exact search clears a floor; refine recovers") {
     val codes = Pq.encode(data, cb).cache()
     val truth = Knn.exact(data, queries, k = 10)
