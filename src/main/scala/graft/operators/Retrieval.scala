@@ -304,31 +304,42 @@ object Retrieval {
     // sum of both. Two driver threads submit them concurrently; the
     // collected VALUES (and so the model, and every score downstream)
     // are identical to the sequential build's.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, blocking}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val toks = docs.select(
       TextAnalysis.whitespaceTokens(col(textCol)).as("_toks"))
+    // blocking{} (r21, ADVICE): these futures block on Spark actions;
+    // without the marker, concurrent frozen-model builds could starve
+    // the shared global ForkJoin pool's fixed parallelism
     val statsF = Future {
-      toks.agg(count(lit(1)), sum(size(col("_toks")).cast("long")))
-        .collect()(0) match {
-          case row => Array(row.getLong(0), row.getLong(1))
-        }
+      blocking {
+        toks.agg(count(lit(1)), sum(size(col("_toks")).cast("long")))
+          .collect()(0) match {
+            case row => Array(row.getLong(0), row.getLong(1))
+          }
+      }
     }
     val qrowsF = Future {
-      val nQueries = queries.count()
-      require(nQueries <= maxQueries,
-        s"trainBm25Frozen collects the query table to the driver " +
-          s"($nQueries rows > maxQueries=$maxQueries). Raise maxQueries " +
-          "only if the driver can hold them; for large query tables use " +
-          "the distributed bm25TopKShuffled lowering instead.")
-      queries.select(col(qidCol).cast("long"),
-          array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
-        .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      blocking {
+        val nQueries = queries.count()
+        require(nQueries <= maxQueries,
+          s"trainBm25Frozen collects the query table to the driver " +
+            s"($nQueries rows > maxQueries=$maxQueries). Raise maxQueries " +
+            "only if the driver can hold them; for large query tables use " +
+            "the distributed bm25TopKShuffled lowering instead.")
+        queries.select(col(qidCol).cast("long"),
+            array_distinct(TextAnalysis.whitespaceTokens(col(qtextCol))))
+          .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+      }
     }
-    val Array(nDocs, sumLen) = Await.result(statsF, Duration.Inf)
+    // await the QUERY side first (r21, ADVICE): the maxQueries
+    // fail-fast guard lives there, and awaiting the doc stats first
+    // would let an oversized query table pay the full doc scan before
+    // the budget violation surfaces
     val qrows = Await.result(qrowsF, Duration.Inf)
+    val Array(nDocs, sumLen) = Await.result(statsF, Duration.Inf)
     val allTerms = qrows.flatMap(_._2).distinct
     val dfMap = toks
       .select(explode(array_distinct(col("_toks"))).as("term"))

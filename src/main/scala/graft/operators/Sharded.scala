@@ -227,11 +227,25 @@ object Sharded {
     * block only on the worker pool, never on each other or on this
     * pool — so queued tasks always make progress; the fan degrades
     * to partial serialization instead of thread pile-up). */
+  /** Set for the lifetime of a fan-pool thread — the re-entrancy
+    * marker (r21, ADVICE): an explicit ThreadLocal instead of
+    * thread-name matching, so renaming cannot defeat the guard. It
+    * still only marks DIRECT fan-thread re-entry: a fan task that
+    * hops through another pool before re-entering fanShards is not
+    * covered (the hop's thread carries no marker) — acceptable
+    * because no current call path does that, and the failure mode is
+    * the pre-r19 queue-wait, not corruption. */
+  private val onFanThread = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   private lazy val fanPool: java.util.concurrent.ExecutorService = {
     val tf = new java.util.concurrent.ThreadFactory {
       private val n = new java.util.concurrent.atomic.AtomicInteger()
       def newThread(r: Runnable): Thread = {
-        val t = new Thread(r, s"graft-shard-fan-${n.getAndIncrement()}")
+        val t = new Thread(new Runnable {
+          def run(): Unit = { onFanThread.set(true); r.run() }
+        }, s"graft-shard-fan-${n.getAndIncrement()}")
         t.setDaemon(true); t
       }
     }
@@ -257,7 +271,7 @@ object Sharded {
     // not. Same shape as runOnLocalPool's guard: already on a fan
     // thread -> run inline (the outer fan already owns the
     // parallelism; rows are unchanged either way).
-    else if (Thread.currentThread().getName.startsWith("graft-shard-fan"))
+    else if (onFanThread.get()) // ThreadLocal marker (r21) — see above
       shards.map(f)
     else {
       val out = new Array[Array[Rows]](shards.length)

@@ -66,7 +66,18 @@ object Spread {
     * identity. STATELESS downstream operators only — a round-robin
     * placement upstream of keyed state would be re-shuffled by the
     * state partitioning anyway, so this helper is kept for the
-    * stateless scorers where placement provably cannot change rows. */
+    * stateless scorers where placement provably cannot change rows.
+    *
+    * ASSUMPTIONS (r21, ADVICE): `batchTwin` must read the SAME input
+    * as `stream`, and the decision is taken ONCE at plan-build time
+    * from the twin's size — nothing re-evaluates it per micro-batch.
+    * For a genuinely GROWING ingest source that starts sub-split, the
+    * repartition is baked in and every later large micro-batch pays a
+    * full shuffle; the "identity at scale" guarantee therefore only
+    * holds when the source is already at its representative size at
+    * setup (true for the replayed-file benches this serves). Callers
+    * with growing sources should rebuild the query periodically or
+    * skip the spread. */
   def cpuStream(stream: DataFrame, batchTwin: DataFrame): DataFrame = {
     val spark = batchTwin.sparkSession
     val threshold = spark.sessionState.conf.filesMaxPartitionBytes
