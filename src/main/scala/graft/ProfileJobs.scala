@@ -67,7 +67,10 @@ object ProfileJobs {
             import scala.jdk.CollectionConverters._
             val rs = jobs.values().asScala.toSeq.sortBy(_.id)
             rs.foreach { r =>
-              val w = (r.end - r.start) / 1e3
+              // a job whose end event has not drained yet would print
+              // a huge negative wall — flag it instead
+              val w = if (r.end == 0L) Double.NaN
+                else (r.end - r.start) / 1e3
               println(f"  job=${r.id}%4d wall=$w%6.2fs tasks=${r.tasks}%5d " +
                 f"taskTime=${r.taskTimeMs / 1e3}%8.2fs  ${r.site.take(90)}")
             }

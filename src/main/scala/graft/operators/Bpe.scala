@@ -105,16 +105,11 @@ object Bpe {
     * String.compareTo (UTF-16 code units) differs for supplementary
     * code points, so the replay must not use it. */
   private[operators] def utf8Lt(a: String, b: String): Boolean = {
-    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val n = math.min(ab.length, bb.length)
-    var i = 0
-    while (i < n) {
-      val x = ab(i) & 0xff; val y = bb(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    ab.length < bb.length
+    import org.apache.spark.unsafe.types.UTF8String
+    // delegate to Spark's own comparator (unsigned byte-wise over the
+    // UTF-8 encoding) rather than hand-rolling it — the tie-break must
+    // track whatever Spark's string sort order is, by construction
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0
   }
 
   /** Driver-local replay of the merge loop: same integer pair counts,
@@ -166,10 +161,19 @@ object Bpe {
         // greedy left-to-right merge — the declarative head/tail
         // window semantics exactly (see object doc)
         cur = cur.map { case (syms, wc) =>
-          if (syms.length < 2) (syms, wc)
+          // skip words without the adjacency — most words, most
+          // rounds; returning the existing reference avoids rebuilding
+          // every symbol array per round
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) has = true
+            i += 1
+          }
+          if (!has) (syms, wc)
           else {
             val out = Array.newBuilder[String]
-            var i = 0
+            i = 0
             while (i < syms.length) {
               if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
                 out += (l + r); i += 2

@@ -335,9 +335,11 @@ object Retrieval {
       }
     }
     // await the QUERY side first (r21, ADVICE): the maxQueries
-    // fail-fast guard lives there, and awaiting the doc stats first
-    // would let an oversized query table pay the full doc scan before
-    // the budget violation surfaces
+    // fail-fast guard lives there, so the violation SURFACES as soon
+    // as the (cheap) query count lands instead of after the doc scan.
+    // The concurrently-launched doc-stats job still runs to completion
+    // cluster-side either way — this reorders the error, it does not
+    // cancel the scan.
     val qrows = Await.result(qrowsF, Duration.Inf)
     val Array(nDocs, sumLen) = Await.result(statsF, Duration.Inf)
     val allTerms = qrows.flatMap(_._2).distinct

@@ -42,11 +42,13 @@ object Spread {
     * `keys` instead of round-robin, so an equi-join keyed on exactly
     * those columns reuses the partitioning (no further exchange) and
     * the join's per-pair work — instead of one AQE-coalesced task over
-    * a sub-split build — runs at full parallelism. `guard` supplies
-    * the size estimate when `df` itself has none (e.g. a
-    * localCheckpointed relation, whose LogicalRDD stats default to
-    * "huge" and would wrongly disable the spread at exactly the small
-    * sizes it exists for). Identity at scale, like `cpu`. */
+    * a sub-split build — runs at full parallelism. The size estimate
+    * ALWAYS comes from `guard`, never from `df` (callers pass a
+    * scan-adjacent relation whose estimate is file-based; `df` itself
+    * is often a localCheckpointed relation whose LogicalRDD stats
+    * default to "huge" and would wrongly disable the spread at exactly
+    * the small sizes it exists for). Keep guards scan-adjacent so the
+    * estimate cannot undershoot. Identity at scale, like `cpu`. */
   def cpuBy(df: DataFrame, guard: DataFrame,
       keys: org.apache.spark.sql.Column*): DataFrame = {
     val spark = df.sparkSession

@@ -116,7 +116,12 @@ class BpeSpec extends AnyFunSuite {
       Bpe.trainBpe(docs, numMerges = 6).orderBy("round").collect()
         .map(r => (r.getLong(0), r.getString(1), r.getString(2),
           r.getLong(3))).toList
-    val local = run() // default budget -> local replay
+    // pin the mode EXPLICITLY both ways, so a future corpus/budget
+    // change can never silently degrade this to distributed ==
+    // distributed
+    spark.conf.set("graft.bpe.localTrainBudget", Long.MaxValue.toString)
+    val local = try run()
+      finally spark.conf.unset("graft.bpe.localTrainBudget")
     spark.conf.set("graft.bpe.localTrainBudget", "0")
     val dist = try run() // budget 0 -> distributed loop
       finally spark.conf.unset("graft.bpe.localTrainBudget")
